@@ -38,10 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from audit_star_spark.queries_audit import AUDIT_QUERIES
+    from audit_star_spark.queries_relational import RELATIONAL_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, fn in AUDIT_QUERIES.items():
-        out[name] = _wrap(fn)
+    for group in (AUDIT_QUERIES, RELATIONAL_QUERIES):
+        for name, fn in group.items():
+            out[name] = _wrap(fn)
     return out
 
 
@@ -54,5 +56,6 @@ def _wrap(fn):
 
 def oracle_sql() -> dict[str, str]:
     from audit_star_spark.queries_audit import AUDIT_ORACLES
+    from audit_star_spark.queries_relational import RELATIONAL_ORACLES
 
-    return dict(AUDIT_ORACLES)
+    return {**AUDIT_ORACLES, **RELATIONAL_ORACLES}

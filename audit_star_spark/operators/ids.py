@@ -1,27 +1,31 @@
 """Gapless monotone sequence assignment — the Spark answer to the
 reference's ``nextval(seq)`` (audit.go:855–867, 881; SURVEY §7 hard part 1).
 
-``monotonically_increasing_id`` is neither gapless nor stable, and a global
-``row_number()`` window funnels the whole dataset through ONE partition — a
-non-starter at 100 TB. The scale path here is the classic two-pass scheme
-(what RDD ``zipWithIndex`` does, kept in DataFrame/Arrow land):
+``monotonically_increasing_id`` alone is neither gapless nor stable, and a
+global ``row_number()`` window funnels the whole dataset through ONE
+partition — a non-starter at 100 TB. The scale path is the classic
+two-pass zipWithIndex scheme, kept entirely JVM-side:
 
-1. range-partition + sort by a total order key (so global order is the sort
-   order regardless of where partition boundaries fall);
-2. count rows per partition (cheap metadata job);
-3. mapInPandas adds ``base_offset[pid] + local_index`` — a narrow pass.
+1. range-partition + sort by a total-order key (global order then equals
+   the sort order regardless of partition boundaries), persist to freeze
+   the partitioning;
+2. count rows per partition (tiny metadata collect) -> cumulative bases;
+3. local row index = ``monotonically_increasing_id() - (pid << 33)``
+   (mid is defined as ``pid * 2^33 + row-index-in-partition``), so
+   ``id = base[pid] + local_index`` — a narrow projection + broadcast
+   join, no shuffle, no Python workers, stays in whole-stage codegen.
 
-Determinism: given a *total* order key (unique, e.g. an event id), the
-assigned ids equal ``row_number() over (order by key)`` exactly, independent
-of partition boundaries or cluster size.
+Determinism: with a *total* order key (unique tie-breaker) the ids equal
+``row_number() over (order by key)`` exactly, independent of partition
+boundaries or cluster size.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_MID_PARTITION_SHIFT = 33  # monotonically_increasing_id: pid * 2^33 + local
 
 
 def gapless_ids(
@@ -37,55 +41,40 @@ def gapless_ids(
     ``order_by`` must be a total order (include a unique tie-breaker);
     otherwise ids are still gapless but tie order is partition-dependent.
 
-    mode='distributed' (default): two-pass scheme above — no global funnel.
+    mode='distributed' (default): two-pass JVM scheme above — no global
+    funnel, scales with partition count.
     mode='window': single global window; only for small inputs/tests.
     """
     if mode == "window":
         w = Window.orderBy(*[F.col(c) for c in order_by])
         return df.withColumn(id_col, F.row_number().over(w) + F.lit(start - 1))
 
-    import pandas as pd  # local import: worker-side deps stay lazy
-
-    num_partitions = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(num_partitions, *order_by).sortWithinPartitions(
-        *order_by
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    part = part.withColumn("__pid", F.spark_partition_id())
     # Freeze the staged partitioning: the count job (pass 1) and the id job
-    # (pass 2) must observe the SAME partition boundaries. At real scale
-    # this would be a write to scratch storage; locally persist suffices.
+    # (pass 2) must observe the SAME partitions and row order. At real
+    # scale this would be a write to scratch storage; persist suffices.
     part = part.persist()
-    # Pass 1: per-partition counts -> cumulative base offsets (tiny collect:
-    # O(num_partitions) rows of metadata, not data).
+
     counts = {
         r["__pid"]: r["cnt"]
         for r in part.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets: dict[int, int] = {}
-    acc = start
+    bases, acc = [], start
     for pid in sorted(counts):
-        offsets[pid] = acc
+        bases.append((pid, acc))
         acc += counts[pid]
+    offsets = spark.createDataFrame(bases or [(0, start)], "__pid int, __base long")
 
-    from pyspark.sql import types as T
-
-    # copy — StructType.add would mutate the input frame's schema in place
-    schema = T.StructType(
-        list(part.schema.fields) + [T.StructField(id_col, T.LongType(), False)]
+    local_idx = F.col("__mid") - F.shiftleft(F.col("__pid").cast("long"), _MID_PARTITION_SHIFT)
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, F.col("__base") + local_idx)
+        .drop("__pid", "__mid", "__base")
     )
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen: dict[int, int] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                pdf[id_col] = pd.Series([], dtype="int64")
-                yield pdf
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            base = offsets[pid] + seen.get(pid, 0)
-            pdf = pdf.copy()
-            pdf[id_col] = range(base, base + len(pdf))
-            seen[pid] = seen.get(pid, 0) + len(pdf)
-            yield pdf
-
-    return part.mapInPandas(assign, schema=schema).drop("__pid")

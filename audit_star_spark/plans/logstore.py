@@ -1,0 +1,60 @@
+"""Materialized audit-log store.
+
+In the reference, the audit log is a physical append-only table written by
+the trigger and *queried* by the views (audit.go:773–816); recomputing it
+per query would be nonsense. This module mirrors that: the log built from a
+change feed is staged once to parquet and every view/query reads the staged
+table.
+
+Physical layout (the Spark analogue of the reference's two indexes,
+audit.go:836–837): range-partitioned by (primary_key, audit_id) and sorted
+within partitions — reconstruction windows get co-located keys, and parquet
+row-group min/max stats give point-lookup pruning on primary_key and
+``sparse_time IS NOT NULL`` anchor scans for free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from audit_star_spark.catalog import TableSpec
+
+CACHE_ROOT = os.environ.get("AUDIT_STAR_CACHE_DIR", "/tmp/audit_star_spark/cache")
+
+
+def _fingerprint(sf_dir: str) -> str:
+    ev = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev)
+    key = f"{os.path.abspath(sf_dir)}:{st.st_size}:{int(st.st_mtime)}"
+    return hashlib.sha1(key.encode()).hexdigest()[:16]
+
+
+def cached_users_log(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, TableSpec]:
+    """(log, live, spec) for the synthetic users table, with the log staged
+    to parquet on first use per dataset. Set AUDIT_STAR_NO_LOG_CACHE=1 to
+    force the pure in-memory pipeline (used by tests to cover both paths).
+    """
+    from audit_star_spark.operators.event_builder import build_audit_events
+    from audit_star_spark.sources.cdc import users_audit_inputs
+
+    feed, live, spec = users_audit_inputs(spark, sf_dir)
+    if os.environ.get("AUDIT_STAR_NO_LOG_CACHE") == "1":
+        log = build_audit_events(feed, pk_col="id", order_by=["event_id"])
+        return log, live, spec
+
+    path = os.path.join(CACHE_ROOT, "users_log", _fingerprint(sf_dir))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        log = build_audit_events(feed, pk_col="id", order_by=["event_id"])
+        n = max(2, spark.sparkContext.defaultParallelism // 4)
+        (
+            log.repartitionByRange(n, "primary_key", "audit_id")
+            .sortWithinPartitions("primary_key", "audit_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path), live, spec

@@ -19,17 +19,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from audit_star_spark.functions.maps import canonical_diff_string
-from audit_star_spark.operators.event_builder import build_audit_events
 from audit_star_spark.operators.reconstruct import compare_view, delta_view, snapshot_view
-from audit_star_spark.sources.cdc import users_audit_inputs
 
 TIME_TRAVEL_TS = "2024-01-15 00:00:00"
 
 
 def _log(spark: SparkSession, sf_dir: str):
-    feed, live, spec = users_audit_inputs(spark, sf_dir)
-    log = build_audit_events(feed, pk_col="id", order_by=["event_id"])
-    return log, live, spec
+    from audit_star_spark.plans.logstore import cached_users_log
+
+    return cached_users_log(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

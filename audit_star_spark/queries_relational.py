@@ -1,0 +1,340 @@
+"""Relational coverage queries (SURVEY §2D): scans, filters, multi-way
+joins, aggregations, windows, sort/top-k, set ops, rollup, as-of join —
+each paired with a DuckDB oracle.
+
+Float determinism across engines: money/ratio columns are converted to
+exact integer cents (via DECIMAL casts — never a raw double->int cast),
+summed exactly, and divided back to DOUBLE only at the output boundary
+with identical operation order on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from audit_star_spark.operators.asof import asof_join_backward
+from audit_star_spark.sources.testdata import load_table
+
+
+def _cents(col: str, scale: int = 2) -> F.Column:
+    """Exact integer cents from a 2-decimal double: decimal cast (HALF_UP,
+    identical in DuckDB) then scale shift."""
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _pct(col: str) -> F.Column:
+    """0.xx ratio -> exact integer percent."""
+    return (F.col(col).cast("decimal(6,2)") * 100).cast("long")
+
+
+# -- q1: pricing summary (TPC-H Q1 shape: scan + filter + groupBy agg) -----
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    g = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("__sq"),
+        F.sum(_cents("l_extendedprice")).alias("__sp"),
+        F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("__sd"),
+        F.sum(
+            _cents("l_extendedprice")
+            * (100 - _pct("l_discount"))
+            * (100 + _pct("l_tax"))
+        ).alias("__sc"),
+        F.sum(_pct("l_discount")).alias("__sdisc"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__sq").alias("sum_qty"),
+        (F.col("__sp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("__sd").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("__sc").cast("double") / 1000000.0).alias("sum_charge"),
+        (F.col("__sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("__sp").cast("double") / 100.0 / F.col("count_order")).alias("avg_price"),
+        (F.col("__sdisc").cast("double") / 100.0 / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(pc) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(pc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+  CAST(SUM(dc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM (
+  SELECT *,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+    CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS dc,
+    CAST(CAST(l_tax AS DECIMAL(6,2)) * 100 AS BIGINT) AS tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- q3: shipping priority (3-way join + agg + top-k) ----------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is small & filtered: broadcast to avoid a shuffle
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("__rev")
+    )
+    return (
+        g.select(
+            "l_orderkey",
+            (F.col("__rev").cast("double") / 10000.0).alias("revenue"),
+            "o_orderdate",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# -- q5: local supplier volume (6-way join) --------------------------------
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    g = j.groupBy("n_name").agg(
+        F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("__rev")
+    )
+    return g.select(
+        "n_name", (F.col("__rev").cast("double") / 10000.0).alias("revenue")
+    ).orderBy(F.col("revenue").desc(), F.col("n_name"))
+
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# -- top-k per group (window fn) -------------------------------------------
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select(
+            "c_mktsegment",
+            "rank_in_segment",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)").cast("double")).alias(
+                "o_totalprice"
+            ),
+        )
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT c_mktsegment, rank_in_segment, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_segment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rank_in_segment <= 3
+"""
+
+
+# -- tumbling-window event aggregation -------------------------------------
+def q_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_cents("value")).alias("__sv"),
+    )
+    return g.select(
+        "day",
+        "event_type",
+        "n_events",
+        "n_users",
+        (F.col("__sv").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+SQL_DAILY_EVENTS = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# -- set operation: EXCEPT --------------------------------------------------
+def q_parts_never_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    shipped = li.select(F.col("l_partkey").alias("partkey")).distinct()
+    small = part.filter(F.col("p_size") < 10).select(
+        F.col("p_partkey").alias("partkey")
+    )
+    return shipped.subtract(small)
+
+
+SQL_PARTS_EXCEPT = """
+SELECT DISTINCT l_partkey AS partkey FROM lineitem
+EXCEPT
+SELECT p_partkey AS partkey FROM part WHERE p_size < 10
+"""
+
+
+# -- ROLLUP aggregation -----------------------------------------------------
+def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.rollup(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("__sv"),
+    )
+    return g.select(
+        "order_year",
+        "o_orderpriority",
+        "n_orders",
+        (F.col("__sv").cast("double") / 100.0).alias("total_price"),
+    )
+
+
+SQL_PRIORITY_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_price
+FROM orders
+GROUP BY ROLLUP (order_year, o_orderpriority)
+"""
+
+
+# -- as-of join -------------------------------------------------------------
+def q_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the user's latest signup at-or-before it
+    (backward as-of join; union+window, no range explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", (_cents("value").cast("double") / 100.0).alias("value")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_event_id")
+    )
+    out = asof_join_backward(
+        purchases,
+        signups,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        payload_cols=["signup_event_id"],
+        payload_prefix="",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "signup_ts", "signup_event_id")
+
+
+SQL_ASOF = """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(CAST(CAST(p.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS value,
+       s.ts AS signup_ts, s.event_id AS signup_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "daily_event_stats": q_daily_event_stats,
+    "parts_never_small": q_parts_never_small,
+    "priority_rollup": q_priority_rollup,
+    "asof_purchase_signup": q_asof_purchase_signup,
+}
+
+RELATIONAL_ORACLES = {
+    "q1_pricing_summary": SQL_Q1,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_local_supplier": SQL_Q5,
+    "top_orders_per_segment": SQL_TOP_ORDERS,
+    "daily_event_stats": SQL_DAILY_EVENTS,
+    "parts_never_small": SQL_PARTS_EXCEPT,
+    "priority_rollup": SQL_PRIORITY_ROLLUP,
+    "asof_purchase_signup": SQL_ASOF,
+}
