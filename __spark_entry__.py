@@ -37,11 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from audit_star_spark.queries_analytics import ANALYTICS_QUERIES
     from audit_star_spark.queries_audit import AUDIT_QUERIES
     from audit_star_spark.queries_relational import RELATIONAL_QUERIES
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for group in (AUDIT_QUERIES, RELATIONAL_QUERIES):
+    for group in (AUDIT_QUERIES, RELATIONAL_QUERIES, ANALYTICS_QUERIES):
         for name, fn in group.items():
             out[name] = _wrap(fn)
     return out
@@ -55,7 +56,8 @@ def _wrap(fn):
 
 
 def oracle_sql() -> dict[str, str]:
+    from audit_star_spark.queries_analytics import ANALYTICS_ORACLES
     from audit_star_spark.queries_audit import AUDIT_ORACLES
     from audit_star_spark.queries_relational import RELATIONAL_ORACLES
 
-    return {**AUDIT_ORACLES, **RELATIONAL_ORACLES}
+    return {**AUDIT_ORACLES, **RELATIONAL_ORACLES, **ANALYTICS_ORACLES}

@@ -1,0 +1,184 @@
+"""Deduplication operators over ``documents`` (north-star layer):
+
+- exact dedup on normalized text (hash groupBy, keep-first);
+- MinHash + LSH banding near-dup candidate discovery with exact
+  n-gram-Jaccard verification;
+- SimHash fingerprints + Hamming-bucketed near-dup pairs.
+
+Scale notes: every stage is a hash shuffle on a key (content hash, LSH
+band bucket, simhash prefix) — no all-pairs comparison ever happens; the
+pairwise Jaccard/Hamming verification only runs on bucket-collision
+candidates, which is the standard web-scale dedup shape (one wide shuffle
+per stage, skew handled by AQE).
+
+Deterministic hashing: md5-hex (identical across engines); minhash_j(doc)
+= min over shingles of md5(j || '|' || shingle) compared as hex strings.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.text import TOKENS_EXPR
+
+N_PERMS = 9
+N_BANDS = 3  # 3 bands x 3 rows
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+NORM_TEXT_EXPR = "regexp_replace(trim(lower(text)), '\\\\s+', ' ')"
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep-first exact dedup on whitespace-normalized text. Returns one
+    row per distinct content: canonical (min) doc_id + duplicate count."""
+    h = F.md5(F.expr(NORM_TEXT_EXPR))
+    return (
+        docs.select(h.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# universal-hash permutation family over a Mersenne prime: one md5 per
+# shingle, then mh_j = min over shingles of (A[j]*h + B[j]) mod P — 9x
+# fewer md5 evaluations than salt-per-permutation hashing
+MH_P = 2_147_483_647  # 2^31 - 1; keeps A[j]*h in int64
+MH_A = [1203983, 2965051, 4423217, 6122179, 7767721, 9383449, 11003047, 12589031, 14197559]
+MH_B = [356887, 1466309, 2662847, 3867793, 5071177, 6271499, 7481321, 8692583, 9902749]
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """doc_id, shingles, shingle-hash list — built in STAGED projections:
+    each stage references the previous stage's materialized column, never
+    re-inlines the expression (inlined token arrays re-tokenize the whole
+    document on every lambda element access — quadratic blowup)."""
+    from audit_star_spark.util import spread
+
+    toks = spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN "
+            "transform(sequence(0, size(toks) - 3), "
+            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+            "ELSE array() END"
+        ).alias("shingles"),
+    )
+    return sh.select(
+        "doc_id",
+        "shingles",
+        F.expr(
+            f"transform(shingles, "
+            f"s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MH_P})"
+        ).alias("shash"),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + minhash_0..k-1 (universal-hash minima over shingle hashes)
+    + LSH band keys."""
+    out = _shingled(docs)
+    for j in range(N_PERMS):
+        out = out.withColumn(
+            f"mh_{j}",
+            F.array_min(
+                F.expr(f"transform(shash, h -> ({MH_A[j]} * h + {MH_B[j]}) % {MH_P})")
+            ),
+        )
+    for b in range(N_BANDS):
+        cols = [f"mh_{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        # F.concat (not concat_ws): NULL minhashes (empty shingle sets) must
+        # propagate to a NULL band key, not collapse into a shared bucket
+        parts: list[F.Column] = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit("|"))
+            parts.append(F.col(c).cast("string"))
+        out = out.withColumn(f"band_{b}", F.md5(F.concat(*parts)))
+    return out
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs: LSH band-bucket collision candidates, verified
+    with exact Jaccard over distinct 3-word shingles. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold."""
+    # persist: the band union reads sig N_BANDS times and the candidate
+    # self-join doubles it again — without this the md5-heavy signature
+    # pipeline runs ~6x (at real scale: write signatures to storage once)
+    sig = minhash_signatures(docs).drop("shash").persist()
+    bands = [
+        sig.select("doc_id", F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+        for b in range(N_BANDS)
+    ]
+    buckets = reduce(lambda a, b: a.unionByName(b), bands).filter(F.col("key").isNotNull())
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sig.select("doc_id", F.array_distinct("shingles").alias("sset"))
+    j = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    jacc = inter.cast("double") / union
+    return (
+        j.select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 60
+_TOK_HASHES = (
+    f"transform({TOKENS_EXPR}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+# bit j of the simhash: majority vote of bit j over all token hashes.
+# Operates on a pre-materialized tok_hashes COLUMN — hashing tokens inside
+# the per-bit fold would redo the md5 work 60x.
+SIMHASH_FOLD_EXPR = (
+    f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + "
+    f"CASE WHEN aggregate(tok_hashes, 0, "
+    f"(s, h) -> s + CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"
+    f") > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+)
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document (majority vote over token-hash bits)."""
+    from audit_star_spark.util import spread
+
+    th = spread(docs).select("doc_id", F.expr(_TOK_HASHES).alias("tok_hashes"))
+    return th.select("doc_id", F.expr(SIMHASH_FOLD_EXPR).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share a 12-bit prefix bucket
+    (blocking — no all-pairs), verified by exact Hamming distance."""
+    fp = simhash_fingerprints(docs).withColumn(
+        "bucket", F.expr(f"simhash div CAST(pow(2, {SIMHASH_BITS - 12}) AS BIGINT)")
+    )
+    # persist: the self-join below would otherwise recompute every
+    # fingerprint twice (at real scale: checkpoint signatures to storage)
+    fp = fp.persist()
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

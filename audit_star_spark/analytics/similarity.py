@@ -1,0 +1,124 @@
+"""Similarity search over the ``embeddings`` table (north-star layer):
+
+- brute-force cosine top-k (the exact baseline);
+- hyperplane-LSH bucketed ANN (the scale path: candidates only within a
+  shared sign-pattern bucket — no all-pairs);
+- per-label nearest-neighbor (embedding near-dup detection with label
+  blocking).
+
+All vector math is built-in higher-order functions (zip_with + sequential
+aggregate folds in DOUBLE) — deterministic and identical to a sequential
+fold in any engine; no UDFs, no NumPy on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+VEC_EXPR = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _dot(a: str, b: str) -> F.Column:
+    # sequential fold -> bit-identical to any engine's left fold in double
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "vec", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(_dot(vec_col, vec_col)))
+
+
+def _prepared(emb: DataFrame) -> DataFrame:
+    return with_norm(
+        emb.select("vec_id", "label", F.expr(VEC_EXPR).alias("vec"))
+    )
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors (vec_id < n_queries).
+    Brute force: broadcast the tiny query side against all candidates —
+    one scan, no shuffle of the big side until the per-query top-k."""
+    base = _prepared(emb)
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+N_PLANES = 8
+
+
+def _bucket_expr(vec_col: str) -> F.Column:
+    """Hyperplane-LSH bucket: plane p has pseudo-random ±1 weights
+    w(p,d) = parity of md5-derived hash of 'p_d'; bucket bit p is the sign
+    of <w(p), v>. Deterministic in any engine."""
+    terms = []
+    for p in range(N_PLANES):
+        proj = (
+            f"aggregate(zip_with({vec_col}, "
+            f"transform(sequence(0, size({vec_col}) - 1), "
+            f"d -> CASE WHEN CAST(conv(substring(md5(concat('{p}_', d)), 1, 15), 16, 10) AS BIGINT) % 2 = 1 "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), "
+            f"(x, w) -> x * w), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """ANN top-k: candidates limited to the query's LSH bucket, ranked by
+    exact cosine. The bucket join replaces the all-pairs product."""
+    base = _prepared(emb).withColumn("bucket", _bucket_expr("vec"))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def label_nearest_neighbor(emb: DataFrame) -> DataFrame:
+    """For every vector: its nearest neighbor within the same label
+    (label-blocked near-dup scan; blocks bound the pair count)."""
+    base = _prepared(emb)
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
+    w = Window.partitionBy("a.vec_id").orderBy(F.col("cosine").desc(), F.col("b.vec_id"))
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.label").alias("label"),
+            F.col("b.vec_id").alias("nn_vec_id"),
+            cos.alias("cosine"),
+        )
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_vec_id"))))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "nn_vec_id", F.col("cosine").alias("nn_cosine"))
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators over the ``documents`` table (north-star layer,
+BASELINE.json:6): tokenization, quality scoring, language-ID heuristic,
+BPE-style token estimation, polynomial document fingerprinting.
+
+Everything is built-in expression algebra (split / transform / aggregate /
+regexp) — JVM-side, codegen-friendly, no Python UDFs. Deterministic
+integer hashing uses md5-hex prefixes (identical in any engine): a token's
+60-bit hash is ``int(md5(tok)[:15], 16)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "on", "for"]
+# tiny marker lexicons for the language-ID heuristic (deterministic, not a
+# model): per-language stopword hits decide the prediction
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "les", "des", "et"],
+}
+
+FP_PRIME = 999_999_999_999_989  # largest prime < 1e15; keeps 31*h in int64
+
+TOKENS_EXPR = "split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' ')"
+TOK_HASHES_EXPR = (
+    f"transform({TOKENS_EXPR}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+
+
+def _stopword_pattern(words: list[str]) -> str:
+    # doubled backslashes: these patterns are embedded in F.expr SQL string
+    # literals, where '\b' would parse as backspace (unlike DuckDB)
+    return r"\\b(" + "|".join(words) + r")\\b"
+
+
+def with_text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document stats: chars, tokens, punctuation, stopword ratio,
+    average token length, a BPE-ish token estimate, and a quality score."""
+    toks = F.expr(TOKENS_EXPR)
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[\.,;:!\?]", ""))
+    tok_chars = F.expr(f"aggregate({TOKENS_EXPR}, 0, (a, t) -> a + length(t))")
+    n_stop = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '{_stopword_pattern(STOPWORDS)}', 0)")
+    )
+    avg_token_len = tok_chars.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    est_bpe = F.greatest(n_tokens.cast("long"), F.ceil(n_chars / F.lit(4.0)))
+    # quality: long-enough docs with typical stopword density and low
+    # punctuation noise score higher (same op order on both engines)
+    quality = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        n_stop.cast("long").alias("n_stopwords"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        est_bpe.alias("est_bpe_tokens"),
+        quality.alias("quality_score"),
+    )
+
+
+def with_lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hits with
+    a deterministic preference order on ties."""
+    hits = {
+        lang: F.size(
+            F.expr(
+                f"regexp_extract_all(lower(text), '{_stopword_pattern(words)}', 0)"
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_hits = hits[langs[0]]
+    for lang in langs[1:]:
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    pred = F.when(best_hits > 0, best).otherwise(F.lit("unknown"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def with_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over token hashes:
+    h = fold(tokens, 0, (h, t) -> (h*31 + hash60(t)) % FP_PRIME).
+    Equal fingerprints == equal token sequences (mod collisions), robust
+    to whitespace differences — the document-identity primitive."""
+    fp = F.expr(
+        f"aggregate({TOK_HASHES_EXPR}, CAST(0 AS BIGINT), "
+        f"(h, t) -> (h * 31 + t % {FP_PRIME}) % {FP_PRIME})"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,362 @@
+"""Driver-gate queries for the LLM-data-pipeline layer (dedup, similarity,
+text analysis, multimodal), each paired with a DuckDB oracle that mirrors
+the Spark expression algebra in DuckDB dialect.
+
+Dialect mapping (kept 1:1 so both sides stay reviewably in sync):
+
+  Spark                                DuckDB
+  -----                                ------
+  sequence(a,b) (0-based arr[i])       generate_series(a,b) (1-based arr[i])
+  size / transform / aggregate(z,..)   len / list_transform / list_reduce
+                                       (seed via list_concat([init], xs))
+  conv(substring(md5(t),1,15),16,10)   ('0x' || substr(md5(t),1,15))::BIGINT
+  regexp_replace(s, p, r)  [global]    regexp_replace(s, p, r, 'g')
+  a ^ b (xor), a div b                 xor(a, b), a // b
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from audit_star_spark.analytics import dedup, multimodal, similarity, text
+from audit_star_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------- DuckDB
+# dialect fragments mirroring analytics/text.py and analytics/dedup.py
+D_TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+D_TOK_HASHES = (
+    f"list_transform({D_TOKENS}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+)
+D_SHINGLES = (
+    f"CASE WHEN len({D_TOKENS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({D_TOKENS}) - 2), "
+    f"i -> {D_TOKENS}[i] || ' ' || {D_TOKENS}[i+1] || ' ' || {D_TOKENS}[i+2]) "
+    f"ELSE [] END"
+)
+D_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def d_fold(xs: str, init: str, lam: str) -> str:
+    """DuckDB left fold with explicit seed (Spark aggregate equivalent)."""
+    return f"list_reduce(list_concat([{init}], {xs}), {lam})"
+
+
+def d_dot(a: str, b: str) -> str:
+    return d_fold(
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])",
+        "CAST(0.0 AS DOUBLE)",
+        "(s, v) -> s + v",
+    )
+
+
+def _sw(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+# ------------------------------------------------------------ text stats
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_text_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len({D_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '{_sw(text.STOPWORDS)}', 0)) AS BIGINT) AS n_stopwords,
+         {d_fold(f"list_transform({D_TOKENS}, t -> length(t))", "0", "(a, t) -> a + t")} AS tok_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+       CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       greatest(n_tokens, CAST(ceil(n_chars / 4.0) AS BIGINT)) AS est_bpe_tokens,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+         * (0.5 + CAST(n_stopwords AS DOUBLE) / n_tokens) AS quality_score
+FROM base
+"""
+
+
+# ------------------------------------------------------------ language ID
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    langs = list(text.LANG_MARKERS)
+    hit_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(lower(text), '{_sw(text.LANG_MARKERS[l])}', 0)) AS BIGINT) AS hits_{l}"
+        for l in langs
+    )
+    # same argmax cascade + tiebreak order as analytics/text.with_lang_id
+    best, best_hits = f"'{langs[0]}'", f"hits_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN hits_{lang} > {best_hits} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN hits_{lang} > {best_hits} THEN hits_{lang} ELSE {best_hits} END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {', '.join(f'hits_{l}' for l in langs)},
+       CASE WHEN {best_hits} > 0 THEN {best} ELSE 'unknown' END AS pred_lang
+FROM h
+"""
+
+
+# -------------------------------------------------------- fingerprinting
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       {d_fold(D_TOK_HASHES, "CAST(0 AS BIGINT)",
+               f"(h, t) -> (h * 31 + t % {text.FP_PRIME}) % {text.FP_PRIME}")} AS fingerprint
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- minhash LSH dedup
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sql_clean(threshold: float = 0.7) -> str:
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shash, h -> ({dedup.MH_A[j]} * h + {dedup.MH_B[j]}) % {dedup.MH_P})) AS mh_{j}"
+        for j in range(dedup.N_PERMS)
+    )
+    bands = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(mh_{j} AS VARCHAR)"
+            for j in range(b * dedup.ROWS_PER_BAND, (b + 1) * dedup.ROWS_PER_BAND)
+        )
+        + f") AS band_{b}"
+        for b in range(dedup.N_BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, band_{b} AS key FROM bands WHERE band_{b} IS NOT NULL"
+        for b in range(dedup.N_BANDS)
+    )
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id, {D_SHINGLES} AS shingles,
+         list_transform({D_SHINGLES},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {dedup.MH_P}) AS shash
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, shingles,
+         {mh}
+  FROM docs_sh
+),
+bands AS (
+  SELECT doc_id,
+         {bands}
+  FROM sig
+),
+buckets AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(shingles) AS sset FROM docs_sh
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+           / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) AS jaccard
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+# ------------------------------------------------------------- simhash
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_D_SIMHASH = (
+    "list_reduce(list_concat([CAST(0 AS BIGINT)], generate_series(0, "
+    + str(dedup.SIMHASH_BITS - 1)
+    + ")), (acc, j) -> acc + CASE WHEN "
+    + d_fold("tok_hashes", "CAST(0 AS BIGINT)",
+             "(s, h) -> s + CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END")
+    + " > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+)
+_D_TH_CTE = f"th AS (SELECT doc_id, {D_TOK_HASHES} AS tok_hashes FROM documents)"
+
+SQL_SIMHASH = f"WITH {_D_TH_CTE} SELECT doc_id, {_D_SIMHASH} AS simhash FROM th"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH {_D_TH_CTE},
+fp AS (
+  SELECT doc_id, {_D_SIMHASH} AS simhash FROM th
+),
+b AS (
+  SELECT *, simhash // CAST(pow(2, {dedup.SIMHASH_BITS - 12}) AS BIGINT) AS bucket FROM fp
+)
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+FROM b a JOIN b b2 ON a.bucket = b2.bucket
+WHERE a.doc_id < b2.doc_id
+  AND bit_count(xor(a.simhash, b2.simhash)) <= 8
+"""
+
+
+# ------------------------------------------------- similarity: brute force
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _knn_sql(k: int, n_queries: int, bucketed: bool) -> str:
+    bucket_terms = " + ".join(
+        "(CASE WHEN "
+        + d_fold(
+            "list_transform(list_zip(vec, "
+            f"list_transform(generate_series(0, len(vec) - 1), "
+            f"d -> CASE WHEN ('0x' || substr(md5('{p}_' || d), 1, 15))::BIGINT % 2 = 1 "
+            "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)), x -> x[1] * x[2])",
+            "CAST(0.0 AS DOUBLE)",
+            "(s, v) -> s + v",
+        )
+        + f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(similarity.N_PLANES)
+    )
+    bucket_col = f", CAST({bucket_terms} AS INT) AS bucket" if bucketed else ""
+    join_extra = "AND base.bucket = q.bucket" if bucketed else ""
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, vec, sqrt({d_dot('vec', 'vec')}) AS norm{bucket_col}
+  FROM base
+),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+         {', bucket' if bucketed else ''}
+  FROM normed WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, base.vec_id,
+         {d_dot('q.qvec', 'base.vec')} / (q.qnorm * base.norm) AS cosine
+  FROM normed base JOIN q ON base.vec_id <> q.query_id {join_extra}
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------- similarity: LSH bucketed
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------ per-label nearest neighbor
+def q_label_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_nearest_neighbor(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_LABEL_NN = f"""
+WITH base AS (
+  SELECT vec_id, label, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+pairs AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nn_vec_id,
+         {d_dot('a.vec', 'b.vec')} / (a.norm * b.norm) AS cosine
+  FROM normed a JOIN normed b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, label, nn_vec_id, cosine AS nn_cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, nn_vec_id) AS rn
+  FROM pairs
+)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------- multimodal stub
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+SQL_MULTIMODAL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST({d_fold("list_transform(string_split(substr(text, 1, 16), ''), c -> unicode(c))",
+                    "0", "(a, c) -> a + c")} AS DOUBLE)
+         / least(length(text), 16) AS head_mean
+FROM documents
+"""
+
+
+ANALYTICS_QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash,
+    "simhash_fingerprints": q_simhash,
+    "simhash_near_pairs": q_simhash_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "label_nearest_neighbor": q_label_nn,
+    "multimodal_features": q_multimodal_features,
+}
+
+ANALYTICS_ORACLES = {
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": _lang_sql(),
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_pairs": _minhash_sql_clean(),
+    "simhash_fingerprints": SQL_SIMHASH,
+    "simhash_near_pairs": SQL_SIMHASH_PAIRS,
+    "knn_bruteforce": _knn_sql(k=10, n_queries=8, bucketed=False),
+    "knn_lsh": _knn_sql(k=5, n_queries=8, bucketed=True),
+    "label_nearest_neighbor": SQL_LABEL_NN,
+    "multimodal_features": SQL_MULTIMODAL,
+}
