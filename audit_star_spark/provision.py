@@ -1,0 +1,130 @@
+"""Provisioning driver — the Spark analogue of the reference's ``RunAll``
+pipeline (EP1, audit.go:127–199): config + catalog -> per-table audit
+pipelines + registered reconstruction views + control-table upkeep.
+
+What the Go code does with DDL (create audit schema/tables/triggers/views,
+audit.go:398–513) becomes: per-table log/checkpoint directory init (C7),
+streaming-ingest handles (C9), temp-view registration for the three
+reconstruction views (B8), audit_history interval upkeep (C10), error
+accounting that continues past per-table failures (C13, audit.go:49,1132).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audit_star_spark.catalog import EngineConfig, TableSpec
+from audit_star_spark.operators.reconstruct import (
+    compare_view,
+    delta_view,
+    snapshot_view,
+)
+from audit_star_spark.streaming.ingest import AuditIngest
+
+VIEW_SUFFIXES = ("delta", "snapshot", "compare")
+
+
+@dataclass
+class ProvisionReport:
+    """C13: per-run accounting (errorCounter analogue, audit.go:192–196)."""
+
+    audited: list[str] = field(default_factory=list)
+    skipped: list[tuple[str, str]] = field(default_factory=list)
+    errors: list[tuple[str, str]] = field(default_factory=list)
+
+
+class AuditStar:
+    def __init__(self, spark: SparkSession, config: EngineConfig):
+        self.spark = spark
+        self.config = config
+        self.ingests: dict[str, AuditIngest] = {}
+
+    # -- audit_history control table (C10, audit.go:608–625) --------------
+    def _history_path(self) -> str:
+        return os.path.join(self.config.log_root, "_audit_history")
+
+    def _record_history(self, spec: TableSpec, start: bool) -> None:
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        row = [(spec.schema, spec.name, now if start else None, None if start else now)]
+        df = self.spark.createDataFrame(
+            row, "schema_name string, table_name string, start_time timestamp, end_time timestamp"
+        )
+        df.write.mode("append").parquet(self._history_path())
+
+    def audit_history(self) -> DataFrame:
+        return self.spark.read.parquet(self._history_path())
+
+    # -- per-table provisioning (audit(), audit.go:430–513) ---------------
+    def provision(
+        self,
+        specs: list[TableSpec],
+        feeds: dict[str, str] | None = None,
+        live: dict[str, DataFrame] | None = None,
+        views_only: bool = False,
+    ) -> ProvisionReport:
+        """``feeds`` maps table fqn -> change-feed source directory (the
+        trigger analogue needs a feed to read). ``views_only`` mirrors the
+        reference's mode that regenerates views without touching capture
+        (C12, audit.go:516–545)."""
+        report = ProvisionReport()
+        for spec in self.config.filter_tables(specs):
+            # C6: single-column-PK gate; reference skips but still allows
+            # NULL-pk capture if forced (SURVEY §7.5) — we skip like RunAll
+            if not spec.has_valid_primary_key():
+                report.skipped.append((spec.fqn, "no single-column primary key"))
+                continue
+            try:
+                if not views_only:
+                    self._provision_capture(spec, feeds or {})
+                self._register_views(spec, live or {})
+                report.audited.append(spec.fqn)
+            except Exception as e:  # noqa: BLE001 — C13: keep going
+                report.errors.append((spec.fqn, str(e)))
+        return report
+
+    def _table_dirs(self, spec: TableSpec) -> tuple[str, str]:
+        base = os.path.join(self.config.log_root, spec.schema, spec.name)
+        ckpt = os.path.join(self.config.checkpoint_root, spec.schema, spec.name)
+        return base, ckpt
+
+    def _provision_capture(self, spec: TableSpec, feeds: dict[str, str]) -> None:
+        if spec.fqn not in feeds:
+            return
+        log_dir, ckpt = self._table_dirs(spec)
+        os.makedirs(log_dir, exist_ok=True)  # C7: idempotent init
+        ingest = AuditIngest(
+            self.spark,
+            source_dir=feeds[spec.fqn],
+            log_dir=log_dir,
+            checkpoint_dir=ckpt,
+            pk_col=spec.primary_key,
+            log_client_query=self.config.log_client_query,
+        )
+        self.ingests[spec.fqn] = ingest
+        ingest.start(available_now=True).awaitTermination()
+        self._record_history(spec, start=True)
+
+    def disable(self, spec: TableSpec) -> None:
+        """C9 disable path: stop capture, keep checkpoint + definition."""
+        if spec.fqn in self.ingests:
+            self.ingests[spec.fqn].stop()
+        self._record_history(spec, start=False)
+
+    def log_for(self, spec: TableSpec) -> DataFrame:
+        log_dir, _ = self._table_dirs(spec)
+        df = self.spark.read.parquet(log_dir)
+        return df.drop("__batch") if "__batch" in df.columns else df
+
+    def _register_views(self, spec: TableSpec, live: dict[str, DataFrame]) -> None:
+        """B8: the view-DDL analogue — register the three reconstruction
+        views as temp views named ``<schema>_audit_<table>_audit_<kind>``."""
+        log = self.log_for(spec)
+        live_df = live.get(spec.fqn)
+        for kind, fn in zip(VIEW_SUFFIXES, (delta_view, snapshot_view, compare_view)):
+            name = f"{spec.schema}_audit_{spec.name}_audit_{kind}"
+            fn(log, live_df, spec).createOrReplaceTempView(name)
