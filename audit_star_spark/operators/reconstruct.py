@@ -66,16 +66,20 @@ def _reconstruct_base(
         .orderBy("audit_id")
         .rowsBetween(1, Window.unboundedFollowing)
     )
-    out = log
+    # one SELECT with every per-column window expression: identical window
+    # specs collapse into a single physical Window node over a single
+    # Exchange+Sort (withColumn-per-column would emit one node each)
+    nb_cols = []
     for c, t in spec.columns:
         present = F.map_contains_key(F.col("before_change"), F.lit(c))
         tagged = F.when(present, F.struct(F.element_at("before_change", F.lit(c)).alias("v")))
         nb = F.first(tagged, ignorenulls=True).over(w).getField("v").cast(t)
         # NULL-pk events never match the correlated subquery in the
         # reference (NULL = NULL is not true); mirror that.
-        out = out.withColumn(
-            f"__nb_{c}", F.when(F.col("primary_key").isNotNull(), nb)
+        nb_cols.append(
+            F.when(F.col("primary_key").isNotNull(), nb).alias(f"__nb_{c}")
         )
+    out = log.select("*", *nb_cols)
 
     if live is not None and spec.has_valid_primary_key():
         pk, pk_t = spec.primary_key, spec.pk_type

@@ -317,6 +317,131 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+# -- semi join: orders having any late-shipped lineitem --------------------
+def q_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    sem = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SQL_SEMI = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '2000-01-01')
+GROUP BY o_orderpriority
+"""
+
+
+# -- anti join: customers with no orders ------------------------------------
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return anti.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_cents("c_acctbal")).alias("__sb"),
+    ).select(
+        "c_mktsegment",
+        "n_customers",
+        (F.col("__sb").cast("double") / 100.0).alias("total_acctbal"),
+    )
+
+
+SQL_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# -- sessionization (gaps-and-islands; 1h inactivity gap) -------------------
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream at >1h gaps,
+    one row per session. One keyed shuffle; cumulative-sum window assigns
+    session ids (the batch mirror of streaming session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long")
+            - F.coalesce(F.lag(F.col("ts").cast("long")).over(w), F.lit(0))
+            > 3600
+        ).cast("int"),
+    )
+    sess = gapped.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.sum(_cents("value")).cast("double") / 100.0).alias("session_value"),
+    )
+
+
+SQL_SESSIONS = """
+WITH gapped AS (
+  SELECT *,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - coalesce(
+                  LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id), 0)
+              > 3600 THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM gapped
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 100.0 AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+# -- date/string function coverage ------------------------------------------
+def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.upper(F.substring("o_orderpriority", 3, 20)).alias("priority_name"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.max(_cents("o_totalprice")).cast("double") / 100.0).alias("max_price"),
+            (F.min(_cents("o_totalprice")).cast("double") / 100.0).alias("min_price"),
+        )
+    )
+
+
+SQL_MONTHLY = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       upper(substring(o_orderpriority, 3, 20)) AS priority_name,
+       COUNT(*) AS n_orders,
+       CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS max_price,
+       CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS min_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -326,6 +451,10 @@ RELATIONAL_QUERIES = {
     "parts_never_small": q_parts_never_small,
     "priority_rollup": q_priority_rollup,
     "asof_purchase_signup": q_asof_purchase_signup,
+    "orders_with_late_items": q_orders_with_late_items,
+    "customers_without_orders": q_customers_without_orders,
+    "user_sessions": q_user_sessions,
+    "monthly_order_stats": q_monthly_order_stats,
 }
 
 RELATIONAL_ORACLES = {
@@ -337,4 +466,8 @@ RELATIONAL_ORACLES = {
     "parts_never_small": SQL_PARTS_EXCEPT,
     "priority_rollup": SQL_PRIORITY_ROLLUP,
     "asof_purchase_signup": SQL_ASOF,
+    "orders_with_late_items": SQL_SEMI,
+    "customers_without_orders": SQL_ANTI,
+    "user_sessions": SQL_SESSIONS,
+    "monthly_order_stats": SQL_MONTHLY,
 }
