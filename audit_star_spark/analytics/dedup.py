@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.text import TOKENS_EXPR
@@ -134,6 +134,50 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     jacc = inter.cast("double") / union
     return (
         j.select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 64
+) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard near-dup pairs via an inverted
+    index: explode distinct shingles, self-join on shingle to generate
+    candidate pairs, verify with exact set Jaccard. The direct (non-LSH)
+    member of the dedup family.
+
+    Scale shape: candidate generation is a shuffle join keyed by shingle;
+    the document-frequency cap (``df <= max_df``) drops stop-shingles that
+    would otherwise produce O(df^2) candidate rows per hot key — the
+    standard prefix-filtering guard. Verification touches only candidate
+    pairs. A true near-dup pair always shares at least one sub-``max_df``
+    shingle unless the whole document is stop-shingles, so recall loss is
+    confined to degenerate inputs.
+    """
+    sets = _shingled(docs).select("doc_id", F.array_distinct("shingles").alias("sset"))
+    # reused by candidate generation AND verification (two downstream
+    # consumers of an md5-heavy projection); at real scale: a staged table
+    sets = sets.persist()
+    inv = sets.select("doc_id", F.explode("sset").alias("sh"))
+    rare = inv.withColumn("df", F.count("*").over(Window.partitionBy("sh"))).filter(
+        F.col("df") <= max_df
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    j = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a")), "doc_a"
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b")), "doc_b"
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        j.select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

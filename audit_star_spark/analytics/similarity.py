@@ -60,12 +60,12 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
 N_PLANES = 8
 
 
-def _bucket_expr(vec_col: str) -> F.Column:
+def _bucket_expr(vec_col: str, planes: range | None = None) -> F.Column:
     """Hyperplane-LSH bucket: plane p has pseudo-random ±1 weights
     w(p,d) = parity of md5-derived hash of 'p_d'; bucket bit p is the sign
     of <w(p), v>. Deterministic in any engine."""
     terms = []
-    for p in range(N_PLANES):
+    for i, p in enumerate(planes if planes is not None else range(N_PLANES)):
         proj = (
             f"aggregate(zip_with({vec_col}, "
             f"transform(sequence(0, size({vec_col}) - 1), "
@@ -73,7 +73,7 @@ def _bucket_expr(vec_col: str) -> F.Column:
             f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), "
             f"(x, w) -> x * w), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
         )
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
     return F.expr(" + ".join(terms)).cast("int")
 
 
@@ -98,6 +98,56 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+NEAR_BANDS = 2
+PLANES_PER_BAND = 4
+
+
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates must share a
+    hyperplane-LSH bucket in at least one of ``NEAR_BANDS`` bands
+    (banding trades precision for recall exactly as in MinHash-LSH);
+    survivors are verified with exact cosine. No all-pairs product —
+    the only wide operation is the per-band bucket self-join.
+
+    At scale the vectors ride through the bucket shuffle (dims ×8 bytes
+    per row per band); with very wide embeddings, stage the bucket keys
+    to storage and fetch vectors by id instead.
+    """
+    base = _prepared(emb)
+    for b in range(NEAR_BANDS):
+        base = base.withColumn(
+            f"nb_{b}",
+            _bucket_expr("vec", range(b * PLANES_PER_BAND, (b + 1) * PLANES_PER_BAND)),
+        )
+    bands = [
+        base.select(
+            "vec_id", "vec", "norm", F.lit(b).alias("band"), F.col(f"nb_{b}").alias("key")
+        )
+        for b in range(NEAR_BANDS)
+    ]
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionByName(extra)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+    )
+    # a pair colliding in both bands appears twice with an identical
+    # cosine; max() collapses it without a second pass over the vectors
+    return (
+        pairs.groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -198,6 +198,41 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
+# ---------------------------------------------- n-gram Jaccard (inverted)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5, max_df: int = 64) -> str:
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id, list_distinct({D_SHINGLES}) AS sset FROM documents
+),
+inv AS (
+  SELECT doc_id, unnest(sset) AS sh FROM docs_sh
+),
+rare AS (
+  SELECT * FROM (
+    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM inv
+  ) WHERE df <= {max_df}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.sh = b.sh
+  WHERE a.doc_id < b.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+           / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) AS jaccard
+  FROM cand
+  JOIN docs_sh sa ON sa.doc_id = doc_a
+  JOIN docs_sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {threshold}
+"""
+
+
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -316,6 +351,59 @@ WHERE rn = 1
 """
 
 
+# ------------------------------------------- embedding-cosine near-dup
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _d_bucket(planes: range) -> str:
+    """DuckDB mirror of similarity._bucket_expr for the given planes."""
+    terms = []
+    for i, p in enumerate(planes):
+        proj = d_fold(
+            "list_transform(list_zip(vec, "
+            f"list_transform(generate_series(0, len(vec) - 1), "
+            f"d -> CASE WHEN ('0x' || substr(md5('{p}_' || d), 1, 15))::BIGINT % 2 = 1 "
+            "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)), x -> x[1] * x[2])",
+            "CAST(0.0 AS DOUBLE)",
+            "(s, v) -> s + v",
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _near_pairs_sql(threshold: float = 0.35) -> str:
+    r, nb = similarity.PLANES_PER_BAND, similarity.NEAR_BANDS
+    band_cols = ",\n         ".join(
+        f"{_d_bucket(range(b * r, (b + 1) * r))} AS nb_{b}" for b in range(nb)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, vec, norm, {b} AS band, nb_{b} AS key FROM bucketed"
+        for b in range(nb)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm,
+         {band_cols}
+  FROM base
+),
+buckets AS (
+  {band_union}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {d_dot('a.vec', 'b.vec')} / (a.norm * b.norm) AS cosine
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, MAX(cosine) AS cosine
+FROM pairs GROUP BY 1, 2 HAVING MAX(cosine) >= {threshold}
+"""
+
+
 # --------------------------------------------------------- multimodal stub
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.with_binary_payload(load_table(spark, sf_dir, "documents"))
@@ -339,6 +427,8 @@ ANALYTICS_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_pairs": q_embedding_near_pairs,
     "simhash_fingerprints": q_simhash,
     "simhash_near_pairs": q_simhash_pairs,
     "knn_bruteforce": q_knn_bruteforce,
@@ -353,6 +443,8 @@ ANALYTICS_ORACLES = {
     "doc_fingerprint": SQL_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_pairs": _minhash_sql_clean(),
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "embedding_near_pairs": _near_pairs_sql(),
     "simhash_fingerprints": SQL_SIMHASH,
     "simhash_near_pairs": SQL_SIMHASH_PAIRS,
     "knn_bruteforce": _knn_sql(k=10, n_queries=8, bucketed=False),
