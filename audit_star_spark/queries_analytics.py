@@ -404,6 +404,18 @@ FROM pairs GROUP BY 1, 2 HAVING MAX(cosine) >= {threshold}
 """
 
 
+# --------------------------------------------- capped sessions (stateful)
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom accumulate-and-reset sessionization (gap OR value-cap split)
+    via applyInPandas. No DuckDB oracle: the per-user running sum with
+    reset is not expressible in windowed SQL — the driver records a
+    rows-only check; exact semantics are covered by
+    tests/test_streaming_sessions.py against the streaming twin."""
+    from audit_star_spark.streaming.sessions import capped_sessions_batch
+
+    return capped_sessions_batch(load_table(spark, sf_dir, "events"), value_cap=500.0)
+
+
 # --------------------------------------------------------- multimodal stub
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.with_binary_payload(load_table(spark, sf_dir, "documents"))
@@ -434,6 +446,7 @@ ANALYTICS_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
+    "capped_user_sessions": q_capped_sessions,
     "multimodal_features": q_multimodal_features,
 }
 
