@@ -101,6 +101,63 @@ def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     )
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions vectors into cells;
+    each query probes only its ``n_probe`` nearest cells and ranks those
+    candidates by exact cosine.
+
+    The coarse centroids here are the first ``n_cells`` vectors by vec_id —
+    a deterministic stand-in for offline-trained k-means centroids (the
+    cell-assignment/probe dataflow is identical either way, which is the
+    part that matters at scale: candidates shrink by ~n_probe/n_cells and
+    the centroid table is broadcast, never shuffled).
+    """
+    base = _prepared(emb)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(wc))
+    assigned = ranked.filter(F.col("crank") == 1).select("vec_id", "vec", "norm", "cell_id")
+    probes = (
+        ranked.filter((F.col("crank") <= n_probe) & (F.col("vec_id") < n_queries))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.col("cell_id").alias("pcell"),
+        )
+    )
+    joined = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell_id") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 NEAR_BANDS = 2
 PLANES_PER_BAND = 4
 

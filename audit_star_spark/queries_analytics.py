@@ -351,6 +351,54 @@ WHERE rn = 1
 """
 
 
+# ------------------------------------------------- similarity: IVF probe
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ivf_sql(k: int = 5, n_queries: int = 8, n_cells: int = 16, n_probe: int = 4) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+cents AS (
+  SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm
+  FROM normed WHERE vec_id < {n_cells}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell_id) AS crank
+  FROM (
+    SELECT n.vec_id, n.vec, n.norm, c.cell_id,
+           {d_dot('c.cvec', 'n.vec')} / (c.cnorm * n.norm) AS ccos
+    FROM normed n CROSS JOIN cents c
+  )
+),
+assigned AS (
+  SELECT vec_id, vec, norm, cell_id FROM ranked WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm, cell_id AS pcell
+  FROM ranked WHERE crank <= {n_probe} AND vec_id < {n_queries}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {d_dot('p.qvec', 'a.vec')} / (p.qnorm * a.norm) AS cosine
+  FROM assigned a JOIN probes p
+    ON a.cell_id = p.pcell AND a.vec_id <> p.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------- embedding-cosine near-dup
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_pairs(load_table(spark, sf_dir, "embeddings"))
@@ -445,6 +493,7 @@ ANALYTICS_QUERIES = {
     "simhash_near_pairs": q_simhash_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "label_nearest_neighbor": q_label_nn,
     "capped_user_sessions": q_capped_sessions,
     "multimodal_features": q_multimodal_features,
@@ -462,6 +511,7 @@ ANALYTICS_ORACLES = {
     "simhash_near_pairs": SQL_SIMHASH_PAIRS,
     "knn_bruteforce": _knn_sql(k=10, n_queries=8, bucketed=False),
     "knn_lsh": _knn_sql(k=5, n_queries=8, bucketed=True),
+    "knn_ivf": _ivf_sql(),
     "label_nearest_neighbor": SQL_LABEL_NN,
     "multimodal_features": SQL_MULTIMODAL,
 }

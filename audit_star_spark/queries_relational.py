@@ -317,6 +317,50 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+# -- range (interval) join: activity within 24h after each signup ----------
+def q_activity_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for every signup event, the same user's event count
+    and value inside [signup_ts, signup_ts + 24h). Equi key (user_id) +
+    range predicate — Spark executes one hash join on the key with the
+    band filter applied in the join, no cross product; skewed users are
+    AQE's problem, not a plan rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    follow = ev.select("event_id", "user_id", "ts", "value")
+    j = signups.join(
+        follow,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("ts") >= F.col("signup_ts"))
+        & (F.col("ts") < F.col("signup_ts") + F.expr("INTERVAL 24 HOURS"))
+        & (F.col("event_id") != F.col("signup_event_id")),
+        "left",
+    )
+    return j.groupBy("signup_event_id", "s_user_id", "signup_ts").agg(
+        F.count("event_id").alias("n_follow_events"),
+        (F.coalesce(F.sum(_cents("value")), F.lit(0)).cast("double") / 100.0).alias(
+            "follow_value"
+        ),
+    ).withColumnRenamed("s_user_id", "user_id")
+
+
+SQL_RANGE_JOIN = """
+SELECT s.event_id AS signup_event_id, s.user_id, s.ts AS signup_ts,
+       COUNT(e.event_id) AS n_follow_events,
+       CAST(COALESCE(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS DOUBLE)
+         / 100.0 AS follow_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 24 HOURS
+ AND e.event_id <> s.event_id
+GROUP BY 1, 2, 3
+"""
+
+
 # -- semi join: orders having any late-shipped lineitem --------------------
 def q_orders_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -451,6 +495,7 @@ RELATIONAL_QUERIES = {
     "parts_never_small": q_parts_never_small,
     "priority_rollup": q_priority_rollup,
     "asof_purchase_signup": q_asof_purchase_signup,
+    "activity_after_signup": q_activity_after_signup,
     "orders_with_late_items": q_orders_with_late_items,
     "customers_without_orders": q_customers_without_orders,
     "user_sessions": q_user_sessions,
@@ -466,6 +511,7 @@ RELATIONAL_ORACLES = {
     "parts_never_small": SQL_PARTS_EXCEPT,
     "priority_rollup": SQL_PRIORITY_ROLLUP,
     "asof_purchase_signup": SQL_ASOF,
+    "activity_after_signup": SQL_RANGE_JOIN,
     "orders_with_late_items": SQL_SEMI,
     "customers_without_orders": SQL_ANTI,
     "user_sessions": SQL_SESSIONS,
