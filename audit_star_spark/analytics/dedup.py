@@ -188,17 +188,28 @@ _TOK_HASHES = (
 )
 # bit j of the simhash: majority vote of bit j over all token hashes.
 # Operates on a pre-materialized tok_hashes COLUMN — hashing tokens inside
-# the per-bit fold would redo the md5 work 60x.
+# the per-bit fold would redo the md5 work 60x. Bit extraction is integer
+# shift/mask (shiftright + %), not pow()-based double math: the inner
+# lambda runs bits x tokens times and is the whole cost of the operator.
 SIMHASH_FOLD_EXPR = (
     f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, j) -> acc + "
     f"CASE WHEN aggregate(tok_hashes, 0, "
-    f"(s, h) -> s + CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"
-    f") > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    f"(s, h) -> s + CASE WHEN shiftright(h, j) % 2 = 1 THEN 1 ELSE -1 END"
+    f") > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
 )
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """60-bit SimHash per document (majority vote over token-hash bits)."""
+    """60-bit SimHash per document (majority vote over token-hash bits).
+
+    Physical shape: the nested per-bit fold over a pre-materialized
+    tok_hashes column, fully in-row — no explode, no shuffle. The
+    alternative (explode hashes + one hash-agg with 60 bit-count sums)
+    was measured 2.4x SLOWER warmed at sf0.1 despite being codegen'd:
+    the exploded shuffle + 61 aggregation buffers cost more than the
+    interpreted lambda evals. Bit extraction is integer shift/mask, not
+    pow() double math.
+    """
     from audit_star_spark.util import spread
 
     th = spread(docs).select("doc_id", F.expr(_TOK_HASHES).alias("tok_hashes"))
@@ -209,7 +220,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share a 12-bit prefix bucket
     (blocking — no all-pairs), verified by exact Hamming distance."""
     fp = simhash_fingerprints(docs).withColumn(
-        "bucket", F.expr(f"simhash div CAST(pow(2, {SIMHASH_BITS - 12}) AS BIGINT)")
+        "bucket", F.expr(f"shiftright(simhash, {SIMHASH_BITS - 12})")
     )
     # persist: the self-join below would otherwise recompute every
     # fingerprint twice (at real scale: checkpoint signatures to storage)

@@ -243,8 +243,8 @@ _D_SIMHASH = (
     + str(dedup.SIMHASH_BITS - 1)
     + ")), (acc, j) -> acc + CASE WHEN "
     + d_fold("tok_hashes", "CAST(0 AS BIGINT)",
-             "(s, h) -> s + CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END")
-    + " > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+             "(s, h) -> s + CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END")
+    + " > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)"
 )
 _D_TH_CTE = f"th AS (SELECT doc_id, {D_TOK_HASHES} AS tok_hashes FROM documents)"
 
@@ -261,7 +261,7 @@ fp AS (
   SELECT doc_id, {_D_SIMHASH} AS simhash FROM th
 ),
 b AS (
-  SELECT *, simhash // CAST(pow(2, {dedup.SIMHASH_BITS - 12}) AS BIGINT) AS bucket FROM fp
+  SELECT *, simhash >> {dedup.SIMHASH_BITS - 12} AS bucket FROM fp
 )
 SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
