@@ -203,23 +203,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _ngram_jaccard_sql(threshold: float = 0.5, max_df: int = 64) -> str:
+def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH docs_sh AS (
-  SELECT doc_id, list_distinct({D_SHINGLES}) AS sset FROM documents
+  SELECT doc_id,
+         list_distinct(list_transform({D_SHINGLES},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {dedup.MH_P})) AS sset
+  FROM documents
 ),
 inv AS (
-  SELECT doc_id, unnest(sset) AS sh FROM docs_sh
+  SELECT doc_id, len(sset) AS sz, unnest(sset) AS sh FROM docs_sh
 ),
-rare AS (
-  SELECT * FROM (
-    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM inv
-  ) WHERE df <= {max_df}
+ranked AS (
+  SELECT doc_id, sz, sh,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rn
+  FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY sh) AS df FROM inv
+  )
+),
+prefix AS (
+  SELECT * FROM ranked WHERE rn <= sz - ceil({threshold} * sz) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rare a JOIN rare b ON a.sh = b.sh
-  WHERE a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b
+    ON a.sh = b.sh
+   AND a.doc_id < b.doc_id
+   AND least(a.sz, b.sz) >= ceil({threshold} * greatest(a.sz, b.sz))
 ),
 v AS (
   SELECT doc_a, doc_b,

@@ -107,8 +107,10 @@ def _session_fn(
         tuple(state.get) if state.exists else None
     )
     rows = pd.concat(list(pdfs)).sort_values("ts")
-    for ts, value in zip(rows["ts"], rows["value"]):
-        t = _us(ts)
+    # bulk datetime64->int64 conversion; per-element pd.Timestamp in the
+    # loop is ~10x the cost of the session logic itself
+    ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    for t, value in zip(ts_us.tolist(), rows["value"].tolist()):
         v = float(value)
         if cur is not None and t - cur[1] > GAP_SECONDS * 1_000_000:
             closed.append(_emit(user_id, cur))
@@ -139,8 +141,9 @@ def _split_sessions(
     at a >GAP_SECONDS gap or when accumulated value reaches the cap."""
     out: list[dict[str, Any]] = []
     cur: tuple[int, int, int, float] | None = None
-    for ts, value in zip(pdf["ts"], pdf["value"]):
-        t, v = _us(ts), float(value)
+    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    for t, value in zip(ts_us.tolist(), pdf["value"].tolist()):
+        v = float(value)
         if cur is not None and t - cur[1] > GAP_SECONDS * 1_000_000:
             out.append(_emit(user_id, cur))
             cur = None
@@ -158,18 +161,34 @@ def _split_sessions(
 
 def capped_sessions_batch(events: DataFrame, value_cap: float = 500.0) -> DataFrame:
     """Batch twin of :func:`capped_sessions`: same split semantics over a
-    static events table via Arrow-batched ``applyInPandas``. The inherently
-    sequential per-user accumulate-and-reset cannot be a window expression;
-    grouping bounds each pandas invocation to one user's (small) history."""
+    static events table. The inherently sequential per-user
+    accumulate-and-reset cannot be a window expression.
 
-    def fn(key: tuple[int], pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = _split_sessions(key[0], pdf.sort_values("ts"), value_cap)
-        return pd.DataFrame(rows, columns=[f.name for f in SESSION_SCHEMA.fields])
+    Physical shape: repartition by user + sort within partitions, then ONE
+    ``mapInPandas`` invocation per partition with an in-process pandas
+    groupby — not per-user ``applyInPandas``, whose ~ms of Arrow/worker
+    overhead per group dominates when groups are small and numerous
+    (measured ~10x slower with 1500 users at sf0.1). Cost: each partition
+    is concatenated in the Python worker, so partitions must fit worker
+    memory — the repartition key spreads users across all partitions."""
+
+    cols = [f.name for f in SESSION_SCHEMA.fields]
+
+    def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        rows: list[dict[str, Any]] = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            rows.extend(_split_sessions(uid, g, value_cap))
+        yield pd.DataFrame(rows, columns=cols)
 
     return (
         events.select("user_id", "ts", F.col("value").cast("double"))
-        .groupBy("user_id")
-        .applyInPandas(fn, SESSION_SCHEMA)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .mapInPandas(fn, SESSION_SCHEMA)
     )
 
 
