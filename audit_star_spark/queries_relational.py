@@ -486,6 +486,81 @@ GROUP BY 1, 2
 """
 
 
+# -- distinct aggregates ----------------------------------------------------
+def q_priority_customer_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT year(o_orderdate)) AS n_years
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# -- cube (multi-dimensional rollup) ----------------------------------------
+def q_part_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.cube("p_brand", "p_type").agg(
+        F.count("*").alias("n_parts"),
+        F.avg("p_size").alias("avg_size"),
+    )
+
+
+SQL_CUBE = """
+SELECT p_brand, p_type, COUNT(*) AS n_parts, AVG(p_size) AS avg_size
+FROM part
+GROUP BY CUBE (p_brand, p_type)
+"""
+
+
+# -- set op: INTERSECT ------------------------------------------------------
+def q_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+SQL_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+# -- exact percentiles ------------------------------------------------------
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -500,6 +575,10 @@ RELATIONAL_QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "user_sessions": q_user_sessions,
     "monthly_order_stats": q_monthly_order_stats,
+    "priority_customer_reach": q_priority_customer_reach,
+    "part_cube": q_part_cube,
+    "nations_with_both": q_nations_with_both,
+    "price_percentiles": q_price_percentiles,
 }
 
 RELATIONAL_ORACLES = {
@@ -516,4 +595,8 @@ RELATIONAL_ORACLES = {
     "customers_without_orders": SQL_ANTI,
     "user_sessions": SQL_SESSIONS,
     "monthly_order_stats": SQL_MONTHLY,
+    "priority_customer_reach": SQL_DISTINCT_AGG,
+    "part_cube": SQL_CUBE,
+    "nations_with_both": SQL_INTERSECT,
+    "price_percentiles": SQL_PERCENTILES,
 }
