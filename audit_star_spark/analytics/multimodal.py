@@ -53,6 +53,60 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize would decode + rescale + re-encode (PIL). STUB: no
+    codec libraries in this environment."""
+    raise NotImplementedError(
+        "image resize requires codec libraries not present in this "
+        "environment; the mapInPandas plumbing shape is sample_frames"
+    )
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
+    """Frame sampling over binary payloads: treat each payload as a
+    sequence of fixed-size frames and emit every ``every_n``-th one —
+    the deterministic stand-in for video frame extraction, with the REAL
+    plumbing a decoder would need: 1:N Arrow-batched ``mapInPandas``
+    (one input row fans out to many frame rows), narrow execution, and
+    per-frame metadata. Swap the slicing for a codec call and the Spark
+    side is unchanged."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sizes, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    frame = data[i * frame_size : (i + 1) * frame_size]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    md5s.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas — the
     deterministic stand-in for a decode+embed stage. Computes byte length,

@@ -480,6 +480,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
+# every 4th 64-byte frame; ASCII text so byte slices == substr slices
+SQL_FRAME_SAMPLES = """
+SELECT doc_id,
+       (i - 1) * 4 AS frame_idx,
+       length(substr(text, (i - 1) * 4 * 64 + 1, 64)) AS frame_bytes,
+       md5(substr(text, (i - 1) * 4 * 64 + 1, 64)) AS frame_md5
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, ((length(text) + 63) // 64 + 3) // 4)) AS i
+  FROM documents
+)
+"""
+
+
 SQL_MULTIMODAL = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
@@ -507,6 +526,7 @@ ANALYTICS_QUERIES = {
     "label_nearest_neighbor": q_label_nn,
     "capped_user_sessions": q_capped_sessions,
     "multimodal_features": q_multimodal_features,
+    "frame_samples": q_frame_samples,
 }
 
 ANALYTICS_ORACLES = {
@@ -524,4 +544,5 @@ ANALYTICS_ORACLES = {
     "knn_ivf": _ivf_sql(),
     "label_nearest_neighbor": SQL_LABEL_NN,
     "multimodal_features": SQL_MULTIMODAL,
+    "frame_samples": SQL_FRAME_SAMPLES,
 }
