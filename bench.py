@@ -42,6 +42,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators that persist() intermediates (LSH signatures, shingle
+        # sets) must not bleed storage-memory pressure into later queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
