@@ -1,0 +1,83 @@
+"""Provisioning CLI — the EP1 surface of the reference (``./audit_star``,
+audit_star.go:16–38): parse flags, load YAML config, apply CLI overrides,
+run provisioning over the configured tables, print the run report.
+
+Table declarations live in the config (the reference reflects them from
+the PG catalog, audit.go:1208–1246; our catalog IS the config):
+
+    log_root: /data/audit/logs
+    checkpoint_root: /data/audit/ckpts
+    tables:
+      app.users:
+        primary_key: id
+        columns:           # PG format_type strings, mapped per catalog.py
+          id: bigint
+          name: text
+          balance: numeric(10,2)
+        feed: /data/feeds/app.users      # change-event source directory
+        live: /data/live/app.users       # optional live-table parquet
+
+Usage:  python -m audit_star_spark -cfg audit.yml [-table app.users]
+                                   [--views-only] [--master local[*]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from audit_star_spark.catalog import EngineConfig, TableSpec, pg_type_to_spark
+
+
+def specs_from_config(config: EngineConfig) -> tuple[list[TableSpec], dict[str, str], dict[str, str]]:
+    """(specs, feeds, live_paths) from the config's ``tables`` mapping."""
+    specs, feeds, live_paths = [], {}, {}
+    for fqn, decl in config.tables.items():
+        schema, _, name = fqn.rpartition(".")
+        schema = schema or "public"
+        cols = [(c, pg_type_to_spark(t)) for c, t in (decl.get("columns") or {}).items()]
+        specs.append(TableSpec(schema, name, cols, decl.get("primary_key")))
+        if decl.get("feed"):
+            feeds[fqn] = decl["feed"]
+        if decl.get("live"):
+            live_paths[fqn] = decl["live"]
+    return specs, feeds, live_paths
+
+
+def main(argv: list[str] | None = None) -> int:
+    # flag names mirror the reference CLI (audit.go:46–47)
+    ap = argparse.ArgumentParser(prog="audit_star_spark")
+    ap.add_argument("-cfg", default="audit.yml", help="path to YAML config")
+    ap.add_argument("-table", default=None, help="audit only this table (fqn)")
+    ap.add_argument("--views-only", action="store_true",
+                    help="re-register views without touching capture (C12)")
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    config = EngineConfig.from_yaml(args.cfg)
+    if args.table:  # ParseCLIOverrides analogue (audit.go:84–92)
+        config.included_tables = [args.table]
+    if args.views_only:
+        config.views_only = True
+
+    from audit_star_spark.provision import AuditStar
+    from audit_star_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_star_spark-provision", master=args.master)
+    star = AuditStar(spark, config)
+    specs, feeds, live_paths = specs_from_config(config)
+    live = {fqn: spark.read.parquet(p) for fqn, p in live_paths.items()}
+    report = star.provision(specs, feeds=feeds, live=live, views_only=config.views_only)
+
+    for fqn in report.audited:
+        print(f"audited   {fqn}")
+    for fqn, why in report.skipped:
+        print(f"skipped   {fqn}: {why}")
+    for fqn, err in report.errors:
+        print(f"ERROR     {fqn}: {err}")
+    # C13: errors don't abort the run but do fail the exit code
+    return 1 if report.errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

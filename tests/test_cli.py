@@ -1,0 +1,68 @@
+"""Provisioning CLI (EP1): YAML config -> provision run -> report, driven
+through the same entry `python -m audit_star_spark` uses (main() called
+in-process so the test reuses the session-scoped SparkSession)."""
+
+import textwrap
+
+from audit_star_spark.catalog import EngineConfig
+from audit_star_spark.__main__ import main, specs_from_config
+from audit_star_spark.sources.cdc import users_change_feed, users_live_table
+from audit_star_spark.sources.testdata import load_table
+from audit_star_spark.streaming.ingest import FEED_SCHEMA
+from tests.conftest import SF_DIR
+
+
+def test_cli_provisions_from_yaml(spark, tmp_path, capsys):
+    events = load_table(spark, SF_DIR, "events")
+    feed_path = str(tmp_path / "feed")
+    users_change_feed(events).select(
+        *[f.name for f in FEED_SCHEMA.fields]
+    ).coalesce(1).write.parquet(feed_path)
+    live_path = str(tmp_path / "live")
+    users_live_table(events).write.parquet(live_path)
+
+    cfg = tmp_path / "audit.yml"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""
+            log_root: {tmp_path / "logs"}
+            checkpoint_root: {tmp_path / "ckpts"}
+            tables:
+              app.users:
+                primary_key: id
+                columns:
+                  id: bigint
+                  etype: text
+                  k: integer
+                  val: numeric(10,2)
+                feed: {feed_path}
+                live: {live_path}
+              app.nokey:
+                columns:
+                  a: integer
+            """
+        )
+    )
+    # main() builds its own session via get_spark, which returns the
+    # already-active one in tests
+    rc = main(["-cfg", str(cfg)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "audited   app.users" in out
+    assert "skipped   app.nokey" in out
+
+    delta = spark.sql(
+        "SELECT * FROM app_audit_users_audit_delta WHERE audited_operation = 'U'"
+    )
+    assert delta.count() > 0
+    # typed reconstruction came through the CLI-declared numeric(10,2)
+    assert dict(delta.dtypes)["new_val"] == "decimal(10,2)"
+
+
+def test_table_flag_narrows_to_one_table(tmp_path):
+    cfg = EngineConfig(tables={"a.t1": {"primary_key": "id", "columns": {"id": "bigint"}},
+                               "a.t2": {"primary_key": "id", "columns": {"id": "bigint"}}})
+    cfg.included_tables = ["a.t1"]
+    specs, _, _ = specs_from_config(cfg)
+    kept = [s.fqn for s in cfg.filter_tables(specs)]
+    assert kept == ["a.t1"]
