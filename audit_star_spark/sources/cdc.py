@@ -132,3 +132,68 @@ def users_audit_inputs(
 
     events = load_table(spark, sf_dir, "events")
     return users_change_feed(events), users_live_table(events), USERS_SPEC
+
+
+# ---------------------------------------------------------------- JSON CDC
+# Debezium-style envelope (the shape real CDC connectors put on Kafka):
+#   {"op": "c|u|d", "ts_ms": 1700000000000, "before": {...}|null,
+#    "after": {...}|null, "source": {"db_user": ..., "client_addr": ...},
+#    "transaction": null}
+_DBZ_OPS = {"c": "I", "r": "I", "u": "U", "d": "D", "t": "T"}
+
+
+def change_feed_from_json(
+    spark: SparkSession,
+    path: str,
+    streaming: bool = False,
+) -> DataFrame:
+    """Parse a directory of Debezium-shaped JSON-lines change events into
+    the engine's canonical FEED_SCHEMA. ``streaming=True`` returns a
+    readStream over the same directory (file source; swap for Kafka by
+    replacing the reader — the parse pipeline is identical).
+
+    Row images arrive as JSON objects with arbitrary per-table fields, so
+    they are decoded to map<string,string> (the hstore analogue) rather
+    than a fixed struct — the same schema-agnostic property that lets the
+    reference's trigger survive column adds/drops (docs/index.md:11).
+    """
+    from audit_star_spark.streaming.ingest import FEED_SCHEMA
+
+    envelope = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("before", T.StringType()),
+            T.StructField("after", T.StringType()),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("changed_by", T.StringType()),
+                        T.StructField("db_user", T.StringType()),
+                        T.StructField("client_addr", T.StringType()),
+                        T.StructField("client_port", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    reader = (
+        spark.readStream.schema(envelope) if streaming else spark.read.schema(envelope)
+    )
+    raw = reader.json(path)
+    op_map = F.create_map(*[F.lit(x) for kv in _DBZ_OPS.items() for x in kv])
+    ms = T.MapType(T.StringType(), T.StringType())
+    out = raw.select(
+        "event_id",
+        F.element_at(op_map, F.lower(F.col("op"))).alias("op"),
+        F.from_json("before", ms).alias("before"),
+        F.from_json("after", ms).alias("after"),
+        F.timestamp_millis(F.col("ts_ms")).alias("changed_at"),
+        F.col("source.changed_by").alias("changed_by"),
+        F.col("source.db_user").alias("db_user"),
+        F.col("source.client_addr").alias("client_addr"),
+        F.col("source.client_port").alias("client_port"),
+    )
+    return out.select(*[f.name for f in FEED_SCHEMA.fields])
