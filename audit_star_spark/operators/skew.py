@@ -1,0 +1,68 @@
+"""Skew-safe join and aggregation helpers.
+
+AQE's skew-join split (``spark.sql.adaptive.skewJoin``) handles most hot
+keys at runtime and is ON in this engine's sessions — reach for these
+helpers only when a key is SO hot that even a split partition overwhelms
+one task's build side, or when AQE is unavailable (streaming foreachBatch
+plans, broadcast-disabled shapes).
+
+- :func:`salted_join`: replicate the small side R times, salt the big
+  side uniformly — turns one hot hash bucket into R buckets at the cost
+  of an R-times-larger build side. Exact same rows as a plain inner/left
+  equi-join.
+- :func:`two_phase_count`: partial aggregation on (key, salt) then final
+  on key — the classic hot-key count/sum shape. Spark's hash aggregation
+  already does map-side partials, so this only wins when a single key's
+  partials still funnel into one reducer with heavy per-group state
+  (e.g. distinct accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join ``big`` with ``small`` on column ``on``, salted to spread
+    each join key over ``salt_buckets`` shuffle buckets.
+
+    The big side gets a uniform random-ish salt derived from a stable row
+    expression (hash of all columns -> deterministic, no rand() so plans
+    stay replayable); the small side is exploded once per salt value.
+    Shuffle volume: big side unchanged, small side x salt_buckets.
+    """
+    big_salted = big.withColumn(
+        SALT, F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    small_salted = small.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_salted.join(small_salted, [on, SALT], how)
+    return out.drop(SALT)
+
+
+def two_phase_count(
+    df: DataFrame,
+    key: str,
+    agg_col: Column,
+    alias: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """groupBy(key).agg(sum(agg_col)) computed as (key, salt) partials then
+    a final combine — bounds any single reducer's group size. The salt
+    hashes the WHOLE row (hashing the key would put a hot key's rows back
+    into one bucket)."""
+    salted = df.withColumn(
+        SALT, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, SALT).agg(F.sum(agg_col).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").alias(alias))

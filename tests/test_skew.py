@@ -1,0 +1,36 @@
+"""Skew helpers: salted join and two-phase aggregation must return exactly
+the rows/values of their plain equivalents."""
+
+from pyspark.sql import functions as F
+
+from audit_star_spark.operators.skew import salted_join, two_phase_count
+
+
+def _skewed(spark):
+    # 10k rows of key 1 (hot) + 100 unique keys
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(100).select((F.col("id") + 2).alias("k"), F.col("id").alias("v"))
+    return hot.unionByName(cold)
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.range(50).select((F.col("id") + 1).alias("k"), F.lit("x").alias("tag"))
+    plain = big.join(small, "k").groupBy("k").count()
+    salted = salted_join(big, small, "k").groupBy("k").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = _skewed(spark)
+    small = spark.range(1).select((F.col("id") + 1).alias("k"), F.lit("x").alias("tag"))
+    out = salted_join(big, small, "k", how="left")
+    assert out.count() == big.count()
+    assert out.filter(F.col("tag").isNull()).count() == 100
+
+
+def test_two_phase_count_matches_plain_agg(spark):
+    df = _skewed(spark)
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    two = {r["k"]: r["s"] for r in two_phase_count(df, "k", F.col("v"), "s").collect()}
+    assert plain == two
