@@ -66,3 +66,56 @@ def cached_users_log(
     if not os.path.exists(os.path.join(live_path, "_SUCCESS")):
         live.write.mode("overwrite").parquet(live_path)
     return spark.read.parquet(path), spark.read.parquet(live_path), spec
+
+
+def compact_log(
+    spark: SparkSession, log_dir: str, target_files: int | None = None
+) -> int:
+    """Compact a streaming audit log in place: every committed
+    ``__batch=N`` directory is rewritten into ONE range-partitioned,
+    (primary_key, audit_id)-sorted segment stored as ``__batch=-1``.
+
+    Streaming appends create one small directory per micro-batch; at scale
+    the log becomes a small-files problem and reconstruction loses the
+    sorted-layout pruning. Compaction restores the query-optimal layout
+    while preserving ingest semantics:
+
+    - replay idempotence is untouched: foreachBatch replays only the last
+      uncommitted batch, which still owns its own ``__batch=N`` directory;
+      the ``-1`` segment is never a replay target;
+    - the sequence checkpoint is not involved (ids are already assigned);
+    - subsequent batches keep appending their own directories until the
+      next compaction folds them in.
+
+    Run while ingest is paused (same rule as any table-maintenance job).
+    Returns the number of rows compacted; raises if the rewrite would lose
+    rows (the old layout is left untouched in that case).
+    """
+    df = spark.read.parquet(log_dir)
+    n_before = df.count()
+    if n_before == 0:
+        return 0
+    n_files = target_files or max(2, spark.sparkContext.defaultParallelism // 4)
+    tmp = log_dir.rstrip("/") + "__compact_tmp"
+    (
+        df.drop("__batch")
+        .repartitionByRange(n_files, "primary_key", "audit_id")
+        .sortWithinPartitions("primary_key", "audit_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:  # pragma: no cover — safety net
+        raise RuntimeError(f"compaction row mismatch: {n_before} -> {n_after}")
+    import shutil
+
+    for entry in os.listdir(log_dir):
+        if entry.startswith("__batch="):
+            shutil.rmtree(os.path.join(log_dir, entry))
+    seg = os.path.join(log_dir, "__batch=-1")
+    os.makedirs(seg, exist_ok=True)
+    for entry in os.listdir(tmp):
+        if entry.endswith(".parquet"):
+            os.replace(os.path.join(tmp, entry), os.path.join(seg, entry))
+    shutil.rmtree(tmp)
+    return n_before
