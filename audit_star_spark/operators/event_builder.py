@@ -65,11 +65,20 @@ def build_audit_events(
     client_query_truncate_len: int = 1000,
     id_mode: str = "distributed",
     id_start: int = 1,
+    store_insert_payload: bool = False,
 ) -> DataFrame:
     """feed columns: op ('I'/'U'/'D'/'T'), before map<str,str>, after
     map<str,str>, changed_at timestamp, plus optional metadata columns
     changed_by / db_user / client_addr / client_port / client_query.
-    ``order_by`` must totally order the feed (ingest order)."""
+    ``order_by`` must totally order the feed (ingest order).
+
+    ``store_insert_payload=True`` is a documented UPGRADE over the
+    reference: INSERT events store the full after-image in ``change``
+    (the reference stores nothing for I, audit.go:892–895, which is why
+    its views must join the live table to reconstruct inserted rows).
+    With the payload stored, the current table state is derivable from
+    the log alone — see ``operators.reconstruct.latest_state``. Default
+    False = faithful reference semantics."""
     cols = set(feed.columns)
     op = F.col("op")
     before = F.col("before")
@@ -83,9 +92,10 @@ def build_audit_events(
         .when(op == "D", truncate_values(before, truncate_len))
         .otherwise(F.lit(None).cast("map<string,string>"))
     )
-    change = F.when(op == "U", map_diff(after, before)).otherwise(
-        F.lit(None).cast("map<string,string>")
-    )
+    change = F.when(op == "U", map_diff(after, before))
+    if store_insert_payload:
+        change = change.when(op == "I", truncate_values(after, truncate_len))
+    change = change.otherwise(F.lit(None).cast("map<string,string>"))
     primary_key = (
         F.when(op.isin("I", "U"), _pk_from(after, pk_col))
         .when(op == "D", _pk_from(before, pk_col))

@@ -184,3 +184,41 @@ def compare_view(
             ).alias(f"new_{c}")
         )
     return base.select(*cols)
+
+
+def latest_state(log: DataFrame, spec: TableSpec) -> DataFrame:
+    """Current table state reconstructed from the log ALONE — one typed
+    row per surviving primary key.
+
+    Requires a log captured with ``store_insert_payload=True`` (the
+    engine's documented upgrade over the reference): every row version is
+    then fully derivable from ``change`` maps, so the current value of a
+    column is its value in the LATEST event whose ``change`` mentions it,
+    and a key whose latest event is D/T has no row.
+
+    Physical shape: ONE hash aggregation keyed by primary_key — per
+    column an argmax-by-(audit_id) struct max, fully codegen'd with
+    map-side partials; no window, no sort, no join. This is the shape
+    that rebuilds a live table from a 100 TB log in a single shuffle.
+    """
+    present = log.filter(F.col("primary_key").isNotNull())
+    aggs = [
+        F.max(F.struct(F.col("audit_id"), F.col("operation"))).alias("__last"),
+    ]
+    for c, _t in spec.columns:
+        tagged = F.when(
+            F.map_contains_key(F.col("change"), F.lit(c)),
+            F.struct(
+                F.col("audit_id"),
+                F.element_at("change", F.lit(c)).alias("v"),
+            ),
+        )
+        aggs.append(F.max(tagged).alias(f"__m_{c}"))
+    g = present.groupBy("primary_key").agg(*aggs)
+    alive = g.filter(~F.col("__last.operation").isin("D", "T"))
+    return alive.select(
+        *[
+            F.col(f"__m_{c}.v").cast(t).alias(c)
+            for c, t in spec.columns
+        ]
+    )
