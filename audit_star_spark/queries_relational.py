@@ -561,6 +561,103 @@ GROUP BY l_returnflag
 """
 
 
+# -- correlated scalar subquery, decorrelated (TPC-H Q17 shape) -------------
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems whose quantity is below 50% of their part's
+    average quantity. The correlated per-part scalar subquery decorrelates
+    into one aggregate + one join — the rewrite PG's planner does with a
+    rescan, expressed as a plan here (and broadcast: the per-part averages
+    table is small)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.avg(F.col("l_quantity").cast("double")).alias("avg_qty")
+    )
+    j = li.join(F.broadcast(avg_q), li.l_partkey == F.col("p_key")).filter(
+        F.col("l_quantity").cast("double") < F.lit(0.5) * F.col("avg_qty")
+    )
+    return j.agg(
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_Q17 = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN (SELECT l_partkey AS p_key, AVG(CAST(l_quantity AS DOUBLE)) AS avg_qty
+      FROM lineitem GROUP BY 1) a
+  ON l.l_partkey = a.p_key
+WHERE CAST(l_quantity AS DOUBLE) < 0.5 * avg_qty
+"""
+
+
+# -- pivot (priority columns per order year) --------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = p.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+            for v, a in zip(_PRIORITIES, _PRIO_ALIASES)
+        ],
+    )
+    return renamed
+
+
+SQL_PIVOT = """
+SELECT year(o_orderdate) AS order_year,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+FROM orders
+GROUP BY 1
+"""
+
+
+# -- conditional-aggregation ratio (TPC-H Q14 shape) ------------------------
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    g = j.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return g.select(
+        "month",
+        (F.lit(100.0) * F.col("__promo") / F.col("__total")).alias("promo_share_pct"),
+    )
+
+
+SQL_Q14 = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) / SUM(rev)
+         AS promo_share_pct
+FROM (
+  SELECT l_shipdate, p_type,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -579,6 +676,9 @@ RELATIONAL_QUERIES = {
     "part_cube": q_part_cube,
     "nations_with_both": q_nations_with_both,
     "price_percentiles": q_price_percentiles,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "orders_pivot": q_orders_pivot,
+    "promo_revenue_share": q_promo_revenue_share,
 }
 
 RELATIONAL_ORACLES = {
@@ -599,4 +699,7 @@ RELATIONAL_ORACLES = {
     "part_cube": SQL_CUBE,
     "nations_with_both": SQL_INTERSECT,
     "price_percentiles": SQL_PERCENTILES,
+    "small_quantity_revenue": SQL_Q17,
+    "orders_pivot": SQL_PIVOT,
+    "promo_revenue_share": SQL_Q14,
 }
