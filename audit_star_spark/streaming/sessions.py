@@ -184,9 +184,13 @@ def capped_sessions_batch(events: DataFrame, value_cap: float = 500.0) -> DataFr
             rows.extend(_split_sessions(uid, g, value_cap))
         yield pd.DataFrame(rows, columns=cols)
 
+    df = events.select("user_id", "ts", F.col("value").cast("double"))
+    # explicit partition count: AQE would coalesce a small keyed shuffle
+    # to one partition, serializing every user onto a single Python
+    # worker — the pandas stage parallelism IS the point here
+    n = df.sparkSession.sparkContext.defaultParallelism
     return (
-        events.select("user_id", "ts", F.col("value").cast("double"))
-        .repartition("user_id")
+        df.repartition(n, "user_id")
         .sortWithinPartitions("user_id", "ts")
         .mapInPandas(fn, SESSION_SCHEMA)
     )
