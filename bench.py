@@ -33,8 +33,12 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # warm up JVM / codegen so per-query numbers measure the queries
+    # warm up JVM / codegen AND the Python worker pool so per-query
+    # numbers measure the queries, not one-time process spawns
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(spark.sparkContext.defaultParallelism * 10).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
