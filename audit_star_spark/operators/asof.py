@@ -52,10 +52,13 @@ def asof_join_backward(
         r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
     both = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
-    # right rows (__side=0) sort before left rows at equal ts -> inclusive
+    # right rows (__side=0) sort before left rows at equal ts -> inclusive;
+    # the payload struct as the final sort key makes ties among right rows
+    # at an identical ts deterministic (greatest payload wins) instead of
+    # partition-order-dependent
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", F.col("__payload"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = F.last("__payload", ignorenulls=True).over(w)
