@@ -17,6 +17,7 @@ Dialect mapping (kept 1:1 so both sides stay reviewably in sync):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from audit_star_spark.analytics import dedup, multimodal, similarity, text
 from audit_star_spark.sources.testdata import load_table
@@ -510,6 +511,54 @@ FROM documents
 """
 
 
+# ----------------------------------------- composite cleaning pipeline
+def q_corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data cleaning story as ONE declarative plan:
+    quality-filter -> drop near-duplicate losers (keep the smallest doc_id
+    of each n-gram-Jaccard pair) -> per-language surviving doc count and
+    token budget. Catalyst sees a single DAG: the dedup anti-join prunes
+    before the final rollup, and the quality filter pushes into both
+    branches' scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.with_text_stats(docs)
+    keep = stats.filter(F.col("quality_score") >= 0.3).select(
+        "doc_id", "est_bpe_tokens"
+    )
+    losers = (
+        dedup.ngram_jaccard_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = keep.join(losers, "doc_id", "left_anti")
+    return (
+        survivors.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_bpe_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _corpus_clean_sql() -> str:
+    return f"""
+WITH stats AS ({SQL_TEXT_STATS}),
+keep AS (
+  SELECT doc_id, est_bpe_tokens FROM stats WHERE quality_score >= 0.3
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({_ngram_jaccard_sql()})
+),
+survivors AS (
+  SELECT k.* FROM keep k WHERE NOT EXISTS
+    (SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)
+)
+SELECT d.lang, COUNT(*) AS n_docs, SUM(s.est_bpe_tokens) AS total_tokens
+FROM survivors s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 ANALYTICS_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -527,6 +576,7 @@ ANALYTICS_QUERIES = {
     "capped_user_sessions": q_capped_sessions,
     "multimodal_features": q_multimodal_features,
     "frame_samples": q_frame_samples,
+    "corpus_clean_stats": q_corpus_clean_stats,
 }
 
 ANALYTICS_ORACLES = {
@@ -545,4 +595,5 @@ ANALYTICS_ORACLES = {
     "label_nearest_neighbor": SQL_LABEL_NN,
     "multimodal_features": SQL_MULTIMODAL,
     "frame_samples": SQL_FRAME_SAMPLES,
+    "corpus_clean_stats": _corpus_clean_sql(),
 }
