@@ -212,3 +212,41 @@ def test_null_pk_events_never_match_later_events(spark):
     live = _live(spark, [])
     r = _row(delta_view(log, live, TABLE1), audited_operation="I")
     assert r["new_column2"] is None  # must NOT see the U's before-image
+
+
+def test_views_survive_column_added_after_capture_started(spark):
+    """Schema evolution through the VIEWS (the reference regenerates view
+    DDL after adds/drops, audit_test.go:530–607; here the spec is the
+    view's schema): events captured before a column existed simply lack
+    its key in the maps — reconstruction yields typed NULLs for the old
+    events and real values afterwards, no re-capture needed."""
+    evolved = TableSpec(
+        schema="teststar",
+        name="table1",
+        columns=TABLE1.columns + [("added_col", T.IntegerType())],
+        primary_key="id",
+    )
+    ops = [
+        # captured before added_col existed: maps have no 'added_col' key
+        ("I", None, _img("1", "v1")),
+        ("U", _img("1", "v1"), _img("1", "v2")),
+        # after the add: full image carries the new column
+        ("U", {**_img("1", "v2"), "added_col": "7"}, {**_img("1", "v2"), "added_col": "8"}),
+    ]
+    log = _log(spark, ops)
+    live = spark.createDataFrame(
+        [Row(id=1, column2="v2", column3=None, updated_by=None, added_col=8)],
+        evolved.spark_schema(),
+    )
+    snap = snapshot_view(log, live, evolved)
+    # event 2 (pre-add): added_col reconstructs via the NEXT event's
+    # before_change (7), typed int
+    r2 = _row(snap.select("audit_id", "added_col"), audit_id=2)
+    assert r2["added_col"] == 7
+    # event 3 (post-add): the new value
+    r3 = _row(snap.select("audit_id", "added_col"), audit_id=3)
+    assert r3["added_col"] == 8
+    # event 1 (insert before add): next-before lookup also finds 7
+    d = delta_view(log, live, evolved)
+    r1 = _row(d.select("audit_id", "new_added_col"), audit_id=1)
+    assert r1["new_added_col"] == 7
