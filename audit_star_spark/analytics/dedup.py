@@ -255,3 +255,55 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: assign every
+    document appearing in ``pairs`` (doc_a, doc_b) the MINIMUM doc_id
+    reachable through the duplicate graph — the canonical-representative
+    step that turns pairwise dedup output into keep/drop decisions.
+
+    Iterative min-label propagation: label(v) starts as v; each round
+    joins labels across edges and keeps the minimum; converges in
+    O(component diameter) rounds (near-dup components are tiny — chains
+    longer than a few hops are rare). Each round is one shuffle join +
+    one aggregation; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan does not replay rounds 1..N-1. Driver-side loop with a
+    single-count convergence check per round — the standard Spark shape
+    for fixpoint graph algorithms (GraphX/GraphFrames do the same under
+    the hood).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -244,6 +244,37 @@ SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= {threshold}
 """
 
 
+# ------------------------------------------- dedup clusters (iterative CC)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.dedup_clusters(pairs)
+
+
+def _clusters_sql() -> str:
+    """Connected components as a recursive reachability CTE (UNION dedup
+    terminates cycles); min reachable vertex = cluster id."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_ngram_jaccard_sql()})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (
+  SELECT DISTINCT src AS v FROM edges
+),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
@@ -566,6 +597,7 @@ ANALYTICS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_near_pairs": q_embedding_near_pairs,
     "simhash_fingerprints": q_simhash,
     "simhash_near_pairs": q_simhash_pairs,
@@ -586,6 +618,7 @@ ANALYTICS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_pairs": _minhash_sql_clean(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "dedup_clusters": _clusters_sql(),
     "embedding_near_pairs": _near_pairs_sql(),
     "simhash_fingerprints": SQL_SIMHASH,
     "simhash_near_pairs": SQL_SIMHASH_PAIRS,

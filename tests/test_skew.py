@@ -34,3 +34,15 @@ def test_two_phase_count_matches_plain_agg(spark):
     plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     two = {r["k"]: r["s"] for r in two_phase_count(df, "k", F.col("v"), "s").collect()}
     assert plain == two
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chain 1-2-3, pair 10-11, singleton edge 20-21: min-label components."""
+    from audit_star_spark.analytics.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (3, 7)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
