@@ -31,8 +31,13 @@ def with_norm(df: DataFrame, vec_col: str = "vec", out: str = "norm") -> DataFra
 
 
 def _prepared(emb: DataFrame) -> DataFrame:
+    # spread: a small parquet scan arrives as 1-2 splits, which would
+    # serialize every downstream dot-product/bucket stage onto two cores;
+    # at real scale the scan has many splits and this is a no-op
+    from audit_star_spark.util import spread
+
     return with_norm(
-        emb.select("vec_id", "label", F.expr(VEC_EXPR).alias("vec"))
+        spread(emb).select("vec_id", "label", F.expr(VEC_EXPR).alias("vec"))
     )
 
 

@@ -29,6 +29,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor for AQE-coalesced partitions: the 1 MiB default collapses
+        # CPU-dense small shuffles (shingle windows, bucket self-joins) to
+        # 2-3 tasks on 32 cores; at real scale partitions are >>64k and
+        # coalescing behaves identically
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
