@@ -658,6 +658,223 @@ GROUP BY 1
 """
 
 
+# -- pure filter+agg, no join (TPC-H Q6 shape) ------------------------------
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table scan with range predicates and one global aggregate.
+    The whole WHERE clause must reach the parquet scan as PushedFilters;
+    the agg is a two-stage partial/final with no shuffle of raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        (
+            F.sum(_cents("l_extendedprice") * _pct("l_discount")).cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24.0
+"""
+
+
+# -- outer-join count distribution (TPC-H Q13 shape) ------------------------
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers by how many non-urgent orders they placed, including the
+    zero bucket (LEFT JOIN with a join-side filter, then a re-aggregation).
+    Two shuffles: one by custkey, one tiny one by the count."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# -- distinct-agg + NOT IN anti join (TPC-H Q16 shape) ----------------------
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers ship each (brand, type, size) part
+    variety, excluding one brand and suppliers in arrears. The reference
+    dataset has no partsupp table, so distinct (l_partkey, l_suppkey)
+    pairs from lineitem stand in. NOT IN over a never-NULL key column is
+    a left-anti join (broadcast: the exclusion list is tiny)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    ok = pairs.join(
+        F.broadcast(bad_supp), pairs.l_suppkey == F.col("s_suppkey"), "left_anti"
+    )
+    j = ok.join(F.broadcast(part), ok.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# -- OR-of-ANDs predicate join (TPC-H Q19 shape) ----------------------------
+def q_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive brand/size/quantity predicate across a join. Catalyst
+    extracts the per-side conjuncts common to all branches (partkey
+    equality, quantity/size bounds) and pushes them below the join; the
+    residual OR evaluates post-join on the broadcast hash probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20.0, 30.0)
+        )
+    )
+    f = j.filter(branch)
+    return f.agg(
+        (
+            F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_Q19 = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)))
+         AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+         AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+# -- correlated scalar subquery + anti join (TPC-H Q22 shape) ---------------
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance but no orders, per nation.
+    The scalar 'average positive balance' subquery becomes a 1-row
+    aggregate broadcast under every row; the comparison is done in exact
+    integer math (cents*count > total_cents) so both engines agree on
+    boundary rows without float division."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "__cents", _cents("c_acctbal")
+    )
+    pos = cust.filter(F.col("__cents") > 0).agg(
+        F.sum("__cents").alias("__tot"), F.count("*").alias("__n")
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("__cents") * F.col("__n") > F.col("__tot")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        (F.sum("__cents").cast("double") / 100.0).alias("totacctbal"),
+    )
+
+
+SQL_Q22 = """
+WITH c AS (
+  SELECT *, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+avg_pos AS (
+  SELECT SUM(cents) AS tot, COUNT(*) AS n FROM c WHERE cents > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM c, avg_pos
+WHERE cents * n > tot
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+# -- global top-k (TakeOrderedAndProject shape) -----------------------------
+def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 orders by price with a deterministic tie-break, then a
+    broadcast join for the customer name. orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    top = orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(10)
+    return top.join(
+        F.broadcast(cust), top.o_custkey == cust.c_custkey, "left"
+    ).select("o_orderkey", "c_name", "o_totalprice", "o_orderpriority")
+
+
+SQL_TOPK_GLOBAL = """
+SELECT o_orderkey, c_name, o_totalprice, o_orderpriority
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) t
+LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -679,6 +896,12 @@ RELATIONAL_QUERIES = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "orders_pivot": q_orders_pivot,
     "promo_revenue_share": q_promo_revenue_share,
+    "revenue_forecast": q_revenue_forecast,
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_variety": q_supplier_part_variety,
+    "branded_revenue": q_branded_revenue,
+    "idle_customer_balance": q_idle_customer_balance,
+    "top_orders_global": q_top_orders_global,
 }
 
 RELATIONAL_ORACLES = {
@@ -702,4 +925,10 @@ RELATIONAL_ORACLES = {
     "small_quantity_revenue": SQL_Q17,
     "orders_pivot": SQL_PIVOT,
     "promo_revenue_share": SQL_Q14,
+    "revenue_forecast": SQL_Q6,
+    "customer_order_distribution": SQL_Q13,
+    "supplier_part_variety": SQL_Q16,
+    "branded_revenue": SQL_Q19,
+    "idle_customer_balance": SQL_Q22,
+    "top_orders_global": SQL_TOPK_GLOBAL,
 }
