@@ -15,6 +15,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _formatted(df) -> str:
+    """Full `explain("formatted")` text — node toString() truncates long
+    PushedFilters lists, this does not."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def test_delta_reconstruction_is_single_window_plus_broadcast(spark):
     from audit_star_spark.queries_audit import q_audit_delta
 
@@ -73,3 +81,57 @@ def test_topk_uses_window_group_limit(spark):
 
     plan = _plan(q_top_orders_per_segment(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_q6_predicates_push_into_scan_and_no_shuffle_of_rows(spark):
+    """The whole Q6 WHERE clause must reach the parquet scan; the only
+    exchange in the plan is the single-row partial/final agg handoff."""
+    from audit_star_spark.queries_relational import q_revenue_forecast
+
+    plan = _formatted(q_revenue_forecast(spark, SF_DIR))
+    scan = plan[plan.index("PushedFilters") :]
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in scan, scan[:800]
+    m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+    assert m and len(m.group(1).split(",")) <= 4, m.group(0)
+
+
+def test_q19_common_conjuncts_push_below_join(spark):
+    """Catalyst must extract the predicates common to all OR branches
+    (quantity and size bounds) and push them into both scans rather than
+    evaluating the whole disjunction post-join."""
+    from audit_star_spark.queries_relational import q_branded_revenue
+
+    df = q_branded_revenue(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df)
+    plan = _formatted(df)
+    li_scan = plan[plan.index("Location") :]  # lineitem scan section
+    li_scan = li_scan[: li_scan.index("part.parquet")]
+    # the full per-side disjunction is pushed, not just min/max bounds
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in li_scan
+    assert "LessThanOrEqual(l_quantity,30.0)" in li_scan
+    p_scan = plan[plan.index("part.parquet") :]
+    assert "GreaterThanOrEqual(p_size,1)" in p_scan
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in p_scan
+
+
+def test_global_topk_avoids_total_sort(spark):
+    from audit_star_spark.queries_relational import q_top_orders_global
+
+    plan = _plan(q_top_orders_global(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort node
+
+
+def test_not_in_exclusion_is_broadcast_anti_join(spark):
+    from audit_star_spark.queries_relational import q_supplier_part_variety
+
+    plan = _plan(q_supplier_part_variety(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
