@@ -41,7 +41,13 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); Spark has no ns timestamp
         # type — read as long ns and convert in the loader (testdata.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("AUDIT_STAR_DRIVER_MEM", "8g"))
+        # local[N] puts every "executor" in the driver JVM: the heap must
+        # be sized like N executors, not like a driver. Too small (8g, 32
+        # cores of array-heavy stages) means constant GC; too large (32g)
+        # means rare but multi-second full collections landing mid-query.
+        # On a real cluster this maps to per-executor memory, not driver
+        # memory.
+        .config("spark.driver.memory", os.environ.get("AUDIT_STAR_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

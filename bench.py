@@ -49,6 +49,10 @@ def main() -> None:
         # operators that persist() intermediates (LSH signatures, shingle
         # sets) must not bleed storage-memory pressure into later queries
         spark.catalog.clearCache()
+        # force collection OUTSIDE the timed window: garbage from one
+        # query otherwise triggers a full GC pause inside a later one,
+        # which showed up as 5-10x swings on whichever query it hit
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -151,3 +151,71 @@ def test_sparse_time_every_1000(spark):
     log = build_audit_events(feed, pk_col="id", order_by=["seq"], id_mode="distributed")
     sparse = log.filter("sparse_time is not null").collect()
     assert [r["audit_id"] for r in sparse] == [1000]
+
+
+def test_client_query_off_by_default_on_when_enabled(spark):
+    """Mirrors the reference's log_client_query toggle
+    (audit_test.go:753–811): off -> NULL even when the feed carries the
+    query text; on -> captured and truncated to 1,000 chars
+    (audit.go:930)."""
+    import datetime as dt
+
+    feed = spark.createDataFrame(
+        [
+            Row(
+                seq=1,
+                op="I",
+                before=None,
+                after=_img("1", "v"),
+                changed_at=dt.datetime(2024, 1, 1),
+                client_query="INSERT INTO t VALUES " + "x" * 2000,
+            )
+        ],
+        FEED_SCHEMA + ", client_query string",
+    )
+    off = build_audit_events(feed, pk_col="id", order_by=["seq"], id_mode="window")
+    assert off.collect()[0]["client_query"] is None
+
+    on = build_audit_events(
+        feed, pk_col="id", order_by=["seq"], id_mode="window", log_client_query=True
+    )
+    got = on.collect()[0]["client_query"]
+    assert got.startswith("INSERT INTO t VALUES x") and len(got) == 1000
+
+
+def test_changed_by_defaults_and_feed_override(spark):
+    """changed_by falls back to the session default when the feed has no
+    metadata column (the reference's current_setting default,
+    audit_test.go:609–750) and passes the feed's value through when
+    present."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    bare = spark.createDataFrame(
+        [Row(seq=1, op="I", before=None, after=_img("1", "v"), changed_at=t)],
+        FEED_SCHEMA,
+    )
+    assert (
+        build_audit_events(bare, pk_col="id", order_by=["seq"], id_mode="window")
+        .collect()[0]["changed_by"]
+        == "default"
+    )
+
+    tagged = spark.createDataFrame(
+        [
+            Row(
+                seq=1,
+                op="I",
+                before=None,
+                after=_img("1", "v"),
+                changed_at=t,
+                changed_by="alice",
+            )
+        ],
+        FEED_SCHEMA + ", changed_by string",
+    )
+    assert (
+        build_audit_events(tagged, pk_col="id", order_by=["seq"], id_mode="window")
+        .collect()[0]["changed_by"]
+        == "alice"
+    )
