@@ -875,6 +875,220 @@ LEFT JOIN customer ON o_custkey = c_custkey
 """
 
 
+# -- Q15 shape: aggregate view + scalar-max equality ------------------------
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (reference has no partsupp; revenue view over
+    lineitem): per-supplier revenue for one quarter, keep the supplier(s)
+    hitting the global max. The max is a 1-row aggregate broadcast back —
+    no second scan of lineitem, no window over a single partition."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("__rev")
+    )
+    best = rev.agg(F.max("__rev").alias("__best"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best), F.col("__rev") == F.col("__best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("__rev").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# -- Q18 shape: IN over a grouped HAVING (large-volume customers) ------------
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape. The classic form aggregates lineitem twice (once in
+    the IN subquery, once for the output sum); here the grouped totals are
+    computed once and reused as both the semi-filter and the output column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# -- Q11 shape: HAVING against a global scalar aggregate ---------------------
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (part value over lineitem instead of partsupp):
+    per-part value kept only when above 1.5x the mean part value. The global
+    scalar is a 1-row broadcast joined on an inequality — Catalyst turns it
+    into a BroadcastNestedLoopJoin over one row, not a cartesian blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(F.sum(_cents("l_extendedprice")).alias("__val"))
+    thr = v.agg((F.avg("__val") * 1.5).alias("__thr"))
+    return (
+        v.join(F.broadcast(thr), F.col("__val") > F.col("__thr"))
+        .select(
+            "l_partkey", (F.col("__val").cast("double") / 100.0).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+SQL_Q11 = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) / 100.0 AS part_value
+FROM v
+WHERE val > (SELECT AVG(val) * 1.5 FROM v)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# -- Q2 shape: correlated min subquery, ties preserved -----------------------
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: cheapest lineitem price stands in for
+    supply cost): for each size-15 part, the supplier(s) that sold it at the
+    per-part minimum price. The oracle's correlated MIN rescans lineitem per
+    row; here it is one min-window over the part-filtered rows — the filter
+    runs BEFORE the window, so the shuffle carries only size-15 parts."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__pc", _cents("l_extendedprice")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        j.withColumn("__min", F.min("__pc").over(w))
+        .filter(F.col("__pc") == F.col("__min"))
+        .select("p_partkey", "l_suppkey", "__min")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            (F.col("__min").cast("double") / 100.0).alias("min_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+SQL_Q2 = """
+SELECT DISTINCT p_partkey, l_suppkey AS s_suppkey, s_name,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE)
+         / 100.0 AS min_price
+FROM lineitem l
+JOIN part ON p_partkey = l.l_partkey AND p_size = 15
+JOIN supplier ON s_suppkey = l.l_suppkey
+WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) =
+  (SELECT MIN(CAST(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+# -- Q21 shape: semi + anti self-correlation (suppliers who kept waiting) ----
+def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped >60 days after the order date;
+    the schema has no commit/receipt dates). The EXISTS / NOT EXISTS pair
+    over the same lineitem table collapses into ONE grouped pass per order
+    — n_suppliers >= 2 and exactly one late supplier — instead of two extra
+    self-joins; the oracle keeps the textbook correlated form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    base = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "__late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = base.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    l1 = base.filter((F.col("o_orderstatus") == "F") & F.col("__late"))
+    return (
+        l1.join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+SQL_Q21 = """
+WITH li AS (
+  SELECT l.*, o_orderdate, o_orderstatus
+  FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.o_orderstatus = 'F'
+  AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -902,6 +1116,11 @@ RELATIONAL_QUERIES = {
     "branded_revenue": q_branded_revenue,
     "idle_customer_balance": q_idle_customer_balance,
     "top_orders_global": q_top_orders_global,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "large_volume_customers": q_large_volume_customers,
+    "important_parts": q_important_parts,
+    "min_cost_supplier": q_min_cost_supplier,
+    "blamed_suppliers": q_blamed_suppliers,
 }
 
 RELATIONAL_ORACLES = {
@@ -931,4 +1150,9 @@ RELATIONAL_ORACLES = {
     "branded_revenue": SQL_Q19,
     "idle_customer_balance": SQL_Q22,
     "top_orders_global": SQL_TOPK_GLOBAL,
+    "top_revenue_supplier": SQL_Q15,
+    "large_volume_customers": SQL_Q18,
+    "important_parts": SQL_Q11,
+    "min_cost_supplier": SQL_Q2,
+    "blamed_suppliers": SQL_Q21,
 }
