@@ -135,3 +135,53 @@ def test_not_in_exclusion_is_broadcast_anti_join(spark):
     plan = _plan(q_supplier_part_variety(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scalar_max_equality_is_broadcast_not_window(spark):
+    """Q15 shape: the global max joins back as a 1-row broadcast; a window
+    over a single partition would serialize the whole aggregate on one
+    task."""
+    from audit_star_spark.queries_relational import q_top_revenue_supplier
+
+    plan = _plan(q_top_revenue_supplier(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Window [" not in plan
+
+
+def test_global_scalar_having_is_one_row_nested_loop(spark):
+    """Q11 shape: the inequality join against the 1-row threshold must be
+    a broadcast nested loop over one row, not a cartesian product."""
+    from audit_star_spark.queries_relational import q_important_parts
+
+    plan = _plan(q_important_parts(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_volume_reuses_single_lineitem_agg(spark):
+    """Q18 shape: grouped totals are computed once and reused as both the
+    semi-filter and the output column — exactly one lineitem scan."""
+    from audit_star_spark.queries_relational import q_large_volume_customers
+
+    plan = _plan(q_large_volume_customers(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_min_cost_filters_before_window(spark):
+    """Q2 shape: the broadcast part-filter join must run below the
+    min-window so the shuffle carries only size-15 parts."""
+    from audit_star_spark.queries_relational import q_min_cost_supplier
+
+    plan = _plan(q_min_cost_supplier(spark, SF_DIR))
+    w = plan.index("Window [")
+    assert "BroadcastHashJoin" in plan[w:], "part filter join must be below the window"
+
+
+def test_blamed_suppliers_two_lineitem_scans_not_four(spark):
+    """Q21 shape: EXISTS + NOT EXISTS collapse into one grouped pass —
+    lineitem is scanned twice (base + per-order counts), not four times
+    as the textbook correlated form would."""
+    from audit_star_spark.queries_relational import q_blamed_suppliers
+
+    plan = _plan(q_blamed_suppliers(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") <= 2, plan
