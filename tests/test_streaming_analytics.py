@@ -112,3 +112,50 @@ def test_streaming_counts_match_batch_for_closed_windows(spark, tmp_path):
     assert streamed, "no windows closed"
     for key, n in streamed.items():
         assert batch[key] == n, f"window {key}: streamed {n} != batch {batch[key]}"
+
+
+def test_sliding_window_counts_overlap(spark, tmp_path):
+    """Sliding windows (2-day length, 1-day slide): each event lands in
+    two windows, and closed windows match the batch equivalent."""
+    src, out, ckpt = (str(tmp_path / p) for p in ("src3", "out3", "ckpt3"))
+    d = dt.datetime
+    _write(
+        spark,
+        src,
+        [
+            Row(event_id=1, ts=d(2024, 1, 2, 10), event_type="a", value=1.0),
+            Row(event_id=2, ts=d(2024, 1, 2, 11), event_type="a", value=1.0),
+            Row(event_id=3, ts=d(2024, 1, 3, 10), event_type="a", value=1.0),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .parquet(src)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("start"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # advance the watermark far enough to close every window above
+    _write(spark, src, [Row(event_id=9, ts=d(2024, 1, 10), event_type="a", value=1.0)])
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["start"].day: r["n"] for r in spark.read.parquet(out).collect() if r["start"].month == 1 and r["start"].day < 8}
+    # windows [Jan1,Jan3): 2 events; [Jan2,Jan4): 3; [Jan3,Jan5): 1
+    assert got == {1: 2, 2: 3, 3: 1}

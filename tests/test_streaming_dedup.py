@@ -1,0 +1,98 @@
+"""Streaming dedup: re-delivered events are emitted exactly once, and
+state is bounded by the watermark (late replays beyond the horizon are
+dropped by the watermark, not re-emitted).
+
+Same determinism device as test_streaming_analytics: two sequential
+``availableNow`` runs over one checkpoint — run 1 commits a watermark
+that governs run 2.
+"""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from audit_star_spark.streaming.dedup import dedup_stream
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, src, out, ckpt):
+    stream = dedup_stream(
+        spark.readStream.schema(EV_SCHEMA).parquet(src),
+        keys=["event_id"],
+        ts_col="ts",
+        watermark="1 day",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_redelivered_events_emitted_once(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    d = dt.datetime
+    _write(
+        spark,
+        src,
+        [
+            Row(event_id=1, ts=d(2024, 1, 1, 10), event_type="a"),
+            Row(event_id=2, ts=d(2024, 1, 1, 11), event_type="b"),
+            Row(event_id=1, ts=d(2024, 1, 1, 10), event_type="a"),  # dup in-batch
+        ],
+    )
+    _run(spark, src, out, ckpt)
+
+    # run 2: one replayed event (dup across batches, within watermark
+    # state) and one genuinely new event
+    _write(
+        spark,
+        src,
+        [
+            Row(event_id=2, ts=d(2024, 1, 1, 11), event_type="b"),
+            Row(event_id=3, ts=d(2024, 1, 1, 12), event_type="c"),
+        ],
+    )
+    _run(spark, src, out, ckpt)
+
+    got = sorted(
+        (r.event_id, r.event_type) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_batch_and_stream_dedup_agree(spark, tmp_path):
+    """The streaming dedup over a replayed feed must converge to the same
+    row set as a batch dropDuplicates over the union of all deliveries."""
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    d = dt.datetime
+    rows = [
+        Row(event_id=i, ts=d(2024, 1, 1, 9 + (i % 3)), event_type="xyz"[i % 3])
+        for i in range(20)
+    ]
+    _write(spark, src, rows + rows[:7])
+    _write(spark, src, rows[5:12])
+    _run(spark, src, out, ckpt)
+
+    batch = spark.createDataFrame(rows + rows[:7] + rows[5:12], EV_SCHEMA).dropDuplicates(
+        ["event_id"]
+    )
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    want = sorted(r.event_id for r in batch.collect())
+    assert got == want
