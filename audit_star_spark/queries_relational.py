@@ -1036,9 +1036,12 @@ ORDER BY p_partkey, s_suppkey
 def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape ("late" = shipped >60 days after the order date;
     the schema has no commit/receipt dates). The EXISTS / NOT EXISTS pair
-    over the same lineitem table collapses into ONE grouped pass per order
-    — n_suppliers >= 2 and exactly one late supplier — instead of two extra
-    self-joins; the oracle keeps the textbook correlated form."""
+    over the same lineitem table collapses into a two-level aggregation —
+    per (order, supplier) late-row counts, then per order: >= 2 suppliers
+    with exactly one of them late, blaming that supplier for its late rows.
+    ONE scan of lineitem, both levels map-side combinable, no Expand node
+    (countDistinct would double the shuffled rows) and no join back to the
+    event rows; the oracle keeps the textbook correlated form."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
@@ -1047,21 +1050,29 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).withColumn(
         "__late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
     )
-    per_order = base.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late_supp"
-        ),
+    per_os = base.groupBy("l_orderkey", "o_orderstatus", "l_suppkey").agg(
+        F.sum("__late").alias("__n_late_rows")
     )
-    l1 = base.filter((F.col("o_orderstatus") == "F") & F.col("__late"))
+    late_flag = (F.col("__n_late_rows") > 0).cast("int")
+    per_order = per_os.groupBy("l_orderkey", "o_orderstatus").agg(
+        F.count("*").alias("__n_supp"),
+        F.sum(late_flag).alias("__n_late_supp"),
+        F.max(F.when(late_flag == 1, F.col("l_suppkey"))).alias("__blamed"),
+        F.sum(F.when(late_flag == 1, F.col("__n_late_rows"))).alias("__late_rows"),
+    )
     return (
-        l1.join(per_order, F.col("l_orderkey") == F.col("__ok"))
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), F.col("__blamed") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("__late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )

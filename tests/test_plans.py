@@ -177,11 +177,13 @@ def test_min_cost_filters_before_window(spark):
     assert "BroadcastHashJoin" in plan[w:], "part filter join must be below the window"
 
 
-def test_blamed_suppliers_two_lineitem_scans_not_four(spark):
-    """Q21 shape: EXISTS + NOT EXISTS collapse into one grouped pass —
-    lineitem is scanned twice (base + per-order counts), not four times
-    as the textbook correlated form would."""
+def test_blamed_suppliers_single_scan_no_expand(spark):
+    """Q21 shape: EXISTS + NOT EXISTS collapse into a two-level grouped
+    pass — lineitem is scanned ONCE (the textbook correlated form scans it
+    four times), and no Expand node (the countDistinct formulation would
+    double every shuffled row)."""
     from audit_star_spark.queries_relational import q_blamed_suppliers
 
     plan = _plan(q_blamed_suppliers(spark, SF_DIR))
-    assert plan.count("lineitem.parquet") <= 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Expand" not in plan, plan
