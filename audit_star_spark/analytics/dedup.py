@@ -257,22 +257,65 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
     """Connected components over near-duplicate pairs: assign every
     document appearing in ``pairs`` (doc_a, doc_b) the MINIMUM doc_id
     reachable through the duplicate graph — the canonical-representative
     step that turns pairwise dedup output into keep/drop decisions.
 
-    Iterative min-label propagation: label(v) starts as v; each round
-    joins labels across edges and keeps the minimum; converges in
-    O(component diameter) rounds (near-dup components are tiny — chains
-    longer than a few hops are rare). Each round is one shuffle join +
-    one aggregation; ``localCheckpoint`` truncates the growing lineage so
-    round N's plan does not replay rounds 1..N-1. Driver-side loop with a
-    single-count convergence check per round — the standard Spark shape
-    for fixpoint graph algorithms (GraphX/GraphFrames do the same under
-    the hood).
+    Scale-adaptive, the graph analog of Spark's broadcast-join decision:
+
+    - **Driver union-find** when the edge list fits comfortably on the
+      driver (< ``driver_cc_max_edges``; ~32 MB at the default). Near-dup
+      edge sets are a tiny fraction of the corpus — even a 100 TB corpus
+      with a 0.1% duplicate rate yields an edge list in the low millions —
+      and a distributed fixpoint over a broadcast-scale graph spends its
+      entire wall time scheduling near-empty stages. Union-find is
+      O(E α(E)) and exact. Set ``driver_cc_max_edges=0`` to force the
+      distributed path.
+    - **Iterative min-label propagation** otherwise: label(v) starts as
+      v; each round joins labels across edges and keeps the minimum;
+      converges in O(component diameter) rounds. Each round is one
+      shuffle join + one aggregation; ``localCheckpoint`` truncates the
+      growing lineage so round N's plan does not replay rounds 1..N-1 —
+      the standard Spark shape for fixpoint graph algorithms
+      (GraphX/GraphFrames do the same under the hood).
     """
+    spark = pairs.sparkSession
+    if driver_cc_max_edges:
+        # cheap upper bound first: only count when it could change the path
+        edge_rows = pairs.select("doc_a", "doc_b").limit(driver_cc_max_edges).collect()
+        if len(edge_rows) < driver_cc_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in edge_rows:
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by min keeps the canonical label exact
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            labels = [(v, find(v)) for v in parent]
+            return spark.createDataFrame(labels, "doc_id long, cluster_id long")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -44,5 +44,13 @@ def test_dedup_clusters_connected_components(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (3, 7)],
         "doc_a long, doc_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # driver union-find fast path (default) AND the distributed
+    # min-label-propagation fixpoint must produce identical labels
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert got == want
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, driver_cc_max_edges=0).collect()
+    }
+    assert dist == want
