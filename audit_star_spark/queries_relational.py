@@ -544,10 +544,21 @@ ORDER BY nationkey
 # -- exact percentiles ------------------------------------------------------
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    # one percentile(..., array(...)) aggregate, not three scalar ones:
+    # each scalar percentile buffers and sorts the group's values
+    # independently, tripling the dominant cost (3 groups -> 3 tasks own
+    # all rows, so per-group work is the whole query)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("__p")
+        )
+        .select(
+            "l_returnflag",
+            F.col("__p")[0].alias("p50"),
+            F.col("__p")[1].alias("p90"),
+            F.col("__p")[2].alias("p99"),
+        )
     )
 
 
