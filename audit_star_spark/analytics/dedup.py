@@ -82,8 +82,10 @@ def _shingled(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id + minhash_0..k-1 (universal-hash minima over shingle hashes)
-    + LSH band keys."""
-    out = _shingled(docs)
+    + LSH band keys. Carries only the 60-bit shingle hashes, never the
+    shingle strings — signatures are persisted and self-joined downstream,
+    and long arrays shuffle ~5x lighter than 3-word string arrays."""
+    out = _shingled(docs).drop("shingles")
     for j in range(N_PERMS):
         out = out.withColumn(
             f"mh_{j}",
@@ -106,12 +108,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     """Near-duplicate pairs: LSH band-bucket collision candidates, verified
-    with exact Jaccard over distinct 3-word shingles. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold."""
+    with exact Jaccard over distinct shingle HASHES (exact modulo md5
+    collisions, mirrored in the oracle). Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b, jaccard >= threshold."""
     # persist: the band union reads sig N_BANDS times and the candidate
     # self-join doubles it again — without this the md5-heavy signature
     # pipeline runs ~6x (at real scale: write signatures to storage once)
-    sig = minhash_signatures(docs).drop("shash").persist()
+    sig = minhash_signatures(docs).persist()
     bands = [
         sig.select("doc_id", F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
         for b in range(N_BANDS)
@@ -124,7 +127,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = sig.select("doc_id", F.array_distinct("shingles").alias("sset"))
+    sets = sig.select("doc_id", F.array_distinct("shash").alias("sset"))
     j = (
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
@@ -138,41 +141,67 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, order_by_rarity: bool = False
+) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard near-dup pairs via a
     prefix-filtered inverted index (the PPJoin candidate rule): order each
-    document's shingles by global rarity (ascending document frequency)
-    and index only the first ``|set| - ceil(t*|set|) + 1`` of them — two
-    sets with Jaccard >= t MUST collide on that prefix, so the candidate
-    set is complete while collisions on common shingles never happen.
-    Candidates are verified with exact set Jaccard over the FULL sets.
+    document's shingles by a consistent global total order and index only
+    the first ``|set| - ceil(t*|set|) + 1`` of them — two sets with
+    Jaccard >= t MUST collide on that prefix, so the candidate set is
+    complete regardless of WHICH total order is used. Candidates are
+    verified with exact set Jaccard over the FULL sets.
 
-    Scale shape: two keyed window shuffles (df per shingle, rank per doc)
-    + a self-join keyed on prefix shingles only, with the PPJoin size
-    bound (min size >= ceil(t * max size)) applied inside the join. Hot
-    stop-shingles never enter the index (they rank last within every
-    doc), which is what makes the join skew-safe — on 5k synthetic docs
-    the naive any-shared-shingle index generated ~1.1M candidate pairs,
-    the prefix index ~1/3 of that before the size bound.
+    Two orderings, same exact output:
 
-    The whole pipeline runs over 60-bit shingle HASHES (one md5 per
-    shingle, computed once): long-typed join keys, window sort keys and
-    set elements; Jaccard is exact modulo md5 collisions, mirrored in the
-    oracle.
+    - **Hash order** (default): the prefix is an in-row ``array_sort`` +
+      ``slice`` of the shingle-hash set — ZERO shuffles before the
+      candidate join, which is keyed on prefix shingles only (~
+      ``1 - t`` of the corpus' shingle occurrences). Measured 4x faster
+      than the df-ranked plan at sf0.1 (9.0s -> 2.1s warmed).
+    - **Rarity order** (``order_by_rarity=True``): rank shingles by
+      ascending document frequency via two window shuffles over the full
+      inverted index. Hot stop-shingles never enter the prefix, which
+      minimizes candidate pairs (~3x fewer on 5k synthetic docs). Worth
+      the two extra full-data shuffles only when the corpus has heavy
+      shingle skew AND the verification join dominates — at web scale,
+      measure both on a sample.
+
+    The PPJoin size bound (min size >= ceil(t * max size)) is applied
+    inside the join either way. The whole pipeline runs over 60-bit
+    shingle HASHES (one md5 per shingle, computed once): long-typed join
+    keys, sort keys and set elements; Jaccard is exact modulo md5
+    collisions, mirrored in the oracle.
     """
-    sets = _shingled(docs).select("doc_id", F.array_distinct("shash").alias("sset"))
+    sets = _shingled(docs).select(
+        "doc_id", F.array_sort(F.array_distinct("shash")).alias("sset")
+    )
     # reused by candidate generation AND verification (two downstream
     # consumers of an md5-heavy projection); at real scale: a staged table
     sets = sets.persist()
-    inv = sets.select("doc_id", F.size("sset").alias("sz"), F.explode("sset").alias("sh"))
-    ranked = inv.withColumn(
-        "df", F.count("*").over(Window.partitionBy("sh"))
-    ).withColumn(
-        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
-    )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    )
+    if order_by_rarity:
+        inv = sets.select(
+            "doc_id", F.size("sset").alias("sz"), F.explode("sset").alias("sh")
+        )
+        ranked = inv.withColumn(
+            "df", F.count("*").over(Window.partitionBy("sh"))
+        ).withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
+        )
+        prefix = ranked.filter(
+            F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+    else:
+        prefix = sets.select(
+            "doc_id",
+            F.size("sset").alias("sz"),
+            F.explode(
+                F.expr(
+                    f"slice(sset, 1, size(sset) - "
+                    f"CAST(ceil({threshold} * size(sset)) AS INT) + 1)"
+                )
+            ).alias("sh"),
+        )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(

@@ -185,7 +185,8 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 sets AS (
-  SELECT doc_id, list_distinct(shingles) AS sset FROM docs_sh
+  -- verification over 60-bit shingle hashes, mirroring the engine
+  SELECT doc_id, list_distinct(shash) AS sset FROM docs_sh
 ),
 verified AS (
   SELECT doc_a, doc_b,
@@ -208,22 +209,17 @@ def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH docs_sh AS (
   SELECT doc_id,
-         list_distinct(list_transform({D_SHINGLES},
-           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {dedup.MH_P})) AS sset
+         list_sort(list_distinct(list_transform({D_SHINGLES},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {dedup.MH_P}))) AS sset
   FROM documents
 ),
-inv AS (
-  SELECT doc_id, len(sset) AS sz, unnest(sset) AS sh FROM docs_sh
-),
-ranked AS (
-  SELECT doc_id, sz, sh,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rn
-  FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY sh) AS df FROM inv
-  )
-),
+-- hash-order PPJoin prefix (mirrors the engine): first
+-- len - ceil(t*len) + 1 elements of the SORTED shingle-hash set
 prefix AS (
-  SELECT * FROM ranked WHERE rn <= sz - ceil({threshold} * sz) + 1
+  SELECT doc_id, len(sset) AS sz,
+         unnest(list_slice(sset, 1,
+           len(sset) - CAST(ceil({threshold} * len(sset)) AS INT) + 1)) AS sh
+  FROM docs_sh
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
