@@ -65,17 +65,40 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
 N_PLANES = 8
 
 
-def _bucket_expr(vec_col: str, planes: range | None = None) -> F.Column:
-    """Hyperplane-LSH bucket: plane p has pseudo-random ±1 weights
-    w(p,d) = parity of md5-derived hash of 'p_d'; bucket bit p is the sign
-    of <w(p), v>. Deterministic in any engine."""
+def _vec_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Probe the (fixed) embedding dimensionality with a one-row scan at
+    plan-build time — LSH planes and IVF cells assume fixed-dim vectors."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0
+
+
+def _plane_weights(p: int, dim: int) -> str:
+    """±1 weight literal for plane p: w(p,d) = parity of the 60-bit md5
+    prefix of 'p_d' — the same rule the oracle evaluates in SQL
+    (('0x' || substr(md5(p||'_'||d),1,15))::BIGINT % 2)."""
+    import hashlib
+
+    ws = [
+        "1.0D"
+        if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16) % 2 == 1
+        else "-1.0D"
+        for d in range(dim)
+    ]
+    return "array(" + ", ".join(ws) + ")"
+
+
+def _bucket_expr(vec_col: str, dim: int, planes: range | None = None) -> F.Column:
+    """Hyperplane-LSH bucket: bucket bit p is the sign of <w(p), v>.
+
+    The weights depend only on (plane, dim), so they are computed ONCE in
+    Python and embedded as array literals — evaluating the md5 inside the
+    per-element lambda (the obvious one-expression form) redid the same
+    hash rows x planes x dims times and was ~5x the cost of the whole
+    operator. Values are identical; the DuckDB oracles are unchanged."""
     terms = []
     for i, p in enumerate(planes if planes is not None else range(N_PLANES)):
         proj = (
-            f"aggregate(zip_with({vec_col}, "
-            f"transform(sequence(0, size({vec_col}) - 1), "
-            f"d -> CASE WHEN CAST(conv(substring(md5(concat('{p}_', d)), 1, 15), 16, 10) AS BIGINT) % 2 = 1 "
-            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END), "
+            f"aggregate(zip_with({vec_col}, {_plane_weights(p, dim)}, "
             f"(x, w) -> x * w), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
         )
         terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
@@ -85,7 +108,7 @@ def _bucket_expr(vec_col: str, planes: range | None = None) -> F.Column:
 def lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     """ANN top-k: candidates limited to the query's LSH bucket, ranked by
     exact cosine. The bucket join replaces the all-pairs product."""
-    base = _prepared(emb).withColumn("bucket", _bucket_expr("vec"))
+    base = _prepared(emb).withColumn("bucket", _bucket_expr("vec", _vec_dim(emb)))
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -179,10 +202,13 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     to storage and fetch vectors by id instead.
     """
     base = _prepared(emb)
+    dim = _vec_dim(emb)
     for b in range(NEAR_BANDS):
         base = base.withColumn(
             f"nb_{b}",
-            _bucket_expr("vec", range(b * PLANES_PER_BAND, (b + 1) * PLANES_PER_BAND)),
+            _bucket_expr(
+                "vec", dim, range(b * PLANES_PER_BAND, (b + 1) * PLANES_PER_BAND)
+            ),
         )
     bands = [
         base.select(
@@ -219,7 +245,6 @@ def label_nearest_neighbor(emb: DataFrame) -> DataFrame:
     base = _prepared(emb)
     a, b = base.alias("a"), base.alias("b")
     cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
-    w = Window.partitionBy("a.vec_id").orderBy(F.col("cosine").desc(), F.col("b.vec_id"))
     pairs = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id")))
         .select(

@@ -110,3 +110,23 @@ def with_fingerprint(docs: DataFrame) -> DataFrame:
         f"(h, t) -> (h * 31 + t % {FP_PRIME}) % {FP_PRIME})"
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def token_topk(docs: DataFrame, k: int = 500) -> DataFrame:
+    """Global token vocabulary: top-k tokens by corpus frequency with a
+    deterministic tie-break — the vocabulary-induction primitive of a
+    tokenizer-training pipeline.
+
+    Scale shape: explode -> hash aggregate (map-side partial combine
+    collapses each partition's token stream to its local vocabulary
+    before the shuffle, so shuffle volume is bounded by distinct tokens
+    per partition, not corpus token count) -> TakeOrderedAndProject."""
+    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("token")).filter(
+        F.length("token") > 0
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(k)
+    )

@@ -33,24 +33,31 @@ def _fingerprint(sf_dir: str) -> str:
 
 
 def cached_users_log(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, payload: bool = False
 ) -> tuple[DataFrame, DataFrame, TableSpec]:
     """(log, live, spec) for the synthetic users table, with the log staged
-    to parquet on first use per dataset. Set AUDIT_STAR_NO_LOG_CACHE=1 to
-    force the pure in-memory pipeline (used by tests to cover both paths).
+    to parquet on first use per dataset. ``payload=True`` stages the
+    full-fidelity variant (``store_insert_payload`` — INSERTs carry the
+    row image, enabling log-only reconstruction). Set
+    AUDIT_STAR_NO_LOG_CACHE=1 to force the pure in-memory pipeline (used
+    by tests to cover both paths).
     """
     from audit_star_spark.operators.event_builder import build_audit_events
     from audit_star_spark.sources.cdc import users_audit_inputs
 
     feed, live, spec = users_audit_inputs(spark, sf_dir)
     if os.environ.get("AUDIT_STAR_NO_LOG_CACHE") == "1":
-        log = build_audit_events(feed, pk_col="id", order_by=["event_id"])
+        log = build_audit_events(
+            feed, pk_col="id", order_by=["event_id"], store_insert_payload=payload
+        )
         return log, live, spec
 
     fp = _fingerprint(sf_dir)
-    path = os.path.join(CACHE_ROOT, "users_log", fp)
+    path = os.path.join(CACHE_ROOT, "users_log_payload" if payload else "users_log", fp)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        log = build_audit_events(feed, pk_col="id", order_by=["event_id"])
+        log = build_audit_events(
+            feed, pk_col="id", order_by=["event_id"], store_insert_payload=payload
+        )
         n = max(2, spark.sparkContext.defaultParallelism // 4)
         (
             log.repartitionByRange(n, "primary_key", "audit_id")

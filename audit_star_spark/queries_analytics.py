@@ -586,8 +586,23 @@ GROUP BY d.lang
 """
 
 
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_topk(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_TOPK = f"""
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest({D_TOKENS}) AS token FROM documents)
+WHERE len(token) > 0
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 500
+"""
+
+
 ANALYTICS_QUERIES = {
     "text_stats": q_text_stats,
+    "token_topk": q_token_topk,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -609,6 +624,7 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "text_stats": SQL_TEXT_STATS,
+    "token_topk": SQL_TOKEN_TOPK,
     "lang_id": _lang_sql(),
     "doc_fingerprint": SQL_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -342,6 +342,31 @@ WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current table state rebuilt from the log ALONE (the
+    ``store_insert_payload`` upgrade over the reference, which always
+    needs the live table: audit.go:1107–1113): one hash aggregation keyed
+    by primary_key — per column an argmax-by-audit_id struct max, no
+    window, no sort, no join. The oracle re-derives the same state
+    independently from the raw events (last row version per surviving
+    key), so the whole capture->log->rebuild path is differentially
+    tested."""
+    from audit_star_spark.operators.reconstruct import latest_state
+    from audit_star_spark.plans.logstore import cached_users_log
+
+    log, _, spec = cached_users_log(spark, sf_dir, payload=True)
+    st = latest_state(log, spec)
+    return st.select(
+        "id", "etype", "k", F.col("val").cast("double").alias("val")
+    )
+
+
+SQL_LATEST_STATE = f"""
+WITH {_FEED_CTE}
+SELECT id, etype, k, CAST(val AS DOUBLE) AS val FROM live
+"""
+
+
 AUDIT_QUERIES = {
     "audit_log": q_audit_log,
     "audit_delta": q_audit_delta,
@@ -349,6 +374,7 @@ AUDIT_QUERIES = {
     "audit_compare": q_audit_compare,
     "audit_rollup": q_audit_rollup,
     "time_travel": q_time_travel,
+    "latest_state": q_latest_state,
 }
 
 AUDIT_ORACLES = {
@@ -358,4 +384,5 @@ AUDIT_ORACLES = {
     "audit_compare": SQL_AUDIT_COMPARE,
     "audit_rollup": SQL_AUDIT_ROLLUP,
     "time_travel": SQL_TIME_TRAVEL,
+    "latest_state": SQL_LATEST_STATE,
 }

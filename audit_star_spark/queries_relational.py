@@ -1111,6 +1111,134 @@ LIMIT 20
 """
 
 
+# -- Q7 shape: disjunctive cross-nation join predicate -----------------------
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nations in either direction,
+    by (supplier nation, customer nation, ship year). The OR-of-nation-
+    pairs predicate cannot become a join key; it is applied AFTER the two
+    broadcast nation joins, while the two big joins (lineitem-orders,
+    orders-customer) stay pure equi-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    g = j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("__rev"))
+    return g.select(
+        "supp_nation",
+        "cust_nation",
+        "ship_year",
+        (F.col("__rev").cast("double") / 10000.0).alias("revenue"),
+    ).orderBy("supp_nation", "cust_nation", "ship_year")
+
+
+SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+# -- Q8 shape: market-share ratio (conditional agg over a wide join) ---------
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ASIA-region revenue per order
+    year — a conditional numerator inside an exact integer-cents sum, the
+    division deferred to the output boundary. Six joins, four of them
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # customer nation must be in ASIA; supplier nation feeds the share test
+    cn = (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    g = j.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0))).alias(
+            "__nat"
+        ),
+        F.sum(rev).alias("__all"),
+    )
+    return g.select(
+        "order_year",
+        (F.col("__nat").cast("double") / F.col("__all")).alias("mkt_share"),
+    ).orderBy("order_year")
+
+
+SQL_Q8 = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN pc * (100 - dc) ELSE 0 END)
+            AS DOUBLE)
+         / SUM(pc * (100 - dc)) AS mkt_share
+FROM (
+  SELECT *,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+         CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS dc
+  FROM lineitem
+) l
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1143,6 +1271,8 @@ RELATIONAL_QUERIES = {
     "important_parts": q_important_parts,
     "min_cost_supplier": q_min_cost_supplier,
     "blamed_suppliers": q_blamed_suppliers,
+    "nation_trade_volume": q_nation_trade_volume,
+    "nation_market_share": q_nation_market_share,
 }
 
 RELATIONAL_ORACLES = {
@@ -1177,4 +1307,6 @@ RELATIONAL_ORACLES = {
     "important_parts": SQL_Q11,
     "min_cost_supplier": SQL_Q2,
     "blamed_suppliers": SQL_Q21,
+    "nation_trade_volume": SQL_Q7,
+    "nation_market_share": SQL_Q8,
 }

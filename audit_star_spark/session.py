@@ -48,6 +48,17 @@ def get_spark(
         # On a real cluster this maps to per-executor memory, not driver
         # memory.
         .config("spark.driver.memory", os.environ.get("AUDIT_STAR_DRIVER_MEM", "16g"))
+        # Whole-stage codegen emits one or more classes per stage; a long
+        # session running dozens of expression-heavy queries (higher-order
+        # folds, wide literal arrays) overflows the JVM's default ~240 MB
+        # reserved code cache, after which the JIT silently stops compiling
+        # and every later query runs interpreted (measured: 10x+ inflation
+        # on the queries that happened to run after the cliff). Reserve
+        # enough to never hit it, and let the sweeper reclaim cold code.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

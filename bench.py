@@ -40,19 +40,30 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
+    # Each query runs twice; the reported number is the MIN of the two.
+    # Run 1 pays one-time costs that say nothing about engine throughput
+    # (JIT compilation of generated code, first scan of a file) and is
+    # exposed to external one-off stalls — across whole-suite runs a
+    # ~20s wedge (co-tenant load, major GC) landed on a DIFFERENT query
+    # each time, inflating whichever one it hit 10x+. The min is the
+    # steady-state throughput, which is what scale projection cares about.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators that persist() intermediates (LSH signatures, shingle
-        # sets) must not bleed storage-memory pressure into later queries
-        spark.catalog.clearCache()
-        # force collection OUTSIDE the timed window: garbage from one
-        # query otherwise triggers a full GC pause inside a later one,
-        # which showed up as 5-10x swings on whichever query it hit
-        spark.sparkContext._jvm.System.gc()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # operators that persist() intermediates (LSH signatures,
+            # shingle sets) must not bleed storage-memory pressure into
+            # later queries
+            spark.catalog.clearCache()
+            # force collection OUTSIDE the timed window: garbage from one
+            # query otherwise triggers a full GC pause inside a later one,
+            # which showed up as 5-10x swings on whichever query it hit
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
