@@ -187,3 +187,36 @@ def test_blamed_suppliers_single_scan_no_expand(spark):
     plan = _plan(q_blamed_suppliers(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1, plan
     assert "Expand" not in plan, plan
+
+
+def test_nation_pair_disjunction_stays_above_broadcast_joins(spark):
+    """Q7 shape: the OR-of-nation-pairs predicate cannot become a join
+    key; the big joins stay equi-joins and the nation sides broadcast —
+    no nested-loop or cartesian fallback."""
+    from audit_star_spark.queries_relational import q_nation_trade_volume
+
+    plan = _plan(q_nation_trade_volume(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_market_share_is_single_aggregate(spark):
+    """Q8 shape: numerator and denominator come from ONE aggregation with
+    a conditional sum — not a self-join of two aggregates."""
+    from audit_star_spark.queries_relational import q_nation_market_share
+
+    plan = _plan(q_nation_market_share(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_token_topk_partial_aggregates_before_shuffle(spark):
+    """Vocabulary induction: the exploded token stream must partial-count
+    per partition before the shuffle, and the global top-k must be
+    TakeOrderedAndProject (per-partition heaps), not a full sort."""
+    from audit_star_spark.analytics.text import token_topk
+    from audit_star_spark.sources.testdata import load_table
+
+    plan = _plan(token_topk(load_table(spark, SF_DIR, "documents")))
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
