@@ -1239,6 +1239,52 @@ ORDER BY order_year
 """
 
 
+# -- Q9 shape: LIKE-filtered dimension + profit rollup ----------------------
+def q_part_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'red' parts by (supplier nation, ship
+    year). The substring predicate pushes into the part scan as a
+    StringContains parquet filter (locked by a plan test) and the filtered
+    dimension broadcasts; profit = revenue - 90% of retail as a stand-in
+    for supplycost (no partsupp table), in exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _cents("l_extendedprice") * (100 - _pct("l_discount")) - (
+        F.col("p_retailprice").cast("decimal(18,2)") * 100
+    ).cast("long") * 90 * F.col("l_quantity").cast("long")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy(
+        F.col("n_name").alias("nation"), F.year("l_shipdate").alias("ship_year")
+    ).agg(F.sum(amount).alias("__profit"))
+    return g.select(
+        "nation",
+        "ship_year",
+        (F.col("__profit").cast("double") / 10000.0).alias("profit"),
+    ).orderBy("nation", F.col("ship_year").desc())
+
+
+SQL_Q9 = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT))
+                - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * 90 * CAST(l_quantity AS BIGINT))
+            AS DOUBLE) / 10000.0 AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, ship_year
+ORDER BY n_name, ship_year DESC
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1273,6 +1319,7 @@ RELATIONAL_QUERIES = {
     "blamed_suppliers": q_blamed_suppliers,
     "nation_trade_volume": q_nation_trade_volume,
     "nation_market_share": q_nation_market_share,
+    "part_type_profit": q_part_type_profit,
 }
 
 RELATIONAL_ORACLES = {
@@ -1309,4 +1356,5 @@ RELATIONAL_ORACLES = {
     "blamed_suppliers": SQL_Q21,
     "nation_trade_volume": SQL_Q7,
     "nation_market_share": SQL_Q8,
+    "part_type_profit": SQL_Q9,
 }

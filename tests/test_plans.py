@@ -220,3 +220,15 @@ def test_token_topk_partial_aggregates_before_shuffle(spark):
     plan = _plan(token_topk(load_table(spark, SF_DIR, "documents")))
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_like_predicate_pushes_as_string_contains(spark):
+    """Q9 shape: p_name LIKE '%red%' must reach the part scan as a
+    StringContains parquet filter, and the filtered dimension broadcasts."""
+    from audit_star_spark.queries_relational import q_part_type_profit
+
+    df = q_part_type_profit(spark, SF_DIR)
+    plan = _formatted(df)
+    p_scan = plan[plan.index("part.parquet") :]
+    assert "StringContains(p_name,red)" in p_scan, p_scan[:600]
+    assert "BroadcastHashJoin" in _plan(df)
