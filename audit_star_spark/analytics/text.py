@@ -130,3 +130,21 @@ def token_topk(docs: DataFrame, k: int = 500) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def with_split(docs: DataFrame, weights: tuple[int, int, int] = (80, 10, 10)) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = 60-bit md5 of the
+    doc_id modulo 100, split by cumulative weight. Content-independent and
+    stable across runs/engines — the property a pretraining corpus needs so
+    held-out documents NEVER migrate into train when the corpus is re-built
+    (a random() split resamples on every run; a hash split does not)."""
+    train_w, val_w, _ = weights
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train_w, F.lit("train"))
+        .when(bucket < train_w + val_w, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -600,9 +600,44 @@ LIMIT 500
 """
 
 
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test split with per-split doc
+    count and token budget — the held-out-stability primitive of a
+    pretraining corpus build (split migrates for NO document on rebuild)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.with_text_stats(docs).select("doc_id", "est_bpe_tokens")
+    return (
+        text.with_split(docs.select("doc_id"))
+        .join(stats, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_bpe_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_CORPUS_SPLITS = f"""
+WITH stats AS ({SQL_TEXT_STATS}),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        FROM documents)
+)
+SELECT split, COUNT(*) AS n_docs, SUM(s.est_bpe_tokens) AS total_tokens
+FROM assigned a JOIN stats s USING (doc_id)
+GROUP BY split
+ORDER BY split
+"""
+
+
 ANALYTICS_QUERIES = {
     "text_stats": q_text_stats,
     "token_topk": q_token_topk,
+    "corpus_splits": q_corpus_splits,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -625,6 +660,7 @@ ANALYTICS_QUERIES = {
 ANALYTICS_ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
+    "corpus_splits": SQL_CORPUS_SPLITS,
     "lang_id": _lang_sql(),
     "doc_fingerprint": SQL_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
