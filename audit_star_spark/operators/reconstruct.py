@@ -196,10 +196,13 @@ def latest_state(log: DataFrame, spec: TableSpec) -> DataFrame:
     column is its value in the LATEST event whose ``change`` mentions it,
     and a key whose latest event is D/T has no row.
 
-    Physical shape: ONE hash aggregation keyed by primary_key — per
-    column an argmax-by-(audit_id) struct max, fully codegen'd with
-    map-side partials; no window, no sort, no join. This is the shape
-    that rebuilds a live table from a 100 TB log in a single shuffle.
+    Physical shape: ONE aggregation keyed by primary_key — per column an
+    argmax-by-(audit_id) struct max with map-side partials; no window, no
+    join, one shuffle. Struct-valued max() buffers are not mutable in
+    Spark's hash aggregation map, so this plans as SortAggregate (an
+    in-partition sort by pk feeding the combine); the hash-aggregable
+    alternative — per-column max(audit_id) then a value-fetch join — was
+    rejected because the join re-shuffles the full log a second time.
     """
     present = log.filter(F.col("primary_key").isNotNull())
     aggs = [

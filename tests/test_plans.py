@@ -232,3 +232,20 @@ def test_like_predicate_pushes_as_string_contains(spark):
     p_scan = plan[plan.index("part.parquet") :]
     assert "StringContains(p_name,red)" in p_scan, p_scan[:600]
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_latest_state_is_single_aggregation_no_window_no_join(spark):
+    """Log-only rebuild: ONE keyed aggregation (partial + final) over one
+    shuffle — no window, no join. Struct-valued max() buffers are not
+    hash-map-mutable, so Spark plans SortAggregate rather than
+    HashAggregate; the partial side still combines map-side, which is the
+    property that matters at log scale."""
+    from audit_star_spark.operators.reconstruct import latest_state
+    from audit_star_spark.plans.logstore import cached_users_log
+
+    log, _, spec = cached_users_log(spark, SF_DIR, payload=True)
+    plan = _plan(latest_state(log, spec))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("SortAggregate") == 2, plan  # partial + final
+    assert "partial_max" in plan
