@@ -367,6 +367,38 @@ SELECT id, etype, k, CAST(val AS DOUBLE) AS val FROM live
 """
 
 
+def q_sparse_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse-time index surface (audit.go:882–886 + the partial index
+    at audit.go:837): one anchor per 1000 events, queried as coarse
+    entry-points into the log. The `sparse_time IS NOT NULL` predicate
+    prunes via parquet row-group min/max stats on the sorted log — the
+    same O(anchors) access path the reference buys with a partial btree."""
+    log, _, _ = _log(spark, sf_dir)
+    return (
+        log.filter(F.col("sparse_time").isNotNull())
+        .groupBy(F.date_trunc("day", "sparse_time").alias("anchor_day"))
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.min("audit_id").alias("first_anchor_id"),
+            F.max("audit_id").alias("last_anchor_id"),
+        )
+        .orderBy("anchor_day")
+    )
+
+
+SQL_SPARSE_ANCHORS = f"""
+WITH {_FEED_CTE}
+SELECT date_trunc('day', changed_at) AS anchor_day,
+       COUNT(*) AS n_anchors,
+       MIN(audit_id) AS first_anchor_id,
+       MAX(audit_id) AS last_anchor_id
+FROM logd
+WHERE audit_id % 1000 = 0
+GROUP BY anchor_day
+ORDER BY anchor_day
+"""
+
+
 AUDIT_QUERIES = {
     "audit_log": q_audit_log,
     "audit_delta": q_audit_delta,
@@ -375,6 +407,7 @@ AUDIT_QUERIES = {
     "audit_rollup": q_audit_rollup,
     "time_travel": q_time_travel,
     "latest_state": q_latest_state,
+    "sparse_anchors": q_sparse_anchors,
 }
 
 AUDIT_ORACLES = {
@@ -385,4 +418,5 @@ AUDIT_ORACLES = {
     "audit_rollup": SQL_AUDIT_ROLLUP,
     "time_travel": SQL_TIME_TRAVEL,
     "latest_state": SQL_LATEST_STATE,
+    "sparse_anchors": SQL_SPARSE_ANCHORS,
 }
