@@ -1285,6 +1285,56 @@ ORDER BY n_name, ship_year DESC
 """
 
 
+# -- Q20 shape: hierarchical re-aggregation + share threshold ---------------
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (correlated availability threshold, decorrelated):
+    suppliers shipping more than 20% of a part's total volume. The
+    part-level totals RE-AGGREGATE the (supplier, part) rollup instead of
+    rescanning lineitem — one scan, two pipelined aggregations, and the
+    share test is an integer cross-multiplication (no division, no
+    floats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    # persisted: Spark does not share subplans between the two consumers
+    # (unlike a SQL CTE), so without this the rollup and the lineitem scan
+    # both run twice (at real scale: stage the rollup to storage)
+    sp = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+        .persist()
+    )
+    totals = sp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dom = sp.join(totals, sp.l_partkey == F.col("__pk")).filter(
+        F.col("supp_qty") * 5 > F.col("part_qty")
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+        .orderBy(F.col("n_dominated_parts").desc(), F.col("s_suppkey"))
+    )
+
+
+SQL_Q20 = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+totals AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM sp GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS n_dominated_parts
+FROM sp JOIN totals USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE supp_qty * 5 > part_qty
+GROUP BY s_suppkey, s_name
+ORDER BY n_dominated_parts DESC, s_suppkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1320,6 +1370,7 @@ RELATIONAL_QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "nation_market_share": q_nation_market_share,
     "part_type_profit": q_part_type_profit,
+    "dominant_suppliers": q_dominant_suppliers,
 }
 
 RELATIONAL_ORACLES = {
@@ -1357,4 +1408,5 @@ RELATIONAL_ORACLES = {
     "nation_trade_volume": SQL_Q7,
     "nation_market_share": SQL_Q8,
     "part_type_profit": SQL_Q9,
+    "dominant_suppliers": SQL_Q20,
 }

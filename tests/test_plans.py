@@ -249,3 +249,13 @@ def test_latest_state_is_single_aggregation_no_window_no_join(spark):
     assert "Join" not in plan
     assert plan.count("SortAggregate") == 2, plan  # partial + final
     assert "partial_max" in plan
+
+
+def test_dominant_suppliers_reaggregates_not_rescans(spark):
+    """Q20 shape: part totals re-aggregate the PERSISTED (supplier, part)
+    rollup — both consumers must read InMemoryTableScan (the plan text
+    prints the cached lineage twice, but execution scans lineitem once)."""
+    from audit_star_spark.queries_relational import q_dominant_suppliers
+
+    plan = _plan(q_dominant_suppliers(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") == 2, plan
