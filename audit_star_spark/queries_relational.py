@@ -416,8 +416,10 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = ev.withColumn(
         "new_session",
         (
-            F.col("ts").cast("long")
-            - F.coalesce(F.lag(F.col("ts").cast("long")).over(w), F.lit(0))
+            F.col("ts").cast("timestamp").cast("long")
+            - F.coalesce(
+                F.lag(F.col("ts").cast("timestamp").cast("long")).over(w), F.lit(0)
+            )
             > 3600
         ).cast("int"),
     )

@@ -34,6 +34,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncate to micros exactly like DuckDB's CAST(ts AS TIMESTAMP).
         # Integer div — a double division would lose precision at 1e18 ns.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # TIMESTAMP(isAdjustedToUTC=false) infers NTZ on Spark >= 3.4; the
+        # engine standardizes on LTZ with a UTC session timezone, which keeps
+        # epoch values identical to DuckDB's reading of the same file.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
