@@ -1337,6 +1337,103 @@ ORDER BY n_dominated_parts DESC, s_suppkey
 """
 
 
+# -- Q10 shape: returned-item reporting (4-way join + grouped top-k) --------
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue attributable to returned items per customer
+    over one quarter, top 20. The returnflag filter lands on the lineitem
+    scan (pushed down), the date filter on the orders scan; customer and
+    nation broadcast, so the only shuffles are the fact-fact join and the
+    final groupBy on c_custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    g = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("__rev")
+    )
+    return (
+        g.select(
+            "c_custkey",
+            "c_name",
+            (F.col("__rev").cast("double") / 10000.0).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# -- Q12 shape: two-sided conditional aggregation over a fact-fact join -----
+def q_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape. The synthetic schema has no l_shipmode /
+    l_commitdate / l_receiptdate (TESTDATA.md), so the grouping key is a
+    ship-latency bucket (days between order and ship date) instead of
+    shipmode — the plan shape is identical: orders⋈lineitem with CASE-WHEN
+    counts of high- vs low-priority orders per bucket, date range pushed to
+    the lineitem scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lat = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(lat < 0, "EARLY").when(lat <= 90, "ON_TIME").otherwise("LATE")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(bucket.alias("latency_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 0
+            THEN 'EARLY'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90
+            THEN 'ON_TIME'
+            ELSE 'LATE' END AS latency_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1373,6 +1470,8 @@ RELATIONAL_QUERIES = {
     "nation_market_share": q_nation_market_share,
     "part_type_profit": q_part_type_profit,
     "dominant_suppliers": q_dominant_suppliers,
+    "returned_item_customers": q_returned_item_customers,
+    "ship_latency_priority": q_ship_latency_priority,
 }
 
 RELATIONAL_ORACLES = {
@@ -1411,4 +1510,6 @@ RELATIONAL_ORACLES = {
     "nation_market_share": SQL_Q8,
     "part_type_profit": SQL_Q9,
     "dominant_suppliers": SQL_Q20,
+    "returned_item_customers": SQL_Q10,
+    "ship_latency_priority": SQL_Q12,
 }
