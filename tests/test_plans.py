@@ -259,3 +259,35 @@ def test_dominant_suppliers_reaggregates_not_rescans(spark):
 
     plan = _plan(q_dominant_suppliers(spark, SF_DIR))
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_returned_items_broadcasts_dims_and_pushes_filters(spark):
+    """Q10 shape: the returnflag filter reaches the lineitem scan, the date
+    range reaches the orders scan, and customer/nation join via broadcast —
+    the only exchange is the final groupBy on the customer key."""
+    from audit_star_spark.queries_relational import q_returned_item_customers
+
+    df = q_returned_item_customers(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject(limit=20" in plan
+    fmt = _formatted(df)
+    assert "EqualTo(l_returnflag,R)" in fmt
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in fmt
+
+
+def test_ship_latency_single_exchange_after_partial_agg(spark):
+    """Q12 shape: the date range lands on the lineitem scan, the CASE
+    bucketing happens pre-shuffle, and only partial aggregates cross the
+    single exchange (3 groups x 2 sums, not the joined rows)."""
+    from audit_star_spark.queries_relational import q_ship_latency_priority
+
+    df = q_ship_latency_priority(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan
+    fmt = _formatted(df)
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in fmt
+    m = re.search(r"lineitem.*?ReadSchema: struct<([^>]*)", fmt, re.S)
+    assert m and len(m.group(1).split(",")) == 2, m.group(0)
