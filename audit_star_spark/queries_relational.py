@@ -1434,6 +1434,47 @@ GROUP BY 1
 """
 
 
+# -- grouping sets (explicit multi-granularity aggregation) -----------------
+def q_priority_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with three explicit granularities — unlike cube (all
+    2^n combos) or rollup (prefix hierarchy), the set list is arbitrary.
+    Physically a single scan + Expand (one output row per matching set per
+    input row) + one hash aggregation; grouping_id disambiguates the NULLs
+    produced by Expand from real NULL keys."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("o_year"),
+        _cents("o_totalprice").alias("__tp"),
+    )
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_year"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_year",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_level"),
+            F.count("*").alias("n_orders"),
+            (F.sum("__tp").cast("double") / 100.0).alias("total_price"),
+        )
+        .select(
+            "o_orderpriority", "o_year", "grouping_level", "n_orders", "total_price"
+        )
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS grouping_level,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)), (o_orderpriority), ())
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1472,6 +1513,7 @@ RELATIONAL_QUERIES = {
     "dominant_suppliers": q_dominant_suppliers,
     "returned_item_customers": q_returned_item_customers,
     "ship_latency_priority": q_ship_latency_priority,
+    "priority_year_sets": q_priority_year_sets,
 }
 
 RELATIONAL_ORACLES = {
@@ -1512,4 +1554,5 @@ RELATIONAL_ORACLES = {
     "dominant_suppliers": SQL_Q20,
     "returned_item_customers": SQL_Q10,
     "ship_latency_priority": SQL_Q12,
+    "priority_year_sets": SQL_GROUPING_SETS,
 }
