@@ -1475,6 +1475,73 @@ GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)), (o_orderpriority),
 """
 
 
+# -- unpivot (wide -> long, the inverse of orders_pivot) --------------------
+def q_quantity_discount_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot: melt two measure columns into (measure, value) rows —
+    a pure per-row Expand (2 output rows per input), no shuffle until the
+    summarizing groupBy. The inverse reshaping of the pivot query."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "discount"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n_values"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SQL_UNPIVOT = """
+SELECT measure, COUNT(*) AS n_values,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM (
+  SELECT l_orderkey, l_linenumber, measure, value
+  FROM (SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS quantity,
+               CAST(l_discount AS DOUBLE) AS discount
+        FROM lineitem)
+  UNPIVOT (value FOR measure IN (quantity, discount))
+)
+GROUP BY measure
+"""
+
+
+# -- window-function breadth: ntile / percent_rank / lead -------------------
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window coverage beyond rank/row_number: quartile bucketing
+    (ntile), relative position (percent_rank), and next-value lookahead
+    (lead) in ONE window spec — a single per-segment sort, three
+    expressions sharing it."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("balance_pct_rank"),
+        F.lead("c_acctbal").over(w).alias("next_acctbal"),
+    )
+
+
+SQL_WINDOW_BREADTH = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       NTILE(4)       OVER w AS balance_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS balance_pct_rank,
+       LEAD(c_acctbal) OVER w AS next_acctbal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1514,6 +1581,8 @@ RELATIONAL_QUERIES = {
     "returned_item_customers": q_returned_item_customers,
     "ship_latency_priority": q_ship_latency_priority,
     "priority_year_sets": q_priority_year_sets,
+    "quantity_discount_long": q_quantity_discount_long,
+    "customer_balance_quartiles": q_customer_balance_quartiles,
 }
 
 RELATIONAL_ORACLES = {
@@ -1555,4 +1624,6 @@ RELATIONAL_ORACLES = {
     "returned_item_customers": SQL_Q10,
     "ship_latency_priority": SQL_Q12,
     "priority_year_sets": SQL_GROUPING_SETS,
+    "quantity_discount_long": SQL_UNPIVOT,
+    "customer_balance_quartiles": SQL_WINDOW_BREADTH,
 }
