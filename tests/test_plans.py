@@ -291,3 +291,25 @@ def test_ship_latency_single_exchange_after_partial_agg(spark):
     assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in fmt
     m = re.search(r"lineitem.*?ReadSchema: struct<([^>]*)", fmt, re.S)
     assert m and len(m.group(1).split(",")) == 2, m.group(0)
+
+
+def test_grouping_sets_is_single_expand_single_exchange(spark):
+    """Three grouping sets = one Expand node (3 projections) feeding one
+    partial/final agg pair — not three scans or three aggregations."""
+    from audit_star_spark.queries_relational import q_priority_year_sets
+
+    plan = _plan(q_priority_year_sets(spark, SF_DIR))
+    assert plan.count("+- Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan
+
+
+def test_unpivot_expands_in_row_without_join(spark):
+    """Unpivot is a per-row Expand; no join or union of per-measure scans."""
+    from audit_star_spark.queries_relational import q_quantity_discount_long
+
+    plan = _plan(q_quantity_discount_long(spark, SF_DIR))
+    assert plan.count("+- Expand") == 1, plan
+    assert "Join" not in plan and "Union" not in plan, plan
+    # single lineitem scan, two measure columns + keys only
+    assert plan.count("FileScan parquet") == 1
