@@ -1542,6 +1542,49 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+# -- full outer join (the join path that can never broadcast) ---------------
+def q_nation_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer vs supplier rollups —
+    keeps nations present on either side only. Physically a sort-merge
+    join by necessity (full-outer cannot build a one-sided hash table and
+    is excluded from broadcast), so both pre-aggregations shrink their
+    side BEFORE the join's shuffle — aggregate-then-join, never
+    join-then-aggregate, which is the ordering that survives a 1000x
+    scale-up."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    j = cust.join(supp, "nationkey", "full_outer")
+    return j.select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        (F.col("n_customers").isNull() | F.col("n_suppliers").isNull()).alias(
+            "one_sided"
+        ),
+    )
+
+
+SQL_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+           FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       (n_customers IS NULL OR n_suppliers IS NULL) AS one_sided
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1583,6 +1626,7 @@ RELATIONAL_QUERIES = {
     "priority_year_sets": q_priority_year_sets,
     "quantity_discount_long": q_quantity_discount_long,
     "customer_balance_quartiles": q_customer_balance_quartiles,
+    "nation_participation": q_nation_participation,
 }
 
 RELATIONAL_ORACLES = {
@@ -1626,4 +1670,5 @@ RELATIONAL_ORACLES = {
     "priority_year_sets": SQL_GROUPING_SETS,
     "quantity_discount_long": SQL_UNPIVOT,
     "customer_balance_quartiles": SQL_WINDOW_BREADTH,
+    "nation_participation": SQL_FULL_OUTER,
 }
