@@ -1585,6 +1585,41 @@ FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
 """
 
 
+# -- RANGE window frame: rolling 90-day spend per customer ------------------
+def q_rolling_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN frame (value-based, vs the row-count frames used
+    elsewhere): per order, the customer's total spend in the trailing 90
+    days INCLUDING same-timestamp peers — semantics rowsBetween cannot
+    express when order timestamps collide. One shuffle on o_custkey; the
+    frame bound is integer epoch seconds so both engines agree exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / 100.0).alias(
+            "trailing_90d_spend"
+        ),
+    )
+
+
+SQL_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+           RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS trailing_90d_spend
+FROM orders
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1627,6 +1662,7 @@ RELATIONAL_QUERIES = {
     "quantity_discount_long": q_quantity_discount_long,
     "customer_balance_quartiles": q_customer_balance_quartiles,
     "nation_participation": q_nation_participation,
+    "rolling_customer_spend": q_rolling_customer_spend,
 }
 
 RELATIONAL_ORACLES = {
@@ -1671,4 +1707,5 @@ RELATIONAL_ORACLES = {
     "quantity_discount_long": SQL_UNPIVOT,
     "customer_balance_quartiles": SQL_WINDOW_BREADTH,
     "nation_participation": SQL_FULL_OUTER,
+    "rolling_customer_spend": SQL_RANGE_FRAME,
 }
