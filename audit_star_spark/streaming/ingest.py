@@ -77,6 +77,130 @@ class SequenceState:
         os.replace(tmp, self.path)
 
 
+class LatestStateStore:
+    """Streaming-maintained compacted current-row snapshot.
+
+    The reference's views join the *live* source table (B3,
+    audit.go:1107–1113) — a table PostgreSQL maintains for free. Spark has
+    no such table, so the ingest job derives one: per micro-batch, merge
+    the batch's final row images into the previous snapshot and keep the
+    winner per primary key (argmax by feed ``event_id``). Deletes drop the
+    key; TRUNCATE (statement-level, no pk — audit.go:915–917) drops every
+    row whose final event precedes the truncate.
+
+    Durability is a versioned directory per applied batch plus an
+    atomically-replaced ``_CURRENT`` pointer — a foreachBatch replay
+    no-ops (version already applied), so the store inherits the ingest's
+    exactly-once semantics without a transaction log. At scale the merge
+    is one shuffle of (previous snapshot ∪ batch) on primary_key; the
+    snapshot stays partitioned by the same key, and old versions are
+    reclaimed immediately (keep-2)."""
+
+    KEEP_VERSIONS = 2
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version(self) -> int | None:
+        if os.path.exists(self._pointer):
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        return None
+
+    def _vpath(self, v: int) -> str:
+        return os.path.join(self.root, f"v{v:08d}")
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Current snapshot: (primary_key, row map, last_event_id,
+        updated_at); None before the first applied batch."""
+        v = self.current_version()
+        if v is None:
+            return None
+        return spark.read.parquet(self._vpath(v))
+
+    def apply_batch(
+        self, spark: SparkSession, batch: DataFrame, batch_id: int, pk_col: str
+    ) -> None:
+        cur = self.current_version()
+        if cur is not None and cur >= batch_id:
+            return  # replay of an applied batch: state already includes it
+        pk = (
+            F.when(
+                F.col("op").isin("I", "U"), F.element_at("after", F.lit(pk_col))
+            ).when(F.col("op") == "D", F.element_at("before", F.lit(pk_col)))
+        )
+        rows = (
+            batch.filter(F.col("op").isin("I", "U", "D"))
+            .select(
+                pk.alias("primary_key"),
+                F.col("op"),
+                F.when(F.col("op") == "D", F.col("before"))
+                .otherwise(F.col("after"))
+                .alias("row"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("changed_at").alias("updated_at"),
+            )
+            .filter(F.col("primary_key").isNotNull())
+        )
+        # statement-level truncate: driver-side scalar (one tiny agg per
+        # micro-batch — control flow, not data flow)
+        last_t = batch.filter(F.col("op") == "T").agg(F.max("event_id")).collect()[0][0]
+        prev = self.read(spark)
+        cand = rows
+        if prev is not None:
+            cand = prev.select(
+                "primary_key",
+                F.lit("S").alias("op"),
+                "row",
+                "last_event_id",
+                "updated_at",
+            ).unionByName(rows)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("primary_key").orderBy(F.col("last_event_id").desc())
+        latest = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        state = latest.filter(F.col("op") != "D").drop("op")
+        if last_t is not None:
+            state = state.filter(F.col("last_event_id") > F.lit(last_t))
+        state.write.mode("overwrite").parquet(self._vpath(batch_id))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._pointer)
+        self._gc(keep={batch_id, cur})
+
+    def _gc(self, keep: set) -> None:
+        import shutil
+
+        keep_names = {f"v{v:08d}" for v in keep if v is not None}
+        recent = sorted(
+            (e for e in os.listdir(self.root) if e.startswith("v")), reverse=True
+        )[: self.KEEP_VERSIONS]
+        for entry in os.listdir(self.root):
+            if entry.startswith("v") and entry not in keep_names and entry not in recent:
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+
+
+def typed_state(state: DataFrame, spec) -> DataFrame:
+    """Project a LatestStateStore snapshot to the table's typed columns —
+    the drop-in 'live table' side for the reconstruction views (B3)."""
+    return state.select(
+        *[
+            F.element_at("row", F.lit(c)).cast(t).alias(c)
+            for c, t in spec.columns
+        ]
+    )
+
+
 class AuditIngest:
     """Per-table streaming capture job (the trigger analogue, C9)."""
 
@@ -89,6 +213,7 @@ class AuditIngest:
         pk_col: str | None,
         log_client_query: bool = False,
         max_files_per_trigger: int | None = None,
+        state_dir: str | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
@@ -98,6 +223,9 @@ class AuditIngest:
         self.log_client_query = log_client_query
         self.max_files_per_trigger = max_files_per_trigger
         self.state = SequenceState(os.path.join(checkpoint_dir, "sequence.json"))
+        self.state_store = (
+            LatestStateStore(state_dir) if state_dir and pk_col else None
+        )
         self.query = None
 
     def _append_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -124,6 +252,8 @@ class AuditIngest:
             .partitionBy("__batch")
             .parquet(self.log_dir)
         )
+        if self.state_store is not None:
+            self.state_store.apply_batch(self.spark, batch, batch_id, self.pk_col)
         batch.unpersist()
         if not seen:
             self.state.commit_batch(batch_id, base, n)
@@ -153,3 +283,10 @@ class AuditIngest:
 
     def log(self) -> DataFrame:
         return self.spark.read.parquet(self.log_dir).drop("__batch")
+
+    def latest_state(self) -> DataFrame | None:
+        """Streaming-maintained current-row snapshot (None if the job was
+        built without ``state_dir`` or no batch has been applied)."""
+        if self.state_store is None:
+            return None
+        return self.state_store.read(self.spark)
