@@ -104,6 +104,10 @@ class AuditStar:
             checkpoint_dir=ckpt,
             pk_col=spec.primary_key,
             log_client_query=self.config.log_client_query,
+            # per-table live-state snapshot maintained alongside the log
+            # (LatestStateStore); single-PK tables only — the NULL-pk
+            # degradation path has no key to compact on
+            state_dir=os.path.join(log_dir, "_state") if spec.primary_key else None,
         )
         self.ingests[spec.fqn] = ingest
         ingest.start(available_now=True).awaitTermination()

@@ -88,13 +88,23 @@ class LatestStateStore:
     key; TRUNCATE (statement-level, no pk — audit.go:915–917) drops every
     row whose final event precedes the truncate.
 
+    Micro-batches are NOT ordered by event id (file-source listing order
+    is arbitrary), so the merge must be commutative: deletes are kept as
+    **tombstones** (``deleted`` flag) — dropping the key instead would let
+    an older event arriving in a later batch resurrect it — and TRUNCATE
+    persists as a monotone event-id **watermark** in each version's
+    ``_meta.json``; rows at-or-below the watermark are filtered whenever
+    they surface. ``read()`` hides both; the final state is then a pure
+    argmax over the whole feed regardless of batch partitioning.
+
     Durability is a versioned directory per applied batch plus an
     atomically-replaced ``_CURRENT`` pointer — a foreachBatch replay
     no-ops (version already applied), so the store inherits the ingest's
     exactly-once semantics without a transaction log. At scale the merge
     is one shuffle of (previous snapshot ∪ batch) on primary_key; the
     snapshot stays partitioned by the same key, and old versions are
-    reclaimed immediately (keep-2)."""
+    reclaimed immediately (keep-2). Tombstones are reclaimed by log
+    compaction cadence (they are per-deleted-key, not per-event)."""
 
     KEEP_VERSIONS = 2
 
@@ -115,13 +125,26 @@ class LatestStateStore:
     def _vpath(self, v: int) -> str:
         return os.path.join(self.root, f"v{v:08d}")
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Current snapshot: (primary_key, row map, last_event_id,
-        updated_at); None before the first applied batch."""
+    def _meta(self, v: int) -> dict:
+        path = os.path.join(self._vpath(v), "_meta.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {"truncate_watermark": None}
+
+    def _read_raw(self, spark: SparkSession) -> tuple[DataFrame | None, dict]:
         v = self.current_version()
         if v is None:
+            return None, {"truncate_watermark": None}
+        return spark.read.parquet(self._vpath(v)), self._meta(v)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Current snapshot: (primary_key, row map, last_event_id,
+        updated_at); tombstones hidden. None before the first batch."""
+        raw, _ = self._read_raw(spark)
+        if raw is None:
             return None
-        return spark.read.parquet(self._vpath(v))
+        return raw.filter(~F.col("deleted")).drop("deleted")
 
     def apply_batch(
         self, spark: SparkSession, batch: DataFrame, batch_id: int, pk_col: str
@@ -138,40 +161,40 @@ class LatestStateStore:
             batch.filter(F.col("op").isin("I", "U", "D"))
             .select(
                 pk.alias("primary_key"),
-                F.col("op"),
                 F.when(F.col("op") == "D", F.col("before"))
                 .otherwise(F.col("after"))
                 .alias("row"),
                 F.col("event_id").alias("last_event_id"),
                 F.col("changed_at").alias("updated_at"),
+                (F.col("op") == "D").alias("deleted"),
             )
             .filter(F.col("primary_key").isNotNull())
         )
         # statement-level truncate: driver-side scalar (one tiny agg per
         # micro-batch — control flow, not data flow)
         last_t = batch.filter(F.col("op") == "T").agg(F.max("event_id")).collect()[0][0]
-        prev = self.read(spark)
-        cand = rows
-        if prev is not None:
-            cand = prev.select(
-                "primary_key",
-                F.lit("S").alias("op"),
-                "row",
-                "last_event_id",
-                "updated_at",
-            ).unionByName(rows)
+        prev, meta = self._read_raw(spark)
+        watermark = max(
+            (v for v in (meta["truncate_watermark"], last_t) if v is not None),
+            default=None,
+        )
+        cand = rows if prev is None else prev.unionByName(rows)
         from pyspark.sql import Window
 
         w = Window.partitionBy("primary_key").orderBy(F.col("last_event_id").desc())
-        latest = (
+        state = (
             cand.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        state = latest.filter(F.col("op") != "D").drop("op")
-        if last_t is not None:
-            state = state.filter(F.col("last_event_id") > F.lit(last_t))
-        state.write.mode("overwrite").parquet(self._vpath(batch_id))
+        if watermark is not None:
+            # truncated rows AND their tombstones are gone for good; the
+            # persisted watermark keeps late-arriving older events out too
+            state = state.filter(F.col("last_event_id") > F.lit(watermark))
+        vpath = self._vpath(batch_id)
+        state.write.mode("overwrite").parquet(vpath)
+        with open(os.path.join(vpath, "_meta.json"), "w") as f:
+            json.dump({"truncate_watermark": watermark}, f)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))

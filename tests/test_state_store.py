@@ -112,6 +112,32 @@ def test_delete_and_truncate_semantics(spark, tmp_path):
     assert s2 == {"3": "c"}  # 1 truncated, 2 deleted, 3 survives
 
 
+def test_out_of_order_batches_do_not_resurrect(spark, tmp_path):
+    """File-source micro-batches are not event-ordered: a batch carrying
+    OLDER events can arrive after the batch holding a key's delete. The
+    tombstone must win (no resurrection), and live keys must keep their
+    newest image regardless of arrival order."""
+    store = LatestStateStore(str(tmp_path / "state"))
+    newer = spark.createDataFrame(
+        [
+            _feed_row(20, "D", {"id": "1", "v": "dead"}, None),
+            _feed_row(21, "I", None, {"id": "2", "v": "new"}),
+        ],
+        FEED_SCHEMA,
+    )
+    older = spark.createDataFrame(
+        [
+            _feed_row(3, "I", None, {"id": "1", "v": "zombie"}),
+            _feed_row(2, "I", None, {"id": "2", "v": "old"}),
+        ],
+        FEED_SCHEMA,
+    )
+    store.apply_batch(spark, newer, 0, "id")
+    store.apply_batch(spark, older, 1, "id")
+    state = {r["primary_key"]: r["row"]["v"] for r in store.read(spark).collect()}
+    assert state == {"2": "new"}  # 1 stays deleted; 2 keeps the newer image
+
+
 def test_state_serves_reconstruction_live_side(spark, tmp_path, feed_dir):
     """Close the loop: snapshot view built with the STREAMED live side must
     agree with one built from the batch-derived live table."""
