@@ -126,9 +126,19 @@ class AuditStar:
 
     def _register_views(self, spec: TableSpec, live: dict[str, DataFrame]) -> None:
         """B8: the view-DDL analogue — register the three reconstruction
-        views as temp views named ``<schema>_audit_<table>_audit_<kind>``."""
+        views as temp views named ``<schema>_audit_<table>_audit_<kind>``.
+
+        The live side (B3) prefers a caller-supplied table; without one it
+        falls back to the streaming-maintained LatestStateStore snapshot,
+        so a provisioned table is fully queryable from its feed alone."""
         log = self.log_for(spec)
         live_df = live.get(spec.fqn)
+        if live_df is None:
+            ingest = self.ingests.get(spec.fqn)
+            if ingest is not None and ingest.latest_state() is not None:
+                from audit_star_spark.streaming.ingest import typed_state
+
+                live_df = typed_state(ingest.latest_state(), spec)
         for kind, fn in zip(VIEW_SUFFIXES, (delta_view, snapshot_view, compare_view)):
             name = f"{spec.schema}_audit_{spec.name}_audit_{kind}"
             fn(log, live_df, spec).createOrReplaceTempView(name)

@@ -117,6 +117,32 @@ def test_provision_end_to_end(spark, tmp_path, feed_dir):
     assert any(r["table_name"] == "users" and r["end_time"] is not None for r in hist2)
 
 
+def test_provision_without_live_table_uses_streamed_state(spark, tmp_path, feed_dir):
+    """Feed-only provisioning: with no caller-supplied live table, the B3
+    side comes from the LatestStateStore snapshot and the views must agree
+    with the ones built from the batch-derived live table."""
+    from audit_star_spark.provision import AuditStar
+    from audit_star_spark.sources.cdc import USERS_SPEC, users_live_table
+
+    cfg = EngineConfig(
+        log_root=str(tmp_path / "logs"), checkpoint_root=str(tmp_path / "ckpts")
+    )
+    star = AuditStar(spark, cfg)
+    report = star.provision([USERS_SPEC], feeds={USERS_SPEC.fqn: feed_dir})
+    assert report.audited == [USERS_SPEC.fqn] and not report.errors
+    got = spark.sql(
+        "SELECT audit_id, id, etype, k, val FROM app_audit_users_audit_snapshot"
+    )
+    from audit_star_spark.operators.reconstruct import snapshot_view
+
+    live = users_live_table(load_table(spark, SF_DIR, "events"))
+    want = snapshot_view(star.log_for(USERS_SPEC), live, USERS_SPEC).select(
+        "audit_id", "id", "etype", "k", "val"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_excluded_table_not_provisioned(spark, tmp_path, feed_dir):
     from audit_star_spark.provision import AuditStar
     from audit_star_spark.sources.cdc import USERS_SPEC
