@@ -348,7 +348,7 @@ scored AS (
          {d_dot('q.qvec', 'base.vec')} / (q.qnorm * base.norm) AS cosine
   FROM normed base JOIN q ON base.vec_id <> q.query_id {join_extra}
 )
-SELECT query_id, rank, vec_id, cosine FROM (
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, vec_id) AS rank
   FROM scored
@@ -428,7 +428,7 @@ scored AS (
   FROM assigned a JOIN probes p
     ON a.cell_id = p.pcell AND a.vec_id <> p.query_id
 )
-SELECT query_id, rank, vec_id, cosine FROM (
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, vec_id) AS rank
   FROM scored
@@ -580,7 +580,7 @@ survivors AS (
   SELECT k.* FROM keep k WHERE NOT EXISTS
     (SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)
 )
-SELECT d.lang, COUNT(*) AS n_docs, SUM(s.est_bpe_tokens) AS total_tokens
+SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(s.est_bpe_tokens) AS BIGINT) AS total_tokens
 FROM survivors s JOIN documents d USING (doc_id)
 GROUP BY d.lang
 """
@@ -627,7 +627,7 @@ assigned AS (
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
         FROM documents)
 )
-SELECT split, COUNT(*) AS n_docs, SUM(s.est_bpe_tokens) AS total_tokens
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(s.est_bpe_tokens) AS BIGINT) AS total_tokens
 FROM assigned a JOIN stats s USING (doc_id)
 GROUP BY split
 ORDER BY split

@@ -388,7 +388,7 @@ def q_sparse_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SPARSE_ANCHORS = f"""
 WITH {_FEED_CTE}
-SELECT date_trunc('day', changed_at) AS anchor_day,
+SELECT CAST(date_trunc('day', changed_at) AS TIMESTAMP) AS anchor_day,
        COUNT(*) AS n_anchors,
        MIN(audit_id) AS first_anchor_id,
        MAX(audit_id) AS last_anchor_id

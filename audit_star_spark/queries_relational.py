@@ -195,7 +195,7 @@ def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TOP_ORDERS = """
-SELECT c_mktsegment, rank_in_segment, o_orderkey,
+SELECT c_mktsegment, CAST(rank_in_segment AS INT) AS rank_in_segment, o_orderkey,
        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
 FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -228,7 +228,7 @@ def q_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DAILY_EVENTS = """
-SELECT date_trunc('day', ts) AS day, event_type,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
@@ -450,9 +450,9 @@ sess AS (
            AS session_seq
   FROM gapped
 )
-SELECT user_id, session_seq,
-       MIN(ts) AS session_start,
-       MAX(ts) AS session_end,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+       MAX(CAST(ts AS TIMESTAMP)) AS session_end,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
          / 100.0 AS session_value
@@ -478,7 +478,7 @@ def q_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MONTHLY = """
-SELECT date_trunc('month', o_orderdate) AS month,
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        upper(substring(o_orderpriority, 3, 20)) AS priority_name,
        COUNT(*) AS n_orders,
        CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS max_price,
@@ -630,7 +630,7 @@ def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PIVOT = """
-SELECT year(o_orderdate) AS order_year,
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
        COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
        COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
        COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
@@ -658,7 +658,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_Q14 = """
-SELECT date_trunc('month', l_shipdate) AS month,
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
        100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) / SUM(rev)
          AS promo_share_pct
 FROM (
@@ -1423,10 +1423,10 @@ SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS 
             WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90
             THEN 'ON_TIME'
             ELSE 'LATE' END AS latency_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1465,7 +1465,7 @@ def q_priority_year_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GROUPING_SETS = """
 SELECT o_orderpriority,
-       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(year(o_orderdate) AS INT) AS o_year,
        CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS grouping_level,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
@@ -1508,7 +1508,7 @@ FROM (
                CAST(l_quantity AS DOUBLE) AS quantity,
                CAST(l_discount AS DOUBLE) AS discount
         FROM lineitem)
-  UNPIVOT (value FOR measure IN (quantity, discount))
+  UNPIVOT INCLUDE NULLS (value FOR measure IN (quantity, discount))
 )
 GROUP BY measure
 """
@@ -1534,7 +1534,7 @@ def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_BREADTH = """
 SELECT c_custkey, c_mktsegment, c_acctbal,
-       NTILE(4)       OVER w AS balance_quartile,
+       CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
        ROUND(PERCENT_RANK() OVER w, 6) AS balance_pct_rank,
        LEAD(c_acctbal) OVER w AS next_acctbal
 FROM customer

@@ -48,13 +48,63 @@ def _rows(records: list[dict], columns: list[str]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+def _canon_spark_type(t) -> str:
+    """Spark DataType -> canonical family string for dtype parity checks."""
+    s = t.simpleString().lower()
+    if s == "timestamp_ntz":
+        return "timestamp"  # driver hash treats naive/LTZ micros alike
+    if s.startswith("array<"):
+        return s
+    return s
+
+
+def _canon_duck_type(t) -> str:
+    """DuckDB logical type -> the same canonical family strings.
+
+    Deliberately does NOT fold HUGEINT into bigint or TIMESTAMP_NS into
+    timestamp: the driver hashes typed output, and those two drifts are
+    exactly the bug class that slipped past the value-coercing round-1
+    comparator (VERDICT r01 "What's wrong" #1-3)."""
+    s = str(t).upper()
+    if s.endswith("[]"):
+        return f"array<{_canon_duck_type(s[:-2])}>"
+    base = {
+        "VARCHAR": "string",
+        "INTEGER": "int",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+        "TIMESTAMP": "timestamp",
+        "UBIGINT": "ubigint",
+        "HUGEINT": "hugeint",  # intentionally != bigint
+    }.get(s)
+    if base:
+        return base
+    return s.lower()
+
+
+def assert_dtypes_match(spark_df: DataFrame, rel, name: str = "") -> None:
+    """Assert Spark output types and DuckDB oracle types agree per column,
+    canonically — catches HUGEINT / TIMESTAMP_NS drift that value coercion
+    would hide but the driver's typed hash would flag."""
+    sp_types = {f.name: _canon_spark_type(f.dataType) for f in spark_df.schema.fields}
+    du_types = dict(zip(rel.columns, (_canon_duck_type(t) for t in rel.types)))
+    diffs = {
+        c: (sp_types.get(c), du_types.get(c))
+        for c in set(sp_types) | set(du_types)
+        if sp_types.get(c) != du_types.get(c)
+    }
+    assert not diffs, f"{name}: dtype drift (spark vs oracle): {diffs}"
+
+
 def compare(spark_df: DataFrame, con, oracle_sql: str, name: str = "") -> None:
     """Assert the Spark result and the oracle result are identical
-    (order-insensitive, column order-insensitive)."""
+    (order-insensitive, column order-insensitive), including canonical
+    output dtypes — mirrors the driver's typed value-hash."""
     import pandas as pd
 
+    rel = con.sql(oracle_sql)
+    assert_dtypes_match(spark_df, rel, name)
     sp = spark_df.toPandas()
-    du = con.sql(oracle_sql).df()
+    du = rel.df()
     sp_cols, du_cols = sorted(sp.columns), sorted(du.columns)
     assert sp_cols == du_cols, f"{name}: column sets differ: {sp_cols} vs {du_cols}"
     assert len(sp) == len(du), f"{name}: row counts differ: {len(sp)} vs {len(du)}"
