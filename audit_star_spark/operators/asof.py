@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from audit_star_spark.util import qcol
+
 
 def asof_join_backward(
     left: DataFrame,
@@ -31,16 +33,16 @@ def asof_join_backward(
     ``{payload_prefix}{col}`` for each payload col (NULL when no match).
     """
     l_tag = left.select(
-        *[F.col(c) for c in left.columns],
+        *[qcol(c) for c in left.columns],
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__ts"),
     )
     payload_struct = F.struct(
         F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(c) for c in payload_cols],
+        *[qcol(c).alias(c) for c in payload_cols],
     )
     r_tag = right.select(
-        *[F.col(c) for c in key_cols],
+        *[qcol(c) for c in key_cols],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
         payload_struct.alias("__payload"),
@@ -69,5 +71,5 @@ def asof_join_backward(
     )
     out = out.withColumn(f"{payload_prefix}{right_ts}", F.col("__carried.__rts"))
     for c in payload_cols:
-        out = out.withColumn(f"{payload_prefix}{c}", F.col(f"__carried.{c}"))
+        out = out.withColumn(f"{payload_prefix}{c}", F.col("__carried").getField(c))
     return out.drop("__carried")

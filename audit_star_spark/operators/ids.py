@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from audit_star_spark.util import qcol
+
 _MID_PARTITION_SHIFT = 33  # monotonically_increasing_id: pid * 2^33 + local
 
 
@@ -46,7 +48,7 @@ def gapless_ids(
     mode='window': single global window; only for small inputs/tests.
     """
     if mode == "window":
-        w = Window.orderBy(*[F.col(c) for c in order_by])
+        w = Window.orderBy(*[qcol(c) for c in order_by])
         return df.withColumn(id_col, F.row_number().over(w) + F.lit(start - 1))
 
     spark = df.sparkSession

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from audit_star_spark.catalog import TableSpec
+from audit_star_spark.util import qcol
 
 AUDIT_HEAD = [
     "audit_id",
@@ -84,8 +85,8 @@ def _reconstruct_base(
     if live is not None and spec.has_valid_primary_key():
         pk, pk_t = spec.primary_key, spec.pk_type
         live_sel = live.select(
-            F.col(pk).alias("__live_join_key"),
-            *[F.col(c).cast(t).alias(f"__live_{c}") for c, t in spec.columns],
+            qcol(pk).alias("__live_join_key"),
+            *[qcol(c).cast(t).alias(f"__live_{c}") for c, t in spec.columns],
         )
         if broadcast_live:
             live_sel = F.broadcast(live_sel)
@@ -123,7 +124,7 @@ def delta_view(
         cols.append(
             F.when(
                 F.col("operation") == "I",
-                F.coalesce(F.col(f"__nb_{c}"), F.col(f"__live_{c}")),
+                F.coalesce(qcol(f"__nb_{c}"), qcol(f"__live_{c}")),
             )
             .otherwise(_chg_raw(c, t))
             .alias(f"new_{c}")
@@ -143,7 +144,7 @@ def snapshot_view(
     cols = _head(base)
     for c, t in spec.columns:
         cols.append(
-            F.coalesce(_chg_raw(c, t), F.col(f"__nb_{c}"), F.col(f"__live_{c}")).alias(c)
+            F.coalesce(_chg_raw(c, t), qcol(f"__nb_{c}"), qcol(f"__live_{c}")).alias(c)
         )
     return base.select(*cols)
 
@@ -168,7 +169,7 @@ def compare_view(
             F.coalesce(
                 _old_raw(c, t),
                 F.when(F.col("operation") == "I", null_t).otherwise(
-                    F.coalesce(F.col(f"__nb_{c}"), F.col(f"__live_{c}"))
+                    F.coalesce(qcol(f"__nb_{c}"), qcol(f"__live_{c}"))
                 ),
             ).alias(f"old_{c}")
         )
@@ -177,9 +178,9 @@ def compare_view(
                 _chg_raw(c, t),
                 F.coalesce(
                     F.when(F.col("operation").isin("D", "T"), null_t).otherwise(
-                        F.col(f"__nb_{c}")
+                        qcol(f"__nb_{c}")
                     ),
-                    F.col(f"__live_{c}"),
+                    qcol(f"__live_{c}"),
                 ),
             ).alias(f"new_{c}")
         )
@@ -221,7 +222,7 @@ def latest_state(log: DataFrame, spec: TableSpec) -> DataFrame:
     alive = g.filter(~F.col("__last.operation").isin("D", "T"))
     return alive.select(
         *[
-            F.col(f"__m_{c}.v").cast(t).alias(c)
+            qcol(f"__m_{c}").getField("v").cast(t).alias(c)
             for c, t in spec.columns
         ]
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from audit_star_spark.util import qcol
+
 SALT = "__salt"
 
 
@@ -41,7 +43,7 @@ def salted_join(
     Shuffle volume: big side unchanged, small side x salt_buckets.
     """
     big_salted = big.withColumn(
-        SALT, F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+        SALT, F.pmod(F.hash(*[qcol(c) for c in big.columns]), F.lit(salt_buckets))
     )
     small_salted = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -62,7 +64,7 @@ def two_phase_count(
     hashes the WHOLE row (hashing the key would put a hot key's rows back
     into one bucket)."""
     salted = df.withColumn(
-        SALT, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        SALT, F.pmod(F.hash(*[qcol(c) for c in df.columns]), F.lit(salt_buckets))
     )
     partial = salted.groupBy(key, SALT).agg(F.sum(agg_col).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias(alias))

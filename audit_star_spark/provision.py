@@ -25,6 +25,7 @@ from audit_star_spark.operators.reconstruct import (
     snapshot_view,
 )
 from audit_star_spark.streaming.ingest import AuditIngest
+from audit_star_spark.util import safe_identifier
 
 VIEW_SUFFIXES = ("delta", "snapshot", "compare")
 
@@ -140,5 +141,7 @@ class AuditStar:
 
                 live_df = typed_state(ingest.latest_state(), spec)
         for kind, fn in zip(VIEW_SUFFIXES, (delta_view, snapshot_view, compare_view)):
-            name = f"{spec.schema}_audit_{spec.name}_audit_{kind}"
+            # quoted/special schema+table names fold to legal identifiers
+            # (the reference quotes DDL names instead; documented deviation)
+            name = safe_identifier(f"{spec.schema}_audit_{spec.name}_audit_{kind}")
             fn(log, live_df, spec).createOrReplaceTempView(name)

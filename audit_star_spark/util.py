@@ -2,7 +2,33 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def qcol(name: str) -> Column:
+    """Column reference robust to special characters in the NAME — dots,
+    colons, spaces, uppercase, even embedded backticks.
+
+    The Spark analog of the reference's quoted-identifier support (it
+    dedicates fixtures to quoted schema/table/column/PK names,
+    db/migrate/1496851823_audit_star.up.sql:95-131, audit_test.go:1122-1228).
+    ``F.col`` PARSES its argument — ``a.b`` means struct access — so any
+    spec-derived column name must be backtick-quoted, with embedded
+    backticks doubled per Spark identifier-quoting rules.
+    """
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def safe_identifier(name: str) -> str:
+    """Fold an arbitrary schema/table name into a legal temp-view
+    identifier (Spark temp view names cannot carry quoting): non-word
+    characters become ``_``. Collision-safe enough for view registries
+    keyed by (schema, table); documented deviation from the reference,
+    which can quote DDL identifiers."""
+    import re
+
+    return re.sub(r"[^0-9A-Za-z_]", "_", name)
 
 
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
