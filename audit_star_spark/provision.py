@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audit_star_spark.catalog import EngineConfig, TableSpec
+from audit_star_spark.catalog import EngineConfig, TableSpec, ensure_updated_by
 from audit_star_spark.operators.reconstruct import (
     compare_view,
     delta_view,
@@ -79,6 +79,8 @@ class AuditStar:
             if not spec.has_valid_primary_key():
                 report.skipped.append((spec.fqn, "no single-column primary key"))
                 continue
+            # every audited table gains updated_by (audit.go:431, 648-674)
+            spec = ensure_updated_by(spec)
             try:
                 if not views_only:
                     self._provision_capture(spec, feeds or {})
@@ -134,6 +136,13 @@ class AuditStar:
         so a provisioned table is fully queryable from its feed alone."""
         log = self.log_for(spec)
         live_df = live.get(spec.fqn)
+        if live_df is not None:
+            # a caller-supplied live table may predate provisioned columns
+            # (updated_by, schema adds): pad with typed NULLs, exactly the
+            # state an ALTER ADD COLUMN leaves behind
+            for c, t in spec.columns:
+                if c not in live_df.columns:
+                    live_df = live_df.withColumn(c, F.lit(None).cast(t))
         if live_df is None:
             ingest = self.ingests.get(spec.fqn)
             if ingest is not None and ingest.latest_state() is not None:

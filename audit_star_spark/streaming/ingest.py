@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from audit_star_spark.plans.append_guard import AppendOnlyGuard
+
 FEED_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -246,6 +248,7 @@ class AuditIngest:
         self.log_client_query = log_client_query
         self.max_files_per_trigger = max_files_per_trigger
         self.state = SequenceState(os.path.join(checkpoint_dir, "sequence.json"))
+        self.guard = AppendOnlyGuard(log_dir)
         self.state_store = (
             LatestStateStore(state_dir) if state_dir and pk_col else None
         )
@@ -260,6 +263,10 @@ class AuditIngest:
         if n == 0:
             batch.unpersist()
             return
+        # A12: active append-only enforcement — refuse to extend a log
+        # that shows update/delete evidence; the replayed batch's own
+        # directory is the one sanctioned rewrite (idempotent replay)
+        self.guard.verify(ignore_prefix=f"__batch={batch_id}")
         events = build_audit_events(
             batch,
             pk_col=self.pk_col,
@@ -275,6 +282,7 @@ class AuditIngest:
             .partitionBy("__batch")
             .parquet(self.log_dir)
         )
+        self.guard.update()
         if self.state_store is not None:
             self.state_store.apply_batch(self.spark, batch, batch_id, self.pk_col)
         batch.unpersist()
