@@ -45,8 +45,16 @@ class AppendOnlyGuard:
             return json.load(f)
 
     def _walk(self) -> dict[str, int]:
+        """Data files of the LOG TABLE only — ``__batch=*`` partition dirs
+        (including the compacted ``__batch=-1`` segment) and root-level
+        files. Sibling artifacts under the log root (the ``_state``
+        snapshot store, whose keep-2 GC deletes its own old versions) are
+        maintained materializations, not the append-only audit table the
+        reference's trigger guards."""
         out: dict[str, int] = {}
-        for root, _dirs, files in os.walk(self.log_dir):
+        for root, dirs, files in os.walk(self.log_dir):
+            if root == self.log_dir:
+                dirs[:] = [d for d in dirs if d.startswith("__batch=")]
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue

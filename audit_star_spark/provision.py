@@ -44,6 +44,8 @@ class AuditStar:
         self.spark = spark
         self.config = config
         self.ingests: dict[str, AuditIngest] = {}
+        # state-snapshot version each table's registered views serve
+        self._served_versions: dict[str, int | None] = {}
 
     # -- audit_history control table (C10, audit.go:608–625) --------------
     def _history_path(self) -> str:
@@ -132,25 +134,45 @@ class AuditStar:
         views as temp views named ``<schema>_audit_<table>_audit_<kind>``.
 
         The live side (B3) prefers a caller-supplied table; without one it
-        falls back to the streaming-maintained LatestStateStore snapshot,
-        so a provisioned table is fully queryable from its feed alone."""
-        log = self.log_for(spec)
-        live_df = live.get(spec.fqn)
-        if live_df is not None:
-            # a caller-supplied live table may predate provisioned columns
-            # (updated_by, schema adds): pad with typed NULLs, exactly the
-            # state an ALTER ADD COLUMN leaves behind
-            for c, t in spec.columns:
-                if c not in live_df.columns:
-                    live_df = live_df.withColumn(c, F.lit(None).cast(t))
-        if live_df is None:
-            ingest = self.ingests.get(spec.fqn)
-            if ingest is not None and ingest.latest_state() is not None:
+        falls back to the streaming-maintained LatestStateStore snapshot.
+        Temp views bind their file listing at registration, so the
+        streamed fallback RE-REGISTERS after every further ingest batch
+        (ingest.on_batch) — the live side re-resolves to the newest
+        snapshot version instead of dangling on a GC'd directory — and
+        PINS the version it serves so keep-2 GC can never delete it while
+        a registered view still reads it."""
+        supplied = live.get(spec.fqn)
+        ingest = self.ingests.get(spec.fqn)
+
+        def register(_batch_id: int | None = None) -> None:
+            log = self.log_for(spec)
+            live_df = supplied
+            if live_df is not None:
+                # a caller-supplied live table may predate provisioned
+                # columns (updated_by, schema adds): pad with typed NULLs,
+                # exactly the state an ALTER ADD COLUMN leaves behind
+                for c, t in spec.columns:
+                    if c not in live_df.columns:
+                        live_df = live_df.withColumn(c, F.lit(None).cast(t))
+            elif ingest is not None and ingest.latest_state() is not None:
                 from audit_star_spark.streaming.ingest import typed_state
 
+                store = ingest.state_store
+                v = store.current_version()
+                prev = self._served_versions.get(spec.fqn)
+                if v is not None:
+                    store.pin(v)
+                if prev is not None and prev != v:
+                    store.unpin(prev)
+                self._served_versions[spec.fqn] = v
                 live_df = typed_state(ingest.latest_state(), spec)
-        for kind, fn in zip(VIEW_SUFFIXES, (delta_view, snapshot_view, compare_view)):
-            # quoted/special schema+table names fold to legal identifiers
-            # (the reference quotes DDL names instead; documented deviation)
-            name = safe_identifier(f"{spec.schema}_audit_{spec.name}_audit_{kind}")
-            fn(log, live_df, spec).createOrReplaceTempView(name)
+            for kind, fn in zip(VIEW_SUFFIXES, (delta_view, snapshot_view, compare_view)):
+                # quoted/special schema+table names fold to legal
+                # identifiers (the reference quotes DDL names; documented
+                # deviation)
+                name = safe_identifier(f"{spec.schema}_audit_{spec.name}_audit_{kind}")
+                fn(log, live_df, spec).createOrReplaceTempView(name)
+
+        register()
+        if supplied is None and ingest is not None:
+            ingest.on_batch.append(register)

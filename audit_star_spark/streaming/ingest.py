@@ -112,7 +112,16 @@ class LatestStateStore:
 
     def __init__(self, root: str):
         self.root = root
+        # versions served by registered views (provision pins what it
+        # binds so GC can't delete a snapshot out from under a temp view)
+        self.pinned: set[int] = set()
         os.makedirs(root, exist_ok=True)
+
+    def pin(self, version: int) -> None:
+        self.pinned.add(version)
+
+    def unpin(self, version: int) -> None:
+        self.pinned.discard(version)
 
     @property
     def _pointer(self) -> str:
@@ -206,7 +215,7 @@ class LatestStateStore:
     def _gc(self, keep: set) -> None:
         import shutil
 
-        keep_names = {f"v{v:08d}" for v in keep if v is not None}
+        keep_names = {f"v{v:08d}" for v in (set(keep) | self.pinned) if v is not None}
         recent = sorted(
             (e for e in os.listdir(self.root) if e.startswith("v")), reverse=True
         )[: self.KEEP_VERSIONS]
@@ -252,6 +261,9 @@ class AuditIngest:
         self.state_store = (
             LatestStateStore(state_dir) if state_dir and pk_col else None
         )
+        # post-batch hooks (provision re-registers views here so their
+        # live side re-resolves to the newest state snapshot)
+        self.on_batch: list = []
         self.query = None
 
     def _append_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -288,6 +300,8 @@ class AuditIngest:
         batch.unpersist()
         if not seen:
             self.state.commit_batch(batch_id, base, n)
+        for cb in self.on_batch:
+            cb(batch_id)
 
     def start(self, available_now: bool = True):
         reader = (

@@ -198,3 +198,50 @@ def test_schema_evolution_capture_survives(spark, tmp_path):
     d = delta_view(log, None, spec2)
     row = [r for r in d.collect() if r["audited_operation"] == "U"][0]
     assert row["new_new_col"] == "x" and row["old_new_col"] is None
+
+
+def test_streamed_live_side_survives_further_batches(spark, tmp_path, feed_dir):
+    """ADVICE r01: registered views used to bind the concrete _state
+    version dir current at registration; two further micro-batches plus
+    KEEP_VERSIONS=2 GC deleted it and the views failed at query time.
+    Views now re-register on every applied batch (ingest.on_batch) and pin
+    the version they serve — so after N more batches the view must (a)
+    still answer, (b) reflect the new events."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from audit_star_spark.provision import AuditStar
+    from audit_star_spark.sources.cdc import USERS_SPEC
+
+    cfg = EngineConfig(
+        log_root=str(tmp_path / "logs"), checkpoint_root=str(tmp_path / "ckpts")
+    )
+    star = AuditStar(spark, cfg)
+    report = star.provision([USERS_SPEC], feeds={USERS_SPEC.fqn: feed_dir})
+    assert report.audited == [USERS_SPEC.fqn] and not report.errors
+    ingest = star.ingests[USERS_SPEC.fqn]
+
+    def extra_batch(batch_id, event_id, uid):
+        rows = [
+            Row(
+                event_id=event_id, op="I", before=None,
+                after={"id": str(uid), "etype": "signup", "k": None, "val": None},
+                changed_at=dt.datetime(2025, 1, 1), changed_by=None,
+                db_user=None, client_addr=None, client_port=None,
+            )
+        ]
+        ingest._append_batch(spark.createDataFrame(rows, FEED_SCHEMA), batch_id)
+
+    # three more applied batches: batch N+2's GC deletes the version the
+    # views were first registered over (keep-2), and batch N+3's guard
+    # walk must not mistake that state-store GC for log DML
+    extra_batch(100, 10_000_001, 999_001)
+    extra_batch(101, 10_000_002, 999_002)
+    extra_batch(102, 10_000_003, 999_003)
+
+    snap = spark.sql(
+        "SELECT primary_key FROM app_audit_users_audit_snapshot "
+        "WHERE primary_key IN ('999001', '999002', '999003')"
+    )
+    assert snap.count() == 3  # would raise FileNotFound before the fix
