@@ -239,14 +239,33 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
 
 
-def label_nearest_neighbor(emb: DataFrame) -> DataFrame:
+def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 8) -> DataFrame:
     """For every vector: its nearest neighbor within the same label
-    (label-blocked near-dup scan; blocks bound the pair count)."""
+    (label-blocked near-dup scan; blocks bound the pair count).
+
+    Hot-label guard: a label with L rows contributes L² pairs, and an
+    unsalted join puts them all in ONE task — with a skewed label
+    distribution a single straggler dominates the stage. Salt the block:
+    side A is hashed into ``salt_buckets`` buckets, side B is replicated
+    into every bucket, and the join key becomes (label, salt) — each
+    (a, b) pair still meets exactly once, but the hottest label's work
+    spreads across ``salt_buckets`` tasks. Cost: B-side shuffle volume
+    ×salt_buckets — the standard skew trade (operators/skew.py:28 is the
+    generic form; this inlines it because the NN window that follows is
+    keyed by vec_id, which the A-side salt leaves intact)."""
     base = _prepared(emb)
-    a, b = base.alias("a"), base.alias("b")
+    a = base.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(salt_buckets))).alias("a")
+    b = base.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).alias("b")
     cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
     pairs = (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("a.label").alias("label"),

@@ -54,3 +54,29 @@ def test_dedup_clusters_connected_components(spark):
         for r in dedup_clusters(pairs, driver_cc_max_edges=0).collect()
     }
     assert dist == want
+
+
+def test_label_nn_salted_matches_unsalted(spark):
+    """Hot-label guard (VERDICT r01): the salted within-label self-join
+    must return exactly the same nearest neighbors as salt_buckets=1, on a
+    deliberately skewed label distribution (one label owns 80% of rows)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from audit_star_spark.analytics.similarity import label_nearest_neighbor
+
+    rng = random.Random(7)
+    rows = [
+        Row(
+            vec_id=i,
+            label="hot" if i < 160 else f"cold_{i % 5}",
+            embedding=[rng.uniform(-1, 1) for _ in range(8)],
+        )
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    plain = label_nearest_neighbor(emb, salt_buckets=1).collect()
+    salted = label_nearest_neighbor(emb, salt_buckets=8).collect()
+    assert {tuple(r) for r in plain} == {tuple(r) for r in salted}
+    assert len(salted) == 200
