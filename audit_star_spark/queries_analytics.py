@@ -513,6 +513,40 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the driver gate: synthesize a valid PGM
+    payload per document JVM-side (dimensions derived from text length,
+    constant fill byte derived from doc_id), push it through the pure-numpy
+    decoder in ``image_meta`` (mapInPandas), and emit metadata the oracle
+    can state in closed form — a true differential test of the decoder,
+    not just of the plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(concat('P5\n', CAST(1 + length(text) % 32 AS STRING), ' ', "
+            "CAST(1 + length(text) % 17 AS STRING), '\n255\n', "
+            "repeat(char(32 + doc_id % 90), "
+            "(1 + length(text) % 32) * (1 + length(text) % 17))) AS BINARY)"
+        ).alias("payload"),
+    )
+    return multimodal.image_meta(media).select(
+        "doc_id", "format", "width", "height", "channels",
+        F.col("mean_luma").alias("fill_byte"),
+    )
+
+
+SQL_IMAGE_META = """
+SELECT doc_id,
+       'pgm' AS format,
+       CAST(1 + length(text) % 32 AS INT) AS width,
+       CAST(1 + length(text) % 17 AS INT) AS height,
+       1 AS channels,
+       CAST(32 + doc_id % 90 AS DOUBLE) AS fill_byte
+FROM documents
+"""
+
+
 # every 4th 64-byte frame; ASCII text so byte slices == substr slices
 SQL_FRAME_SAMPLES = """
 SELECT doc_id,
@@ -654,6 +688,7 @@ ANALYTICS_QUERIES = {
     "capped_user_sessions": q_capped_sessions,
     "multimodal_features": q_multimodal_features,
     "frame_samples": q_frame_samples,
+    "image_meta": q_image_meta,
     "corpus_clean_stats": q_corpus_clean_stats,
 }
 
@@ -676,5 +711,6 @@ ANALYTICS_ORACLES = {
     "label_nearest_neighbor": SQL_LABEL_NN,
     "multimodal_features": SQL_MULTIMODAL,
     "frame_samples": SQL_FRAME_SAMPLES,
+    "image_meta": SQL_IMAGE_META,
     "corpus_clean_stats": _corpus_clean_sql(),
 }

@@ -1,0 +1,113 @@
+"""Multimodal decode layer: pure-numpy netpbm/BMP decoders, resize, and
+the image_meta mapInPandas operator (real decode through Spark). The
+stub-only surface from round 1 is now real for uncompressed formats;
+JPEG/PNG stay NotImplementedError (no codec libs in the container)."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from audit_star_spark.analytics.multimodal import (
+    decode_image,
+    encode_netpbm,
+    image_meta,
+    resize_image,
+)
+
+
+def _img(h, w, c, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def _bmp24(img: np.ndarray, top_down: bool = False) -> bytes:
+    """Hand-packed uncompressed 24-bit BMP (BITMAPINFOHEADER)."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    raster = b"".join(
+        bytes(img[r, :, ::-1].tobytes()) + b"\0" * pad
+        for r in (range(h) if top_down else range(h - 1, -1, -1))
+    )
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0, len(raster), 0, 0, 0, 0
+    )
+    return header + dib + raster
+
+
+def _bmp8(img_idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """8-bit paletted BMP: img_idx HxW uint8 indices, palette Nx3 RGB."""
+    h, w = img_idx.shape
+    pad = (-w) % 4
+    raster = b"".join(img_idx[r].tobytes() + b"\0" * pad for r in range(h - 1, -1, -1))
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    off = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster), 0, 0, len(palette), 0
+    )
+    return header + dib + pal + raster
+
+
+def test_netpbm_roundtrip_rgb_and_gray():
+    for c in (1, 3):
+        img = _img(5, 7, c, seed=c)
+        assert np.array_equal(decode_image(encode_netpbm(img)), img)
+
+
+def test_netpbm_comments_in_header():
+    img = _img(2, 3, 1)
+    payload = b"P5\n# a comment\n3 2\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_bmp24_bottom_up_and_top_down_with_padding():
+    img = _img(4, 3, 3, seed=2)  # width 3 -> 9-byte rows pad to 12
+    assert np.array_equal(decode_image(_bmp24(img)), img)
+    assert np.array_equal(decode_image(_bmp24(img, top_down=True)), img)
+
+
+def test_bmp8_palette():
+    palette = _img(1, 16, 3, seed=3)[0]
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4) % 16
+    got = decode_image(_bmp8(idx, palette))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_entropy_coded_formats_still_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_resize_nearest_neighbor():
+    img = _img(8, 6, 3, seed=4)
+    out = decode_image(resize_image(encode_netpbm(img), width=3, height=4))
+    assert out.shape == (4, 3, 3)
+    # nearest-neighbor: output pixel (r, c) = input (r*8//4, c*6//3)
+    assert np.array_equal(out, img[(np.arange(4) * 8) // 4][:, (np.arange(3) * 6) // 3])
+
+
+def test_image_meta_through_spark(spark):
+    rgb = _img(4, 5, 3, seed=5)
+    gray = _img(3, 2, 1, seed=6)
+    rows = [
+        Row(doc_id=1, payload=bytearray(encode_netpbm(rgb))),
+        Row(doc_id=2, payload=bytearray(encode_netpbm(gray))),
+        Row(doc_id=3, payload=bytearray(_bmp24(_img(2, 2, 3, seed=7)))),
+        Row(doc_id=4, payload=bytearray(b"\x89PNG poison")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.asDict() for r in image_meta(media).collect()}
+    assert got[1]["format"] == "ppm" and (got[1]["width"], got[1]["height"]) == (5, 4)
+    f = rgb.astype(np.float64)
+    want_luma = (0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]).mean()
+    assert abs(got[1]["mean_luma"] - want_luma) < 1e-9
+    assert got[2]["format"] == "pgm" and got[2]["channels"] == 1
+    assert abs(got[2]["mean_luma"] - gray.mean()) < 1e-9
+    assert got[3]["format"] == "bmp"
+    # poison payload degrades, doesn't kill the task
+    assert got[4]["format"] == "unknown" and got[4]["mean_luma"] is None

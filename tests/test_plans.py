@@ -313,3 +313,33 @@ def test_unpivot_expands_in_row_without_join(spark):
     assert "Join" not in plan and "Union" not in plan, plan
     # single lineitem scan, two measure columns + keys only
     assert plan.count("FileScan parquet") == 1
+
+
+def test_simhash_packed_is_arrow_eval_no_shuffle(spark):
+    """The r2 SimHash winner: token hashing in codegen'd Project nodes, the
+    majority vote in ONE ArrowEvalPython stage, and no Exchange anywhere —
+    the operator must stay embarrassingly parallel."""
+    from audit_star_spark.analytics.dedup import simhash_fingerprints
+    from audit_star_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(simhash_fingerprints(docs))
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # row-at-a-time python eval must never appear
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_label_nn_salted_join_keys_include_salt(spark):
+    """Hot-label guard: the within-label self-join must key on
+    (label, salt) so one hot label spreads over salt_buckets tasks."""
+    from audit_star_spark.analytics.similarity import label_nearest_neighbor
+    from audit_star_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(label_nearest_neighbor(emb))
+    join_lines = [ln for ln in plan.splitlines() if "Join [" in ln]
+    assert join_lines, plan
+    # every equi-join key list must carry salt alongside label (small-SF
+    # plans may broadcast; at scale the same keys drive the shuffle)
+    assert any("salt" in ln and "label" in ln for ln in join_lines), join_lines
