@@ -161,9 +161,36 @@ class EngineConfig:
         kwargs = {k: v for k, v in raw.items() if k in known}
         return cls(**kwargs)
 
+    def __post_init__(self) -> None:
+        # C11 option validation (the no-op options still parse strictly):
+        # SECURITY DEFINER|INVOKER are the only trigger-function modes the
+        # reference emits (audit.go:926, exercised audit_test.go:974-1037)
+        if self.security not in ("definer", "invoker"):
+            raise ValueError(
+                f"security must be 'definer' or 'invoker', got {self.security!r}"
+            )
+        if self.lock_timeout is not None and self.lock_timeout <= 0:
+            raise ValueError("lock_timeout must be positive")
+
     # -- include/exclude filtering (ref audit.go:300–395) ------------------
+    @staticmethod
+    def _internal_schema(schema: str) -> bool:
+        """Schemas the reference never audits regardless of config
+        (getAllSchemas, audit.go:218-224): PostgreSQL internals
+        (``pg\\_%`` — note ``pgs`` IS auditable, audit_test.go:1059) and
+        the engine's own audit schemas (recursion guard). We don't
+        exclude ``public`` — the reference only skips it in catalog
+        DISCOVERY; explicitly-configured tables stay auditable."""
+        return (
+            schema.startswith("pg_")
+            or schema == "information_schema"
+            or "audit" in schema
+        )
+
     def table_included(self, schema: str, table: str) -> bool:
         fqn = f"{schema}.{table}"
+        if self._internal_schema(schema):
+            return False
         if schema in self.excluded_schemas:
             return False
         if self.included_tables:

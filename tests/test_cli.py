@@ -66,3 +66,30 @@ def test_table_flag_narrows_to_one_table(tmp_path):
     specs, _, _ = specs_from_config(cfg)
     kept = [s.fqn for s in cfg.filter_tables(specs)]
     assert kept == ["a.t1"]
+
+
+def test_internal_schemas_never_audited():
+    """getAllSchemas exclusions (audit.go:218-224) + TestInternalPostgres-
+    Schemas / TestAuditPgs (audit_test.go:1038-1080): pg_* and audit
+    schemas are never audited even without explicit exclusion; 'pgs' is."""
+    cfg = EngineConfig()
+    assert not cfg.table_included("pg_catalog", "pg_class")
+    assert not cfg.table_included("pg_toast", "t1")
+    assert not cfg.table_included("information_schema", "tables")
+    assert not cfg.table_included("teststar_audit", "table1_audit")
+    assert cfg.table_included("pgs", "table1")
+    assert cfg.table_included("public", "users")
+
+
+def test_security_mode_validated():
+    """TestSecurityDefinerDefault / TestSecurityInvoker
+    (audit_test.go:974-1037): both modes parse; anything else is rejected
+    at config load (the reference would emit broken DDL)."""
+    import pytest
+
+    assert EngineConfig().security == "definer"
+    assert EngineConfig(security="invoker").security == "invoker"
+    with pytest.raises(ValueError, match="security"):
+        EngineConfig(security="dictator")
+    with pytest.raises(ValueError, match="lock_timeout"):
+        EngineConfig(lock_timeout=0)
