@@ -239,20 +239,28 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
 
 
-def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 8) -> DataFrame:
+def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 1) -> DataFrame:
     """For every vector: its nearest neighbor within the same label
     (label-blocked near-dup scan; blocks bound the pair count).
 
     Hot-label guard: a label with L rows contributes L² pairs, and an
     unsalted join puts them all in ONE task — with a skewed label
-    distribution a single straggler dominates the stage. Salt the block:
-    side A is hashed into ``salt_buckets`` buckets, side B is replicated
-    into every bucket, and the join key becomes (label, salt) — each
-    (a, b) pair still meets exactly once, but the hottest label's work
-    spreads across ``salt_buckets`` tasks. Cost: B-side shuffle volume
-    ×salt_buckets — the standard skew trade (operators/skew.py:28 is the
-    generic form; this inlines it because the NN window that follows is
-    keyed by vec_id, which the A-side salt leaves intact)."""
+    distribution a single straggler dominates the stage. Two defenses:
+
+    - default: AQE skew-join (spark.sql.adaptive.skewJoin.enabled, on in
+      session.py) splits oversized join partitions at runtime and costs
+      NOTHING when labels are balanced;
+    - ``salt_buckets > 1``: deterministic worst-case guard — side A is
+      hashed into buckets, side B replicated into every bucket, join key
+      (label, salt); each (a, b) pair still meets exactly once, the
+      hottest label spreads over ``salt_buckets`` tasks.
+
+    Salting is OPT-IN because it taxes the balanced case: measured at
+    sf0.1 (balanced labels, local[32]) 1.7s unsalted vs 5.3s with
+    salt_buckets=8 — the B-side shuffle is replicated ×buckets whether or
+    not any label is hot (ARCHITECTURE.md "label-NN skew guard"). Use it
+    when one label dominates AND AQE's split granularity (partition-level)
+    is too coarse. Equality across both paths is test-locked."""
     base = _prepared(emb)
     a = base.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(salt_buckets))).alias("a")
     b = base.withColumn(

@@ -16,10 +16,12 @@ recorded batch_id -> base-offset mapping, so foreachBatch replays after
 failure do not double-assign ids or double-append (the replayed batch
 overwrites its own deterministic output partition directory).
 
-Append-only enforcement (A12, audit.go:627–645): the log is only ever
-touched through ``_append_batch``; there is no update/delete surface at
-all — the property the reference needs a guard trigger for is structural
-here.
+Append-only enforcement (A12, audit.go:627–645): structurally the log is
+only ever touched through ``_append_batch``, and since round 2 an ACTIVE
+guard (plans/append_guard.py) re-walks the log's file manifest before
+every batch write and raises on any delete/rewrite evidence — the
+parquet-directory analog of the reference's ``no_dml_on_audit_table``
+constraint trigger.
 """
 
 from __future__ import annotations

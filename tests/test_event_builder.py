@@ -219,3 +219,31 @@ def test_changed_by_defaults_and_feed_override(spark):
         .collect()[0]["changed_by"]
         == "alice"
     )
+
+
+def test_changed_by_carried_on_every_operation(spark):
+    """TestLoggingChangedBy{Insert,Update,Delete,Truncate}
+    (audit_test.go:609-753): the session actor must land on ALL four
+    operation kinds — truncate included, which carries no row images."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    feed = spark.createDataFrame(
+        [
+            Row(seq=1, op="I", before=None, after=_img("1", "v"), changed_at=t,
+                changed_by="svc_writer"),
+            Row(seq=2, op="U", before=_img("1", "v"), after=_img("1", "w"),
+                changed_at=t, changed_by="svc_writer"),
+            Row(seq=3, op="D", before=_img("1", "w"), after=None, changed_at=t,
+                changed_by="svc_admin"),
+            Row(seq=4, op="T", before=None, after=None, changed_at=t,
+                changed_by="svc_admin"),
+        ],
+        FEED_SCHEMA + ", changed_by string",
+    )
+    log = build_audit_events(feed, pk_col="id", order_by=["seq"], id_mode="window")
+    got = {r["operation"]: r["changed_by"] for r in log.collect()}
+    assert got == {"I": "svc_writer", "U": "svc_writer", "D": "svc_admin", "T": "svc_admin"}
+    # T rows carry no pk and no images (audit.go:915-917)
+    t_row = [r for r in log.collect() if r["operation"] == "T"][0]
+    assert t_row["primary_key"] is None and t_row["before_change"] is None
