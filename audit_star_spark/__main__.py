@@ -36,7 +36,9 @@ def specs_from_config(config: EngineConfig) -> tuple[list[TableSpec], dict[str, 
         schema, _, name = fqn.rpartition(".")
         schema = schema or "public"
         cols = [(c, pg_type_to_spark(t)) for c, t in (decl.get("columns") or {}).items()]
-        specs.append(TableSpec(schema, name, cols, decl.get("primary_key")))
+        specs.append(
+            TableSpec(schema, name, cols, decl.get("primary_key"), decl.get("owner"))
+        )
         if decl.get("feed"):
             feeds[fqn] = decl["feed"]
         if decl.get("live"):

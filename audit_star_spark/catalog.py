@@ -68,6 +68,10 @@ class TableSpec:
     name: str
     columns: list[tuple[str, T.DataType]]
     primary_key: str | None  # None == compound/absent PK -> NULL-pk degradation
+    # table owner role (PG pg_class.relowner analog); None = unknown.
+    # Quoted owners like "7357:owner" are plain strings here
+    # (db/migrate/1496851823_audit_star.up.sql:112, audit_test.go:937)
+    owner: str | None = None
 
     def __post_init__(self) -> None:
         # The reference's rename sad paths (audit_test.go:552-581) are PG
@@ -198,4 +202,18 @@ class EngineConfig:
         return fqn not in self.excluded_tables and table not in self.excluded_tables
 
     def filter_tables(self, specs: list[TableSpec]) -> list[TableSpec]:
-        return [s for s in specs if self.table_included(s.schema, s.name)]
+        return [
+            s
+            for s in specs
+            if self.table_included(s.schema, s.name) and self._owner_ok(s)
+        ]
+
+    def _owner_ok(self, spec: TableSpec) -> bool:
+        """Owner gate (audit.go config ``owner``, audit_test.go:1255-1364):
+        with ``owner`` configured, only tables owned by that role are
+        audited; unset audits everything. A spec with UNKNOWN owner stays
+        auditable — our catalog is config-declared, not reflected, so
+        absence of owner metadata must not silently drop tables."""
+        return (
+            self.owner is None or spec.owner is None or spec.owner == self.owner
+        )

@@ -93,3 +93,28 @@ def test_security_mode_validated():
         EngineConfig(security="dictator")
     with pytest.raises(ValueError, match="lock_timeout"):
         EngineConfig(lock_timeout=0)
+
+
+def test_owner_filtering():
+    """TestAuditTablesOwner{Specified,NotSpecified} + SchemaNotOwnedBy-
+    ConfigOwner (audit_test.go:1255-1364): with owner configured, only
+    that role's tables are audited; unset audits everything; quoted
+    owners are plain strings; unknown-owner specs stay auditable (our
+    catalog is declared, not reflected)."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.catalog import TableSpec
+
+    mk = lambda name, owner: TableSpec(
+        "teststar", name, [("id", T.IntegerType())], "id", owner
+    )
+    specs = [
+        mk("t_owned", "test__owner"),
+        mk("t_other", "not_test__owner"),
+        mk("t_quoted", "7357:owner"),
+        mk("t_unknown", None),
+    ]
+    names = lambda cfg: [s.name for s in cfg.filter_tables(specs)]
+    assert names(EngineConfig()) == ["t_owned", "t_other", "t_quoted", "t_unknown"]
+    assert names(EngineConfig(owner="test__owner")) == ["t_owned", "t_unknown"]
+    assert names(EngineConfig(owner="7357:owner")) == ["t_quoted", "t_unknown"]
