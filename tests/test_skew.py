@@ -54,6 +54,14 @@ def test_dedup_clusters_connected_components(spark):
         for r in dedup_clusters(pairs, driver_cc_max_edges=0).collect()
     }
     assert dist == want
+    # probe-then-fall-through: bound smaller than the edge count routes to
+    # the distributed path AFTER the persist+count probe (r2 regression
+    # surface: the probe cache must hand off cleanly)
+    over = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, driver_cc_max_edges=2).collect()
+    }
+    assert over == want
 
 
 def test_label_nn_salted_matches_unsalted(spark):
