@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audit_star_spark.analytics import dedup, multimodal, similarity, text
+from audit_star_spark.analytics import decontam, dedup, multimodal, similarity, text
 from audit_star_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------- DuckDB
@@ -536,6 +536,69 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: every ~97th document plays the eval-set
+    probe; corpus docs sharing >= 2 distinct 8-grams with a probe are
+    contamination hits (the n-gram-overlap recipe, probe side broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return decontam.contamination(docs, probes, n=8, min_shared=2)
+
+
+def _contamination_sql(n: int = 8, min_shared: int = 2) -> str:
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, len({D_TOKENS}) - {n - 1}), "
+        "i -> "
+        + " || ' ' || ".join(f"{D_TOKENS}[i+{j}]" for j in range(n))
+        + "))"
+    )
+    return f"""
+WITH doc_grams AS (
+  SELECT doc_id,
+         unnest(list_transform(CASE WHEN len({D_TOKENS}) >= {n} THEN {grams} ELSE [] END,
+                g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS gh
+  FROM documents
+),
+probe_grams AS (
+  SELECT doc_id AS probe_id, gh FROM doc_grams WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id, p.probe_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM doc_grams d JOIN probe_grams p USING (gh)
+WHERE d.doc_id <> p.probe_id
+GROUP BY d.doc_id, p.probe_id
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+def q_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate: 5-gram phrases in >= 3 distinct docs
+    (the C4-style repeated-content signal, one phrase-keyed shuffle)."""
+    return decontam.boilerplate_phrases(
+        load_table(spark, sf_dir, "documents"), n=5, min_docs=3
+    )
+
+
+def _boilerplate_sql(n: int = 5, min_docs: int = 3) -> str:
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, len({D_TOKENS}) - {n - 1}), "
+        "i -> "
+        + " || ' ' || ".join(f"{D_TOKENS}[i+{j}]" for j in range(n))
+        + "))"
+    )
+    return f"""
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(CASE WHEN len({D_TOKENS}) >= {n} THEN {grams} ELSE [] END) AS phrase
+  FROM documents
+)
+GROUP BY phrase
+HAVING COUNT(*) >= {min_docs}
+"""
+
+
 SQL_IMAGE_META = """
 SELECT doc_id,
        'pgm' AS format,
@@ -689,6 +752,8 @@ ANALYTICS_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "frame_samples": q_frame_samples,
     "image_meta": q_image_meta,
+    "benchmark_contamination": q_benchmark_contamination,
+    "boilerplate_phrases": q_boilerplate_phrases,
     "corpus_clean_stats": q_corpus_clean_stats,
 }
 
@@ -712,5 +777,7 @@ ANALYTICS_ORACLES = {
     "multimodal_features": SQL_MULTIMODAL,
     "frame_samples": SQL_FRAME_SAMPLES,
     "image_meta": SQL_IMAGE_META,
+    "benchmark_contamination": _contamination_sql(),
+    "boilerplate_phrases": _boilerplate_sql(),
     "corpus_clean_stats": _corpus_clean_sql(),
 }

@@ -345,3 +345,13 @@ def test_label_nn_salted_join_keys_include_salt(spark):
     # every equi-join key list must carry salt alongside label (small-SF
     # plans may broadcast; at scale the same keys drive the shuffle)
     assert any("salt" in ln and "label" in ln for ln in join_lines), join_lines
+
+
+def test_contamination_broadcasts_probe_side(spark):
+    """Decontamination: the probe (eval-set) side must broadcast — the
+    corpus side never shuffles before its map-side-combined count."""
+    from audit_star_spark.queries_analytics import q_benchmark_contamination
+
+    plan = _plan(q_benchmark_contamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
