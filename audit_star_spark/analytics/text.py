@@ -148,3 +148,24 @@ def with_split(docs: DataFrame, weights: tuple[int, int, int] = (80, 10, 10)) ->
         .when(bucket < train_w + val_w, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int], default_pct: int = 0) -> DataFrame:
+    """Deterministic per-language downsampling — the corpus-mixing
+    primitive (e.g. keep 100% of low-resource languages, 20% of English).
+    ``rates`` maps lang -> keep percentage [0, 100]; unlisted languages
+    keep ``default_pct``. The keep decision hashes doc_id through the same
+    60-bit md5 bucket as ``with_split``, so the sample is stable across
+    runs/engines AND independent of the split assignment only in so far as
+    both are pure functions of doc_id — re-mixing never resamples
+    previously-kept documents at the same or higher rate (a doc kept at
+    20% stays kept at 30%: buckets are nested by construction)."""
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':mix'), 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    keep_pct = F.lit(default_pct)
+    for lang, pct in sorted(rates.items()):
+        keep_pct = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(keep_pct)
+    return docs.withColumn("__bucket", bucket).filter(
+        F.col("__bucket") < keep_pct
+    ).drop("__bucket")

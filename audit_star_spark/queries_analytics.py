@@ -513,6 +513,27 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+SAMPLE_RATES = {"en": 20, "de": 100, "fr": 60}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: keep 20% of English, all German, 60% of French, half
+    of everything else — deterministic doc_id-hash buckets, so a re-built
+    corpus keeps exactly the same documents (text.stratified_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.stratified_sample(docs, SAMPLE_RATES, default_pct=50).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_STRATIFIED = """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT % 100
+      < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 100 WHEN 'fr' THEN 60 ELSE 50 END
+"""
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the driver gate: synthesize a valid PGM
     payload per document JVM-side (dimensions derived from text length,
@@ -754,6 +775,7 @@ ANALYTICS_QUERIES = {
     "image_meta": q_image_meta,
     "benchmark_contamination": q_benchmark_contamination,
     "boilerplate_phrases": q_boilerplate_phrases,
+    "stratified_sample": q_stratified_sample,
     "corpus_clean_stats": q_corpus_clean_stats,
 }
 
@@ -779,5 +801,6 @@ ANALYTICS_ORACLES = {
     "image_meta": SQL_IMAGE_META,
     "benchmark_contamination": _contamination_sql(),
     "boilerplate_phrases": _boilerplate_sql(),
+    "stratified_sample": SQL_STRATIFIED,
     "corpus_clean_stats": _corpus_clean_sql(),
 }

@@ -88,3 +88,18 @@ def test_label_nn_salted_matches_unsalted(spark):
     salted = label_nearest_neighbor(emb, salt_buckets=8).collect()
     assert {tuple(r) for r in plain} == {tuple(r) for r in salted}
     assert len(salted) == 200
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    """Raising a language's keep rate must only ADD documents (nested
+    buckets), and re-running must return the identical set."""
+    from audit_star_spark.analytics.text import stratified_sample
+    from audit_star_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    s20 = {r.doc_id for r in stratified_sample(docs, {"en": 20}).collect()}
+    s50 = {r.doc_id for r in stratified_sample(docs, {"en": 50}).collect()}
+    assert s20 <= s50 and len(s20) < len(s50)
+    again = {r.doc_id for r in stratified_sample(docs, {"en": 20}).collect()}
+    assert again == s20
