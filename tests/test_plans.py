@@ -355,3 +355,17 @@ def test_contamination_broadcasts_probe_side(spark):
     plan = _plan(q_benchmark_contamination(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_boilerplate_partial_aggregates_before_shuffle(spark):
+    """Boilerplate phrase counting must partial-aggregate map-side: the
+    shuffle carries per-partition distinct phrases, not the exploded
+    phrase stream."""
+    from audit_star_spark.queries_analytics import q_boilerplate_phrases
+
+    plan = _plan(q_boilerplate_phrases(spark, SF_DIR))
+    agg_nodes = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    partial = [ln for ln in agg_nodes if "partial_count" in ln]
+    assert partial, agg_nodes
+    exch = plan.index("Exchange hashpartitioning")
+    assert plan.index(partial[0]) > exch  # partial agg is BELOW the exchange
