@@ -239,6 +239,67 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    emb: DataFrame, n_cells: int = N_CELLS, threshold: float = 0.35
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    drop any vector that has a lower-id near-duplicate (cosine >=
+    ``threshold``) in the SAME cell. Returns one row per vector:
+    (vec_id, cell_id, dup_of, kept) where ``dup_of`` is the lowest-id
+    in-cell near-duplicate (NULL when kept).
+
+    Scale shape: the centroid table is broadcast (never shuffled), cell
+    assignment is one scan + per-row argmax, and the only self-join is
+    cell-blocked — pair count is bounded by the largest cell, never
+    all-pairs. The keep policy ("lower id wins") is a deterministic,
+    order-free restatement of SemDeDup's keep-one-per-duplicate-group
+    that both engines compute identically without iteration.
+
+    Centroids are the first ``n_cells`` vectors by vec_id — the same
+    deterministic stand-in for offline k-means as ``ivf_topk`` (the
+    dataflow, which is what matters at scale, is identical either way).
+    """
+    base = _prepared(emb)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "vec", "norm", "cell_id")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.drop("vec", "norm")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
 def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 1) -> DataFrame:
     """For every vector: its nearest neighbor within the same label
     (label-blocked near-dup scan; blocks bound the pair count).

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audit_star_spark.analytics import decontam, dedup, multimodal, similarity, text
+from audit_star_spark.analytics import decontam, dedup, multimodal, quality, similarity, text
 from audit_star_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------- DuckDB
@@ -752,6 +752,233 @@ ORDER BY split
 """
 
 
+# ------------------------------------------------ quality: repetition stats
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.with_repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _rep_cte() -> str:
+    """Shared CTE chain: token n-grams -> (doc_id, n, gram) counts -> one
+    repetition-stats row per doc (DuckDB mirror of
+    quality.with_repetition_stats; 1-based list indexing)."""
+    gram2 = "t[i] || ' ' || t[i+1]"
+    gram3 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    return f"""
+toks AS (SELECT doc_id, {D_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, len(t) - 1), i -> {gram2})) AS gram
+  FROM toks WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(generate_series(1, len(t) - 2), i -> {gram3})) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+gcounts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+),
+rep AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
+         CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_distinct_tokens,
+         MAX(CASE WHEN n = 1 THEN CAST(cnt * length(gram) AS DOUBLE) END)
+           / SUM(CASE WHEN n = 1 THEN CAST(cnt * length(gram) AS DOUBLE) END)
+           AS top_1gram_char_frac,
+         MAX(CASE WHEN n = 2 THEN CAST(cnt * length(gram) AS DOUBLE) END)
+           / SUM(CASE WHEN n = 2 THEN CAST(cnt * length(gram) AS DOUBLE) END)
+           AS top_2gram_char_frac,
+         COALESCE(SUM(CASE WHEN n = 3 AND cnt > 1
+                           THEN CAST(cnt * length(gram) AS DOUBLE) END), 0.0)
+           / SUM(CASE WHEN n = 3 THEN CAST(cnt * length(gram) AS DOUBLE) END)
+           AS dup_3gram_char_frac
+  FROM gcounts GROUP BY doc_id
+)"""
+
+
+def _repetition_sql() -> str:
+    return f"""
+WITH {_rep_cte()}
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_token_ratio,
+       top_1gram_char_frac, top_2gram_char_frac, dup_3gram_char_frac
+FROM rep
+"""
+
+
+# ---------------------------------------------------- quality: gopher gate
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_flags_sql() -> str:
+    q = quality
+    return f"""
+WITH {_rep_cte()},
+base AS (
+  SELECT doc_id,
+         len({D_TOKENS}) AS nt,
+         {d_fold(f"list_transform({D_TOKENS}, t -> length(t))", "0", "(a, t) -> a + t")}
+           / CAST(len({D_TOKENS}) AS DOUBLE) AS avg_tok,
+         len(regexp_extract_all(lower(text), '{_sw(text.STOPWORDS)}', 0)) AS nstop
+  FROM documents
+)
+SELECT b.doc_id,
+       (b.nt >= {q.MIN_TOKENS} AND b.nt <= {q.MAX_TOKENS}) AS ok_length,
+       (b.avg_tok >= {q.MIN_AVG_TOK} AND b.avg_tok <= {q.MAX_AVG_TOK}) AS ok_avg_token_len,
+       (b.nstop >= {q.MIN_STOPWORD_HITS}) AS ok_stopwords,
+       (CAST(r.n_distinct_tokens AS DOUBLE) / r.n_tokens >= {q.MIN_DISTINCT_RATIO}) AS ok_diversity,
+       (r.top_2gram_char_frac <= {q.MAX_TOP_2GRAM}) AS ok_repetition,
+       ((b.nt >= {q.MIN_TOKENS} AND b.nt <= {q.MAX_TOKENS})
+        AND (b.avg_tok >= {q.MIN_AVG_TOK} AND b.avg_tok <= {q.MAX_AVG_TOK})
+        AND (b.nstop >= {q.MIN_STOPWORD_HITS})
+        AND (CAST(r.n_distinct_tokens AS DOUBLE) / r.n_tokens >= {q.MIN_DISTINCT_RATIO})
+        AND (r.top_2gram_char_frac <= {q.MAX_TOP_2GRAM})) AS keep
+FROM base b JOIN rep r ON b.doc_id = r.doc_id
+"""
+
+
+# --------------------------------------------------------- quality: PII scan
+# deterministic PII injection keyed off doc_id (the synthetic corpus has
+# none) — identical CASE expression on both engines
+_PII_INJECT_SPARK = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS STRING)"
+    " || '@example.com now'"
+    " WHEN doc_id % 7 = 3 THEN text || ' call (555) ' || CAST(100 + doc_id % 900 AS STRING)"
+    " || '-' || CAST(1000 + doc_id % 9000 AS STRING) || ' ok'"
+    " WHEN doc_id % 7 = 5 THEN text || ' from 10.' || CAST(doc_id % 256 AS STRING)"
+    " || '.0.' || CAST(doc_id % 250 AS STRING) || ' host'"
+    " ELSE text END"
+)
+_PII_INJECT_DUCK = _PII_INJECT_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_INJECT_SPARK)
+    )
+    return quality.with_pii_scan(docs)
+
+
+def _pii_sql() -> str:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\(\d{3}\) \d{3}-\d{4}"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    return f"""
+WITH injected AS (
+  SELECT doc_id, {_PII_INJECT_DUCK} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}', 0)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{phone}', 0)) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{ipv4}', 0)) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{email}', 0))
+            + len(regexp_extract_all(text, '{phone}', 0))
+            + len(regexp_extract_all(text, '{ipv4}', 0)) AS BIGINT) AS n_pii,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+              '{email}', '<EMAIL>', 'g'),
+              '{phone}', '<PHONE>', 'g'),
+              '{ipv4}', '<IP>', 'g')) AS BIGINT) AS redacted_len
+FROM injected
+"""
+
+
+# ------------------------------------------------- quality: char entropy
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.with_char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+  FROM documents
+),
+ccounts AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch, COUNT(*) AS cnt
+  FROM chars GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_chars,
+       round(ln(CAST(SUM(cnt) AS DOUBLE))
+         - list_reduce(
+             list_concat([CAST(0.0 AS DOUBLE)],
+               list_transform(list_sort(list(cnt)),
+                              c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))),
+             (s, v) -> s + v)
+           / CAST(SUM(cnt) AS DOUBLE), 12) AS char_entropy
+FROM ccounts GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------- semantic dedup (SemDeDup)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+def _semantic_dedup_sql(n_cells: int = 16, threshold: float = 0.35) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+cents AS (
+  SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm
+  FROM normed WHERE vec_id < {n_cells}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell_id) AS crank
+  FROM (
+    SELECT n.vec_id, n.vec, n.norm, c.cell_id,
+           {d_dot('c.cvec', 'n.vec')} / (c.cnorm * n.norm) AS ccos
+    FROM normed n CROSS JOIN cents c
+  )
+),
+assigned AS (
+  SELECT vec_id, vec, norm, cell_id FROM ranked WHERE crank = 1
+),
+dup AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {d_dot('a.vec', 'b.vec')} / (a.norm * b.norm) >= {threshold}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell_id, d.dup_of, d.dup_of IS NULL AS kept
+FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------- corpus mix report
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.with_text_stats(docs)
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(stats, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_bpe_tokens").cast("long").alias("total_tokens"),
+            F.avg("quality_score").alias("avg_quality"),
+        )
+    )
+
+
+def _source_mix_sql() -> str:
+    return f"""
+WITH stats AS ({SQL_TEXT_STATS})
+SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.est_bpe_tokens) AS BIGINT) AS total_tokens,
+       AVG(s.quality_score) AS avg_quality
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+GROUP BY d.source, d.lang
+"""
+
+
 ANALYTICS_QUERIES = {
     "text_stats": q_text_stats,
     "token_topk": q_token_topk,
@@ -776,6 +1003,12 @@ ANALYTICS_QUERIES = {
     "benchmark_contamination": q_benchmark_contamination,
     "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
+    "repetition_stats": q_repetition_stats,
+    "quality_flags": q_quality_flags,
+    "pii_scan": q_pii_scan,
+    "char_entropy": q_char_entropy,
+    "semantic_dedup": q_semantic_dedup,
+    "source_mix_report": q_source_mix_report,
     "corpus_clean_stats": q_corpus_clean_stats,
 }
 
@@ -802,5 +1035,11 @@ ANALYTICS_ORACLES = {
     "benchmark_contamination": _contamination_sql(),
     "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,
+    "repetition_stats": _repetition_sql(),
+    "quality_flags": _quality_flags_sql(),
+    "pii_scan": _pii_sql(),
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "semantic_dedup": _semantic_dedup_sql(),
+    "source_mix_report": _source_mix_sql(),
     "corpus_clean_stats": _corpus_clean_sql(),
 }
