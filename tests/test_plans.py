@@ -369,3 +369,45 @@ def test_boilerplate_partial_aggregates_before_shuffle(spark):
     assert partial, agg_nodes
     exch = plan.index("Exchange hashpartitioning")
     assert plan.index(partial[0]) > exch  # partial agg is BELOW the exchange
+
+
+def test_repetition_stats_partial_aggregates_before_shuffle(spark):
+    """Gram counting must map-side combine: the shuffle carries distinct
+    (doc, n, gram) triples per partition, not the exploded gram stream."""
+    from audit_star_spark.queries_analytics import q_repetition_stats
+
+    plan = _plan(q_repetition_stats(spark, SF_DIR))
+    agg_nodes = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert any("partial_count" in ln for ln in agg_nodes), agg_nodes
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scan_is_pure_projection_no_exchange(spark):
+    """PII scanning is per-row regexp algebra — any Exchange here would be
+    a scale bug (the operator must scan-project without shuffling)."""
+    from audit_star_spark.queries_analytics import q_pii_scan
+
+    plan = _plan(q_pii_scan(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_allpairs(spark):
+    """SemDeDup: the centroid table joins via broadcast (never shuffled)
+    and the only self-join is cell-blocked — no cartesian product."""
+    from audit_star_spark.queries_analytics import q_semantic_dedup
+
+    plan = _plan(q_semantic_dedup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_char_entropy_partial_aggregates_before_shuffle(spark):
+    """Char counting partial-aggregates map-side: the shuffle carries
+    (doc, char) counts, not one row per character of the corpus."""
+    from audit_star_spark.queries_analytics import q_char_entropy
+
+    plan = _plan(q_char_entropy(spark, SF_DIR))
+    agg_nodes = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    partial = [ln for ln in agg_nodes if "partial_count" in ln]
+    assert partial, agg_nodes
+    assert "Exchange hashpartitioning" in plan
