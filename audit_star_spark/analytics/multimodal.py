@@ -201,6 +201,155 @@ def image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM -> (sample_rate, n_channels, samples int16).
+
+    Walks the chunk list properly (fmt may be followed by LIST/fact/...
+    before data), accepts only format 1 (integer PCM) at 16 bits — the
+    uncompressed case, decodable with pure numpy exactly like the image
+    side. Anything else raises for the caller's degrade path."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit integer PCM decodes without codecs")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, channels, samples
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """int16 PCM -> RIFF/WAVE bytes (the synthesis side of the
+    differential test)."""
+    pcm = samples.astype("<i2").tobytes()
+    block = 2 * channels
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """Real audio decode + feature extraction: per payload, sample rate /
+    channel count / duration plus RMS amplitude and zero-crossing count
+    (the classic cheap speech/music discriminators). Undecodable payloads
+    degrade to format='unknown' with NULL metrics — same poison-payload
+    policy as ``image_meta``."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {k: [] for k in
+                                     ("format", "sample_rate", "n_channels",
+                                      "n_samples", "duration_s", "rms",
+                                      "zero_crossings")}
+            for payload in pdf["payload"]:
+                try:
+                    rate, channels, s = _parse_wav(bytes(payload))
+                except (ValueError, IndexError):
+                    for k in cols:
+                        cols[k].append(None)
+                    cols["format"][-1] = "unknown"
+                    continue
+                n = len(s) // channels
+                f = s.astype(np.float64)
+                cols["format"].append("wav")
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(channels)
+                cols["n_samples"].append(n)
+                cols["duration_s"].append(n / rate)
+                cols["rms"].append(float(np.sqrt(np.mean(f * f))))
+                cols["zero_crossings"].append(int(np.sum(f[1:] * f[:-1] < 0)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "format": pd.Series(cols["format"], dtype="object"),
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.Series(cols["n_channels"], dtype="Int32"),
+                    "n_samples": pd.Series(cols["n_samples"], dtype="Int64"),
+                    "duration_s": pd.Series(cols["duration_s"], dtype="float64"),
+                    "rms": pd.Series(cols["rms"], dtype="float64"),
+                    "zero_crossings": pd.Series(cols["zero_crossings"], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+# square-wave synthesis parameters for the audio differential test —
+# chosen so every feature has a closed form the SQL oracle can state:
+# a ±AMP square wave has rms == AMP exactly, and its zero crossings are
+# the sign flips at multiples of the half-period
+AUDIO_RATE = 16_000
+AUDIO_AMP = 8_000
+
+
+def synth_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic per-document WAV payloads: a ±AMP square wave with
+    half-period 10 + doc_id % 7 samples and length 800 + (doc_id % 5) * 160
+    samples at 16 kHz mono. Runs in the same Arrow-batched mapInPandas
+    plumbing a real transcoder would."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                half = 10 + int(doc_id) % 7
+                n = 800 + (int(doc_id) % 5) * 160
+                i = np.arange(n)
+                s = AUDIO_AMP * (1 - 2 * ((i // half) % 2))
+                payloads.append(encode_wav(s.astype("<i2"), AUDIO_RATE))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
 def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
     """Frame sampling over binary payloads: treat each payload as a
     sequence of fixed-size frames and emit every ``every_n``-th one —

@@ -752,6 +752,32 @@ ORDER BY split
 """
 
 
+# --------------------------------------------------------- audio decode
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the driver gate: synthesize a valid WAV
+    payload per document (square wave, parameters keyed off doc_id), push
+    it through the pure-numpy RIFF/PCM parser in ``audio_meta``
+    (mapInPandas), and emit features the oracle states in closed form —
+    rms of a +/-A square wave is exactly A, zero crossings are the sign
+    flips at half-period multiples. A differential test of the decoder
+    itself, not just the plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_meta(multimodal.synth_audio(docs))
+
+
+SQL_AUDIO_META = f"""
+SELECT doc_id,
+       'wav' AS format,
+       CAST({multimodal.AUDIO_RATE} AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       800 + (doc_id % 5) * 160 AS n_samples,
+       CAST(800 + (doc_id % 5) * 160 AS DOUBLE) / {multimodal.AUDIO_RATE}.0 AS duration_s,
+       CAST({multimodal.AUDIO_AMP} AS DOUBLE) AS rms,
+       (800 + (doc_id % 5) * 160 - 1) // (10 + doc_id % 7) AS zero_crossings
+FROM documents
+"""
+
+
 # ------------------------------------------------ quality: repetition stats
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.with_repetition_stats(load_table(spark, sf_dir, "documents"))
@@ -1000,6 +1026,7 @@ ANALYTICS_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "frame_samples": q_frame_samples,
     "image_meta": q_image_meta,
+    "audio_meta": q_audio_meta,
     "benchmark_contamination": q_benchmark_contamination,
     "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
@@ -1032,6 +1059,7 @@ ANALYTICS_ORACLES = {
     "multimodal_features": SQL_MULTIMODAL,
     "frame_samples": SQL_FRAME_SAMPLES,
     "image_meta": SQL_IMAGE_META,
+    "audio_meta": SQL_AUDIO_META,
     "benchmark_contamination": _contamination_sql(),
     "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,
