@@ -347,7 +347,10 @@ def synth_audio(docs: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(run, schema=schema)
+    from audit_star_spark.util import spread
+
+    # spread: a one-split scan would serialize synth+decode onto one core
+    return spread(docs.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.text import STOPWORDS, TOKENS_EXPR, _stopword_pattern
+from audit_star_spark.util import spread
 
 # n-gram sizes for the repetition sweep: unigram mode, bigram mode, and
 # duplicate-trigram mass (Gopher uses 2..4 for "top" and 5..10 for "dup";
@@ -31,27 +32,30 @@ from audit_star_spark.analytics.text import STOPWORDS, TOKENS_EXPR, _stopword_pa
 REP_NGRAMS = (1, 2, 3)
 
 
-def _grams(docs: DataFrame, n: int) -> DataFrame:
-    """doc_id, n, gram rows. The n-gram join is expressed with a sequence
-    index over the token array (same construction as the oracle's
-    generate_series), so Spark and DuckDB enumerate identical grams."""
-    toks = F.expr(TOKENS_EXPR)
-    if n == 1:
-        gram = F.explode(toks).alias("gram")
-        return docs.select("doc_id", F.lit(n).alias("n"), gram)
-    # Spark arrays index 0-based (the oracle's DuckDB lists are 1-based;
-    # its generate_series shifts by one accordingly)
-    joined = " || ' ' || ".join(f"__t[__i + {j}]" for j in range(n))
-    return (
-        docs.select("doc_id", toks.alias("__t"))
-        .filter(F.size("__t") >= n)
-        .select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(F.expr(f"transform(sequence(0, size(__t) - {n}), __i -> {joined})")).alias(
-                "gram"
-            ),
+def _all_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, gram) rows for every n in REP_NGRAMS from ONE scan and
+    ONE explode: the per-doc gram streams are built as arrays of (n, gram)
+    structs and concatenated in-row, so the corpus is tokenized once (a
+    3-stream union form re-ran regexp+split per n). Gram enumeration uses
+    a 0-based sequence index over the token array — the oracle's DuckDB
+    mirror shifts by one for 1-based lists."""
+
+    def stream(n: int) -> str:
+        if n == 1:
+            return "transform(__t, g -> struct(1 AS n, g AS gram))"
+        joined = " || ' ' || ".join(f"__t[__i + {j}]" for j in range(n))
+        return (
+            f"CASE WHEN size(__t) >= {n} THEN "
+            f"transform(sequence(0, size(__t) - {n}), "
+            f"__i -> struct({n} AS n, {joined} AS gram)) "
+            f"ELSE array() END"
         )
+
+    concat = "concat(" + ", ".join(stream(n) for n in REP_NGRAMS) + ")"
+    return (
+        spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("__t"))
+        .select("doc_id", F.explode(F.expr(concat)).alias("__g"))
+        .select("doc_id", F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
     )
 
 
@@ -68,11 +72,9 @@ def with_repetition_stats(docs: DataFrame) -> DataFrame:
     (map-side combine collapses repeats before the shuffle) -> conditional
     aggregate to one row per doc. Two shuffles, both keyed by doc_id.
     """
-    streams = [_grams(docs, n) for n in REP_NGRAMS]
-    grams = streams[0]
-    for s in streams[1:]:
-        grams = grams.unionByName(s)
-    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    counts = _all_grams(docs).groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
     mass = (F.col("cnt") * F.length("gram")).cast("double")
 
     def for_n(n: int, col: F.Column) -> F.Column:
@@ -124,7 +126,7 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     rep = with_repetition_stats(docs)
     toks = F.expr(TOKENS_EXPR)
     tok_chars = F.expr(f"aggregate({TOKENS_EXPR}, 0, (a, t) -> a + length(t))")
-    base = docs.select(
+    base = spread(docs).select(
         "doc_id",
         F.size(toks).alias("__nt"),
         (tok_chars.cast("double") / F.size(toks)).alias("__avg"),
@@ -172,7 +174,7 @@ def with_pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_PHONE, "<PHONE>"), (PII_IPV4, "<IP>")):
         redacted = F.regexp_replace(redacted, pat.replace("\\\\", "\\"), tag)
     n_email, n_phone, n_ip = n(PII_EMAIL), n(PII_PHONE), n(PII_IPV4)
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         n_email.cast("long").alias("n_emails"),
         n_phone.cast("long").alias("n_phones"),
@@ -188,7 +190,7 @@ def with_char_entropy(docs: DataFrame) -> DataFrame:
     proxy (near-zero entropy = one repeated char; high entropy = diverse
     byte soup). Shape: explode positions -> (doc_id, ch) hash aggregate ->
     doc_id aggregate; both shuffles keyed by doc_id."""
-    chars = docs.select(
+    chars = spread(docs).select(
         "doc_id",
         F.expr("explode(sequence(1, length(text)))").alias("__i"),
         F.col("text"),
