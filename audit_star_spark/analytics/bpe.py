@@ -1,0 +1,125 @@
+"""Distributed BPE merge training over the ``documents`` table (north-star
+layer): the tokenizer-training primitive a pretraining pipeline runs after
+vocabulary induction (``text.token_topk``).
+
+Each round: count adjacent token pairs corpus-wide, pick the most frequent
+pair (ties broken lexicographically — deterministic on any engine), and
+rewrite every document by greedily merging that pair left-to-right. This is
+word-level BPE (Sennrich et al. 2016, arXiv:1508.07909) with tokens as the
+starting alphabet.
+
+Scale shape per round:
+
+- pair counting: in-row transform -> explode -> hash aggregate with
+  map-side combine (shuffle bounded by distinct pairs per partition);
+- top-pair selection: TakeOrderedAndProject(1) + a driver .first() — a
+  bounded scalar control decision per round, the same sanctioned pattern
+  as dedup_clusters' convergence probe (never a data-path collect);
+- rewrite: pure in-row left fold (no shuffle); the per-round result is
+  persisted so round r+1 counts from materialized tokens instead of
+  re-running r rewrites of lineage (the batch analog of checkpointing an
+  iterative algorithm — at production scale, write to storage per round).
+
+The greedy left-to-right merge is a fold whose carry is the accumulated
+array's LAST element (merge = pop + push merged token): no auxiliary
+state, so Spark ``aggregate`` and DuckDB ``list_reduce`` evaluate the
+identical recurrence. (A struct-state + sentinel-flush formulation was
+semantically equivalent but segfaulted DuckDB 1.0.0 when three rounds
+nest — the oracle must run on the driver's DuckDB, so the shared
+recurrence is the simple one.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.text import TOKENS_EXPR
+from audit_star_spark.util import spread
+
+N_MERGES = 3
+
+_PAIRS_EXPR = (
+    "CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(0, size(toks) - 2), "
+    "i -> named_struct('a', toks[i], 'b', toks[i + 1])) "
+    "ELSE array() END"
+)
+
+
+def _sq(s: str) -> str:
+    """Escape a token for embedding in a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Greedy left-to-right merge of adjacent pair (a, b) -> 'a b' over
+    the ``toks`` array: left fold where the carry is the accumulated
+    array's last element (correctly non-overlapping: a freshly merged
+    token never re-merges as the left side of the same pair in the same
+    round)."""
+    a, b = _sq(a), _sq(b)
+    return f"""
+    aggregate(
+      toks,
+      CAST(array() AS array<string>),
+      (s, t) -> CASE
+        WHEN size(s) > 0 AND element_at(s, -1) = '{a}' AND t = '{b}'
+          THEN concat(slice(s, 1, size(s) - 1), array('{a} {b}'))
+        ELSE concat(s, array(t))
+      END
+    )
+    """
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run ``n_merges`` BPE rounds. Returns (merges, tokens) where merges
+    is [(round, left, right, pair_count)] and tokens is the rewritten
+    corpus (doc_id, toks) after all merges."""
+    toks = spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    toks.persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        top = (
+            toks.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((r, top["a"], top["b"], int(top["cnt"])))
+        nxt = toks.select(
+            "doc_id", F.expr(_merge_expr(top["a"], top["b"])).alias("toks")
+        )
+        nxt.persist()
+        nxt.count()  # materialize before dropping the previous round
+        toks.unpersist()
+        toks = nxt
+    return merges, toks
+
+
+def bpe_merge_table(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(round, lhs, rhs, pair_count) — the learned merge rules."""
+    merges, toks = bpe_train(docs, n_merges)
+    toks.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_corpus_stats(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Per-document compression from the learned merges:
+    (doc_id, n_tokens_before, n_tokens_after)."""
+    before = spread(docs).select(
+        "doc_id", F.size(F.expr(TOKENS_EXPR)).cast("long").alias("n_tokens_before")
+    )
+    _, toks = bpe_train(docs, n_merges)
+    after = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens_after"))
+    out = before.join(after, "doc_id")
+    toks.unpersist()
+    return out

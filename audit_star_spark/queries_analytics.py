@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audit_star_spark.analytics import decontam, dedup, multimodal, quality, similarity, text
+from audit_star_spark.analytics import (
+    bpe,
+    decontam,
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+    text,
+)
 from audit_star_spark.sources.testdata import load_table
 
 # ---------------------------------------------------------------- DuckDB
@@ -778,6 +786,71 @@ FROM documents
 """
 
 
+# --------------------------------------------------------- BPE training
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe.bpe_merge_table(load_table(spark, sf_dir, "documents"))
+
+
+def q_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe.bpe_corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_ctes(n_merges: int = bpe.N_MERGES) -> str:
+    """Unrolled per-round CTEs mirroring bpe.bpe_train: t{r} = corpus after
+    r merges, p{r} = adjacent-pair counts of t{r-1}, m{r} = that round's
+    winning pair. The rewrite is the same carry-in-last-element list fold
+    as the Spark side (tokens are lifted to one-element lists because
+    DuckDB list_reduce has a single element type and no separate seed).
+    NOTE: a struct-state formulation segfaults DuckDB 1.0.0 at 3 nested
+    rounds — keep this one list-typed."""
+    parts = [f"t0 AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents)"]
+    for r in range(1, n_merges + 1):
+        prev = f"t{r - 1}"
+        parts.append(f"""
+p{r} AS (
+  SELECT u.a AS a, u.b AS b, COUNT(*) AS cnt FROM (
+    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        list_transform(generate_series(1, len(toks) - 1),
+                       i -> struct_pack(a := toks[i], b := toks[i + 1]))
+      ELSE [] END) AS u
+    FROM {prev})
+  GROUP BY 1, 2
+)""")
+        parts.append(f"m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)")
+        parts.append(f"""
+t{r} AS (
+  SELECT doc_id,
+    list_reduce(
+      list_concat([CAST([] AS VARCHAR[])], list_transform(toks, t -> [t])),
+      (s, x) -> CASE
+        WHEN len(s) > 0 AND s[-1] = m{r}.a AND x[1] = m{r}.b
+          THEN list_append(list_slice(s, 1, len(s) - 1), m{r}.a || ' ' || m{r}.b)
+        ELSE list_append(s, x[1])
+      END) AS toks
+  FROM {prev} CROSS JOIN m{r}
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = bpe.N_MERGES) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, a AS lhs, b AS rhs, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_ctes(n_merges)}\n{unions}"
+
+
+def _bpe_corpus_sql(n_merges: int = bpe.N_MERGES) -> str:
+    return f"""
+WITH {_bpe_ctes(n_merges)}
+SELECT t0.doc_id,
+       CAST(len(t0.toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(t{n_merges}.toks) AS BIGINT) AS n_tokens_after
+FROM t0 JOIN t{n_merges} ON t0.doc_id = t{n_merges}.doc_id
+"""
+
+
 # ------------------------------------------------ quality: repetition stats
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.with_repetition_stats(load_table(spark, sf_dir, "documents"))
@@ -1030,6 +1103,8 @@ ANALYTICS_QUERIES = {
     "benchmark_contamination": q_benchmark_contamination,
     "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
+    "bpe_merges": q_bpe_merges,
+    "bpe_corpus": q_bpe_corpus,
     "repetition_stats": q_repetition_stats,
     "quality_flags": q_quality_flags,
     "pii_scan": q_pii_scan,
@@ -1063,6 +1138,8 @@ ANALYTICS_ORACLES = {
     "benchmark_contamination": _contamination_sql(),
     "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,
+    "bpe_merges": _bpe_merges_sql(),
+    "bpe_corpus": _bpe_corpus_sql(),
     "repetition_stats": _repetition_sql(),
     "quality_flags": _quality_flags_sql(),
     "pii_scan": _pii_sql(),

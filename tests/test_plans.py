@@ -383,12 +383,15 @@ def test_repetition_stats_partial_aggregates_before_shuffle(spark):
 
 
 def test_pii_scan_is_pure_projection_no_exchange(spark):
-    """PII scanning is per-row regexp algebra — any Exchange here would be
-    a scale bug (the operator must scan-project without shuffling)."""
+    """PII scanning is per-row regexp algebra — a key-partitioned shuffle
+    here would be a scale bug (the operator must scan-project without
+    re-keying; the explicit round-robin `spread` of a one-split local scan
+    is allowed, and is a no-op on a many-split production scan)."""
     from audit_star_spark.queries_analytics import q_pii_scan
 
     plan = _plan(q_pii_scan(spark, SF_DIR))
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
 
 
 def test_semantic_dedup_broadcasts_centroids_no_allpairs(spark):
