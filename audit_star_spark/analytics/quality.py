@@ -213,3 +213,29 @@ def with_char_entropy(docs: DataFrame) -> DataFrame:
             F.log(F.sum("cnt").cast("double")) - m / F.sum("cnt").cast("double"), 12
         ).alias("char_entropy"),
     )
+
+
+def streaming_quality_gate(docs_stream: DataFrame, out_path: str, checkpoint: str):
+    """Streaming corpus-ingest quality gate: per micro-batch, score every
+    arriving document with ``gopher_quality_flags`` and append only keepers.
+
+    foreachBatch is the right stateful shape here BECAUSE the gate is
+    per-document: every signal (length, repetition, stopwords) is a
+    function of one row, so batch-local evaluation is exact — no
+    cross-batch aggregation state, no watermark, and restart safety comes
+    from the checkpointed batch id (a replayed batch overwrites append
+    idempotently at the sink's dedup level or is simply re-filtered to the
+    same rows). At scale each micro-batch is an independent bounded job —
+    the same plan the batch gate runs.
+    """
+
+    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        keep_ids = gopher_quality_flags(batch_df).filter(F.col("keep")).select("doc_id")
+        batch_df.join(keep_ids, "doc_id").write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
