@@ -300,6 +300,57 @@ def semantic_dedup(
     )
 
 
+def kmeans_update(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+    """One distributed Lloyd iteration over the coarse-quantizer
+    centroids: assign every vector to its nearest centroid (broadcast
+    cosine argmax — the same assignment the IVF/SemDeDup operators use),
+    then recompute each cell's centroid as the element-wise mean of its
+    members. Returns (cell_id, n_members, centroid array<double>); empty
+    cells vanish. Iterating this to convergence IS k-means — one round is
+    the oracle-checkable unit.
+
+    Scale shape: centroids broadcast; the mean is posexplode ->
+    (cell, dim) hash aggregate with map-side combine -> per-cell
+    reassembly. Shuffle volume is n_cells x dims x 2 rows, independent of
+    corpus size. The per-(cell, dim) sum folds over the SORTED value list
+    (same bit-determinism rule as quality.with_char_entropy: float
+    addition is order-sensitive; sorted sequential folds are not).
+    """
+    base = _prepared(emb)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "vec", "cell_id", ccos.alias("ccos")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "vec", "cell_id")
+    )
+    sums = (
+        assigned.select("cell_id", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cell_id", "pos")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(x)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    means = sums.select("cell_id", "pos", (F.col("s") / F.col("n")).alias("m"), "n")
+    return means.groupBy("cell_id").agg(
+        F.max("n").cast("long").alias("n_members"),
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
+            "centroid"
+        ),
+    )
+
+
 def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 1) -> DataFrame:
     """For every vector: its nearest neighbor within the same label
     (label-blocked near-dup scan; blocks bound the pair count).

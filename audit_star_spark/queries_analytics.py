@@ -1051,6 +1051,86 @@ FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
 """
 
 
+# ------------------------------------------------- k-means Lloyd iteration
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate projection scalarizes the centroid (dim count, sequential
+    L2/sum folds in index order — deterministic, covers every element)
+    because the driver's value-hash contract for array-typed columns is
+    unpinned; the full array is differentially compared in
+    tests/test_kmeans.py via the array-aware local comparator."""
+    km = similarity.kmeans_update(load_table(spark, sf_dir, "embeddings"))
+    l2 = F.sqrt(
+        F.expr("aggregate(centroid, CAST(0.0 AS DOUBLE), (s, v) -> s + v * v)")
+    )
+    total = F.expr("aggregate(centroid, CAST(0.0 AS DOUBLE), (s, v) -> s + v)")
+    return km.select(
+        "cell_id",
+        "n_members",
+        F.size("centroid").alias("centroid_dim"),
+        l2.alias("centroid_l2"),
+        total.alias("centroid_sum"),
+    )
+
+
+def _kmeans_core_sql(n_cells: int = 16) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+cents AS (
+  SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm
+  FROM normed WHERE vec_id < {n_cells}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell_id) AS crank
+  FROM (
+    SELECT n.vec_id, n.vec, c.cell_id,
+           {d_dot('c.cvec', 'n.vec')} / (c.cnorm * n.norm) AS ccos
+    FROM normed n CROSS JOIN cents c
+  )
+),
+assigned AS (
+  SELECT vec_id, vec, cell_id FROM ranked WHERE crank = 1
+),
+dims AS (
+  SELECT cell_id, i - 1 AS pos, vec[i] AS x FROM (
+    SELECT cell_id, vec, unnest(generate_series(1, len(vec))) AS i FROM assigned
+  )
+),
+sums AS (
+  SELECT cell_id, pos,
+         list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_sort(list(x))),
+                     (s, v) -> s + v) AS s,
+         COUNT(*) AS n
+  FROM dims GROUP BY 1, 2
+),
+means AS (
+  SELECT cell_id, pos, s / n AS m, n FROM sums
+)
+SELECT cell_id,
+       CAST(MAX(n) AS BIGINT) AS n_members,
+       list_transform(list_sort(list(struct_pack(pos := pos, m := m))), x -> x.m)
+         AS centroid
+FROM means GROUP BY cell_id
+"""
+
+
+def _kmeans_sql(n_cells: int = 16) -> str:
+    return f"""
+WITH km AS ({_kmeans_core_sql(n_cells)})
+SELECT cell_id, n_members,
+       CAST(len(centroid) AS INT) AS centroid_dim,
+       sqrt({d_fold("list_transform(centroid, v -> v * v)",
+                    "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v")}) AS centroid_l2,
+       {d_fold("centroid", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v")} AS centroid_sum
+FROM km
+"""
+
+
 # ---------------------------------------------------- corpus mix report
 def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1110,6 +1190,7 @@ ANALYTICS_QUERIES = {
     "pii_scan": q_pii_scan,
     "char_entropy": q_char_entropy,
     "semantic_dedup": q_semantic_dedup,
+    "kmeans_update": q_kmeans_update,
     "source_mix_report": q_source_mix_report,
     "corpus_clean_stats": q_corpus_clean_stats,
 }
@@ -1145,6 +1226,7 @@ ANALYTICS_ORACLES = {
     "pii_scan": _pii_sql(),
     "char_entropy": SQL_CHAR_ENTROPY,
     "semantic_dedup": _semantic_dedup_sql(),
+    "kmeans_update": _kmeans_sql(),
     "source_mix_report": _source_mix_sql(),
     "corpus_clean_stats": _corpus_clean_sql(),
 }

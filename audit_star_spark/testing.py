@@ -38,6 +38,10 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if hasattr(v, "to_pydatetime"):  # pandas Timestamp
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array
+        return tuple(_norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):  # array-typed column (Spark side)
+        return tuple(_norm(x) for x in v)
     if hasattr(v, "item"):  # numpy scalar
         return _norm(v.item())
     return v
