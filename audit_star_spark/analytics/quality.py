@@ -32,30 +32,96 @@ from audit_star_spark.util import spread
 REP_NGRAMS = (1, 2, 3)
 
 
-def _all_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, n, gram) rows for every n in REP_NGRAMS from ONE scan and
-    ONE explode: the per-doc gram streams are built as arrays of (n, gram)
-    structs and concatenated in-row, so the corpus is tokenized once (a
-    3-stream union form re-ran regexp+split per n). Gram enumeration uses
-    a 0-based sequence index over the token array — the oracle's DuckDB
-    mirror shifts by one for 1-based lists."""
-
-    def stream(n: int) -> str:
-        if n == 1:
-            return "transform(__t, g -> struct(1 AS n, g AS gram))"
-        joined = " || ' ' || ".join(f"__t[__i + {j}]" for j in range(n))
-        return (
-            f"CASE WHEN size(__t) >= {n} THEN "
-            f"transform(sequence(0, size(__t) - {n}), "
-            f"__i -> struct({n} AS n, {joined} AS gram)) "
-            f"ELSE array() END"
-        )
-
-    concat = "concat(" + ", ".join(stream(n) for n in REP_NGRAMS) + ")"
+def _gram_arr(n: int) -> str:
+    """n-gram array over the staged token array ``__t`` (0-based Spark
+    indexing; the oracle's DuckDB mirror shifts by one for 1-based
+    lists). Empty array when the doc has fewer than n tokens."""
+    if n == 1:
+        return "__t"
+    joined = " || ' ' || ".join(f"__t[__i + {j}]" for j in range(n))
     return (
-        spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("__t"))
-        .select("doc_id", F.explode(F.expr(concat)).alias("__g"))
-        .select("doc_id", F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"))
+        f"CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(0, size(__t) - {n}), __i -> {joined}) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _run_starts(gs: str) -> str:
+    """1-based run-start positions of a SORTED gram array ``gs`` (position
+    i starts a run iff i = 1 or gs[i] != gs[i-1]).
+
+    The i = 1 case is guarded with greatest(i-1, 1) instead of relying on
+    OR short-circuit: Spark's element_at raises on index 0."""
+    return (
+        f"CASE WHEN size({gs}) = 0 THEN CAST(array() AS array<int>) ELSE "
+        f"filter(sequence(1, size({gs})), "
+        f"i -> i = 1 OR NOT (element_at({gs}, i) = element_at({gs}, greatest(i - 1, 1)))) END"
+    )
+
+
+def _top(n: int) -> F.Column:
+    return F.expr(f"array_max(transform(__runs{n}, x -> x.m))")
+
+
+def _total(n: int) -> F.Column:
+    return F.expr(f"aggregate(__runs{n}, CAST(0 AS BIGINT), (a, x) -> a + x.m)")
+
+
+def _dup(n: int) -> F.Column:
+    return F.expr(
+        f"aggregate(__runs{n}, CAST(0 AS BIGINT), "
+        f"(a, x) -> a + CASE WHEN x.r > 1 THEN x.m ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _frac(num: F.Column, den: F.Column) -> F.Column:
+    # nullif: an empty gram array must yield NULL, not 0/0 = NaN
+    # (engines disagree on float-NaN vs NULL under hashing)
+    return num.cast("double") / F.nullif(den, F.lit(0)).cast("double")
+
+
+def _rep_chain(docs: DataFrame, extra: dict[str, F.Column] | None = None) -> DataFrame:
+    """Staged per-document chain ending in doc_id, n_tokens,
+    n_distinct_tokens and ``__runs{n}`` run arrays (per run: char mass m =
+    r*len(gram), multiplicity r), plus any ``extra`` columns computed off
+    the raw document row in the first projection.
+
+    Intermediates (sorted gram arrays, run-start positions) are staged as
+    columns across selects: inlining them re-evaluates the sort per lambda
+    access (the ARCHITECTURE.md withColumn/inline lesson)."""
+    extra = extra or {}
+    carry = list(extra)
+    s1 = spread(docs).select(
+        "doc_id",
+        F.expr(TOKENS_EXPR).alias("__t"),
+        *[c.alias(k) for k, c in extra.items()],
+    )
+    head = ["doc_id", "n_tokens", "n_distinct_tokens", *carry]
+    s2 = s1.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_distinct_tokens"),
+        *carry,
+        *[F.expr(f"array_sort({_gram_arr(n)})").alias(f"__gs{n}") for n in REP_NGRAMS],
+    )
+    s3 = s2.select(
+        *head,
+        *[F.col(f"__gs{n}") for n in REP_NGRAMS],
+        *[F.expr(_run_starts(f"__gs{n}")).alias(f"__st{n}") for n in REP_NGRAMS],
+    )
+    # per run: multiplicity r = next_start - start; char mass = r * len(gram)
+    return s3.select(
+        *head,
+        *[
+            F.expr(
+                f"zip_with(__st{n}, "
+                f"concat(slice(__st{n}, 2, size(__st{n}) - 1), array(size(__gs{n}) + 1)), "
+                f"(s, e) -> named_struct("
+                f"'m', CAST((e - s) * length(element_at(__gs{n}, s)) AS BIGINT), "
+                f"'r', CAST(e - s AS BIGINT)))"
+            ).alias(f"__runs{n}")
+            for n in REP_NGRAMS
+        ],
     )
 
 
@@ -68,41 +134,25 @@ def with_repetition_stats(docs: DataFrame) -> DataFrame:
     - ``dup_3gram_char_frac``: fraction of trigram char mass in trigrams
       occurring more than once.
 
-    Shape: union of gram streams -> hash aggregate on (doc_id, n, gram)
-    (map-side combine collapses repeats before the shuffle) -> conditional
-    aggregate to one row per doc. Two shuffles, both keyed by doc_id.
-    """
-    counts = _all_grams(docs).groupBy("doc_id", "n", "gram").agg(
-        F.count("*").alias("cnt")
-    )
-    mass = (F.col("cnt") * F.length("gram")).cast("double")
-
-    def for_n(n: int, col: F.Column) -> F.Column:
-        return F.max(F.when(F.col("n") == n, col))
-
-    def sum_n(n: int, col: F.Column) -> F.Column:
-        return F.sum(F.when(F.col("n") == n, col))
-
-    per_doc = counts.groupBy("doc_id").agg(
-        sum_n(1, F.col("cnt")).cast("long").alias("n_tokens"),
-        F.count(F.when(F.col("n") == 1, True)).cast("long").alias("n_distinct_tokens"),
-        (for_n(1, mass) / sum_n(1, mass)).alias("top_1gram_char_frac"),
-        (for_n(2, mass) / sum_n(2, mass)).alias("top_2gram_char_frac"),
-        (
-            F.coalesce(sum_n(3, F.when(F.col("cnt") > 1, mass)), F.lit(0.0))
-            / sum_n(3, mass)
-        ).alias("dup_3gram_char_frac"),
-    )
-    return per_doc.select(
+    Shape: ZERO shuffles. The statistics are per-document, so nothing may
+    leave the row: sort each gram array in-row, derive run-length char
+    masses with pure integer algebra, and reduce those. An earlier
+    explode -> (doc_id, n, gram) hash-aggregate shape was correct but
+    shuffled the whole gram stream to compute a row-local quantity; this
+    one scans, projects, and is embarrassingly parallel at any corpus
+    size. All masses are exact BIGINTs — floats appear only in the final
+    ratios, so no summation-order issues exist."""
+    chain = _rep_chain(docs)
+    return chain.select(
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
-        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
+        _frac(F.col("n_distinct_tokens"), F.col("n_tokens")).alias(
             "distinct_token_ratio"
         ),
-        "top_1gram_char_frac",
-        "top_2gram_char_frac",
-        "dup_3gram_char_frac",
+        _frac(_top(1), _total(1)).alias("top_1gram_char_frac"),
+        _frac(_top(2), _total(2)).alias("top_2gram_char_frac"),
+        _frac(_dup(3), _total(3)).alias("dup_3gram_char_frac"),
     )
 
 
@@ -119,33 +169,48 @@ MIN_STOPWORD_HITS = 1
 
 def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     """Rule-based keep/drop gate: each rule is a boolean column; ``keep``
-    is their conjunction. Joins the repetition stats (doc_id-keyed, so the
-    join co-partitions with the aggregation above) with in-row length and
-    stopword signals — one pass over the corpus plus the repetition
-    aggregate, no cross-document state."""
-    rep = with_repetition_stats(docs)
-    toks = F.expr(TOKENS_EXPR)
-    tok_chars = F.expr(f"aggregate({TOKENS_EXPR}, 0, (a, t) -> a + length(t))")
-    base = spread(docs).select(
-        "doc_id",
-        F.size(toks).alias("__nt"),
-        (tok_chars.cast("double") / F.size(toks)).alias("__avg"),
-        F.size(
-            F.expr(f"regexp_extract_all(lower(text), '{_stopword_pattern(STOPWORDS)}', 0)")
-        ).alias("__stop"),
+    is their conjunction. Every signal — length, average token length,
+    stopword presence, diversity, repetition — is a function of ONE
+    document row, so the whole gate is a single zero-shuffle projection
+    over the shared repetition chain (an earlier version joined two
+    scans of the corpus on doc_id; a per-row gate must not join)."""
+    chain = _rep_chain(
+        docs,
+        extra={
+            "__avg": (
+                F.expr(
+                    f"aggregate({TOKENS_EXPR}, 0, (a, t) -> a + length(t))"
+                ).cast("double")
+                / F.size(F.expr(TOKENS_EXPR))
+            ),
+            "__stop": F.size(
+                F.expr(
+                    f"regexp_extract_all(lower(text), '{_stopword_pattern(STOPWORDS)}', 0)"
+                )
+            ),
+        },
     )
-    j = base.join(rep, "doc_id")
+    staged = chain.select(
+        "doc_id",
+        "n_tokens",
+        "__avg",
+        "__stop",
+        _frac(F.col("n_distinct_tokens"), F.col("n_tokens")).alias("__div"),
+        _frac(_top(2), _total(2)).alias("__top2"),
+    )
     flags = {
-        "ok_length": (F.col("__nt") >= MIN_TOKENS) & (F.col("__nt") <= MAX_TOKENS),
-        "ok_avg_token_len": (F.col("__avg") >= MIN_AVG_TOK) & (F.col("__avg") <= MAX_AVG_TOK),
+        "ok_length": (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS),
+        "ok_avg_token_len": (F.col("__avg") >= MIN_AVG_TOK)
+        & (F.col("__avg") <= MAX_AVG_TOK),
         "ok_stopwords": F.col("__stop") >= MIN_STOPWORD_HITS,
-        "ok_diversity": F.col("distinct_token_ratio") >= MIN_DISTINCT_RATIO,
-        "ok_repetition": F.col("top_2gram_char_frac") <= MAX_TOP_2GRAM,
+        "ok_diversity": F.col("__div") >= MIN_DISTINCT_RATIO,
+        "ok_repetition": F.col("__top2") <= MAX_TOP_2GRAM,
     }
     keep = None
     for c in flags.values():
         keep = c if keep is None else (keep & c)
-    return j.select(
+    return staged.select(
         "doc_id",
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),

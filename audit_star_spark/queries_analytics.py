@@ -857,42 +857,73 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rep_cte() -> str:
-    """Shared CTE chain: token n-grams -> (doc_id, n, gram) counts -> one
-    repetition-stats row per doc (DuckDB mirror of
-    quality.with_repetition_stats; 1-based list indexing)."""
-    gram2 = "t[i] || ' ' || t[i+1]"
-    gram3 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    """Shared CTE chain mirroring quality.with_repetition_stats' in-row
+    shape: sorted gram arrays -> run-start positions -> per-run (mass,
+    multiplicity) structs -> integer folds; floats only in final ratios.
+    DuckDB lists are 1-based (the Spark side's sequence is 0-based)."""
+
+    def gram(n: int) -> str:
+        if n == 1:
+            return "t"
+        joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        return (
+            f"CASE WHEN len(t) >= {n} THEN "
+            f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {joined}) "
+            f"ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    def starts(gs: str) -> str:
+        return (
+            f"CASE WHEN len({gs}) = 0 THEN CAST([] AS BIGINT[]) ELSE "
+            f"list_filter(generate_series(1, len({gs})), "
+            f"i -> i = 1 OR NOT ({gs}[i] = {gs}[greatest(i - 1, 1)])) END"
+        )
+
+    def runs(n: int) -> str:
+        st, gs = f"st{n}", f"gs{n}"
+        nxt = f"list_concat(list_slice({st}, 2, len({st})), [len({gs}) + 1])"
+        return (
+            f"list_transform(list_zip({st}, {nxt}), "
+            f"x -> struct_pack(m := CAST((x[2] - x[1]) * length({gs}[x[1]]) AS BIGINT), "
+            f"r := CAST(x[2] - x[1] AS BIGINT)))"
+        )
+
+    def fold_m(n: int, cond: str = "TRUE") -> str:
+        return d_fold(
+            f"list_transform(runs{n}, x -> CASE WHEN {cond} THEN x.m ELSE CAST(0 AS BIGINT) END)",
+            "CAST(0 AS BIGINT)",
+            "(a, m) -> a + m",
+        )
+
+    def frac(num: str, den: str) -> str:
+        return f"CAST({num} AS DOUBLE) / CAST(nullif({den}, 0) AS DOUBLE)"
+
+    gram_cols = ",\n         ".join(
+        f"list_sort({gram(n)}) AS gs{n}" for n in (1, 2, 3)
+    )
+    start_cols = ",\n         ".join(f"{starts(f'gs{n}')} AS st{n}" for n in (1, 2, 3))
+    run_cols = ",\n         ".join(f"{runs(n)} AS runs{n}" for n in (1, 2, 3))
     return f"""
 toks AS (SELECT doc_id, {D_TOKENS} AS t FROM documents),
-grams AS (
-  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks
-  UNION ALL
-  SELECT doc_id, 2 AS n,
-         unnest(list_transform(generate_series(1, len(t) - 1), i -> {gram2})) AS gram
-  FROM toks WHERE len(t) >= 2
-  UNION ALL
-  SELECT doc_id, 3 AS n,
-         unnest(list_transform(generate_series(1, len(t) - 2), i -> {gram3})) AS gram
-  FROM toks WHERE len(t) >= 3
+sorted_grams AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+         {gram_cols}
+  FROM toks
 ),
-gcounts AS (
-  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+run_starts AS (
+  SELECT *, {start_cols} FROM sorted_grams
+),
+doc_runs AS (
+  SELECT doc_id, n_tokens, n_distinct_tokens, {run_cols} FROM run_starts
 ),
 rep AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_tokens,
-         CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_distinct_tokens,
-         MAX(CASE WHEN n = 1 THEN CAST(cnt * length(gram) AS DOUBLE) END)
-           / SUM(CASE WHEN n = 1 THEN CAST(cnt * length(gram) AS DOUBLE) END)
-           AS top_1gram_char_frac,
-         MAX(CASE WHEN n = 2 THEN CAST(cnt * length(gram) AS DOUBLE) END)
-           / SUM(CASE WHEN n = 2 THEN CAST(cnt * length(gram) AS DOUBLE) END)
-           AS top_2gram_char_frac,
-         COALESCE(SUM(CASE WHEN n = 3 AND cnt > 1
-                           THEN CAST(cnt * length(gram) AS DOUBLE) END), 0.0)
-           / SUM(CASE WHEN n = 3 THEN CAST(cnt * length(gram) AS DOUBLE) END)
-           AS dup_3gram_char_frac
-  FROM gcounts GROUP BY doc_id
+  SELECT doc_id, n_tokens, n_distinct_tokens,
+         {frac("list_max(list_transform(runs1, x -> x.m))", fold_m(1))} AS top_1gram_char_frac,
+         {frac("list_max(list_transform(runs2, x -> x.m))", fold_m(2))} AS top_2gram_char_frac,
+         {frac(fold_m(3, "x.r > 1"), fold_m(3))} AS dup_3gram_char_frac
+  FROM doc_runs
 )"""
 
 
@@ -900,7 +931,8 @@ def _repetition_sql() -> str:
     return f"""
 WITH {_rep_cte()}
 SELECT doc_id, n_tokens, n_distinct_tokens,
-       CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_token_ratio,
+       CAST(n_distinct_tokens AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE)
+         AS distinct_token_ratio,
        top_1gram_char_frac, top_2gram_char_frac, dup_3gram_char_frac
 FROM rep
 """

@@ -371,15 +371,28 @@ def test_boilerplate_partial_aggregates_before_shuffle(spark):
     assert plan.index(partial[0]) > exch  # partial agg is BELOW the exchange
 
 
-def test_repetition_stats_partial_aggregates_before_shuffle(spark):
-    """Gram counting must map-side combine: the shuffle carries distinct
-    (doc, n, gram) triples per partition, not the exploded gram stream."""
+def test_repetition_stats_is_zero_shuffle_projection(spark):
+    """Repetition signals are per-document: the whole operator must be a
+    scan + projections — no key-partitioned exchange, no aggregate, no
+    join (the in-row sorted-run rewrite; an explode+groupBy shape would
+    shuffle the corpus's entire gram stream to compute a row-local stat)."""
     from audit_star_spark.queries_analytics import q_repetition_stats
 
     plan = _plan(q_repetition_stats(spark, SF_DIR))
-    agg_nodes = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
-    assert any("partial_count" in ln for ln in agg_nodes), agg_nodes
-    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_quality_gate_is_zero_shuffle_single_scan(spark):
+    """The gopher gate composes only per-row signals: one scan, no join
+    of the corpus against itself, no exchange."""
+    from audit_star_spark.queries_analytics import q_quality_flags
+
+    plan = _plan(q_quality_flags(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_pii_scan_is_pure_projection_no_exchange(spark):
