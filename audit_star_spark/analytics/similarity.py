@@ -300,6 +300,101 @@ def semantic_dedup(
     )
 
 
+def _assign_to_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    per-row cosine argmax. cents = (cell_id, cvec, cnorm)."""
+    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "vec", "norm", "cell_id")
+    )
+
+
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise per-cell mean: posexplode -> (cell, dim) aggregate
+    (sorted-fold sums for bit-determinism) -> reassembled array."""
+    sums = (
+        assigned.select("cell_id", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cell_id", "pos")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(x)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    means = sums.select("cell_id", "pos", (F.col("s") / F.col("n")).alias("m"), "n")
+    return means.groupBy("cell_id").agg(
+        F.max("n").cast("long").alias("n_members"),
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
+            "centroid"
+        ),
+    )
+
+
+def kmeans_train(
+    emb: DataFrame, n_cells: int = N_CELLS, iters: int = 3
+) -> tuple[DataFrame, list[float]]:
+    """Full k-means: iterate the Lloyd step (assign -> mean) from the
+    deterministic first-``n_cells`` seed. Returns (centroids, shifts)
+    where centroids = (cell_id, n_members, centroid) after the last round
+    and shifts[r] = max L2 movement of any centroid in round r — the
+    convergence signal.
+
+    Scale shape per round: one assignment job (broadcast centroids, no
+    shuffle of the corpus) + the tiny (cell, dim)-keyed mean aggregate.
+    The new centroid table is collected driver-side to build the next
+    round's broadcast — n_cells x dims scalars, a bounded control
+    decision exactly like bpe_train's top-pair probe, never corpus data.
+    """
+    spark = emb.sparkSession
+    base = _prepared(emb)
+    base.persist()
+    cents_rows = [
+        (int(r["vec_id"]), list(r["vec"]))
+        for r in base.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "vec")
+        .collect()
+    ]
+    shifts: list[float] = []
+    out = None
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            cents_rows, "cell_id long, cvec array<double>"
+        ).withColumn(
+            "cnorm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(cvec, cvec, (x, y) -> x * y), "
+                    "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+                )
+            ),
+        )
+        out = _cell_means(_assign_to_cells(base, cents))
+        new_rows = [
+            (int(r["cell_id"]), list(r["centroid"]), int(r["n_members"]))
+            for r in out.collect()
+        ]
+        prev = dict(cents_rows)
+        shift = 0.0
+        for cell_id, centroid, _n in new_rows:
+            old = prev.get(cell_id)
+            if old is not None:
+                shift = max(
+                    shift,
+                    sum((a - b) ** 2 for a, b in zip(old, centroid)) ** 0.5,
+                )
+        shifts.append(shift)
+        cents_rows = [(c, v) for c, v, _n in new_rows]
+    base.unpersist()
+    return out, shifts
+
+
 def kmeans_update(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     """One distributed Lloyd iteration over the coarse-quantizer
     centroids: assign every vector to its nearest centroid (broadcast
@@ -322,33 +417,7 @@ def kmeans_update(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id", "vec", "cell_id", ccos.alias("ccos")
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "vec", "cell_id")
-    )
-    sums = (
-        assigned.select("cell_id", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("cell_id", "pos")
-        .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(x)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-            ).alias("s"),
-            F.count("*").alias("n"),
-        )
-    )
-    means = sums.select("cell_id", "pos", (F.col("s") / F.col("n")).alias("m"), "n")
-    return means.groupBy("cell_id").agg(
-        F.max("n").cast("long").alias("n_members"),
-        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").alias(
-            "centroid"
-        ),
-    )
+    return _cell_means(_assign_to_cells(base, cents))
 
 
 def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 1) -> DataFrame:

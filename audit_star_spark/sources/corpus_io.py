@@ -1,0 +1,38 @@
+"""Corpus interchange I/O: sharded (optionally compressed) JSONL export
+and read-back — the format training-data pipelines hand to tokenizer /
+loader stages.
+
+Scale notes: shard count controls downstream read parallelism AND file
+size; at production scale pick shards so each gzip part lands ~100-500 MB.
+The export is a plain distributed write — no driver involvement, no
+collect. Schema is carried explicitly on read (JSONL is schemaless;
+inference costs an extra pass and can widen types nondeterministically —
+always pass the catalog schema in a pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    shards: int | None = None,
+    compression: str = "gzip",
+) -> None:
+    """Write ``df`` as sharded JSONL. ``shards=None`` keeps the input
+    partitioning (no extra shuffle); an explicit count repartitions
+    round-robin for even shard sizes."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
