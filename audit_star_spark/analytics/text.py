@@ -169,3 +169,41 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int], default_pct: int =
     return docs.withColumn("__bucket", bucket).filter(
         F.col("__bucket") < keep_pct
     ).drop("__bucket")
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Sliding-window chunking: split each document into training-context
+    chunks of ``chunk_tokens`` tokens with ``overlap`` tokens carried
+    between neighbors (the pretraining / RAG context-window primitive).
+
+    Chunk c starts at token c*(chunk-overlap); the last chunk is short
+    rather than padded; a doc shorter than one chunk yields exactly one
+    chunk. Pure in-row transform + explode — the 1:N shape runs narrow
+    (no shuffle), so it scales with the scan."""
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    staged = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("__t")).select(
+        "doc_id",
+        "__t",
+        F.expr(
+            f"greatest(1, (size(__t) - {overlap} + {step} - 1) div {step})"
+        ).alias("__nc"),
+    )
+    return staged.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, __nc - 1)")).alias("chunk_id"),
+        "__t",
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.expr(
+            f"least({chunk_tokens}, size(__t) - chunk_id * {step})"
+        ).cast("long").alias("n_chunk_tokens"),
+        F.expr(
+            f"array_join(slice(__t, chunk_id * {step} + 1, "
+            f"least({chunk_tokens}, size(__t) - chunk_id * {step})), ' ')"
+        ).alias("chunk_text"),
+    )

@@ -786,6 +786,32 @@ FROM documents
 """
 
 
+# --------------------------------------------------- context-window chunking
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _doc_chunks_sql(chunk: int = 64, overlap: int = 8) -> str:
+    step = chunk - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {D_TOKENS} AS t,
+         greatest(1, (len({D_TOKENS}) - {overlap} + {step} - 1) // {step}) AS nc
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS c FROM toks
+)
+SELECT doc_id,
+       CAST(c AS INT) AS chunk_id,
+       CAST(least({chunk}, len(t) - c * {step}) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, c * {step} + 1,
+                                  c * {step} + least({chunk}, len(t) - c * {step})),
+                       ' ') AS chunk_text
+FROM chunks
+"""
+
+
 # --------------------------------------------------------- BPE training
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merge_table(load_table(spark, sf_dir, "documents"))
@@ -1289,6 +1315,7 @@ ANALYTICS_QUERIES = {
     "benchmark_contamination": q_benchmark_contamination,
     "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
+    "doc_chunks": q_doc_chunks,
     "bpe_merges": q_bpe_merges,
     "bpe_corpus": q_bpe_corpus,
     "repetition_stats": q_repetition_stats,
@@ -1326,6 +1353,7 @@ ANALYTICS_ORACLES = {
     "benchmark_contamination": _contamination_sql(),
     "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,
+    "doc_chunks": _doc_chunks_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_corpus": _bpe_corpus_sql(),
     "repetition_stats": _repetition_sql(),
