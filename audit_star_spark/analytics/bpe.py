@@ -73,11 +73,13 @@ def _merge_expr(a: str, b: str) -> str:
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = N_MERGES
+    docs: DataFrame, n_merges: int = N_MERGES, materialize_last: bool = True
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE rounds. Returns (merges, tokens) where merges
     is [(round, left, right, pair_count)] and tokens is the rewritten
-    corpus (doc_id, toks) after all merges."""
+    corpus (doc_id, toks) after all merges. ``materialize_last=False``
+    skips persisting the final rewrite (for callers that only want the
+    merge rules, the last round's corpus is dead work)."""
     toks = spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
     toks.persist()
     merges: list[tuple[int, str, str, int]] = []
@@ -95,17 +97,17 @@ def bpe_train(
         nxt = toks.select(
             "doc_id", F.expr(_merge_expr(top["a"], top["b"])).alias("toks")
         )
-        nxt.persist()
-        nxt.count()  # materialize before dropping the previous round
-        toks.unpersist()
+        if r < n_merges or materialize_last:
+            nxt.persist()
+            nxt.count()  # materialize before dropping the previous round
+            toks.unpersist()
         toks = nxt
     return merges, toks
 
 
 def bpe_merge_table(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     """(round, lhs, rhs, pair_count) — the learned merge rules."""
-    merges, toks = bpe_train(docs, n_merges)
-    toks.unpersist()
+    merges, _toks = bpe_train(docs, n_merges, materialize_last=False)
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "round int, lhs string, rhs string, pair_count long"
