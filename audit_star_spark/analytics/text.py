@@ -207,3 +207,41 @@ def chunk_documents(
             f"least({chunk_tokens}, size(__t) - chunk_id * {step})), ' ')"
         ).alias("chunk_text"),
     )
+
+
+def sequence_packing(docs: DataFrame, budget_tokens: int = 256) -> DataFrame:
+    """Sequential sequence-packing layout: within each train/val/test
+    split (deterministic hash buckets, ``with_split``), documents are
+    laid end-to-end in doc_id order and assigned to fixed-budget packs —
+    pack_id = floor(preceding-token-sum / budget). This is how a
+    pretraining loader turns a corpus into fixed-length batches; the
+    sequential (not bin-packing) policy is deliberate: it is
+    deterministic, order-stable across engines, and one window over a
+    single split-keyed shuffle, where first-fit-decreasing would need an
+    iterative global state.
+
+    Output: (doc_id, split, est_bpe_tokens, pack_id, pack_offset) with
+    pack_offset = token offset of this document inside its pack's
+    running stream (documents may straddle pack boundaries; the loader
+    slices them — same semantics as GPT-style token streams)."""
+    from pyspark.sql import Window
+
+    split_docs = with_split(docs)
+    est = F.greatest(
+        F.size(F.expr(TOKENS_EXPR)).cast("long"),
+        F.ceil(F.length("text") / F.lit(4.0)),
+    )
+    staged = split_docs.select("doc_id", "split", est.alias("est_bpe_tokens"))
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("est_bpe_tokens").over(w), F.lit(0))
+    return staged.select(
+        "doc_id",
+        "split",
+        "est_bpe_tokens",
+        (prev / budget_tokens).cast("long").alias("pack_id"),
+        (prev % budget_tokens).cast("long").alias("pack_offset"),
+    )

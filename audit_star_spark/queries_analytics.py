@@ -786,6 +786,36 @@ FROM documents
 """
 
 
+# ------------------------------------------------------- sequence packing
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+def _sequence_packing_sql(budget: int = 256) -> str:
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         greatest(CAST(len({D_TOKENS}) AS BIGINT),
+                  CAST(ceil(length(text) / 4.0) AS BIGINT)) AS est_bpe_tokens
+  FROM (SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        FROM documents)
+),
+packed AS (
+  SELECT doc_id, split, est_bpe_tokens,
+         COALESCE(SUM(est_bpe_tokens) OVER (
+           PARTITION BY split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM assigned
+)
+SELECT doc_id, split, est_bpe_tokens,
+       CAST(prev // {budget} AS BIGINT) AS pack_id,
+       CAST(prev % {budget} AS BIGINT) AS pack_offset
+FROM packed
+"""
+
+
 # --------------------------------------------------- context-window chunking
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(load_table(spark, sf_dir, "documents"))
@@ -1316,6 +1346,7 @@ ANALYTICS_QUERIES = {
     "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
     "doc_chunks": q_doc_chunks,
+    "sequence_packing": q_sequence_packing,
     "bpe_merges": q_bpe_merges,
     "bpe_corpus": q_bpe_corpus,
     "repetition_stats": q_repetition_stats,
@@ -1354,6 +1385,7 @@ ANALYTICS_ORACLES = {
     "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,
     "doc_chunks": _doc_chunks_sql(),
+    "sequence_packing": _sequence_packing_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_corpus": _bpe_corpus_sql(),
     "repetition_stats": _repetition_sql(),
