@@ -87,6 +87,147 @@ def _parse_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img if top_down else img[::-1])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering (spec §9): each scanline is prefixed
+    by a filter-type byte; Sub/Average/Paeth are sequential per pixel
+    along the line (the spec's recurrence), Up/None vectorize."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = line + prior
+        else:
+            # Average/Paeth predict from RECONSTRUCTED (mod-256) neighbors
+            # — the mod must happen per element, not at line end (floor
+            # division and the Paeth comparisons are not linear in the
+            # unwrapped sums)
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                rec[i] = (int(line[i]) + pred) % 256
+        out[y] = rec % 256
+    return out
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / RGB / palette / RGBA) -> HxWxC
+    uint8. Real decode: chunk walk, stdlib-zlib inflate of the IDAT
+    stream, and full five-filter scanline reconstruction — PNG's
+    "entropy coding" is DEFLATE, which ships with Python, unlike JPEG's
+    DCT pipeline."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, b"", None
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    pixels = _png_unfilter(zlib.decompress(idat), w, h, channels).reshape(
+        h, w, channels
+    )
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        pixels = pal[pixels[:, :, 0]]
+    return np.ascontiguousarray(pixels)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWxC uint8 -> PNG bytes with every scanline filtered by
+    ``filter_type`` (0-4) — the synthesis side of the differential test;
+    non-zero filters force the decoder's reconstruction recurrences to
+    actually run."""
+    import zlib
+
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = img.reshape(h, w * c).astype(np.int32)
+    lines = []
+    for y in range(h):
+        line = raw[y]
+        prior = raw[y - 1] if y > 0 else np.zeros(w * c, np.int32)
+        a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        cdiag = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - a
+        elif filter_type == 2:
+            filt = line - prior
+        elif filter_type == 3:
+            filt = line - (a + prior) // 2
+        else:
+            p = a + prior - cdiag
+            pa, pb, pc = np.abs(p - a), np.abs(p - prior), np.abs(p - cdiag)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prior, cdiag)
+            )
+            filt = line - pred
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        import zlib as z
+
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + z.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an HxWxC uint8 numpy array.
 
@@ -100,9 +241,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _parse_netpbm(payload)
     if payload[:2] == b"BM":
         return _parse_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _parse_png(payload)
     raise NotImplementedError(
-        "only uncompressed formats (netpbm P5/P6, BI_RGB BMP) decode "
-        "without codec libraries; JPEG/PNG need codecs absent here"
+        "netpbm P5/P6, BI_RGB BMP, and 8-bit PNG decode here (PNG's "
+        "DEFLATE ships with Python); JPEG needs DCT codecs absent in "
+        "this environment"
     )
 
 
@@ -177,8 +321,11 @@ def image_meta(media: DataFrame) -> DataFrame:
                     ws.append(None), hs.append(None), cs.append(None)
                     lumas.append(None)
                     continue
-                head = bytes(payload)[:2]
-                fmts.append({b"P5": "pgm", b"P6": "ppm", b"BM": "bmp"}[head])
+                data = bytes(payload)
+                if data[: len(_PNG_SIG)] == _PNG_SIG:
+                    fmts.append("png")
+                else:
+                    fmts.append({b"P5": "pgm", b"P6": "ppm", b"BM": "bmp"}[data[:2]])
                 h, w, c = img.shape
                 ws.append(w), hs.append(h), cs.append(c)
                 if c == 3:

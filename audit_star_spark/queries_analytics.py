@@ -760,6 +760,75 @@ ORDER BY split
 """
 
 
+# ----------------------------------------------------------- PNG decode
+def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode through the driver gate: per document, synthesize
+    a grayscale gradient PNG (pixel(x, y) = (x + y + doc_id) % 256) with
+    scanline filter type doc_id % 5 — so every PNG filter reconstruction
+    path (None/Sub/Up/Average/Paeth) runs against the oracle — then
+    decode with the stdlib-zlib parser and emit closed-form metadata.
+    Grayscale keeps mean_luma an exact integer mean (bit-identical in
+    any engine); an RGB variant would hash-drift on luma-weight float
+    rounding."""
+    import pandas as pd  # noqa: F401 (mapInPandas body)
+
+    docs = load_table(spark, sf_dir, "documents")
+    slim = docs.select("doc_id", F.length("text").alias("L"))
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(doc_id), int(L)
+                w, h = 1 + L % 24, 1 + L % 13
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = ((x + y + d) % 256).astype(np.uint8)[:, :, None]
+                payloads.append(multimodal.encode_png(img, filter_type=d % 5))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    media = spread(slim).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return multimodal.image_meta(media)
+
+
+SQL_PNG_META = """
+WITH dims AS (
+  SELECT doc_id, 1 + length(text) % 24 AS w, 1 + length(text) % 13 AS h
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM dims
+)
+SELECT doc_id,
+       'png' AS format,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       AVG(CAST((i % w + i // w + doc_id) % 256 AS DOUBLE)) AS mean_luma
+FROM grid GROUP BY doc_id, w, h
+"""
+
+
 # --------------------------------------------------------- audio decode
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the driver gate: synthesize a valid WAV
@@ -1342,6 +1411,7 @@ ANALYTICS_QUERIES = {
     "frame_samples": q_frame_samples,
     "image_meta": q_image_meta,
     "audio_meta": q_audio_meta,
+    "png_meta": q_png_meta,
     "benchmark_contamination": q_benchmark_contamination,
     "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
@@ -1381,6 +1451,7 @@ ANALYTICS_ORACLES = {
     "frame_samples": SQL_FRAME_SAMPLES,
     "image_meta": SQL_IMAGE_META,
     "audio_meta": SQL_AUDIO_META,
+    "png_meta": SQL_PNG_META,
     "benchmark_contamination": _contamination_sql(),
     "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,

@@ -111,3 +111,49 @@ def test_image_meta_through_spark(spark):
     assert got[3]["format"] == "bmp"
     # poison payload degrades, doesn't kill the task
     assert got[4]["format"] == "unknown" and got[4]["mean_luma"] is None
+
+
+def test_png_round_trip_all_filters_and_color_types(spark):
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, size=(9, 13, c), dtype=np.uint8)
+        for f in range(5):
+            out = decode_image(encode_png(img, filter_type=f))
+            assert out.shape == img.shape, (c, f)
+            assert (out == img).all(), (c, f)
+
+
+def test_png_palette_decode():
+    import zlib
+
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import _PNG_SIG, decode_image
+
+    # hand-build a 2x2 color-type-3 (palette) PNG: indices 0..3 -> palette
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])  # filter 0 rows
+    idat = zlib.compress(raw)
+
+    def chunk(t, b):
+        return len(b).to_bytes(4, "big") + t + b + zlib.crc32(t + b).to_bytes(4, "big")
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    png = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    out = decode_image(png)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 1].tolist() == [40, 50, 60]
+    assert out[1, 1].tolist() == [100, 110, 120]
+
+
+def test_jpeg_still_raises():
+    import pytest as _pytest
+
+    from audit_star_spark.analytics.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
