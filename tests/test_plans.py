@@ -427,3 +427,24 @@ def test_char_entropy_partial_aggregates_before_shuffle(spark):
     partial = [ln for ln in agg_nodes if "partial_count" in ln]
     assert partial, agg_nodes
     assert "Exchange hashpartitioning" in plan
+
+
+def test_doc_chunks_is_narrow_explode_no_exchange(spark):
+    """Chunking is an in-row 1:N fan-out: scan -> generate/explode ->
+    project. Any key-partitioned exchange would mean the operator shuffles
+    the corpus to slice rows it already holds."""
+    from audit_star_spark.queries_analytics import q_doc_chunks
+
+    plan = _plan(q_doc_chunks(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_sequence_packing_single_split_keyed_exchange(spark):
+    """Packing needs exactly ONE shuffle (the split-keyed window sort);
+    the cumulative sum must not add a second exchange."""
+    from audit_star_spark.queries_analytics import q_sequence_packing
+
+    plan = _plan(q_sequence_packing(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window [" in plan, plan
