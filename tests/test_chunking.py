@@ -1,0 +1,72 @@
+"""Model-based tests for context-window chunking and sequence packing."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.text import chunk_documents, sequence_packing
+
+TOKEN = st.sampled_from(["aa", "b", "ccc"])
+
+
+def _model_chunks(tokens, chunk, overlap):
+    step = chunk - overlap
+    n = len(tokens)
+    n_chunks = max(1, -(-(n - overlap) // step))
+    out = []
+    for c in range(n_chunks):
+        start = c * step
+        out.append((c, tokens[start : start + chunk]))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(TOKEN, min_size=1, max_size=40), min_size=1, max_size=10))
+def test_chunking_matches_sliding_window_model(spark, docs):
+    chunk, overlap = 16, 4
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk, overlap).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        for c, sub in _model_chunks(toks, chunk, overlap):
+            want[(i, c)] = (len(sub), " ".join(sub))
+    assert got == want
+
+
+def test_chunk_reconstruction_covers_every_token(spark):
+    """Dropping each chunk's leading overlap (except chunk 0) and
+    concatenating reconstructs the document exactly — no token is lost or
+    duplicated by the windowing."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    chunk, overlap = 32, 8
+    out = chunk_documents(docs, chunk, overlap).orderBy("doc_id", "chunk_id").collect()
+    rebuilt = {}
+    for r in out:
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        if r["chunk_id"] > 0:
+            toks = toks[overlap:]
+        rebuilt.setdefault(r["doc_id"], []).extend(toks)
+    for r in docs.select("doc_id", F.expr("split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' ')").alias("t")).collect():
+        assert rebuilt[r["doc_id"]] == list(r["t"]), r["doc_id"]
+
+
+def test_sequence_packing_invariants(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 256
+    rows = sequence_packing(docs, budget).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    for split, rs in by_split.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in rs:
+            assert r["pack_id"] == run // budget, (split, r)
+            assert r["pack_offset"] == run % budget, (split, r)
+            run += r["est_bpe_tokens"]
+        # pack ids are dense from 0
+        assert min(r["pack_id"] for r in rs) == 0
