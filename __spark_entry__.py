@@ -41,8 +41,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from audit_star_spark.queries_audit import AUDIT_QUERIES
     from audit_star_spark.queries_relational import RELATIONAL_QUERIES
 
+    # Group order matters: the driver iterates queries() in insertion order,
+    # and both r01 and r02 correctness files recorded exactly the first 50
+    # entries (8 audit + 42 relational) — the 38 analytics queries never got
+    # a driver row despite passing DuckDB-oracle parity locally. To get the
+    # analytics layer under the driver gate, analytics now comes right after
+    # audit; the relational group (driver-green in both prior rounds, still
+    # oracle-locked in tests/test_oracle_parity.py) runs last.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for group in (AUDIT_QUERIES, RELATIONAL_QUERIES, ANALYTICS_QUERIES):
+    for group in (AUDIT_QUERIES, ANALYTICS_QUERIES, RELATIONAL_QUERIES):
         for name, fn in group.items():
             out[name] = _wrap(fn)
     return out

@@ -48,8 +48,12 @@ _PAIRS_EXPR = (
 
 
 def _sq(s: str) -> str:
-    """Escape a token for embedding in a single-quoted SQL literal."""
-    return s.replace("'", "''")
+    """Escape a token for embedding in a single-quoted Spark SQL literal.
+    Backslashes must double BEFORE quote doubling: Spark's parser applies
+    C-style escape processing inside string literals (``'\\b'`` would
+    become backspace and silently corrupt the rewrite for any corpus
+    whose winning pair contains a backslash)."""
+    return s.replace("\\", "\\\\").replace("'", "''")
 
 
 def _merge_expr(a: str, b: str) -> str:

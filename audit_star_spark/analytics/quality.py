@@ -255,9 +255,16 @@ def with_char_entropy(docs: DataFrame) -> DataFrame:
     proxy (near-zero entropy = one repeated char; high entropy = diverse
     byte soup). Shape: explode positions -> (doc_id, ch) hash aggregate ->
     doc_id aggregate; both shuffles keyed by doc_id."""
+    # guard the explode: Spark's sequence(1, 0) yields the DESCENDING
+    # [1, 0] (a phantom 2-row expansion for empty text) while the oracle's
+    # generate_series(1, 0) is empty — empty docs must emit no row on
+    # either engine
     chars = spread(docs).select(
         "doc_id",
-        F.expr("explode(sequence(1, length(text)))").alias("__i"),
+        F.expr(
+            "explode(CASE WHEN length(text) > 0 "
+            "THEN sequence(1, length(text)) ELSE array() END)"
+        ).alias("__i"),
         F.col("text"),
     ).select("doc_id", F.expr("substr(text, __i, 1)").alias("ch"))
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
@@ -287,20 +294,37 @@ def streaming_quality_gate(docs_stream: DataFrame, out_path: str, checkpoint: st
     foreachBatch is the right stateful shape here BECAUSE the gate is
     per-document: every signal (length, repetition, stopwords) is a
     function of one row, so batch-local evaluation is exact — no
-    cross-batch aggregation state, no watermark, and restart safety comes
-    from the checkpointed batch id (a replayed batch overwrites append
-    idempotently at the sink's dedup level or is simply re-filtered to the
-    same rows). At scale each micro-batch is an independent bounded job —
-    the same plan the batch gate runs.
+    cross-batch aggregation state, no watermark. At scale each micro-batch
+    is an independent bounded job — the same plan the batch gate runs.
+
+    Exactly-once despite foreachBatch's at-least-once replay contract:
+    the sink partitions by ``ingest_batch_id`` and writes with DYNAMIC
+    partition overwrite, so a micro-batch replayed after a crash (data
+    write landed, checkpoint commit did not) rewrites exactly its own
+    partition instead of appending duplicates. A plain ``mode("append")``
+    parquet sink would silently double every keeper row on replay.
     """
 
-    def on_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        keep_ids = gopher_quality_flags(batch_df).filter(F.col("keep")).select("doc_id")
-        batch_df.join(keep_ids, "doc_id").write.mode("append").parquet(out_path)
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _gate_batch(batch_df, batch_id, out_path)
 
     return (
         docs_stream.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _gate_batch(batch_df: DataFrame, batch_id: int, out_path: str) -> None:
+    """One idempotent micro-batch of the streaming quality gate (exposed
+    for direct replay testing)."""
+    keep_ids = gopher_quality_flags(batch_df).filter(F.col("keep")).select("doc_id")
+    (
+        batch_df.join(keep_ids, "doc_id")
+        .withColumn("ingest_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id")
+        .parquet(out_path)
     )

@@ -449,29 +449,50 @@ def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 1) -> DataFrame:
     salt_buckets=8 — the B-side shuffle is replicated ×buckets whether or
     not any label is hot (ARCHITECTURE.md "label-NN skew guard"). Use it
     when one label dominates AND AQE's split granularity (partition-level)
-    is too coarse. Equality across both paths is test-locked."""
+    is too coarse. Equality across both paths is test-locked.
+
+    At ``salt_buckets <= 1`` the salt columns are skipped entirely: the
+    r02 bench showed the "no-op" ``explode(sequence(0, 0))`` costs 3×
+    (0.81s → 2.46s at sf0.1) — the Generate node breaks whole-stage
+    codegen across the B-side scan and forces an extra projection pass.
+
+    The argmax is ``max_by`` over a (cosine, -nn_vec_id) struct rather
+    than a row_number window: partial aggregation combines map-side, so
+    the post-join exchange carries ONE row per vec_id instead of every
+    same-label pair — at 100 TB the pair stream never shuffles."""
     base = _prepared(emb)
-    a = base.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(salt_buckets))).alias("a")
-    b = base.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    ).alias("b")
-    cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
-    pairs = (
-        a.join(
-            b,
+    if salt_buckets <= 1:
+        a, b = base.alias("a"), base.alias("b")
+        cond = (F.col("a.label") == F.col("b.label")) & (
+            F.col("a.vec_id") != F.col("b.vec_id")
+        )
+    else:
+        a = base.withColumn(
+            "salt", F.pmod(F.hash("vec_id"), F.lit(salt_buckets))
+        ).alias("a")
+        b = base.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        ).alias("b")
+        cond = (
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("a.label").alias("label"),
-            F.col("b.vec_id").alias("nn_vec_id"),
-            cos.alias("cosine"),
-        )
+    cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
+    pairs = a.join(b, cond).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("nn_vec_id"),
+        cos.alias("cosine"),
     )
+    best = F.max(F.struct(F.col("cosine"), (-F.col("nn_vec_id")).alias("neg_nn")))
     return (
-        pairs.withColumn("rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_vec_id"))))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "nn_vec_id", F.col("cosine").alias("nn_cosine"))
+        pairs.groupBy("vec_id", "label")
+        .agg(best.alias("best"))
+        .select(
+            "vec_id",
+            "label",
+            (-F.col("best.neg_nn")).alias("nn_vec_id"),
+            F.col("best.cosine").alias("nn_cosine"),
+        )
     )

@@ -25,7 +25,9 @@ def export_jsonl(
     """Write ``df`` as sharded JSONL. ``shards=None`` keeps the input
     partitioning (no extra shuffle); an explicit count repartitions
     round-robin for even shard sizes."""
-    out = df.repartition(shards) if shards else df
+    if shards is not None and shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    out = df.repartition(shards) if shards is not None else df
     out.write.mode("overwrite").option("compression", compression).json(path)
 
 

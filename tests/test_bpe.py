@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.bpe import _merge_expr, bpe_train
 
-TOKEN = st.sampled_from(["a", "b", "c"])
+# the token pool deliberately includes SQL-literal hazards: backslash
+# (Spark applies C-style escapes inside string literals — '\b' would
+# become backspace without _sq doubling it) and a single quote
+TOKEN = st.sampled_from(["a", "b", "c", "\\", "'", "\\b"])
 DOC = st.lists(TOKEN, min_size=0, max_size=12)
 
 

@@ -25,6 +25,18 @@ def test_jsonl_round_trip_sharded_gzip(spark, tmp_path):
     assert got == orig
 
 
+def test_export_jsonl_rejects_nonpositive_shards(spark):
+    import pytest as _pytest
+
+    from audit_star_spark.sources.corpus_io import export_jsonl
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        export_jsonl(df, "/tmp/never-written", shards=0)
+    with _pytest.raises(ValueError):
+        export_jsonl(df, "/tmp/never-written", shards=-2)
+
+
 def test_kmeans_train_iterates_and_converges_structurally(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     cents, shifts = kmeans_train(emb, iters=3)

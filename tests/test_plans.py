@@ -347,6 +347,22 @@ def test_label_nn_salted_join_keys_include_salt(spark):
     assert any("salt" in ln and "label" in ln for ln in join_lines), join_lines
 
 
+def test_label_nn_unsalted_has_no_generate_and_partial_agg(spark):
+    """Default (salt_buckets=1) label-NN: no Generate node may appear —
+    the r02 bench showed the vestigial explode(sequence(0,0)) costs 3×
+    by breaking codegen over the B-side scan. The argmax must be a
+    partial-aggregated HashAggregate (max_by struct), not a row_number
+    window, so the post-join exchange carries one row per vec_id."""
+    from audit_star_spark.analytics.similarity import label_nearest_neighbor
+    from audit_star_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(label_nearest_neighbor(emb))
+    assert "Generate" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
+
+
 def test_contamination_broadcasts_probe_side(spark):
     """Decontamination: the probe (eval-set) side must broadcast — the
     corpus side never shuffles before its map-side-combined count."""

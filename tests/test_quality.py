@@ -107,6 +107,19 @@ def test_char_entropy_bounds_and_degenerate_doc(spark):
         assert -1e-12 <= r["char_entropy"] <= math.log(r["n_chars"]) + 1e-12
 
 
+def test_char_entropy_empty_text_emits_no_row(spark):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0]; unguarded it
+    fabricates a phantom (n_chars=2, H=0) row for empty text while the
+    DuckDB oracle's generate_series(1, 0) emits nothing. Empty docs must
+    vanish on both engines."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "ab")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in with_char_entropy(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_chars"] == 2
+
+
 def test_quality_flags_keep_is_conjunction(spark):
     from audit_star_spark.queries_analytics import q_quality_flags
 

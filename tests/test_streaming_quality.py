@@ -44,3 +44,33 @@ def test_streaming_gate_matches_batch_gate(spark, tmp_path):
     }
     assert got == want
     assert 0 < len(got) < len(rows)  # the gate is non-trivial on this corpus
+
+
+def test_gate_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch replayed after a crash
+    (sink write landed, checkpoint commit did not) must NOT duplicate
+    keeper rows. The dynamic-partition-overwrite sink rewrites exactly its
+    own ingest_batch_id partition on replay."""
+    from audit_star_spark.analytics.quality import _gate_batch
+
+    out = str(tmp_path / "out")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    rows = docs.collect()
+    half = len(rows) // 2
+    b0 = spark.createDataFrame(rows[:half], DOC_SCHEMA)
+    b1 = spark.createDataFrame(rows[half:], DOC_SCHEMA)
+
+    _gate_batch(b0, 0, out)
+    once = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    _gate_batch(b0, 0, out)  # crash-replay of the same micro-batch
+    replayed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert replayed == once  # no duplicates, same keeper set
+
+    _gate_batch(b1, 1, out)  # a NEW batch must still append
+    both = spark.read.parquet(out)
+    assert both.count() > len(once)
+    assert both.count() == both.select("doc_id").distinct().count()
