@@ -574,6 +574,76 @@ GROUP BY l_returnflag
 """
 
 
+# -- approx percentiles (the 100 TB scale path) -----------------------------
+_APPROX_ACCURACY = 10_000  # rank error <= n / accuracy (GK summary bound)
+
+
+def q_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of ``price_percentiles``: ``approx_percentile``
+    (Greenwald-Khanna summaries, fixed memory per group) instead of the
+    exact sort-based ``percentile``, whose per-group value buffer is a
+    memory hazard once one return flag spans billions of rows.
+
+    Approximate algorithms differ across engines (Spark: GK; DuckDB:
+    t-digest), so the raw quantile values cannot hash-match an oracle.
+    What CAN be gated exactly is the algorithm's own contract: the value
+    GK returns for quantile q must occupy a rank within n/accuracy of
+    q*n in the group's true CDF. This query computes the approx values,
+    then re-scans the group counting strictly-below / at-or-below rows
+    per value (one broadcast join + one aggregate — both scale), and
+    emits per-quantile booleans that are deterministically TRUE whenever
+    the implementation honors its bound; the oracle emits TRUE constants.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(price, array(0.5, 0.9, 0.99), {_APPROX_ACCURACY})"
+        ).alias("__p")
+    ).select(
+        "l_returnflag",
+        F.col("__p")[0].alias("a50"),
+        F.col("__p")[1].alias("a90"),
+        F.col("__p")[2].alias("a99"),
+    )
+    j = li.join(F.broadcast(approx), "l_returnflag")
+    agg = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            c
+            for q in ("50", "90", "99")
+            for c in (
+                F.sum((F.col("price") < F.col(f"a{q}")).cast("long")).alias(f"lt{q}"),
+                F.sum((F.col("price") <= F.col(f"a{q}")).cast("long")).alias(f"le{q}"),
+            )
+        ],
+    )
+
+    def ok(q: str, frac: float):
+        # returned value occupies ranks (lt+1 .. le); GK guarantees that
+        # interval intersects [ (frac - eps) * n, (frac + eps) * n ]
+        eps = 1.0 / _APPROX_ACCURACY
+        lo_bound = (F.lit(frac) - F.lit(eps)) * F.col("n") - F.lit(1.0)
+        hi_bound = (F.lit(frac) + F.lit(eps)) * F.col("n") + F.lit(1.0)
+        return (
+            (F.col(f"lt{q}") + F.lit(1) <= hi_bound)
+            & (F.col(f"le{q}") >= lo_bound)
+        ).alias(f"p{q}_ok")
+
+    return agg.select("l_returnflag", ok("50", 0.5), ok("90", 0.9), ok("99", 0.99))
+
+
+SQL_PERCENTILES_APPROX = """
+SELECT l_returnflag,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok,
+       TRUE AS p99_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # -- correlated scalar subquery, decorrelated (TPC-H Q17 shape) -------------
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue from lineitems whose quantity is below 50% of their part's
@@ -1621,6 +1691,9 @@ FROM orders
 
 
 RELATIONAL_QUERIES = {
+    # first so it lands inside the driver's 50-entry gate window (see
+    # __spark_entry__.queries) — the scale-path percentile contract check
+    "price_percentiles_approx": q_price_percentiles_approx,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -1683,6 +1756,7 @@ RELATIONAL_ORACLES = {
     "part_cube": SQL_CUBE,
     "nations_with_both": SQL_INTERSECT,
     "price_percentiles": SQL_PERCENTILES,
+    "price_percentiles_approx": SQL_PERCENTILES_APPROX,
     "small_quantity_revenue": SQL_Q17,
     "orders_pivot": SQL_PIVOT,
     "promo_revenue_share": SQL_Q14,
