@@ -245,11 +245,11 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an HxWxC uint8 numpy array.
 
-    Pure-numpy parsers cover the uncompressed formats: netpbm P5/P6 and
-    BI_RGB 8/24-bit BMP. Entropy-coded formats (JPEG/PNG/...) raise
-    NotImplementedError — this environment ships no codec libraries, and
-    the mapInPandas plumbing around this call is identical whichever
-    decoder backs it."""
+    Pure-numpy parsers cover netpbm P5/P6, BI_RGB 8/24-bit BMP, 8-bit
+    non-interlaced PNG (stdlib zlib), and baseline sequential JPEG
+    (analytics/jpeg.py — Huffman + IDCT + YCbCr in numpy). Progressive
+    JPEG / other formats raise NotImplementedError; the mapInPandas
+    plumbing around this call is identical whichever decoder backs it."""
     payload = bytes(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _parse_netpbm(payload)
@@ -257,10 +257,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _parse_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from audit_star_spark.analytics.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "netpbm P5/P6, BI_RGB BMP, and 8-bit PNG decode here (PNG's "
-        "DEFLATE ships with Python); JPEG needs DCT codecs absent in "
-        "this environment"
+        "netpbm P5/P6, BI_RGB BMP, 8-bit PNG, and baseline JPEG decode "
+        "here; progressive/arithmetic JPEG and other formats are out of "
+        "scope in this codec-library-free environment"
     )
 
 
@@ -338,6 +342,8 @@ def image_meta(media: DataFrame) -> DataFrame:
                 data = bytes(payload)
                 if data[: len(_PNG_SIG)] == _PNG_SIG:
                     fmts.append("png")
+                elif data[:2] == b"\xff\xd8":
+                    fmts.append("jpeg")
                 else:
                     fmts.append({b"P5": "pgm", b"P6": "ppm", b"BM": "bmp"}[data[:2]])
                 h, w, c = img.shape

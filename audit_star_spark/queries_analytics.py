@@ -829,6 +829,79 @@ FROM grid GROUP BY doc_id, w, h
 """
 
 
+# ----------------------------------------------------------- JPEG decode
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the driver gate: per document,
+    synthesize a grayscale image of 8×8 constant tiles (tile t's value =
+    (doc_id·7 + t·13) % 256), encode with the pure-numpy baseline encoder
+    at quality=100 (all-ones quant tables), decode with the pure-numpy
+    Huffman+IDCT decoder, and emit closed-form metadata. Constant tiles
+    make the round trip BIT-EXACT — each block is DC-only with an exact
+    integer coefficient — so mean_luma is hash-stable; the tile values
+    sweep the full byte range, driving DC differentials of both signs
+    through the Huffman path. The AC run-length path is locked by
+    coefficient-exact pytest vectors (tests/test_jpeg.py)."""
+    import pandas as pd  # noqa: F401 (mapInPandas body)
+
+    from audit_star_spark.analytics.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents")
+    slim = docs.select("doc_id", F.length("text").alias("L"))
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, L in zip(pdf["doc_id"], pdf["L"]):
+                d, L = int(doc_id), int(L)
+                wt, ht = 1 + L % 4, 1 + L % 3
+                t = np.arange(wt * ht).reshape(ht, wt)
+                tiles = ((d * 7 + t * 13) % 256).astype(np.uint8)
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:, :, None]
+                payloads.append(encode_jpeg(img, quality=100))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    media = spread(slim).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return multimodal.image_meta(media)
+
+
+SQL_JPEG_META = """
+WITH dims AS (
+  SELECT doc_id, 1 + length(text) % 4 AS wt, 1 + length(text) % 3 AS ht
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id, wt, ht, unnest(generate_series(0, wt * ht - 1)) AS t FROM dims
+)
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(wt * 8 AS INT) AS width,
+       CAST(ht * 8 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       AVG(CAST((doc_id * 7 + t * 13) % 256 AS DOUBLE)) AS mean_luma
+FROM tiles GROUP BY doc_id, wt, ht
+"""
+
+
 # --------------------------------------------------------- audio decode
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the driver gate: synthesize a valid WAV
@@ -1412,6 +1485,7 @@ ANALYTICS_QUERIES = {
     "image_meta": q_image_meta,
     "audio_meta": q_audio_meta,
     "png_meta": q_png_meta,
+    "jpeg_meta": q_jpeg_meta,
     "benchmark_contamination": q_benchmark_contamination,
     "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
@@ -1452,6 +1526,7 @@ ANALYTICS_ORACLES = {
     "image_meta": SQL_IMAGE_META,
     "audio_meta": SQL_AUDIO_META,
     "png_meta": SQL_PNG_META,
+    "jpeg_meta": SQL_JPEG_META,
     "benchmark_contamination": _contamination_sql(),
     "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,

@@ -78,9 +78,13 @@ def test_bmp8_palette():
     assert np.array_equal(got, palette[idx])
 
 
-def test_entropy_coded_formats_still_raise():
-    with pytest.raises(NotImplementedError):
+def test_unknown_formats_raise_not_implemented():
+    # JPEG now decodes (analytics/jpeg.py); a malformed JPEG-signature
+    # payload is a ValueError, an unrecognized format NotImplementedError
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not supported")
 
 
 def test_resize_nearest_neighbor():
@@ -150,10 +154,11 @@ def test_png_palette_decode():
     assert out[1, 1].tolist() == [100, 110, 120]
 
 
-def test_jpeg_still_raises():
-    import pytest as _pytest
+def test_baseline_jpeg_now_decodes():
+    import numpy as np
 
+    from audit_star_spark.analytics.jpeg import encode_jpeg
     from audit_star_spark.analytics.multimodal import decode_image
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    img = np.full((8, 16, 1), 123, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg(img, quality=100)), img)
