@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from audit_star_spark.queries_analytics import ANALYTICS_QUERIES
+    from audit_star_spark.queries_analytics import ANALYTICS_QUERIES, EXTRA_QUERIES
     from audit_star_spark.queries_audit import AUDIT_QUERIES
     from audit_star_spark.queries_relational import RELATIONAL_QUERIES
 
@@ -49,7 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # audit; the relational group (driver-green in both prior rounds, still
     # oracle-locked in tests/test_oracle_parity.py) runs last.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for group in (AUDIT_QUERIES, ANALYTICS_QUERIES, RELATIONAL_QUERIES):
+    for group in (AUDIT_QUERIES, ANALYTICS_QUERIES, RELATIONAL_QUERIES, EXTRA_QUERIES):
         for name, fn in group.items():
             out[name] = _wrap(fn)
     return out
@@ -63,8 +63,13 @@ def _wrap(fn):
 
 
 def oracle_sql() -> dict[str, str]:
-    from audit_star_spark.queries_analytics import ANALYTICS_ORACLES
+    from audit_star_spark.queries_analytics import ANALYTICS_ORACLES, EXTRA_ORACLES
     from audit_star_spark.queries_audit import AUDIT_ORACLES
     from audit_star_spark.queries_relational import RELATIONAL_ORACLES
 
-    return {**AUDIT_ORACLES, **RELATIONAL_ORACLES, **ANALYTICS_ORACLES}
+    return {
+        **AUDIT_ORACLES,
+        **RELATIONAL_ORACLES,
+        **ANALYTICS_ORACLES,
+        **EXTRA_ORACLES,
+    }

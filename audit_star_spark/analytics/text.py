@@ -10,7 +10,7 @@ integer hashing uses md5-hex prefixes (identical in any engine): a token's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "on", "for"]
@@ -244,4 +244,46 @@ def sequence_packing(docs: DataFrame, budget_tokens: int = 256) -> DataFrame:
         "est_bpe_tokens",
         (prev / budget_tokens).cast("long").alias("pack_id"),
         (prev % budget_tokens).cast("long").alias("pack_offset"),
+    )
+
+
+def source_tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-source distinctive vocabulary: top-``k`` terms per source by
+    smoothed TF-IDF (tf × (ln((1+N)/(1+df)) + 1), N = number of sources,
+    df = number of sources containing the term) — the corpus-mixture
+    diagnostic that tells you WHAT each slice of a web-scale corpus is
+    actually about before weighting it.
+
+    Scale shape: one (source, term)-keyed hash aggregate with map-side
+    combine over the exploded token stream (the only corpus-sized
+    exchange); df and N derive from that aggregate, which is
+    vocab × sources sized — small — so the df join broadcasts and the
+    top-k window runs on the small side too. Ties break by term for
+    cross-engine determinism; the score is rounded to 9 decimals so the
+    last-ulp ln() difference between libm and the JVM cannot flip a
+    hash comparison."""
+    toks = docs.select(
+        F.col("source"), F.explode(F.expr(TOKENS_EXPR)).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_sources = docs.select("source").distinct().count()  # bounded scalar
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "source",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((1.0 + n_sources) / (1.0 + F.col("df"))) + F.lit(1.0)),
+            9,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "term", "tf", "df", "tfidf")
     )

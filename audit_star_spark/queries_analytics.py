@@ -1462,6 +1462,82 @@ GROUP BY d.source, d.lang
 """
 
 
+# ------------------------------------------- span dedup / source TF-IDF
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _span_dedup_sql(span_tokens: int = 10) -> str:
+    spans = (
+        f"list_distinct(list_transform("
+        f"generate_series(0, CAST(floor(len({D_TOKENS}) / {span_tokens}) AS INT) - 1), "
+        f"i -> ('0x' || substr(md5(array_to_string("
+        f"list_slice({D_TOKENS}, i * {span_tokens} + 1, i * {span_tokens} + {span_tokens}), ' ')), 1, 15))::BIGINT))"
+    )
+    return f"""
+WITH doc_spans AS (
+  SELECT doc_id, unnest({spans}) AS span_hash FROM documents
+  WHERE len({D_TOKENS}) >= {span_tokens}
+),
+span_docs AS (
+  SELECT span_hash, COUNT(*) AS n_docs FROM doc_spans GROUP BY span_hash
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+         AS dup_span_fraction
+FROM doc_spans d JOIN span_docs s USING (span_hash)
+GROUP BY d.doc_id
+"""
+
+
+def q_source_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_tfidf_topk(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_TFIDF = f"""
+WITH toks AS (
+  SELECT source, unnest({D_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY source, term
+),
+dfc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfc.df,
+         round(tf.tf * (ln((1.0 + ns.n) / (1.0 + dfc.df)) + 1.0), 9) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN ns
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS INT) AS rank, term, tf, df, tfidf
+FROM ranked WHERE rank <= 5
+"""
+
+
+# Registered as a separate trailing group: the round driver records only
+# the FIRST 50 queries() entries, and that window is already allocated
+# (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
+# — pytest-oracle-verified now, rotated into the gate window when slots
+# free up.
+EXTRA_QUERIES = {
+    "span_dedup_stats": q_span_dedup,
+    "source_tfidf_topk": q_source_tfidf,
+}
+
+EXTRA_ORACLES = {
+    "span_dedup_stats": _span_dedup_sql(),
+    "source_tfidf_topk": SQL_SOURCE_TFIDF,
+}
+
+
 ANALYTICS_QUERIES = {
     "text_stats": q_text_stats,
     "token_topk": q_token_topk,

@@ -66,17 +66,37 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # full-precision record for every query (the headline line below is
+    # size-capped): committed alongside BENCH_r{N}.json by the round driver
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({"value": total, "sf": sf, "queries": timings}, f, indent=1)
+
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # JSON from that window — r01/r02 emitted ~2.5k chars for the full
+    # suite and recorded parsed=None. Emit slowest-first and stop before
+    # the line can be truncated; the fast tail lives in BENCH_FULL.json.
+    kept: dict[str, float] = {}
+    doc = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "full_timings": "BENCH_FULL.json",
+        "queries": kept,
+        "omitted_fastest": 0,
+        "omitted_sec": 0.0,
+    }
+    slowest_first = sorted(timings.items(), key=lambda kv: -kv[1])
+    for name, sec in slowest_first:
+        kept[name] = round(sec, 2)
+        if len(json.dumps(doc, separators=(",", ":"))) > 1800:
+            del kept[name]
+            break
+    doc["omitted_fastest"] = len(timings) - len(kept)
+    doc["omitted_sec"] = round(total - sum(kept.values()), 2)
+    print(json.dumps(doc, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -363,6 +363,54 @@ def test_label_nn_unsalted_has_no_generate_and_partial_agg(spark):
     assert "partial_max" in plan or "HashAggregate" in plan, plan
 
 
+def test_approx_percentiles_broadcasts_and_never_sorts(spark):
+    """The scale-path percentile contract check: the tiny per-flag approx
+    values must broadcast back onto lineitem (never shuffle the fact
+    table), and no Sort may appear anywhere — the entire point of the
+    approx variant is that no per-group value buffer or sort exists."""
+    from audit_star_spark.queries_relational import q_price_percentiles_approx
+
+    plan = _plan(q_price_percentiles_approx(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Sort [" not in plan, plan
+
+
+def test_jpeg_gate_stays_narrow(spark):
+    """jpeg_meta: synth + encode + decode are all mapInPandas over the
+    documents scan — no Exchange may appear after the initial spread
+    repartition; the codec work is embarrassingly parallel."""
+    from audit_star_spark.queries_analytics import q_jpeg_meta
+
+    plan = _plan(q_jpeg_meta(spark, SF_DIR))
+    # the only exchange is spread()'s round-robin of the single-file scan
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan, plan  # Arrow path only
+
+
+def test_span_dedup_single_scan_no_join(spark):
+    """Span-level dedup: ONE corpus scan, at most three keyed exchanges
+    ((doc,span) distinct, span window, doc rollup), and NO join — the
+    join formulation rescanned the corpus and doubled the exchanges."""
+    from audit_star_spark.queries_analytics import q_span_dedup
+
+    plan = _plan(q_span_dedup(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_source_tfidf_broadcasts_df_side(spark):
+    """Per-source TF-IDF: the document-frequency table is vocab-sized —
+    it must broadcast onto the (source, term) aggregate, never shuffle
+    it; the only corpus-sized exchange is the term-count aggregate's."""
+    from audit_star_spark.queries_analytics import q_source_tfidf
+
+    plan = _plan(q_source_tfidf(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_contamination_broadcasts_probe_side(spark):
     """Decontamination: the probe (eval-set) side must broadcast — the
     corpus side never shuffles before its map-side-combined count."""
