@@ -43,3 +43,158 @@ def dedup_stream(
 def dedup_stream_exact(events: DataFrame, keys: Sequence[str] = ("event_id",)) -> DataFrame:
     """Exact streaming dedup with unbounded per-key state."""
     return events.dropDuplicates(list(keys))
+
+
+class StreamingNearDup:
+    """Incremental MinHash-LSH near-duplicate detection on an arriving
+    document stream — dedup-on-ingest, the shape a production corpus
+    pipeline actually runs (don't re-scan 100 TB per day; compare each
+    day's arrivals against the standing signature store).
+
+    Per micro-batch (foreachBatch):
+
+    1. MinHash/LSH signatures for the batch's documents (the SAME
+       ``analytics.dedup.minhash_signatures`` the batch operator uses —
+       one code path, two execution modes).
+    2. Candidates = band-bucket collisions of new-vs-store plus
+       new-vs-new. Pairs internal to the store were emitted by earlier
+       batches and are excluded, so each qualifying pair is emitted
+       EXACTLY once: in the batch where its later document arrives.
+    3. Exact-Jaccard verification over distinct shingle hashes (same
+       rule and threshold as the batch operator).
+    4. Pairs and the batch's signatures are written to batch-id
+       partitions with dynamic overwrite — a replayed micro-batch
+       rewrites its own partitions, so both sinks are idempotent under
+       foreachBatch's at-least-once contract.
+
+    Scale shape: the batch side is small and broadcast into both joins;
+    the store side streams through the band join keyed on (band, key).
+    The store grows by one batch of signatures per trigger — array-typed
+    shingle-hash sets, no raw text. Parity with the batch operator over
+    the union of all batches is test-locked (exactness, not just
+    similarity).
+    """
+
+    def __init__(self, store_dir: str, pairs_dir: str, threshold: float = 0.7):
+        self.store_dir = store_dir
+        self.pairs_dir = pairs_dir
+        self.threshold = threshold
+
+    def _store(self, spark):
+        import os
+
+        if not os.path.isdir(self.store_dir):
+            return None
+        try:
+            return spark.read.parquet(self.store_dir)
+        except Exception:
+            return None
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from audit_star_spark.analytics.dedup import N_BANDS, minhash_signatures
+
+        spark = batch_df.sparkSession
+        sig_cols = ["doc_id", "shash"] + [f"band_{b}" for b in range(N_BANDS)]
+        new_sig = (
+            minhash_signatures(batch_df)
+            .select(*sig_cols)
+            .withColumn("sset", F.array_distinct("shash"))
+            .drop("shash")
+            .persist()
+        )
+        prev = self._store(spark)
+        if prev is not None:
+            # replay safety: after a crash between the two sink writes the
+            # store may already hold THIS batch's partition — reading it
+            # back would double every batch doc (duplicate pairs rows)
+            prev = prev.filter(F.col("ingest_batch_id") != batch_id)
+
+        def buckets(sig, tag):
+            bands = [
+                sig.select(
+                    "doc_id", F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")
+                )
+                for b in range(N_BANDS)
+            ]
+            out = reduce(lambda a, b: a.unionByName(b), bands)
+            return out.filter(F.col("key").isNotNull()).withColumn(
+                "is_new", F.lit(tag)
+            )
+
+        all_buckets = buckets(new_sig, True)
+        if prev is not None:
+            all_buckets = buckets(prev.drop("ingest_batch_id"), False).unionByName(
+                all_buckets
+            )
+        a, b = all_buckets.alias("a"), all_buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                # at least one side new: store-internal pairs were
+                # emitted when THEIR later doc arrived
+                & (F.col("a.is_new") | F.col("b.is_new")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        sets = new_sig.select("doc_id", "sset")
+        if prev is not None:
+            sets = sets.unionByName(prev.select("doc_id", "sset"))
+        j = cand.join(
+            sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "sset", "set_a"
+            ),
+            "doc_a",
+        ).join(
+            sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sset", "set_b"
+            ),
+            "doc_b",
+        )
+        inter = F.size(F.array_intersect("set_a", "set_b"))
+        union = F.size("set_a") + F.size("set_b") - inter
+        pairs = (
+            j.select(
+                "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .withColumn("ingest_batch_id", F.lit(batch_id))
+        )
+        (
+            pairs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(self.pairs_dir)
+        )
+        (
+            new_sig.withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(self.store_dir)
+        )
+        new_sig.unpersist()
+
+    def start(self, docs_stream: DataFrame, checkpoint: str):
+        return (
+            docs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def pairs(self, spark) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.pairs_dir):
+            return None
+        return spark.read.parquet(self.pairs_dir).drop("ingest_batch_id")

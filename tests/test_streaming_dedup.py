@@ -96,3 +96,51 @@ def test_batch_and_stream_dedup_agree(spark, tmp_path):
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     want = sorted(r.event_id for r in batch.collect())
     assert got == want
+
+
+def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
+    """Incremental LSH over 3 arrivals must emit EXACTLY the batch
+    operator's pair set over the union — each pair once, in the batch
+    where its later document arrived — and a replayed micro-batch must
+    not duplicate pairs or signatures."""
+    from audit_star_spark.analytics.dedup import minhash_lsh_pairs
+    from audit_star_spark.streaming.dedup import StreamingNearDup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+    )
+    rows = docs.collect()
+    chunks = [rows[0:50], rows[50:100], rows[100:150]]
+    nd = StreamingNearDup(
+        str(tmp_path / "store"), str(tmp_path / "pairs"), threshold=0.7
+    )
+    src = str(tmp_path / "src")
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        nd.start(stream, str(tmp_path / "ckpt")).awaitTermination()
+
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"), threshold=0.7
+        ).collect()
+    }
+    got_rows = nd.pairs(spark).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got)  # exactly-once: no duplicate rows
+    assert len(want) > 0  # the corpus actually has near-dups at 0.7
+
+    # crash-replay of the final batch: both sinks must be unchanged
+    last_batch = spark.createDataFrame(chunks[-1], "doc_id long, text string")
+    n_before = nd.pairs(spark).count()
+    sig_before = spark.read.parquet(str(tmp_path / "store")).count()
+    nd.process_batch(last_batch, 2)
+    assert nd.pairs(spark).count() == n_before
+    assert spark.read.parquet(str(tmp_path / "store")).count() == sig_before
+    assert {(r["doc_a"], r["doc_b"]) for r in nd.pairs(spark).collect()} == want
