@@ -501,13 +501,60 @@ FROM pairs GROUP BY 1, 2 HAVING MAX(cosine) >= {threshold}
 # --------------------------------------------- capped sessions (stateful)
 def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom accumulate-and-reset sessionization (gap OR value-cap split)
-    via applyInPandas. No DuckDB oracle: the per-user running sum with
-    reset is not expressible in windowed SQL — the driver records a
-    rows-only check; exact semantics are covered by
-    tests/test_streaming_sessions.py against the streaming twin."""
+    via mapInPandas. The per-user running sum with reset is not a window
+    expression, but it IS a sequential fold — the DuckDB oracle walks it
+    with a RECURSIVE CTE (one step per event per user, state carried in
+    the recursion), upgrading this from the r02 rows-only driver check to
+    a full value-hash row. Streaming ≡ batch parity additionally locked
+    in tests/test_streaming_sessions.py."""
     from audit_star_spark.streaming.sessions import capped_sessions_batch
 
     return capped_sessions_batch(load_table(spark, sf_dir, "events"), value_cap=500.0)
+
+
+# Emission rule mirrored from streaming/sessions._split_sessions: close on
+# a >1h gap BEFORE absorbing the event, close the moment the accumulated
+# value reaches 500 AFTER absorbing it, flush the tail. A session row
+# exists where the state was closed at that step (cap), where the NEXT
+# step restarted (gap), or at the user's last event. No (user_id, ts)
+# ties exist in the feed, so the per-user order — and therefore the
+# float accumulation order — is identical on both engines.
+SQL_CAPPED_SESSIONS = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+walk AS (
+  SELECT user_id, rn, ts AS s_start, ts AS s_end,
+         CAST(1 AS BIGINT) AS n, v AS cum, (v >= 500.0) AS closed
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN w.closed OR e.ts > w.s_end + INTERVAL 3600 SECOND
+              THEN e.ts ELSE w.s_start END,
+         e.ts,
+         CASE WHEN w.closed OR e.ts > w.s_end + INTERVAL 3600 SECOND
+              THEN 1 ELSE w.n + 1 END,
+         CASE WHEN w.closed OR e.ts > w.s_end + INTERVAL 3600 SECOND
+              THEN e.v ELSE w.cum + e.v END,
+         CASE WHEN w.closed OR e.ts > w.s_end + INTERVAL 3600 SECOND
+              THEN e.v >= 500.0 ELSE w.cum + e.v >= 500.0 END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+),
+flagged AS (
+  SELECT user_id, rn, s_start, s_end, n, cum, closed,
+         LEAD(n) OVER (PARTITION BY user_id ORDER BY rn) AS next_n
+  FROM walk
+)
+SELECT user_id,
+       s_start AS session_start,
+       s_end AS session_end,
+       CAST(n AS BIGINT) AS n_events,
+       cum AS session_value
+FROM flagged
+WHERE closed OR next_n IS NULL OR next_n = 1
+"""
 
 
 # --------------------------------------------------------- multimodal stub
@@ -1597,6 +1644,7 @@ ANALYTICS_ORACLES = {
     "knn_lsh": _knn_sql(k=5, n_queries=8, bucketed=True),
     "knn_ivf": _ivf_sql(),
     "label_nearest_neighbor": SQL_LABEL_NN,
+    "capped_user_sessions": SQL_CAPPED_SESSIONS,
     "multimodal_features": SQL_MULTIMODAL,
     "frame_samples": SQL_FRAME_SAMPLES,
     "image_meta": SQL_IMAGE_META,
