@@ -154,3 +154,100 @@ def test_image_meta_decodes_jpeg_and_degrades_on_truncation(spark):
     assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (8, 16, 1)
     assert out[0]["mean_luma"] == 77.0
     assert out[1]["format"] == "unknown" and out[1]["width"] is None
+
+
+def test_restart_markers_reset_dc_prediction():
+    """DRI/RSTn path: a grayscale file with restart interval 2 — the
+    writer byte-aligns and resets the DC predictor at each RST, so a
+    decoder that failed to do the same would mis-predict every block
+    after the first marker."""
+    qt = np.ones((8, 8), dtype=np.int64)
+    w, h, ri = 48, 8, 2  # 6 blocks, RST after every 2
+    head = bytearray(b"\xff\xd8")
+    head += _dqt_seg(0, qt)
+    head += _seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    head += _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    head += _dht_seg(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    head += _seg(0xDD, (ri).to_bytes(2, "big"))  # DRI
+    head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_codes = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    # constant blocks with distinct values: DC diff coding crosses each
+    # restart boundary where prediction must restart from 0
+    values = [40, 200, 90, 15, 250, 128]
+    bw = _BitWriter()
+    pred = 0
+    for i, val in enumerate(values):
+        if i and i % ri == 0:
+            pad = (8 - bw.nbits) % 8
+            if pad:
+                bw.write((1 << pad) - 1, pad)
+            bw.out += bytes([0xFF, 0xD0 + ((i // ri - 1) % 8)])  # RSTn, unstuffed
+            pred = 0
+        dc = 8 * (val - 128)  # exact DC of a constant block at qt=1
+        diff = dc - pred
+        pred = dc
+        size = _category(abs(diff))
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    payload = bytes(head) + bw.flush() + b"\xff\xd9"
+    got = decode_jpeg(payload)
+    assert got.shape == (8, 48, 1)
+    for i, val in enumerate(values):
+        blk = got[:, i * 8 : (i + 1) * 8, 0]
+        assert np.all(blk == val), (i, val, np.unique(blk))
+
+
+def test_420_chroma_subsampling_decodes():
+    """4:2:0 path: hand-encode a 16x16 color image as one MCU (four Y
+    blocks + one Cb + one Cr at half resolution). Constant planes make
+    every block DC-only and exact, so the decoded RGB must equal the
+    closed-form YCbCr inverse."""
+    y_val, cb_val, cr_val = 120, 90, 160
+    qt = np.ones((8, 8), dtype=np.int64)
+    head = bytearray(b"\xff\xd8")
+    head += _dqt_seg(0, qt)
+    head += _seg(
+        0xC0,
+        bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    head += _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    head += _dht_seg(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    head += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dc_codes = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_block(cid, val):
+        dc = 8 * (val - 128)
+        diff = dc - preds[cid]
+        preds[cid] = dc
+        size = _category(abs(diff))
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+
+    for _ in range(4):  # Y blocks of the single MCU (2x2)
+        put_block(1, y_val)
+    put_block(2, cb_val)
+    put_block(3, cr_val)
+    payload = bytes(head) + bw.flush() + b"\xff\xd9"
+    got = decode_jpeg(payload)
+    assert got.shape == (16, 16, 3)
+    r = int(np.clip(round(y_val + 1.402 * (cr_val - 128)), 0, 255))
+    g = int(np.clip(round(y_val - 0.344136 * (cb_val - 128) - 0.714136 * (cr_val - 128)), 0, 255))
+    b = int(np.clip(round(y_val + 1.772 * (cb_val - 128)), 0, 255))
+    assert np.all(got == np.array([r, g, b], dtype=np.uint8)), got[0, 0]
