@@ -334,7 +334,12 @@ def image_meta(media: DataFrame) -> DataFrame:
             for payload in pdf["payload"]:
                 try:
                     img = decode_image(bytes(payload))
-                except (NotImplementedError, ValueError, IndexError):
+                except Exception:  # noqa: BLE001 — poison-payload degrade:
+                    # fuzzing corrupted JPEGs surfaced KeyError (missing
+                    # Huffman table id), TypeError, and StopIteration
+                    # beyond the expected ValueError/IndexError — ANY
+                    # decode failure must degrade this row, never kill
+                    # a corpus-scale stage
                     fmts.append("unknown")
                     ws.append(None), hs.append(None), cs.append(None)
                     lumas.append(None)
@@ -449,7 +454,8 @@ def audio_meta(media: DataFrame) -> DataFrame:
             for payload in pdf["payload"]:
                 try:
                     rate, channels, s = _parse_wav(bytes(payload))
-                except (ValueError, IndexError):
+                except Exception:  # noqa: BLE001 — same poison-payload
+                    # degrade rule as image_meta
                     for k in cols:
                         cols[k].append(None)
                     cols["format"][-1] = "unknown"

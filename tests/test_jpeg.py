@@ -251,3 +251,28 @@ def test_420_chroma_subsampling_decodes():
     g = int(np.clip(round(y_val - 0.344136 * (cb_val - 128) - 0.714136 * (cr_val - 128)), 0, 255))
     b = int(np.clip(round(y_val + 1.772 * (cb_val - 128)), 0, 255))
     assert np.all(got == np.array([r, g, b], dtype=np.uint8)), got[0, 0]
+
+
+def test_corrupted_payloads_always_degrade_in_image_meta(spark):
+    """Poison-payload robustness at the operator level: byte-flipped
+    JPEGs raise a whole zoo (fuzzing surfaced KeyError from missing
+    Huffman table ids, TypeError, StopIteration beyond ValueError /
+    IndexError) — image_meta must degrade EVERY such row to
+    format='unknown', never propagate into the Spark task."""
+    import random
+
+    img = RNG.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    good = bytearray(encode_jpeg(img, quality=90))
+    random.seed(5)
+    rows = []
+    for i in range(60):
+        p = bytearray(good)
+        for _ in range(random.randint(1, 4)):
+            p[random.randrange(len(p))] = random.randrange(256)
+        rows.append((i, p))
+    from audit_star_spark.analytics.multimodal import image_meta
+
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = image_meta(media).collect()  # must not raise
+    assert len(out) == 60
+    assert {r["format"] for r in out} <= {"jpeg", "unknown"}
