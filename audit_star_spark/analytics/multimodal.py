@@ -579,7 +579,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                     "head_mean": payloads.map(
-                        lambda b: float(sum(bytes(b)[:16])) / min(len(b), 16)
+                        # max(..., 1): a zero-byte payload must yield 0.0,
+                        # not a stage-killing ZeroDivisionError
+                        lambda b: float(sum(bytes(b)[:16])) / max(min(len(b), 16), 1)
                     ),
                 }
             )

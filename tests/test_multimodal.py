@@ -162,3 +162,13 @@ def test_baseline_jpeg_now_decodes():
 
     img = np.full((8, 16, 1), 123, dtype=np.uint8)
     assert np.array_equal(decode_image(encode_jpeg(img, quality=100)), img)
+
+
+def test_extract_features_empty_payload_degrades(spark):
+    from audit_star_spark.analytics.multimodal import extract_features
+
+    rows = [(0, bytearray(b"")), (1, bytearray(b"abc"))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert out[0]["n_bytes"] == 0 and out[0]["head_mean"] == 0.0
+    assert out[1]["n_bytes"] == 3
