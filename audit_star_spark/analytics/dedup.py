@@ -490,10 +490,16 @@ def span_dedup_stats(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
         docs.select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
+            # CASE guard: sequence(0, -1) is Spark's DESCENDING [0, -1]
+            # (the same pitfall as quality.with_char_entropy) — a doc
+            # shorter than one span must produce NO spans, not two
+            # phantom ones (caught by the hypothesis model test)
             F.expr(
+                f"CASE WHEN size(toks) >= {span_tokens} THEN "
                 f"transform(sequence(0, CAST(floor(size(toks) / {span_tokens}) AS INT) - 1), "
                 f"i -> CAST(conv(substring(md5(array_join("
-                f"slice(toks, i * {span_tokens} + 1, {span_tokens}), ' ')), 1, 15), 16, 10) AS BIGINT))"
+                f"slice(toks, i * {span_tokens} + 1, {span_tokens}), ' ')), 1, 15), 16, 10) AS BIGINT)) "
+                f"ELSE CAST(array() AS array<bigint>) END"
             ).alias("span_hashes"),
         )
         .filter(F.size("span_hashes") > 0)
