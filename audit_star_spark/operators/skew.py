@@ -42,6 +42,11 @@ def salted_join(
     stay replayable); the small side is exploded once per salt value.
     Shuffle volume: big side unchanged, small side x salt_buckets.
     """
+    if salt_buckets < 1:
+        # pmod(x, 0) is NULL and sequence(0, -1) is the DESCENDING
+        # [0, -1] — a zero bucket count would silently drop every row
+        # from the join instead of failing
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     big_salted = big.withColumn(
         SALT, F.pmod(F.hash(*[qcol(c) for c in big.columns]), F.lit(salt_buckets))
     )

@@ -103,3 +103,12 @@ def test_stratified_sample_nested_and_deterministic(spark):
     assert s20 <= s50 and len(s20) < len(s50)
     again = {r.doc_id for r in stratified_sample(docs, {"en": 20}).collect()}
     assert again == s20
+
+
+def test_salted_join_rejects_zero_buckets(spark):
+    import pytest as _pytest
+
+    big = spark.range(4).withColumnRenamed("id", "k")
+    small = spark.range(2).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        salted_join(big, small, on="k", salt_buckets=0)
