@@ -46,7 +46,46 @@ def specs_from_config(config: EngineConfig) -> tuple[list[TableSpec], dict[str, 
     return specs, feeds, live_paths
 
 
+def corpus_main(argv: list[str]) -> int:
+    """``python -m audit_star_spark corpus`` — run the composed corpus
+    cleaning pipeline (quality gate -> exact dedup -> near-dup dedup ->
+    chunk/pack layouts -> JSONL export) over a documents parquet."""
+    ap = argparse.ArgumentParser(prog="audit_star_spark corpus")
+    ap.add_argument("--in", dest="in_path", required=True,
+                    help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--out", dest="out_dir", required=True)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--chunk-tokens", type=int, default=64)
+    ap.add_argument("--overlap", type=int, default=8)
+    ap.add_argument("--budget-tokens", type=int, default=256)
+    ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    from audit_star_spark.pipeline import run_corpus_pipeline
+    from audit_star_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_star_spark-corpus", master=args.master)
+    stats = run_corpus_pipeline(
+        spark,
+        args.in_path,
+        args.out_dir,
+        near_dup_threshold=args.near_dup_threshold,
+        chunk_tokens=args.chunk_tokens,
+        overlap=args.overlap,
+        budget_tokens=args.budget_tokens,
+        shards=args.shards,
+    )
+    for k, v in stats.items():
+        print(f"{k:22s} {v}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "corpus":
+        return corpus_main(argv[1:])
     # flag names mirror the reference CLI (audit.go:46–47)
     ap = argparse.ArgumentParser(prog="audit_star_spark")
     ap.add_argument("-cfg", default="audit.yml", help="path to YAML config")

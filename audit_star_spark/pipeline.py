@@ -1,0 +1,99 @@
+"""End-to-end corpus cleaning pipeline — the composed product surface of
+the analytics layer: quality gate -> exact dedup -> near-dup dedup ->
+chunking + packing layout -> sharded JSONL export, with per-stage counts.
+
+This is the "switch to this repo and run your pipeline" entry point: each
+stage is exactly the standalone operator the driver gate verifies
+(quality.gopher_quality_flags, dedup.exact_dedup, dedup.minhash_lsh_pairs
++ dedup_clusters, text.chunk_documents / sequence_packing,
+corpus_io.export_jsonl) — the pipeline only composes and materializes.
+
+Scale notes: stage boundaries are materialized (persist for the
+stage-count scalars, parquet writes for the outputs) — at 100 TB each
+boundary would be a storage write anyway, and the counts the report
+needs are partial-aggregated scalars, not data collects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    near_dup_threshold: float = 0.7,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    budget_tokens: int = 256,
+    shards: int | None = None,
+) -> dict:
+    """Run the full cleaning pipeline over a documents parquet
+    (``doc_id``, ``text``, extra columns carried through). Writes
+    ``clean_jsonl/`` (surviving documents), ``chunks.parquet``,
+    ``packing.parquet``, and ``stats.json`` under ``out_dir``; returns
+    the stats dict."""
+    from audit_star_spark.analytics.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from audit_star_spark.analytics.quality import gopher_quality_flags
+    from audit_star_spark.analytics.text import chunk_documents, sequence_packing
+    from audit_star_spark.sources.corpus_io import export_jsonl
+
+    docs = spark.read.parquet(in_path)
+    stats: dict[str, int] = {"n_input": docs.count()}
+
+    # 1. rule-based quality gate (per-document, zero-shuffle scoring).
+    # persist the slim verdict BEFORE filtering on keep: a filter on the
+    # un-persisted chain gets predicate-pushed through the staged
+    # projections, re-inlining the tokenizer ~177x into one interpreted
+    # scan filter BELOW the spread repartition — measured 372s for 200
+    # docs on one task vs ~1s staged (ARCHITECTURE.md, quality-chain
+    # lessons). The cache pins the staged plan behind an
+    # InMemoryRelation pushdown barrier.
+    flags = gopher_quality_flags(docs).select("doc_id", "keep").persist()
+    keep_ids = flags.filter(F.col("keep")).select("doc_id")
+    gated = docs.join(keep_ids, "doc_id").persist()
+    stats["n_after_quality"] = gated.count()
+    flags.unpersist()
+
+    # 2. exact dedup: keep each content hash's canonical (min) doc_id
+    canon = exact_dedup(gated).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    exact = gated.join(canon, "doc_id").persist()
+    stats["n_after_exact_dedup"] = exact.count()
+    gated.unpersist()
+
+    # 3. near-dup dedup: LSH pairs -> connected components -> keep each
+    # cluster's minimum doc_id (docs in no cluster survive by default)
+    pairs = minhash_lsh_pairs(exact, threshold=near_dup_threshold)
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    clean = exact.join(drop, "doc_id", "left_anti").persist()
+    stats["n_after_near_dedup"] = clean.count()
+    exact.unpersist()
+
+    # 4. training layouts + export (all from the SAME survivor set)
+    chunks = chunk_documents(clean, chunk_tokens=chunk_tokens, overlap=overlap)
+    chunks.write.mode("overwrite").parquet(os.path.join(out_dir, "chunks.parquet"))
+    stats["n_chunks"] = spark.read.parquet(
+        os.path.join(out_dir, "chunks.parquet")
+    ).count()
+
+    packing = sequence_packing(clean, budget_tokens=budget_tokens)
+    packing.write.mode("overwrite").parquet(os.path.join(out_dir, "packing.parquet"))
+
+    export_jsonl(clean, os.path.join(out_dir, "clean_jsonl"), shards=shards)
+    clean.unpersist()
+
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats

@@ -1,0 +1,76 @@
+"""The composed corpus pipeline: per-stage counts are consistent with
+the standalone operators it composes, and every artifact lands."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    from audit_star_spark.analytics.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from audit_star_spark.analytics.quality import gopher_quality_flags
+    from audit_star_spark.pipeline import run_corpus_pipeline
+
+    src = str(tmp_path / "docs.parquet")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "out")
+    stats = run_corpus_pipeline(spark, src, out, shards=2)
+
+    # monotone survivor funnel
+    assert (
+        stats["n_input"]
+        >= stats["n_after_quality"]
+        >= stats["n_after_exact_dedup"]
+        >= stats["n_after_near_dedup"]
+        > 0
+    )
+
+    # stage counts equal the standalone operators composed by hand
+    # (persist the slim verdict BEFORE the keep filter — the
+    # filter-pushdown re-inlining lesson applies here too)
+    docs = spark.read.parquet(src)
+    flags = gopher_quality_flags(docs).select("doc_id", "keep").persist()
+    keep = flags.filter(F.col("keep")).select("doc_id")
+    gated = docs.join(keep, "doc_id")
+    assert stats["n_after_quality"] == gated.count()
+    canon = exact_dedup(gated).select(F.col("canonical_doc_id").alias("doc_id"))
+    exact = gated.join(canon, "doc_id")
+    assert stats["n_after_exact_dedup"] == exact.count()
+    clusters = dedup_clusters(minhash_lsh_pairs(exact, threshold=0.7))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    want_clean = exact.join(drop, "doc_id", "left_anti")
+    assert stats["n_after_near_dedup"] == want_clean.count()
+
+    # artifacts exist and agree with the stats
+    chunks = spark.read.parquet(os.path.join(out, "chunks.parquet"))
+    assert chunks.count() == stats["n_chunks"]
+    assert chunks.select("doc_id").distinct().count() == stats["n_after_near_dedup"]
+    packing = spark.read.parquet(os.path.join(out, "packing.parquet"))
+    assert packing.count() == stats["n_after_near_dedup"]
+    exported = spark.read.json(os.path.join(out, "clean_jsonl"))
+    assert exported.count() == stats["n_after_near_dedup"]
+    with open(os.path.join(out, "stats.json")) as f:
+        assert json.load(f) == stats
+
+
+def test_corpus_cli_smoke(spark, tmp_path, capsys):
+    from audit_star_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60)
+        .write.parquet(src)
+    )
+    rc = main(["corpus", "--in", src, "--out", str(tmp_path / "o"), "--shards", "1"])
+    assert rc == 0
+    assert "n_after_near_dedup" in capsys.readouterr().out
