@@ -1,0 +1,131 @@
+"""Time-series operators over the ``events`` table: dense resampling with
+gap fill + last-observation-carried-forward, and an ordered conversion
+funnel. The reference's schema-versioned views have no time-series surface
+(its temporal op is the audit as-of lookup, audit.go:1073–1080); these are
+the hypertable-rollup-style operators an event pipeline adds on top.
+
+Scale design: everything aggregates BEFORE it densifies. The raw event
+stream is reduced per (event_type, bucket) with map-side partial
+aggregation (one shuffle keyed by the group), and only then joined to the
+generated spine — so the spine join and the LOCF window run over
+|types| x |buckets| rows (time-bounded, thousands), never over raw events.
+The funnel is per-user conditional aggregation: three groupBys on the same
+user_id key (co-partitioned exchanges, AQE-coalesced) and a tiny rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = {"hour": "interval 1 hour", "day": "interval 1 day"}
+
+
+def _cents(col: str) -> F.Column:
+    # exact integer cents (HALF_UP decimal cast, identical in DuckDB):
+    # double sums are summation-order-sensitive at the last ulp; integer
+    # sums are associative, so any partial-aggregation order is bit-exact
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def resample_events(events: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Dense per (event_type, bucket) series over the full observed time
+    range: ``n_events``/``total_value`` (0 on gap buckets), ``is_gap``, and
+    ``avg_value_locf`` — the bucket's average value with gaps filled by the
+    last observed bucket's average (NULL until a type's first observation).
+
+    The spine is generated from a 1-row global min/max aggregate
+    broadcast-crossed with the distinct type set, so gap buckets exist on
+    any engine regardless of which buckets have data.
+    """
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}, got {bucket!r}")
+    agg = events.groupBy(
+        "event_type", F.date_trunc(bucket, F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("__n"),
+        F.sum(_cents("value")).alias("__sv"),
+    )
+    bounds = events.agg(
+        F.date_trunc(bucket, F.min("ts")).alias("__lo"),
+        F.date_trunc(bucket, F.max("ts")).alias("__hi"),
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, {_BUCKETS[bucket]})")
+            ).alias("bucket"),
+        )
+    )
+    dense = spine.join(agg, ["event_type", "bucket"], "left")
+    # exact average from integer cents: sv/100/n with one final division
+    avg = F.col("__sv").cast("double") / 100.0 / F.col("__n").cast("double")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        (F.coalesce(F.col("__sv"), F.lit(0)).cast("double") / 100.0).alias(
+            "total_value"
+        ),
+        F.col("__n").isNull().alias("is_gap"),
+        F.last(avg, ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
+def event_funnel(events: DataFrame, stages: list[str]) -> DataFrame:
+    """Ordered conversion funnel: per stage, how many users reached it —
+    a user reaches stage k iff they have a ``stages[k]`` event strictly
+    after their (earliest qualifying) stage k-1 event. Output:
+    (stage_idx, stage, n_users, conversion_rate vs previous stage).
+
+    Each level is min-timestamp conditional aggregation per user joined
+    back to the event stream — the textbook funnel definition, expressible
+    identically in ANSI SQL (the oracle mirrors it CTE for CTE).
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    reached = None  # per-user frame: user_id, __t (ts of reaching current stage)
+    counts = []
+    for idx, stage in enumerate(stages):
+        ev = events.filter(F.col("event_type") == stage)
+        if reached is None:
+            reached = ev.groupBy("user_id").agg(F.min("ts").alias("__t"))
+        else:
+            reached = (
+                ev.join(reached, "user_id")
+                .filter(F.col("ts") > F.col("__t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("__t"))
+            )
+        counts.append(
+            reached.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(idx + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # global window over a |stages|-row frame — not a data-scale window
+    w = Window.orderBy("stage_idx")
+    prev = F.lag("n_users").over(w)
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.nullif(prev, F.lit(0)).cast("double"),
+            9,
+        ).alias("conversion_rate"),
+    )

@@ -1569,6 +1569,115 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ------------------------------------------ time-series / ranged joins
+def q_event_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.analytics.timeseries import resample_events
+
+    return resample_events(load_table(spark, sf_dir, "events"), bucket="hour")
+
+
+SQL_EVENT_RESAMPLE = """
+WITH agg AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi FROM events
+),
+spine AS (
+  SELECT t.event_type,
+         CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+           AS bucket
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+)
+SELECT s.event_type, s.bucket,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.sv, 0) AS DOUBLE) / 100.0 AS total_value,
+       a.n IS NULL AS is_gap,
+       last_value(CAST(a.sv AS DOUBLE) / 100.0 / CAST(a.n AS DOUBLE) IGNORE NULLS)
+         OVER (PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+"""
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged-join showcase: for every purchase, how many click/view
+    events the same user produced in the hour before it (half-open
+    window, purchase instant excluded)."""
+    from audit_star_spark.operators.ranged import ranged_count_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    prior = ev.filter(F.col("event_type").isin("click", "view"))
+    return ranged_count_join(
+        purchases,
+        prior,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_s=-3600,
+        upper_s=0,
+        counts={
+            "n_prior_clicks": F.col("r_event_type") == "click",
+            "n_prior_views": F.col("r_event_type") == "view",
+        },
+        carry_right=("event_type",),
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COALESCE(SUM(CASE WHEN e.event_type = 'click' THEN 1 END), 0)
+         AS BIGINT) AS n_prior_clicks,
+       CAST(COALESCE(SUM(CASE WHEN e.event_type = 'view' THEN 1 END), 0)
+         AS BIGINT) AS n_prior_views
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN events e
+  ON e.user_id = p.user_id AND e.event_type IN ('click', 'view')
+ AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+GROUP BY 1, 2, 3
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.analytics.timeseries import event_funnel
+
+    return event_funnel(
+        load_table(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+c AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM s1
+  UNION ALL
+  SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+)
+SELECT stage_idx, stage, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / CAST(nullif(lag(n_users) OVER (ORDER BY stage_idx), 0)
+                    AS DOUBLE), 9) AS conversion_rate
+FROM c
+"""
+
+
 # Registered as a separate trailing group: the round driver records only
 # the FIRST 50 queries() entries, and that window is already allocated
 # (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
@@ -1577,11 +1686,17 @@ FROM ranked WHERE rank <= 5
 EXTRA_QUERIES = {
     "span_dedup_stats": q_span_dedup,
     "source_tfidf_topk": q_source_tfidf,
+    "event_resample_hourly": q_event_resample,
+    "purchase_attribution": q_purchase_attribution,
+    "event_funnel": q_event_funnel,
 }
 
 EXTRA_ORACLES = {
     "span_dedup_stats": _span_dedup_sql(),
     "source_tfidf_topk": SQL_SOURCE_TFIDF,
+    "event_resample_hourly": SQL_EVENT_RESAMPLE,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    "event_funnel": SQL_EVENT_FUNNEL,
 }
 
 

@@ -1,0 +1,142 @@
+"""Ranged (interval) aggregate join + time-series resample/funnel:
+model-based checks against driver-side brute force, edge semantics, and
+the no-nested-loop plan lock."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.timeseries import event_funnel, resample_events
+from audit_star_spark.operators.ranged import ranged_count_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def test_ranged_count_join_matches_bruteforce(spark):
+    rng = random.Random(7)
+    left = [(i, rng.randrange(5), _ts(rng.uniform(0, 3600))) for i in range(40)]
+    right = [
+        (rng.randrange(5), _ts(rng.uniform(-300, 3900)), rng.choice(["a", "b"]))
+        for _ in range(200)
+    ]
+    ldf = spark.createDataFrame(left, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, tag string")
+    lower, upper = -120.0, 30.0
+    got = {
+        r["lid"]: (r["n_a"], r["n_all"])
+        for r in ranged_count_join(
+            ldf,
+            rdf,
+            keys=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            lower_s=lower,
+            upper_s=upper,
+            bucket_s=60,
+            counts={"n_a": F.col("r_tag") == "a", "n_all": None},
+            carry_right=("tag",),
+        ).collect()
+    }
+    for lid, k, lts in left:
+        n_a = n_all = 0
+        for rk, rts, tag in right:
+            if rk == k and lts + dt.timedelta(seconds=lower) <= rts < lts + dt.timedelta(seconds=upper):
+                n_all += 1
+                n_a += tag == "a"
+        assert got[lid] == (n_a, n_all), f"lid={lid}"
+    assert len(got) == len(left)  # zero-match left rows kept with count 0
+
+
+def test_ranged_count_join_default_bucket_and_count(spark):
+    ldf = spark.createDataFrame([(1, _ts(100))], "k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(1, _ts(99.9999)), (1, _ts(100)), (1, _ts(50)), (2, _ts(99))],
+        "k long, ts timestamp",
+    )
+    # window [ts-60, ts): strictly-before semantics, key must match
+    [row] = ranged_count_join(
+        ldf, rdf, keys=["k"], left_ts="ts", right_ts="ts", lower_s=-60, upper_s=0
+    ).collect()
+    assert row["n_in_range"] == 2  # 99.9999s and 50s; 100s excluded, key 2 excluded
+
+
+def test_ranged_count_join_rejects_bad_windows(spark):
+    df = spark.createDataFrame([(1, T0)], "k long, ts timestamp")
+    with pytest.raises(ValueError, match="empty window"):
+        ranged_count_join(df, df, ["k"], "ts", "ts", 10, 10)
+    with pytest.raises(ValueError, match="bucket_s"):
+        ranged_count_join(df, df, ["k"], "ts", "ts", 0, 10, bucket_s=0)
+
+
+def test_ranged_join_plan_is_bucketed_equi_join(spark):
+    ldf = spark.createDataFrame([(1, T0)], "k long, ts timestamp")
+    rdf = spark.createDataFrame([(1, T0)], "k long, ts timestamp")
+    df = ranged_count_join(ldf, rdf, ["k"], "ts", "ts", -60, 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_gap_fill_and_locf(spark):
+    # type x: data in hours 0 and 2 (gap at 1); type y: hour 1 only.
+    # global bounds are hours 0..2, so every type gets 3 buckets.
+    events = spark.createDataFrame(
+        [
+            (1, _ts(60), 1, "x", 10.0, ""),
+            (2, _ts(120), 1, "x", 20.0, ""),
+            (3, _ts(2 * 3600 + 60), 1, "x", 7.0, ""),
+            (4, _ts(3600 + 5), 2, "y", 5.0, ""),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {
+        (r["event_type"], r["bucket"].hour): r
+        for r in resample_events(events, bucket="hour").collect()
+    }
+    assert len(rows) == 6
+    x0, x1, x2 = rows[("x", 0)], rows[("x", 1)], rows[("x", 2)]
+    assert (x0["n_events"], x0["total_value"], x0["is_gap"]) == (2, 30.0, False)
+    assert x0["avg_value_locf"] == 15.0
+    assert (x1["n_events"], x1["total_value"], x1["is_gap"]) == (0, 0.0, True)
+    assert x1["avg_value_locf"] == 15.0  # carried forward across the gap
+    assert x2["avg_value_locf"] == 7.0
+    y0, y1 = rows[("y", 0)], rows[("y", 1)]
+    assert y0["is_gap"] and y0["avg_value_locf"] is None  # before first obs
+    assert y1["avg_value_locf"] == 5.0
+    with pytest.raises(ValueError, match="bucket"):
+        resample_events(events, bucket="minute")
+
+
+def test_event_funnel_requires_stage_order(spark):
+    # u1 full ordered funnel; u2 purchase BEFORE view (stage 3 not reached);
+    # u3 never signs up (excluded from stage 1 onward)
+    events = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, "signup", 0.0, ""),
+            (2, _ts(10), 1, "view", 0.0, ""),
+            (3, _ts(20), 1, "purchase", 0.0, ""),
+            (4, _ts(0), 2, "signup", 0.0, ""),
+            (5, _ts(5), 2, "purchase", 0.0, ""),
+            (6, _ts(10), 2, "view", 0.0, ""),
+            (7, _ts(0), 3, "view", 0.0, ""),
+            (8, _ts(1), 3, "purchase", 0.0, ""),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["stage"]: (r["stage_idx"], r["n_users"], r["conversion_rate"])
+        for r in event_funnel(events, ["signup", "view", "purchase"]).collect()
+    }
+    assert got["signup"] == (1, 2, None)
+    assert got["view"] == (2, 2, 1.0)
+    assert got["purchase"] == (3, 1, 0.5)
+    with pytest.raises(ValueError, match="non-empty"):
+        event_funnel(events, [])
