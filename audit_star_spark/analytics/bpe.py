@@ -109,6 +109,46 @@ def bpe_train(
     return merges, toks
 
 
+def bpe_apply(
+    docs: DataFrame, rules: list[tuple[str, str]], persist_every: int = 8
+) -> DataFrame:
+    """Apply an already-trained merge-rule list (in training order) to ANY
+    corpus — the inference half of the tokenizer: train once, encode every
+    new shard with the frozen rules. Returns (doc_id, toks).
+
+    Scale shape: each rule is a pure in-row fold, so the whole encode is
+    shuffle-free; rules chain as nested expressions, cut every
+    ``persist_every`` rules by a materialized persist so expression depth
+    (and recompute-on-retry cost) stays bounded — at production scale each
+    cut is a storage write, exactly like the training rounds."""
+    toks = spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    for i, (a, b) in enumerate(rules, 1):
+        toks = toks.select("doc_id", F.expr(_merge_expr(a, b)).alias("toks"))
+        if i % persist_every == 0 and i < len(rules):
+            toks.persist()
+            toks.count()
+    return toks
+
+
+def bpe_transfer_stats(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Train on the even-doc_id half, encode the odd half with the frozen
+    rules: per held-out document (doc_id, n_tokens_before, n_tokens_after)
+    — the cross-corpus generalization check a tokenizer run ends with."""
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held_out = docs.filter(F.col("doc_id") % 2 == 1)
+    merges, _ = bpe_train(train, n_merges, materialize_last=False)
+    encoded = bpe_apply(held_out, [(a, b) for _, a, b, _ in merges])
+    before = spread(held_out).select(
+        "doc_id", F.size(F.expr(TOKENS_EXPR)).cast("long").alias("n_tokens_before")
+    )
+    after = encoded.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens_after")
+    )
+    return before.join(after, "doc_id")
+
+
 def bpe_merge_table(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     """(round, lhs, rhs, pair_count) — the learned merge rules."""
     merges, _toks = bpe_train(docs, n_merges, materialize_last=False)

@@ -1040,15 +1040,33 @@ def q_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_corpus_stats(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_ctes(n_merges: int = bpe.N_MERGES) -> str:
+def _bpe_rewrite_cte(name: str, prev: str, m: str) -> str:
+    """One merge-round rewrite CTE: ``name`` = ``prev`` with round ``m``'s
+    winning pair greedily merged — the same carry-in-last-element list
+    fold as the Spark side (tokens are lifted to one-element lists because
+    DuckDB list_reduce has a single element type and no separate seed)."""
+    return f"""
+{name} AS (
+  SELECT doc_id,
+    list_reduce(
+      list_concat([CAST([] AS VARCHAR[])], list_transform(toks, t -> [t])),
+      (s, x) -> CASE
+        WHEN len(s) > 0 AND s[-1] = {m}.a AND x[1] = {m}.b
+          THEN list_append(list_slice(s, 1, len(s) - 1), {m}.a || ' ' || {m}.b)
+        ELSE list_append(s, x[1])
+      END) AS toks
+  FROM {prev} CROSS JOIN {m}
+)"""
+
+
+def _bpe_ctes(n_merges: int = bpe.N_MERGES, where: str = "") -> str:
     """Unrolled per-round CTEs mirroring bpe.bpe_train: t{r} = corpus after
     r merges, p{r} = adjacent-pair counts of t{r-1}, m{r} = that round's
-    winning pair. The rewrite is the same carry-in-last-element list fold
-    as the Spark side (tokens are lifted to one-element lists because
-    DuckDB list_reduce has a single element type and no separate seed).
+    winning pair. ``where`` filters the training corpus (the transfer
+    oracle trains on half the documents).
     NOTE: a struct-state formulation segfaults DuckDB 1.0.0 at 3 nested
-    rounds — keep this one list-typed."""
-    parts = [f"t0 AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents)"]
+    rounds — keep the rewrite list-typed."""
+    parts = [f"t0 AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents {where})"]
     for r in range(1, n_merges + 1):
         prev = f"t{r - 1}"
         parts.append(f"""
@@ -1062,18 +1080,7 @@ p{r} AS (
   GROUP BY 1, 2
 )""")
         parts.append(f"m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)")
-        parts.append(f"""
-t{r} AS (
-  SELECT doc_id,
-    list_reduce(
-      list_concat([CAST([] AS VARCHAR[])], list_transform(toks, t -> [t])),
-      (s, x) -> CASE
-        WHEN len(s) > 0 AND s[-1] = m{r}.a AND x[1] = m{r}.b
-          THEN list_append(list_slice(s, 1, len(s) - 1), m{r}.a || ' ' || m{r}.b)
-        ELSE list_append(s, x[1])
-      END) AS toks
-  FROM {prev} CROSS JOIN m{r}
-)""")
+        parts.append(_bpe_rewrite_cte(f"t{r}", prev, f"m{r}"))
     return ",\n".join(parts)
 
 
@@ -1093,6 +1100,29 @@ SELECT t0.doc_id,
        CAST(len(t0.toks) AS BIGINT) AS n_tokens_before,
        CAST(len(t{n_merges}.toks) AS BIGINT) AS n_tokens_after
 FROM t0 JOIN t{n_merges} ON t0.doc_id = t{n_merges}.doc_id
+"""
+
+
+def q_bpe_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe.bpe_transfer_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_transfer_sql(n_merges: int = bpe.N_MERGES) -> str:
+    """Rules mined on the even-doc_id half (the t/p/m chain, filtered),
+    then the SAME rewrite fold applied to the odd half (a-chain)."""
+    parts = [_bpe_ctes(n_merges, where="WHERE doc_id % 2 = 0")]
+    parts.append(
+        f"a0 AS (SELECT doc_id, {D_TOKENS} AS toks "
+        f"FROM documents WHERE doc_id % 2 = 1)"
+    )
+    for r in range(1, n_merges + 1):
+        parts.append(_bpe_rewrite_cte(f"a{r}", f"a{r - 1}", f"m{r}"))
+    return f"""
+WITH {",".join(parts)}
+SELECT a0.doc_id,
+       CAST(len(a0.toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(a{n_merges}.toks) AS BIGINT) AS n_tokens_after
+FROM a0 JOIN a{n_merges} ON a0.doc_id = a{n_merges}.doc_id
 """
 
 
@@ -1689,6 +1719,7 @@ EXTRA_QUERIES = {
     "event_resample_hourly": q_event_resample,
     "purchase_attribution": q_purchase_attribution,
     "event_funnel": q_event_funnel,
+    "bpe_transfer_stats": q_bpe_transfer,
 }
 
 EXTRA_ORACLES = {
@@ -1697,6 +1728,7 @@ EXTRA_ORACLES = {
     "event_resample_hourly": SQL_EVENT_RESAMPLE,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "bpe_transfer_stats": _bpe_transfer_sql(),
 }
 
 

@@ -60,3 +60,39 @@ def test_bpe_train_invariants(spark):
         ).alias("n")
     ).agg(F.sum("n")).first()[0]
     assert remaining == 0
+
+
+def test_bpe_apply_respects_rule_order(spark):
+    from audit_star_spark.analytics.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z w"), (3, "q")], "doc_id long, text string"
+    )
+    # rule 1 merges (x, y); rule 2 merges the MERGED token with z — the
+    # second rule only fires because the first already rewrote the array
+    out = {
+        r["doc_id"]: r["toks"]
+        for r in bpe_apply(docs, [("x", "y"), ("x y", "z")]).collect()
+    }
+    assert out[1] == ["x y z"]
+    assert out[2] == ["x y z", "w"]
+    assert out[3] == ["q"]
+
+
+def test_bpe_apply_equals_train_rewrite_on_same_corpus(spark):
+    """Encoding the training corpus with the trained rules must reproduce
+    the training loop's own final rewrite exactly."""
+    from audit_star_spark.analytics.bpe import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y z"), (2, "x y q q q"), (3, "z z x y")],
+        "doc_id long, text string",
+    )
+    merges, trained = bpe_train(docs, n_merges=2)
+    applied = {
+        r["doc_id"]: r["toks"]
+        for r in bpe_apply(docs, [(a, b) for _, a, b, _ in merges]).collect()
+    }
+    want = {r["doc_id"]: r["toks"] for r in trained.collect()}
+    trained.unpersist()
+    assert applied == want
