@@ -496,3 +496,134 @@ def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 1) -> DataFrame:
             F.col("best.cosine").alias("nn_cosine"),
         )
     )
+
+
+# ----------------------------------------------- int8 quantization (r3)
+# Symmetric per-vector int8: scale = max|x| / 127, q_i = round(x_i/scale).
+# At 100 TB this is THE storage/bandwidth lever for the vector column: 4x
+# smaller than float32 (16x smaller than the double staging), integer dot
+# products, and the per-vector scale cancels out of cosine entirely.
+Q_MAX = 127
+
+
+def _quantized_staged(emb: DataFrame) -> DataFrame:
+    """vec_id, label, vec (double), scale, qvec — shared staged chain
+    (intermediates staged as columns per the re-inlining rule)."""
+    staged = (
+        emb.select("vec_id", "label", F.expr(VEC_EXPR).alias("vec"))
+        .withColumn(
+            "scale",
+            F.expr(
+                "aggregate(vec, CAST(0.0 AS DOUBLE), (s, v) -> greatest(s, abs(v)))"
+            )
+            / F.lit(float(Q_MAX)),
+        )
+    )
+    qvec = F.expr(
+        f"CASE WHEN scale = 0.0 THEN transform(vec, x -> CAST(0 AS TINYINT)) "
+        f"ELSE transform(vec, x -> CAST(greatest(CAST(-{Q_MAX} AS DOUBLE), "
+        f"least(CAST({Q_MAX} AS DOUBLE), floor(x / scale + 0.5))) AS TINYINT)) END"
+    )
+    return staged.select("vec_id", "label", "vec", "scale", qvec.alias("qvec"))
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, scale, qvec array<tinyint>) — deterministic
+    round-half-up via floor(x/scale + 0.5) (identical in any engine; no
+    banker's-rounding ambiguity). Zero vectors quantize to all zeros with
+    scale 0. Pure in-row expression algebra, zero shuffles."""
+    return _quantized_staged(emb).select("vec_id", "label", "scale", "qvec")
+
+
+def quantization_report(emb: DataFrame) -> DataFrame:
+    """Per-vector quantization fidelity: (vec_id, scale, mse, cos_sim)
+    where mse is the mean squared reconstruction error of q*scale against
+    the original and cos_sim the cosine between original and dequantized
+    vector (scale cancels, so it is computed against the raw int8 vector —
+    integer-exact products, floats only in the final ratio). Zero-shuffle:
+    the original vector rides the staged chain instead of a re-join."""
+    q = _quantized_staged(emb)
+    mse = F.expr(
+        "aggregate(zip_with(vec, qvec, (x, qi) -> (x - qi * scale) * (x - qi * scale)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    ) / F.size("vec").cast("double")
+    dot_vq = F.expr(
+        "aggregate(zip_with(vec, qvec, (x, qi) -> x * CAST(qi AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    dot_vv = F.expr(
+        "aggregate(zip_with(vec, vec, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    dot_qq = F.expr(
+        "aggregate(zip_with(qvec, qvec, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (s, v) -> s + v)"
+    )
+    den = F.sqrt(dot_vv) * F.sqrt(dot_qq.cast("double"))
+    return q.select(
+        "vec_id",
+        "scale",
+        mse.alias("mse"),
+        (dot_vq / F.nullif(den, F.lit(0.0))).alias("cos_sim"),
+    )
+
+
+def quantized_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Brute-force top-k cosine on the int8-quantized vectors: integer
+    dot products (exact BIGINT folds — no float summation-order issues),
+    per-vector scales cancel out of cosine, floats only in the final
+    ratio. Same broadcast-query shape as cosine_topk."""
+    from audit_star_spark.util import spread
+
+    base = spread(quantize_embeddings(emb)).withColumn(
+        "qnorm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(qvec, qvec, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+                "CAST(0 AS BIGINT), (s, v) -> s + v)"
+            ).cast("double")
+        ),
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot_q = F.expr(
+        "aggregate(zip_with(q_qvec, qvec, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (s, v) -> s + v)"
+    )
+    cos = dot_q.cast("double") / F.nullif(
+        F.col("q_qnorm") * F.col("qnorm"), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def quantized_recall(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Recall@k of the int8 path against the exact float top-k:
+    (query_id, n_hits, recall) — the accuracy number that justifies (or
+    rejects) shipping quantized vectors at scale."""
+    exact = cosine_topk(emb, n_queries=n_queries, k=k).select("query_id", "vec_id")
+    quant = quantized_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", F.col("vec_id").alias("q_vec_id")
+    )
+    hits = exact.join(
+        quant,
+        (exact["query_id"] == quant["query_id"])
+        & (exact["vec_id"] == quant["q_vec_id"]),
+        "left",
+    ).groupBy(exact["query_id"].alias("query_id"))
+    return hits.agg(
+        F.count(F.col("q_vec_id")).cast("long").alias("n_hits")
+    ).select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / float(k)).alias("recall"),
+    )
