@@ -1,0 +1,94 @@
+"""Table profiling: one-scan per-column summary statistics (null counts,
+distinct counts, typed min/max) — the DESCRIBE/SUMMARY surface an
+analytics engine owes its users, over ANY input frame.
+
+Scale shape: ONE pass builds every per-column aggregate in a single
+groupBy-less agg (Spark plans the multiple exact count-distincts via one
+Expand + partial aggregation — rows × |columns| intermediates, map-side
+combined). The per-column rows come from unpivoting the 1-row aggregate
+driver-side — never a per-column scan loop. Exact distinct counts are the
+oracle-checkable choice; at 100 TB swap ``exact_distinct=False`` for
+``approx_count_distinct`` (HLL, one pass, no Expand) and drop the
+cross-engine hash check — the trade is documented, not implied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
+    """One row per profiled column: (column, dtype, n_rows, n_nulls,
+    n_distinct, num_min, num_max, str_min, str_max, ts_min, ts_max).
+    Typed min/max land in the slot matching the column family (numerics
+    cast to double; booleans/arrays/maps report counts only)."""
+    cols = columns or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    per_col: list[tuple[str, str]] = []  # (name, dtype string)
+    for c in cols:
+        dt = fields[c]
+        qc = F.col(f"`{c}`")
+        aggs.append(F.count(F.when(qc.isNull(), 1)).alias(f"__nn_{c}"))
+        nd = (
+            F.countDistinct(qc)
+            if exact_distinct
+            else F.approx_count_distinct(qc)
+        )
+        aggs.append(nd.alias(f"__nd_{c}"))
+        if isinstance(dt, _NUMERIC):
+            aggs.append(F.min(qc).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(qc).cast("double").alias(f"__max_{c}"))
+        elif isinstance(dt, T.StringType):
+            aggs.append(F.min(qc).alias(f"__min_{c}"))
+            aggs.append(F.max(qc).alias(f"__max_{c}"))
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            aggs.append(F.min(qc).cast("timestamp").alias(f"__min_{c}"))
+            aggs.append(F.max(qc).cast("timestamp").alias(f"__max_{c}"))
+        # report the canonical family name: whether the session read the
+        # parquet TIMESTAMP as LTZ or NTZ is a session setting, not a
+        # property of the data
+        per_col.append((c, dt.simpleString().replace("timestamp_ntz", "timestamp")))
+
+    one = df.agg(*aggs)
+
+    # unpivot the 1-row aggregate into per-column rows: a driver-side
+    # union of 1-row selects over the SAME materialized aggregate would
+    # re-run the scan per column — instead select per-column structs and
+    # explode, keeping the single pass
+    rows = []
+    for c, dt in per_col:
+        is_num = isinstance(fields[c], _NUMERIC)
+        is_str = isinstance(fields[c], T.StringType)
+        is_ts = isinstance(
+            fields[c], (T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt).alias("dtype"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                (F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")).alias("num_min"),
+                (F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")).alias("num_max"),
+                (F.col(f"__min_{c}") if is_str else F.lit(None).cast("string")).alias("str_min"),
+                (F.col(f"__max_{c}") if is_str else F.lit(None).cast("string")).alias("str_max"),
+                (F.col(f"__min_{c}") if is_ts else F.lit(None).cast("timestamp")).alias("ts_min"),
+                (F.col(f"__max_{c}") if is_ts else F.lit(None).cast("timestamp")).alias("ts_max"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
