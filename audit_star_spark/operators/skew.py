@@ -73,3 +73,39 @@ def two_phase_count(
     )
     partial = salted.groupBy(key, SALT).agg(F.sum(agg_col).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").alias(alias))
+
+
+def heavy_hitters(df: DataFrame, keys: list[str], k: int = 10) -> DataFrame:
+    """Exact top-``k`` hottest key values: per value its row count, share
+    of all rows, and skew ratio (count / mean-rows-per-distinct-key) —
+    the diagnostic that decides whether AQE's split is enough or
+    :func:`salted_join` is warranted (ratio >> salt_buckets means one
+    key still floods a task after salting).
+
+    Scale shape: one keyed count aggregate (map-side combined), a 1-row
+    global aggregate broadcast back, and TakeOrderedAndProject for the
+    top-k — no total sort, no second scan. Ties break deterministically
+    (count desc, then key ascending)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(*[qcol(c) for c in keys]).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("__total"),
+        F.count("*").cast("long").alias("__nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            F.col("n"),
+            (F.col("n").cast("double") / F.col("__total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("n") * F.col("__nkeys")).cast("double")
+                / F.col("__total").cast("double")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n").desc(), *keys)
+        .limit(k)
+    )

@@ -1858,6 +1858,30 @@ SQL_ORDERS_PROFILE = _profile_sql(
 )
 
 
+# ------------------------------------------------- skew diagnostics
+def q_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.operators.skew import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf_dir, "events"), ["user_id"], k=10)
+
+
+SQL_EVENT_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nkeys
+  FROM c
+)
+SELECT user_id, n,
+       CAST(n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       CAST(n * t.nkeys AS DOUBLE) / CAST(t.total AS DOUBLE) AS skew_ratio
+FROM c CROSS JOIN t
+ORDER BY n DESC, user_id
+LIMIT 10
+"""
+
+
 # Registered as a separate trailing group: the round driver records only
 # the FIRST 50 queries() entries, and that window is already allocated
 # (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
@@ -1873,6 +1897,7 @@ EXTRA_QUERIES = {
     "embedding_quantization": q_quantization_report,
     "quantized_knn_recall": q_quantized_recall,
     "orders_profile": q_orders_profile,
+    "event_heavy_hitters": q_event_heavy_hitters,
 }
 
 EXTRA_ORACLES = {
@@ -1885,6 +1910,7 @@ EXTRA_ORACLES = {
     "embedding_quantization": _quantization_report_sql(),
     "quantized_knn_recall": _quantized_recall_sql(),
     "orders_profile": SQL_ORDERS_PROFILE,
+    "event_heavy_hitters": SQL_EVENT_HEAVY_HITTERS,
 }
 
 

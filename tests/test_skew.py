@@ -112,3 +112,25 @@ def test_salted_join_rejects_zero_buckets(spark):
     small = spark.range(2).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         salted_join(big, small, on="k", salt_buckets=0)
+
+
+def test_heavy_hitters_exact_counts_and_ratio(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.operators.skew import heavy_hitters
+
+    # key 1: 6 rows, key 2: 3 rows, keys 3..5: 1 row each -> 12 rows, 5 keys
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,), (4,), (5,)]
+    df = spark.createDataFrame(rows, "k long")
+    got = heavy_hitters(df, ["k"], k=2).collect()
+    assert [(r["k"], r["n"]) for r in got] == [(1, 6), (2, 3)]
+    assert got[0]["share"] == 6 / 12
+    assert got[0]["skew_ratio"] == 6 * 5 / 12  # 2.5x the mean key
+    # deterministic tie-break: equal counts order by key ascending
+    ties = spark.createDataFrame([(9,), (7,), (8,)], "k long")
+    got = heavy_hitters(ties, ["k"], k=3).collect()
+    assert [r["k"] for r in got] == [7, 8, 9]
+    assert all(r["skew_ratio"] == 1.0 for r in got)
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, ["k"], k=0)
