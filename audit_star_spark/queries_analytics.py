@@ -1882,6 +1882,51 @@ LIMIT 10
 """
 
 
+# ------------------------------------------- perceptual image hashing
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> perceptual average-hash through the gate: per doc an
+    8x8 PGM whose bytes follow a closed-form formula (ASCII-safe 32..126
+    so the UTF-8 binary cast is byte-exact), so the oracle can restate
+    the whole decode -> gray -> threshold -> hex pipeline in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(concat('P5\\n8 8\\n255\\n', concat_ws('', "
+            "transform(sequence(0, 63), "
+            "i -> char(32 + (doc_id * 11 + i * 7) % 95)))) AS BINARY)"
+        ).alias("payload"),
+    )
+    return multimodal.image_ahash(media).select("doc_id", "ahash")
+
+
+SQL_IMAGE_AHASH = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+                        i -> 32 + (doc_id * 11 + i * 7) % 95) AS b
+  FROM documents
+),
+m AS (
+  SELECT doc_id, b,
+         CAST({d_fold('b', 'CAST(0 AS BIGINT)', '(s, v) -> s + v')} AS DOUBLE)
+           / 64.0 AS mean
+  FROM px
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(b, x -> CASE WHEN x > mean THEN 1 ELSE 0 END) AS bit
+  FROM m
+)
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(0, 15),
+         n -> substr('0123456789abcdef',
+                     1 + bit[4*n+1]*8 + bit[4*n+2]*4 + bit[4*n+3]*2 + bit[4*n+4],
+                     1)), '') AS ahash
+FROM bits
+"""
+
+
 # Registered as a separate trailing group: the round driver records only
 # the FIRST 50 queries() entries, and that window is already allocated
 # (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
@@ -1898,6 +1943,7 @@ EXTRA_QUERIES = {
     "quantized_knn_recall": q_quantized_recall,
     "orders_profile": q_orders_profile,
     "event_heavy_hitters": q_event_heavy_hitters,
+    "image_ahash": q_image_ahash,
 }
 
 EXTRA_ORACLES = {
@@ -1911,6 +1957,7 @@ EXTRA_ORACLES = {
     "quantized_knn_recall": _quantized_recall_sql(),
     "orders_profile": SQL_ORDERS_PROFILE,
     "event_heavy_hitters": SQL_EVENT_HEAVY_HITTERS,
+    "image_ahash": SQL_IMAGE_AHASH,
 }
 
 
