@@ -2,13 +2,15 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas functions over ``mapInPandas``.
 
-Decode is REAL for uncompressed formats — netpbm P5/P6 (PGM/PPM) and
-uncompressed 8/24-bit BMP parse with pure numpy, no codec libraries —
-including nearest-neighbor ``resize_image`` and the ``image_meta``
-mapInPandas operator. Entropy-coded formats (JPEG/PNG) still raise
-NotImplementedError: the container ships no codecs, and faking DCT would
-be worse than honest absence; the Spark-side plumbing is format-agnostic
-either way.
+Decode is REAL, with no codec libraries: netpbm P5/P6 (PGM/PPM),
+uncompressed 8/24-bit BMP, 8-bit non-interlaced PNG (stdlib-zlib inflate
++ all five scanline filters), baseline sequential JPEG (pure-numpy
+Huffman + dequant + IDCT + YCbCr, analytics/jpeg.py), and RIFF/WAVE
+16-bit PCM audio. Progressive/arithmetic JPEG and other containers raise
+NotImplementedError honestly; the Spark-side plumbing is format-agnostic
+either way. On top: nearest-neighbor resize, image/audio metadata,
+perceptual average-hash + near-dup pairs, and an audio energy-contour
+fingerprint.
 
 Scale notes: mapInPandas is narrow (no shuffle); batch size is bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
@@ -614,12 +616,17 @@ def _ahash_of(img: "np.ndarray", hash_size: int = 8) -> tuple[str, int]:
     rows = (np.arange(hash_size) * h) // hash_size
     cols = (np.arange(hash_size) * w) // hash_size
     small = gray[rows][:, cols]
-    bits = (small > small.mean()).flatten()
+    return _pack_bits((small > small.mean()).flatten())
+
+
+def _pack_bits(bits: "np.ndarray") -> tuple[str, int]:
+    """Row-major bit vector -> (lowercase hex, two's-complement int64 of
+    the low 64 bits for in-engine XOR). First bit = MSB."""
     val = 0
     for b in bits:
         val = (val << 1) | int(b)
-    hex_str = format(val, f"0{hash_size * hash_size // 4}x")
-    signed = int(np.uint64(val).astype(np.int64))
+    hex_str = format(val, f"0{max(1, len(bits) // 4)}x")
+    signed = int(np.uint64(val & (2**64 - 1)).astype(np.int64))
     return hex_str, signed
 
 
@@ -681,3 +688,92 @@ def ahash_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------- audio fingerprint (r3)
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.StringType()),
+        T.StructField("afp_bits", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, n_windows: int = 64) -> DataFrame:
+    """Energy-contour fingerprint over decoded WAV payloads — the audio
+    analog of ``image_ahash``: split the sample stream into ``n_windows``
+    equal windows (remainder dropped), per-window mean energy, strict
+    greater-than-global-mean threshold, 64 bits packed MSB-first to
+    (hex, int64). Channels stay interleaved (energy is channel-agnostic
+    for this cheap contour). Payloads too short for one sample per
+    window degrade to NULL, as do undecodable ones."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            hexes, vals = [], []
+            for payload in pdf["payload"]:
+                try:
+                    _rate, _ch, s = _parse_wav(bytes(payload))
+                    L = len(s) // n_windows
+                    if L == 0:
+                        raise ValueError("payload shorter than one window")
+                    f = s[: L * n_windows].astype(np.float64)
+                    en = (f * f).reshape(n_windows, L).mean(axis=1)
+                    hx, vl = _pack_bits(en > en.mean())
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    hx, vl = None, None
+                hexes.append(hx)
+                vals.append(vl)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "afp": pd.Series(hexes, dtype="object"),
+                    "afp_bits": pd.Series(vals, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+# windowed-synthesis parameters for the fingerprint differential gate:
+# 64 windows x 25 samples; window w is a ±A_w square wave (half-period 5)
+# with A_w = 100 * (1 + (doc_id + 3w) % 5), so each window's mean energy
+# is EXACTLY A_w² and the oracle states the whole fingerprint in SQL
+FP_WINDOWS = 64
+FP_WINDOW_LEN = 25
+
+
+def synth_windowed_audio(docs: DataFrame) -> DataFrame:
+    """Per-document WAV whose 64-window energy contour follows a closed
+    form (same differential-synthesis pattern as synth_audio)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                amps = np.array(
+                    [100 * (1 + (d + 3 * w) % 5) for w in range(FP_WINDOWS)]
+                )
+                i = np.arange(FP_WINDOW_LEN)
+                sign = 1 - 2 * ((i // 5) % 2)
+                s = (amps[:, None] * sign[None, :]).reshape(-1)
+                payloads.append(encode_wav(s.astype("<i2"), AUDIO_RATE))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    from audit_star_spark.util import spread
+
+    return spread(docs.select("doc_id")).mapInPandas(run, schema=schema)

@@ -63,3 +63,30 @@ def test_ahash_poison_payload_degrades(spark):
         ahash_near_pairs(_media(spark, [good, b"\x00junk"]), max_hamming=64).count()
         == 0
     )
+
+
+def test_audio_fingerprint_contour_and_degrade(spark):
+    from audit_star_spark.analytics.multimodal import (
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    # 64 windows x 10 samples: loud (A=1000) on even windows, quiet
+    # (A=10) on odd -> bits alternate 1010... -> hex "aaaa..."
+    amps = np.array([1000 if w % 2 == 0 else 10 for w in range(64)])
+    sign = np.array([1, -1] * 5)
+    s = (amps[:, None] * sign[None, :]).reshape(-1).astype("<i2")
+    wav = encode_wav(s, 16000)
+    # same contour at double amplitude -> identical bits (scale-free)
+    wav2 = encode_wav((2 * s.astype(np.int32)).astype("<i2"), 16000)
+    short = encode_wav(np.array([1] * 10, dtype="<i2"), 16000)  # < 64 samples
+    rows = {
+        r["doc_id"]: r
+        for r in audio_fingerprint(
+            _media(spark, [wav, wav2, short, b"RIFFjunk"])
+        ).collect()
+    }
+    assert rows[0]["afp"] == "a" * 16
+    assert rows[1]["afp"] == rows[0]["afp"]
+    assert rows[2]["afp"] is None  # too short: degrade, not crash
+    assert rows[3]["afp"] is None  # undecodable: degrade
