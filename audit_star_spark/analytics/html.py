@@ -1,0 +1,60 @@
+"""HTML -> text extraction (north-star layer): the between-crawl-and-
+quality-gate stage of a web-corpus pipeline — strip script/style blocks,
+drop tags, decode the common entities, and canonicalize whitespace, plus
+title/link metadata.
+
+Pure JVM-side regexp algebra (zero shuffles, whole-stage codegen): no
+HTML parser library, which is the right trade for corpus cleaning — the
+published web-corpus recipes (C4, RefinedWeb) use exactly this class of
+regex/heuristic extraction, not a DOM. Patterns stay inside the
+Java-regex ∩ RE2 common subset ((?is) inline flags, non-greedy
+quantifiers, no backrefs), so the DuckDB oracle mirrors them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (pattern, replacement) applied in order; mirrored 1:1 in the oracle SQL
+HTML_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<head\b.*?</head>", " "),  # head first: metadata, not content
+    (r"(?is)<script\b.*?</script>", " "),  # body-level executable blocks
+    (r"(?is)<style\b.*?</style>", " "),
+    (r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", " \n"),  # block breaks
+    (r"<[^>]*>", " "),  # every remaining tag
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),  # ampersand LAST: single-pass decode, no re-scan
+    (r"\s+", " "),  # canonical whitespace
+]
+
+
+def html_text_expr(col: Column) -> Column:
+    out = col
+    for pat, rep in HTML_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def html_extract(docs: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per document: ``text`` (extracted + whitespace-canonicalized),
+    ``title`` (first <title> body, entity-decoded the same way), and
+    ``n_links`` (count of <a href= openings). Everything is one
+    projection over the raw row — embarrassingly parallel at any corpus
+    size, and the extraction regexes are plan-locked into whole-stage
+    codegen (no Python)."""
+    raw_title = F.regexp_extract(F.col(html_col), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    return docs.select(
+        *[c for c in docs.columns if c != html_col],
+        html_text_expr(F.col(html_col)).alias("text"),
+        html_text_expr(raw_title).alias("title"),
+        # href must be followed by '=' so name='no-href' style attribute
+        # VALUES containing the substring do not count as links
+        F.size(
+            F.expr(f"regexp_extract_all({html_col}, '(?is)<a\\\\s[^>]*href\\\\s*=', 0)")
+        ).cast("long").alias("n_links"),
+    )

@@ -1963,6 +1963,62 @@ FROM bits
 """
 
 
+# --------------------------------------------------- HTML extraction
+_HTML_PRE = (
+    '<html><head><title>Doc {id} &amp; notes</title>'
+    '<script type="text/javascript">var x = 1 < 2;</script>'
+    "<style>p { color: red }</style></head><body><h1>Doc {id}</h1><p>"
+)
+_HTML_POST = (
+    '</p><a href="https://example.com/{id}">first</a>'
+    '<a href="/rel">second</a>&nbsp;&amp; tail</body></html>'
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text through the gate: wrap each document's text in a
+    deterministic page (script/style blocks, entities, two links), then
+    run the regex extraction pipeline; the oracle mirrors both the
+    synthesis and every HTML_STEPS regex 1:1."""
+    from audit_star_spark.analytics.html import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    pre = _HTML_PRE.replace("{id}", "', CAST(doc_id AS STRING), '")
+    post = _HTML_POST.replace("{id}", "', CAST(doc_id AS STRING), '")
+    pages = docs.select(
+        "doc_id",
+        F.expr(f"concat('{pre}', text, '{post}')").alias("html"),
+    )
+    return html_extract(pages)
+
+
+def _html_extract_sql() -> str:
+    from audit_star_spark.analytics.html import HTML_STEPS
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    pre = sq(_HTML_PRE).replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
+    post = sq(_HTML_POST).replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
+    html = f"'{pre}' || text || '{post}'"
+
+    def chain(expr: str) -> str:
+        for pat, rep in HTML_STEPS:
+            expr = f"regexp_replace({expr}, '{sq(pat)}', '{sq(rep)}', 'g')"
+        return f"trim({expr})"
+
+    raw_title = "regexp_extract(h.html, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    return f"""
+WITH h AS (SELECT doc_id, {html} AS html FROM documents)
+SELECT doc_id,
+       {chain('h.html')} AS text,
+       {chain(raw_title)} AS title,
+       CAST(len(regexp_extract_all(h.html, '(?is)<a\\s[^>]*href\\s*=')) AS BIGINT)
+         AS n_links
+FROM h
+"""
+
+
 # Registered as a separate trailing group: the round driver records only
 # the FIRST 50 queries() entries, and that window is already allocated
 # (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
@@ -1981,6 +2037,7 @@ EXTRA_QUERIES = {
     "event_heavy_hitters": q_event_heavy_hitters,
     "image_ahash": q_image_ahash,
     "audio_fingerprint": q_audio_fingerprint,
+    "html_extract": q_html_extract,
 }
 
 EXTRA_ORACLES = {
@@ -1996,6 +2053,7 @@ EXTRA_ORACLES = {
     "event_heavy_hitters": SQL_EVENT_HEAVY_HITTERS,
     "image_ahash": SQL_IMAGE_AHASH,
     "audio_fingerprint": SQL_AUDIO_FP,
+    "html_extract": _html_extract_sql(),
 }
 
 
