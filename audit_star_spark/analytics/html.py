@@ -58,3 +58,34 @@ def html_extract(docs: DataFrame, html_col: str = "html") -> DataFrame:
             F.expr(f"regexp_extract_all({html_col}, '(?is)<a\\\\s[^>]*href\\\\s*=', 0)")
         ).cast("long").alias("n_links"),
     )
+
+
+# href value extraction: one pattern per quote style keeps each regex
+# free of the OTHER quote char, so both embed cleanly in SQL literals
+# on the oracle side
+_HREF_DQ = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"'
+_HREF_SQ = r"(?is)<a\s[^>]*href\s*=\s*'([^']*)'"
+_DOMAIN = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
+
+
+def extract_links(pages: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+    """One row per href value: (id, url, domain) — domain is the
+    lowercased authority for absolute URLs, '' for relative links.
+    In-row extract + 1:N explode, no shuffle."""
+    dq = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_DQ), 1)
+    sq = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_SQ), 1)
+    return pages.select(
+        id_col, F.explode(F.concat(dq, sq)).alias("url")
+    ).withColumn("domain", F.lower(F.regexp_extract("url", _DOMAIN, 1)))
+
+
+def domain_stats(pages: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+    """Per-domain link statistics over a page corpus: (domain, n_links,
+    n_docs) — the outlink census a crawl-frontier or per-domain
+    quality-weighting pass starts from. One domain-keyed shuffle with
+    map-side combine."""
+    links = extract_links(pages, html_col, id_col)
+    return links.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )

@@ -1982,14 +1982,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis and every HTML_STEPS regex 1:1."""
     from audit_star_spark.analytics.html import html_extract
 
-    docs = load_table(spark, sf_dir, "documents")
-    pre = _HTML_PRE.replace("{id}", "', CAST(doc_id AS STRING), '")
-    post = _HTML_POST.replace("{id}", "', CAST(doc_id AS STRING), '")
-    pages = docs.select(
-        "doc_id",
-        F.expr(f"concat('{pre}', text, '{post}')").alias("html"),
-    )
-    return html_extract(pages)
+    return html_extract(_synth_pages(spark, sf_dir))
 
 
 def _html_extract_sql() -> str:
@@ -2019,6 +2012,45 @@ FROM h
 """
 
 
+def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pre = _HTML_PRE.replace("{id}", "', CAST(doc_id AS STRING), '")
+    post = _HTML_POST.replace("{id}", "', CAST(doc_id AS STRING), '")
+    return docs.select(
+        "doc_id", F.expr(f"concat('{pre}', text, '{post}')").alias("html")
+    )
+
+
+def q_link_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.analytics.html import domain_stats
+
+    return domain_stats(_synth_pages(spark, sf_dir))
+
+
+def _link_domains_sql() -> str:
+    from audit_star_spark.analytics.html import _DOMAIN, _HREF_DQ, _HREF_SQ
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    pre = sq(_HTML_PRE).replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
+    post = sq(_HTML_POST).replace("{id}", "' || CAST(doc_id AS VARCHAR) || '")
+    return f"""
+WITH h AS (SELECT doc_id, '{pre}' || text || '{post}' AS html FROM documents),
+u AS (
+  SELECT doc_id, unnest(list_concat(
+    regexp_extract_all(html, '{sq(_HREF_DQ)}', 1),
+    regexp_extract_all(html, '{sq(_HREF_SQ)}', 1))) AS url
+  FROM h
+)
+SELECT lower(regexp_extract(url, '{sq(_DOMAIN)}', 1)) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u
+GROUP BY 1
+"""
+
+
 # Registered as a separate trailing group: the round driver records only
 # the FIRST 50 queries() entries, and that window is already allocated
 # (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
@@ -2038,6 +2070,7 @@ EXTRA_QUERIES = {
     "image_ahash": q_image_ahash,
     "audio_fingerprint": q_audio_fingerprint,
     "html_extract": q_html_extract,
+    "link_domains": q_link_domains,
 }
 
 EXTRA_ORACLES = {
@@ -2054,6 +2087,7 @@ EXTRA_ORACLES = {
     "image_ahash": SQL_IMAGE_AHASH,
     "audio_fingerprint": SQL_AUDIO_FP,
     "html_extract": _html_extract_sql(),
+    "link_domains": _link_domains_sql(),
 }
 
 

@@ -33,3 +33,26 @@ def test_html_extract_plain_text_passthrough(spark):
     assert r["text"] == "just words, no markup"
     assert r["title"] == ""
     assert r["n_links"] == 0
+
+
+def test_extract_links_and_domain_stats(spark):
+    from audit_star_spark.analytics.html import domain_stats, extract_links
+
+    pages = _pages(
+        spark,
+        [
+            '<a href="https://A.Example.com/x">1</a>'
+            "<a href='http://a.example.com:8080/y?q=1#f'>2</a>"
+            '<a href="/relative">3</a>',
+            '<a href="https://other.org">4</a><a name="x">no link</a>',
+        ],
+    )
+    links = {(r["doc_id"], r["url"]): r["domain"] for r in extract_links(pages).collect()}
+    assert links[(0, "https://A.Example.com/x")] == "a.example.com"
+    # authority keeps the port; query/fragment never leak into the domain
+    assert links[(0, "http://a.example.com:8080/y?q=1#f")] == "a.example.com:8080"
+    assert links[(0, "/relative")] == ""
+    assert len(links) == 4
+    stats = {r["domain"]: (r["n_links"], r["n_docs"]) for r in domain_stats(pages).collect()}
+    assert stats[""] == (1, 1)
+    assert stats["other.org"] == (1, 1)
