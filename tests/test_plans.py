@@ -512,3 +512,49 @@ def test_sequence_packing_single_split_keyed_exchange(spark):
     plan = _plan(q_sequence_packing(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window [" in plan, plan
+
+
+def test_orders_profile_single_scan(spark):
+    """Every per-column statistic builds off ONE scan of the table (the
+    multi-distinct Expand); per-column rows come from an in-plan struct
+    explode, never a scan per column."""
+    from audit_star_spark.queries_analytics import q_orders_profile
+
+    plan = _plan(q_orders_profile(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_heavy_hitters_topk_no_total_sort(spark):
+    """The top-k is TakeOrderedAndProject over the keyed counts plus a
+    1-row broadcast of the totals — no global Sort node."""
+    from audit_star_spark.queries_analytics import q_event_heavy_hitters
+
+    plan = _plan(q_event_heavy_hitters(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan, plan
+
+
+def test_html_extract_stays_jvm_side(spark):
+    """The regex pipeline is pure expression algebra: no Python worker
+    node (mapInPandas/BatchEvalPython) and no exchange — one projection
+    over the scan."""
+    from audit_star_spark.queries_analytics import q_html_extract
+
+    plan = _plan(q_html_extract(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+
+
+def test_resample_aggregates_before_densify(spark):
+    """The LOCF window and spine join run over the aggregated bucket
+    grid: the window input side must contain the hash aggregate, and the
+    raw scan feeds an aggregate before any join."""
+    from audit_star_spark.queries_analytics import q_event_resample
+
+    plan = _plan(q_event_resample(spark, SF_DIR))
+    assert "Window [" in plan, plan
+    assert "HashAggregate" in plan, plan
+    # gap-filled series joins spine<->agg; the 1-row bounds cross join is
+    # the sanctioned BroadcastNestedLoopJoin, never a CartesianProduct
+    assert "CartesianProduct" not in plan, plan
