@@ -92,3 +92,52 @@ def profile_table(
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, lo_edge,
+    hi_edge, n). NULLs are dropped; the top edge is inclusive (the max
+    value lands in the last bucket, the standard fixed-width convention).
+
+    Scale shape: when bounds aren't given, ONE 1-row min/max aggregate
+    broadcasts back over the scan (no driver round-trip in the plan);
+    bucketing is a projection and the histogram is a |bins|-row hash
+    aggregate with map-side combine. Two scans total with derived
+    bounds, one with explicit bounds."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    x = F.col(col).cast("double")
+    vals = df.select(x.alias("__x")).filter(F.col("__x").isNotNull())
+    if lo is None or hi is None:
+        bounds = vals.agg(
+            F.min("__x").alias("__lo"), F.max("__x").alias("__hi")
+        )
+        staged = vals.crossJoin(F.broadcast(bounds))
+    else:
+        staged = vals.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    raw = F.floor((F.col("__x") - F.col("__lo")) / F.nullif(width, F.lit(0.0)))
+    # coalesce BEFORE clamping: Spark's least/greatest skip NULLs, so a
+    # NULL raw bucket (constant column, width 0) would otherwise escape
+    # the clamp as bins-1. Clamp both ends — with explicit bounds,
+    # out-of-range values land in the edge buckets.
+    bucket = F.greatest(
+        F.lit(0), F.least(F.lit(bins - 1), F.coalesce(raw, F.lit(0)))
+    )
+    return (
+        staged.select(
+            bucket.cast("int").alias("bucket"),
+            (F.col("__lo") + bucket * width).alias("lo_edge"),
+            (F.col("__lo") + (bucket + 1) * width).alias("hi_edge"),
+        )
+        .groupBy("bucket", "lo_edge", "hi_edge")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -2109,6 +2109,33 @@ SELECT rule, n_violations, n_violations = 0 AS passed FROM r
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.analytics.profile import numeric_histogram
+
+    return numeric_histogram(load_table(spark, sf_dir, "orders"), "o_totalprice", bins=10)
+
+
+SQL_PRICE_HISTOGRAM = """
+WITH v AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_totalprice IS NOT NULL
+),
+b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+s AS (
+  SELECT x, lo, hi, (hi - lo) / 10.0 AS w,
+         greatest(0, least(9,
+           COALESCE(CAST(floor((x - lo) / nullif((hi - lo) / 10.0, 0.0))
+                         AS BIGINT), 0))) AS bk
+  FROM v CROSS JOIN b
+)
+SELECT CAST(bk AS INT) AS bucket,
+       lo + bk * w AS lo_edge,
+       lo + (bk + 1) * w AS hi_edge,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 # Registered as a separate trailing group: the round driver records only
 # the FIRST 50 queries() entries, and that window is already allocated
 # (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
@@ -2130,6 +2157,7 @@ EXTRA_QUERIES = {
     "html_extract": q_html_extract,
     "link_domains": q_link_domains,
     "orders_validation": q_orders_validation,
+    "price_histogram": q_price_histogram,
 }
 
 EXTRA_ORACLES = {
@@ -2148,6 +2176,7 @@ EXTRA_ORACLES = {
     "html_extract": _html_extract_sql(),
     "link_domains": _link_domains_sql(),
     "orders_validation": SQL_ORDERS_VALIDATION,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
 }
 
 

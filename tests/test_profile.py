@@ -50,3 +50,35 @@ def test_profile_approx_distinct_path(spark):
     # cardinality", the rest of the row is unchanged
     assert got["k"]["n_distinct"] == 2
     assert got["k"]["n_nulls"] == 1
+
+
+def test_numeric_histogram_buckets_and_edges(spark):
+    from audit_star_spark.analytics.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (9.9,), (10.0,), (None,)], "x double"
+    )
+    got = {r["bucket"]: r for r in numeric_histogram(df, "x", bins=4).collect()}
+    # range [0, 10], width 2.5; max value inclusive in the LAST bucket;
+    # 2.5 lands in bucket 1 (left-closed buckets); NULL dropped
+    assert {b: r["n"] for b, r in got.items()} == {0: 1, 1: 1, 2: 1, 3: 2}
+    assert got[0]["lo_edge"] == 0.0 and got[0]["hi_edge"] == 2.5
+    assert got[3]["lo_edge"] == 7.5 and got[3]["hi_edge"] == 10.0
+    # explicit bounds: out-of-range clamps into the edge buckets
+    clamped = {
+        r["bucket"]: r["n"]
+        for r in numeric_histogram(df, "x", bins=2, lo=0.0, hi=5.0).collect()
+    }
+    assert clamped == {0: 1, 1: 4}
+
+
+def test_numeric_histogram_constant_and_errors(spark):
+    import pytest
+
+    from audit_star_spark.analytics.profile import numeric_histogram
+
+    const = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    [r] = numeric_histogram(const, "x", bins=5).collect()
+    assert (r["bucket"], r["n"]) == (0, 2)
+    with pytest.raises(ValueError, match="bins"):
+        numeric_histogram(const, "x", bins=0)
