@@ -82,3 +82,25 @@ def test_numeric_histogram_constant_and_errors(spark):
     assert (r["bucket"], r["n"]) == (0, 2)
     with pytest.raises(ValueError, match="bins"):
         numeric_histogram(const, "x", bins=0)
+
+
+def test_numeric_histogram_matches_numpy_model(spark):
+    """Model-based: our convention (left-closed equi-width bins, top edge
+    inclusive) is exactly numpy.histogram's — random data must agree
+    bucket for bucket."""
+    import random
+
+    import numpy as np
+
+    from audit_star_spark.analytics.profile import numeric_histogram
+
+    rng = random.Random(11)
+    xs = [rng.uniform(-50, 200) for _ in range(500)] + [-50.0, 200.0]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    for bins in (1, 7, 16):
+        got = {
+            r["bucket"]: r["n"]
+            for r in numeric_histogram(df, "x", bins=bins).collect()
+        }
+        want, _edges = np.histogram(np.array(xs), bins=bins)
+        assert got == {i: int(n) for i, n in enumerate(want) if n > 0}, bins
