@@ -90,11 +90,29 @@ def _gen_join(rng: random.Random) -> str:
     return q
 
 
+def _gen_window(rng: random.Random) -> str:
+    """Grouped top-k via ROW_NUMBER — deterministic because the ORDER BY
+    always ends with the unique o_orderkey tie-break."""
+    part = rng.choice(["o_orderstatus", "o_orderpriority"])
+    order = rng.choice(
+        ["o_totalprice DESC, o_orderkey", "o_orderdate, o_orderkey", "o_orderkey"]
+    )
+    k = rng.randint(1, 5)
+    return (
+        f"SELECT {part}, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn "
+        f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {part} "
+        f"ORDER BY {order}) AS rn FROM orders{_where(rng)}) t "
+        f"WHERE rn <= {k}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
-    return [_gen_groupby(rng) for _ in range(N_PER_SHAPE)] + [
-        _gen_join(rng) for _ in range(N_PER_SHAPE // 2)
-    ]
+    return (
+        [_gen_groupby(rng) for _ in range(N_PER_SHAPE)]
+        + [_gen_join(rng) for _ in range(N_PER_SHAPE // 2)]
+        + [_gen_window(rng) for _ in range(N_PER_SHAPE // 4)]
+    )
 
 
 QUERIES = _corpus()
