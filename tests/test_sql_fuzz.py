@@ -106,12 +106,55 @@ def _gen_window(rng: random.Random) -> str:
     )
 
 
+def _gen_events(rng: random.Random) -> str:
+    """Event-time bucketing: date_trunc + exact aggregates over the
+    events table (the timestamp-heavy dialect corner)."""
+    unit = rng.choice(["day", "hour"])
+    preds = []
+    if rng.random() < 0.5:
+        vals = rng.sample(
+            ["'click'", "'view'", "'purchase'", "'signup'", "'error'"],
+            rng.randint(1, 3),
+        )
+        preds.append(f"event_type IN ({', '.join(vals)})")
+    if rng.random() < 0.5:
+        preds.append(f"user_id % {rng.randint(2, 9)} = {rng.randint(0, 1)}")
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    return (
+        f"SELECT CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS b, event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS a0, "
+        f"CAST(COUNT(DISTINCT user_id) AS BIGINT) AS a1 "
+        f"FROM events{where} GROUP BY 1, 2"
+    )
+
+
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _gen_lineitem(rng: random.Random) -> str:
+    """Exact money sums via the integer-cents idiom (dialect-common), the
+    same algebra the curated queries use for float columns."""
+    preds = [f"l_quantity {rng.choice(['<', '>='])} {rng.randint(10, 40)}"]
+    if rng.random() < 0.5:
+        preds.append(f"l_returnflag = '{rng.choice(['A', 'N', 'R'])}'")
+    return (
+        f"SELECT l_returnflag, l_linestatus, "
+        f"CAST(SUM({_CENTS}) AS BIGINT) AS cents, "
+        f"CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE {' AND '.join(preds)} "
+        f"GROUP BY l_returnflag, l_linestatus"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
         [_gen_groupby(rng) for _ in range(N_PER_SHAPE)]
         + [_gen_join(rng) for _ in range(N_PER_SHAPE // 2)]
         + [_gen_window(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_events(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_lineitem(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
@@ -122,8 +165,8 @@ QUERIES = _corpus()
 def fuzz_env(spark):
     from audit_star_spark.sources.testdata import load_table
 
-    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
-    load_table(spark, SF_DIR, "customer").createOrReplaceTempView("customer")
+    for t in ("orders", "customer", "events", "lineitem"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
     con = duckdb_connection(SF_DIR)
     yield con
     con.close()
