@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from audit_star_spark.util import spread
+
 STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "on", "for"]
 # tiny marker lexicons for the language-ID heuristic (deterministic, not a
 # model): per-language stopword hits decide the prediction
@@ -286,4 +288,34 @@ def source_tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("source", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def vocab_coverage(docs: DataFrame, vocab_k: int = 100) -> DataFrame:
+    """Vocabulary-coverage / OOV report: induce the top-``vocab_k``
+    vocabulary on the corpus, then per (source, lang) report total token
+    occurrences, how many fall outside the vocabulary, and the OOV rate
+    — the number that sizes a tokenizer's vocab before training.
+
+    Scale shape: the vocabulary is a bounded top-k (broadcast to the
+    anti-join side); the token stream aggregates per (source, lang) with
+    map-side combine — one corpus-sized explode, one small shuffle, no
+    per-token join fan-out (membership is a broadcast hash lookup)."""
+    vocab = token_topk(docs, k=vocab_k).select("token")
+    toks = spread(docs).select(
+        "source", "lang", F.explode(F.expr(TOKENS_EXPR)).alias("token")
+    ).filter(F.length("token") > 0)
+    tagged = toks.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "token", "left"
+    )
+    return tagged.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("__in_vocab").isNull(), 1))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("__in_vocab").isNull(), 1)).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("oov_rate"),
     )

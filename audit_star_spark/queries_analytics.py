@@ -2136,6 +2136,31 @@ FROM s GROUP BY 1, 2, 3
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_coverage(load_table(spark, sf_dir, "documents"), vocab_k=100)
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT source, lang, unnest({D_TOKENS}) AS token FROM documents
+),
+tok2 AS (SELECT * FROM toks WHERE length(token) > 0),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS freq FROM tok2 GROUP BY token
+    ORDER BY freq DESC, token LIMIT 100
+  )
+)
+SELECT t.source, t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+       round(CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS oov_rate
+FROM tok2 t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY 1, 2
+"""
+
+
 # Registered as a separate trailing group: the round driver records only
 # the FIRST 50 queries() entries, and that window is already allocated
 # (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
@@ -2158,6 +2183,7 @@ EXTRA_QUERIES = {
     "link_domains": q_link_domains,
     "orders_validation": q_orders_validation,
     "price_histogram": q_price_histogram,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 EXTRA_ORACLES = {
@@ -2177,6 +2203,7 @@ EXTRA_ORACLES = {
     "link_domains": _link_domains_sql(),
     "orders_validation": SQL_ORDERS_VALIDATION,
     "price_histogram": SQL_PRICE_HISTOGRAM,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
 }
 
 

@@ -101,3 +101,17 @@ def test_source_tfidf_matches_counting_model(spark, rows):
         wmap = {(w[0], w[2]): (w[3], w[4], w[5]) for w in want_clean}
         for k in gmap.keys() & wmap.keys():
             assert gmap[k] == wmap[k], (k, gmap[k], wmap[k])
+
+
+def test_vocab_coverage_oov_semantics(spark):
+    from audit_star_spark.analytics.text import vocab_coverage
+
+    toy = spark.createDataFrame(
+        [(1, "a a a b b c", "en", "web", 0), (2, "a b d d", "en", "wiki", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # vocab_k=2 -> vocab {a, b} (freqs 4 and 3); c and d are OOV
+    got = {r["source"]: r for r in vocab_coverage(toy, vocab_k=2).collect()}
+    assert (got["web"]["n_tokens"], got["web"]["n_oov"]) == (6, 1)
+    assert (got["wiki"]["n_tokens"], got["wiki"]["n_oov"]) == (4, 2)
+    assert got["wiki"]["oov_rate"] == 0.5
