@@ -2161,12 +2161,38 @@ GROUP BY 1, 2
 """
 
 
-# Registered as a separate trailing group: the round driver records only
-# the FIRST 50 queries() entries, and that window is already allocated
-# (8 audit + 39 analytics + approx-percentile + 2 TPC-H). These run last
-# — pytest-oracle-verified now, rotated into the gate window when slots
-# free up.
-EXTRA_QUERIES = {
+# Driver-gate analytics group: exactly 42 entries, so the driver's 50-row
+# correctness window is 8 audit + these 42 (insertion order; see
+# __spark_entry__.queries()). Round 4 rotated the 17 round-3 queries
+# (span_dedup_stats .. vocab_coverage) in, displacing 14 long-stable
+# entries to EXTRA_QUERIES below; every displaced query stays
+# oracle-locked in tests/test_oracle_parity.py.
+ANALYTICS_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "simhash_near_pairs": q_simhash_pairs,
+    "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
+    "label_nearest_neighbor": q_label_nn,
+    "capped_user_sessions": q_capped_sessions,
+    "audio_meta": q_audio_meta,
+    "png_meta": q_png_meta,
+    "jpeg_meta": q_jpeg_meta,
+    "benchmark_contamination": q_benchmark_contamination,
+    "boilerplate_phrases": q_boilerplate_phrases,
+    "bpe_merges": q_bpe_merges,
+    "bpe_corpus": q_bpe_corpus,
+    "repetition_stats": q_repetition_stats,
+    "quality_flags": q_quality_flags,
+    "pii_scan": q_pii_scan,
+    "semantic_dedup": q_semantic_dedup,
+    "kmeans_update": q_kmeans_update,
+    "source_mix_report": q_source_mix_report,
+    "pipeline_report": q_pipeline_report,
+    "corpus_clean_stats": q_corpus_clean_stats,
     "span_dedup_stats": q_span_dedup,
     "source_tfidf_topk": q_source_tfidf,
     "event_resample_hourly": q_event_resample,
@@ -2186,7 +2212,32 @@ EXTRA_QUERIES = {
     "vocab_coverage": q_vocab_coverage,
 }
 
-EXTRA_ORACLES = {
+ANALYTICS_ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_pairs": _minhash_sql_clean(),
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "dedup_clusters": _clusters_sql(),
+    "embedding_near_pairs": _near_pairs_sql(),
+    "simhash_near_pairs": SQL_SIMHASH_PAIRS,
+    "knn_lsh": _knn_sql(k=5, n_queries=8, bucketed=True),
+    "knn_ivf": _ivf_sql(),
+    "label_nearest_neighbor": SQL_LABEL_NN,
+    "capped_user_sessions": SQL_CAPPED_SESSIONS,
+    "audio_meta": SQL_AUDIO_META,
+    "png_meta": SQL_PNG_META,
+    "jpeg_meta": SQL_JPEG_META,
+    "benchmark_contamination": _contamination_sql(),
+    "boilerplate_phrases": _boilerplate_sql(),
+    "bpe_merges": _bpe_merges_sql(),
+    "bpe_corpus": _bpe_corpus_sql(),
+    "repetition_stats": _repetition_sql(),
+    "quality_flags": _quality_flags_sql(),
+    "pii_scan": _pii_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
+    "kmeans_update": _kmeans_sql(),
+    "source_mix_report": _source_mix_sql(),
+    "pipeline_report": _pipeline_report_sql(),
+    "corpus_clean_stats": _corpus_clean_sql(),
     "span_dedup_stats": _span_dedup_sql(),
     "source_tfidf_topk": SQL_SOURCE_TFIDF,
     "event_resample_hourly": SQL_EVENT_RESAMPLE,
@@ -2206,87 +2257,39 @@ EXTRA_ORACLES = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
 }
 
-
-ANALYTICS_QUERIES = {
+# Trailing group, outside the driver's 50-slot window: queries that were
+# driver-green in r01-r03 and are displaced by the round-4 rotation.
+# Still pytest-oracle-verified every run (tests/test_oracle_parity.py).
+EXTRA_QUERIES = {
     "text_stats": q_text_stats,
     "token_topk": q_token_topk,
     "corpus_splits": q_corpus_splits,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_pairs": q_dedup_minhash,
-    "dedup_ngram_jaccard": q_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_near_pairs": q_embedding_near_pairs,
-    "simhash_fingerprints": q_simhash,
-    "simhash_near_pairs": q_simhash_pairs,
-    "knn_bruteforce": q_knn_bruteforce,
-    "knn_lsh": q_knn_lsh,
-    "knn_ivf": q_knn_ivf,
-    "label_nearest_neighbor": q_label_nn,
-    "capped_user_sessions": q_capped_sessions,
+    "char_entropy": q_char_entropy,
     "multimodal_features": q_multimodal_features,
     "frame_samples": q_frame_samples,
-    "image_meta": q_image_meta,
-    "audio_meta": q_audio_meta,
-    "png_meta": q_png_meta,
-    "jpeg_meta": q_jpeg_meta,
-    "benchmark_contamination": q_benchmark_contamination,
-    "boilerplate_phrases": q_boilerplate_phrases,
     "stratified_sample": q_stratified_sample,
     "doc_chunks": q_doc_chunks,
+    "knn_bruteforce": q_knn_bruteforce,
     "sequence_packing": q_sequence_packing,
-    "bpe_merges": q_bpe_merges,
-    "bpe_corpus": q_bpe_corpus,
-    "repetition_stats": q_repetition_stats,
-    "quality_flags": q_quality_flags,
-    "pii_scan": q_pii_scan,
-    "char_entropy": q_char_entropy,
-    "semantic_dedup": q_semantic_dedup,
-    "kmeans_update": q_kmeans_update,
-    "source_mix_report": q_source_mix_report,
-    "pipeline_report": q_pipeline_report,
-    "corpus_clean_stats": q_corpus_clean_stats,
+    "simhash_fingerprints": q_simhash,
+    "image_meta": q_image_meta,
 }
 
-ANALYTICS_ORACLES = {
+EXTRA_ORACLES = {
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,
     "lang_id": _lang_sql(),
     "doc_fingerprint": SQL_FINGERPRINT,
-    "dedup_exact": SQL_DEDUP_EXACT,
-    "dedup_minhash_pairs": _minhash_sql_clean(),
-    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
-    "dedup_clusters": _clusters_sql(),
-    "embedding_near_pairs": _near_pairs_sql(),
-    "simhash_fingerprints": SQL_SIMHASH,
-    "simhash_near_pairs": SQL_SIMHASH_PAIRS,
-    "knn_bruteforce": _knn_sql(k=10, n_queries=8, bucketed=False),
-    "knn_lsh": _knn_sql(k=5, n_queries=8, bucketed=True),
-    "knn_ivf": _ivf_sql(),
-    "label_nearest_neighbor": SQL_LABEL_NN,
-    "capped_user_sessions": SQL_CAPPED_SESSIONS,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "multimodal_features": SQL_MULTIMODAL,
     "frame_samples": SQL_FRAME_SAMPLES,
-    "image_meta": SQL_IMAGE_META,
-    "audio_meta": SQL_AUDIO_META,
-    "png_meta": SQL_PNG_META,
-    "jpeg_meta": SQL_JPEG_META,
-    "benchmark_contamination": _contamination_sql(),
-    "boilerplate_phrases": _boilerplate_sql(),
     "stratified_sample": SQL_STRATIFIED,
     "doc_chunks": _doc_chunks_sql(),
+    "knn_bruteforce": _knn_sql(k=10, n_queries=8, bucketed=False),
     "sequence_packing": _sequence_packing_sql(),
-    "bpe_merges": _bpe_merges_sql(),
-    "bpe_corpus": _bpe_corpus_sql(),
-    "repetition_stats": _repetition_sql(),
-    "quality_flags": _quality_flags_sql(),
-    "pii_scan": _pii_sql(),
-    "char_entropy": SQL_CHAR_ENTROPY,
-    "semantic_dedup": _semantic_dedup_sql(),
-    "kmeans_update": _kmeans_sql(),
-    "source_mix_report": _source_mix_sql(),
-    "pipeline_report": _pipeline_report_sql(),
-    "corpus_clean_stats": _corpus_clean_sql(),
+    "simhash_fingerprints": SQL_SIMHASH,
+    "image_meta": SQL_IMAGE_META,
 }
