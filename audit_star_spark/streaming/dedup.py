@@ -60,8 +60,21 @@ class StreamingNearDup:
        new-vs-new. Pairs internal to the store were emitted by earlier
        batches and are excluded, so each qualifying pair is emitted
        EXACTLY once: in the batch where its later document arrives.
-    3. Exact-Jaccard verification over distinct shingle hashes (same
-       rule and threshold as the batch operator).
+    3. Jaccard verification via the bottom-k sketch estimator: the store
+       keeps, per document, only the ``sketch_k`` SMALLEST distinct
+       shingle hashes (a bottom-k MinHash sketch), never the full
+       shingle-hash set. For a candidate pair the estimator is
+
+           X   = bottom-k of (sketch_a U sketch_b)
+           J^  = |X n sketch_a n sketch_b| / min(k, |sketch_a U sketch_b|)
+
+       which is EXACT whenever both documents have < k distinct shingles
+       (the sketch then IS the set, and the denominator collapses to the
+       true union size) and otherwise unbiased with std-error
+       ~= sqrt(J(1-J)/k) — ~0.03 at J=0.7, k=256. The trade-off is
+       documented and test-locked: only pairs whose exact Jaccard falls
+       inside the +-tolerance band of the threshold may disagree with
+       the batch operator.
     4. Pairs and the batch's signatures are written to batch-id
        partitions with dynamic overwrite — a replayed micro-batch
        rewrites its own partitions, so both sinks are idempotent under
@@ -69,26 +82,42 @@ class StreamingNearDup:
 
     Scale shape: the batch side is small and broadcast into both joins;
     the store side streams through the band join keyed on (band, key).
-    The store grows by one batch of signatures per trigger — array-typed
-    shingle-hash sets, no raw text. Parity with the batch operator over
-    the union of all batches is test-locked (exactness, not just
-    similarity).
+    The store grows by one batch of SKETCHES per trigger — O(docs x
+    sketch_k) longs total, no raw text, NOT O(corpus tokens): at 100 TB
+    the store is ~2 KB/doc regardless of document length, where the
+    round-3 full-set store re-stored 10-20 % of the corpus.
     """
 
-    def __init__(self, store_dir: str, pairs_dir: str, threshold: float = 0.7):
+    def __init__(
+        self,
+        store_dir: str,
+        pairs_dir: str,
+        threshold: float = 0.7,
+        sketch_k: int = 256,
+    ):
         self.store_dir = store_dir
         self.pairs_dir = pairs_dir
         self.threshold = threshold
+        self.sketch_k = sketch_k
 
     def _store(self, spark):
         import os
+
+        from pyspark.errors import AnalysisException
 
         if not os.path.isdir(self.store_dir):
             return None
         try:
             return spark.read.parquet(self.store_dir)
-        except Exception:
-            return None
+        except AnalysisException as ex:
+            # Only an absent/empty store reads as "no prior state"; any
+            # other failure (corrupt footer, transient IO wrapped in an
+            # analysis error) must propagate so the micro-batch fails and
+            # replays instead of silently skipping cross-batch pairs.
+            cls = getattr(ex, "getErrorClass", lambda: None)() or ""
+            if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+                return None
+            raise
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from functools import reduce
@@ -99,10 +128,16 @@ class StreamingNearDup:
 
         spark = batch_df.sparkSession
         sig_cols = ["doc_id", "shash"] + [f"band_{b}" for b in range(N_BANDS)]
+        # bottom-k sketch: the k smallest distinct shingle hashes. slice()
+        # on a shorter array returns the whole array, so small documents
+        # carry their exact set (estimator exact for them).
         new_sig = (
             minhash_signatures(batch_df)
             .select(*sig_cols)
-            .withColumn("sset", F.array_distinct("shash"))
+            .withColumn(
+                "sketch",
+                F.slice(F.array_sort(F.array_distinct("shash")), 1, self.sketch_k),
+            )
             .drop("shash")
             .persist()
         )
@@ -146,25 +181,31 @@ class StreamingNearDup:
             )
             .distinct()
         )
-        sets = new_sig.select("doc_id", "sset")
+        sets = new_sig.select("doc_id", "sketch")
         if prev is not None:
-            sets = sets.unionByName(prev.select("doc_id", "sset"))
+            sets = sets.unionByName(prev.select("doc_id", "sketch"))
         j = cand.join(
             sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "sset", "set_a"
+                "sketch", "sk_a"
             ),
             "doc_a",
         ).join(
             sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "sset", "set_b"
+                "sketch", "sk_b"
             ),
             "doc_b",
         )
-        inter = F.size(F.array_intersect("set_a", "set_b"))
-        union = F.size("set_a") + F.size("set_b") - inter
+        # bottom-k estimator (see class docstring): exact when both
+        # sketches are complete sets, ~sqrt(J(1-J)/k) std-error otherwise.
+        union_sk = F.array_union("sk_a", "sk_b")
+        merged_k = F.slice(F.array_sort(union_sk), 1, self.sketch_k)
+        est_num = F.size(F.array_intersect(merged_k, F.array_intersect("sk_a", "sk_b")))
+        est_den = F.least(F.lit(self.sketch_k), F.size(union_sk))
         pairs = (
             j.select(
-                "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+                "doc_a",
+                "doc_b",
+                (est_num.cast("double") / est_den).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= self.threshold)
             .withColumn("ingest_batch_id", F.lit(batch_id))

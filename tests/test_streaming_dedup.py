@@ -132,9 +132,20 @@ def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
     }
     got_rows = nd.pairs(spark).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    # default sketch_k=256 exceeds every sf0.001 doc's distinct-shingle
+    # count (max ~97), so the bottom-k estimator is exact here and parity
+    # with the batch operator is still strict equality
     assert got == want
     assert len(got_rows) == len(got)  # exactly-once: no duplicate rows
     assert len(want) > 0  # the corpus actually has near-dups at 0.7
+
+    # the store must hold bounded sketches, never full shingle sets
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert "sset" not in store.columns and "shash" not in store.columns
+    assert "sketch" in store.columns
+    from pyspark.sql import functions as F
+
+    assert store.agg(F.max(F.size("sketch"))).first()[0] <= nd.sketch_k
 
     # crash-replay of the final batch: both sinks must be unchanged
     last_batch = spark.createDataFrame(chunks[-1], "doc_id long, text string")
@@ -144,3 +155,68 @@ def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
     assert nd.pairs(spark).count() == n_before
     assert spark.read.parquet(str(tmp_path / "store")).count() == sig_before
     assert {(r["doc_a"], r["doc_b"]) for r in nd.pairs(spark).collect()} == want
+
+
+def test_streaming_neardup_sketch_estimator_tolerance(spark, tmp_path):
+    """With sketch_k SMALLER than the documents' shingle counts the
+    bottom-k estimator is genuinely sampled. Contract: the streamed pair
+    set may disagree with the exact batch operator ONLY for pairs whose
+    exact Jaccard lies inside the +-tol band around the threshold
+    (tol = 4 * sqrt(J(1-J)/k), ~4 sigma); everything clearly above the
+    threshold is found, nothing clearly below it is emitted. Also locks
+    the storage bound: sketches are capped at k entries."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.analytics.dedup import _shingled, minhash_lsh_pairs
+    from audit_star_spark.streaming.dedup import StreamingNearDup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+    )
+    rows = docs.collect()
+    k = 32
+    thr = 0.7
+    tol = 4 * math.sqrt(thr * (1 - thr) / k)
+
+    nd = StreamingNearDup(
+        str(tmp_path / "store"), str(tmp_path / "pairs"), threshold=thr, sketch_k=k
+    )
+    for i, chunk in enumerate([rows[:75], rows[75:]]):
+        nd.process_batch(
+            spark.createDataFrame(chunk, "doc_id long, text string"), i
+        )
+
+    got = {(r["doc_a"], r["doc_b"]) for r in nd.pairs(spark).collect()}
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"), threshold=thr
+        ).collect()
+    }
+
+    # exact Jaccard per doc pair, computed independently on the driver
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in _shingled(spark.createDataFrame(rows, "doc_id long, text string"))
+        .select("doc_id", F.array_distinct("shash").alias("sh"))
+        .collect()
+    }
+
+    def jac(a, b):
+        sa, sb = sets[a], sets[b]
+        return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+    for a, b in got ^ want:
+        assert abs(jac(a, b) - thr) <= tol, (a, b, jac(a, b))
+    # the clear positives were all found despite the sampled sketches
+    assert {(a, b) for (a, b) in want if jac(a, b) >= thr + tol} <= got
+    assert len(want) > 0
+
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.agg(F.max(F.size("sketch"))).first()[0] <= k
+    # sketches ARE truncated at this k (the estimator path is exercised)
+    assert store.agg(F.max(F.size("sketch"))).first()[0] == k
