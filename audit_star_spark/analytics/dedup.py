@@ -313,26 +313,69 @@ def simhash_fingerprints_packed(docs: DataFrame) -> DataFrame:
 simhash_fingerprints = simhash_fingerprints_packed
 
 
+def hamming_bands(total_bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) spans splitting ``total_bits`` into
+    ``max_hamming + 1`` contiguous bands. Pigeonhole: two words within
+    ``max_hamming`` Hamming distance have at most ``max_hamming`` bands
+    containing a differing bit, so they agree EXACTLY on >= 1 band —
+    band-equality blocking therefore has 100% recall for qualifying
+    pairs (unlike any single-prefix bucket, which misses a pair that
+    happens to differ in a high bit)."""
+    # more bands than bits would create empty (width-0) bands whose key
+    # is constant — an accidental all-pairs join; cap at one bit per band
+    # (recall is still exact: agreement on any single equal bit suffices
+    # when max_hamming >= total_bits - 1)
+    n = min(max_hamming + 1, total_bits)
+    base, extra = divmod(total_bits, n)
+    out, start = [], 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share a 12-bit prefix bucket
-    (blocking — no all-pairs), verified by exact Hamming distance."""
-    fp = simhash_fingerprints(docs).withColumn(
-        "bucket", F.expr(f"shiftright(simhash, {SIMHASH_BITS - 12})")
+    """Near-dup pairs by SimHash with EXACT-recall multi-band blocking:
+    the 60-bit fingerprint splits into ``max_hamming + 1`` bands
+    (:func:`hamming_bands`) and candidates are band-equality collisions
+    — every pair at <= max_hamming is guaranteed to collide in some
+    band, no all-pairs product. Exact Hamming verifies; DISTINCT folds
+    multi-band collisions of the same pair. Candidate cost is ~(bands)x
+    the old single-prefix bucket, recall is provably 100% (locked by
+    tests/test_ahash.py's brute-force recall twin for the image analog
+    and test_oracle_parity's DuckDB mirror here)."""
+    bands = hamming_bands(SIMHASH_BITS, max_hamming)
+    # eager localCheckpoint instead of persist: materializes the
+    # fingerprints once for the self-join AND releases the blocks when
+    # the DataFrame is unreferenced (a bare persist leaks the cache into
+    # the session; at real scale: write signatures to storage)
+    fp = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {s}) & {(1 << w) - 1}")
+            for s, w in bands
+        ]
     )
-    # persist: the self-join below would otherwise recompute every
-    # fingerprint twice (at real scale: checkpoint signatures to storage)
-    fp = fp.persist()
-    a, b = fp.alias("a"), fp.alias("b")
+    bk = fp.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "val")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
-        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

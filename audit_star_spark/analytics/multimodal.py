@@ -665,28 +665,47 @@ def ahash_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     hamming) for pairs within ``max_hamming`` bits.
 
     Scale shape (the simhash recipe applied to the image modality):
-    hashes persist, candidates come from a 16-bit prefix bucket
-    self-join — near-identical images agree on the high bits far more
-    often than random — and the exact Hamming distance filters inside
-    the join. No all-pairs product; prefix-block recall matches simhash's
-    documented trade-off."""
+    EXACT-recall multi-band blocking — the 64-bit ahash splits into
+    ``max_hamming + 1`` contiguous bands and candidates are
+    band-equality collisions, so by pigeonhole every qualifying pair
+    collides in >= 1 band (the old 16-bit prefix bucket missed pairs
+    differing in a high bit). Exact Hamming verifies inside the join;
+    DISTINCT folds multi-band hits. No all-pairs product. The eager
+    localCheckpoint materializes fingerprints once for the self-join
+    and releases the blocks when unreferenced (a bare persist leaked
+    the cache into the session)."""
+    from audit_star_spark.analytics.dedup import hamming_bands
+
     fp = (
         image_ahash(media)
         .filter(F.col("ahash_bits").isNotNull())
-        .withColumn("bucket", F.substring("ahash", 1, 4))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftright(ahash_bits, {s}) & {(1 << w) - 1}")
+            for s, w in hamming_bands(64, max_hamming)
+        ]
+    )
+    bk = fp.select(
+        "doc_id", "ahash_bits", F.posexplode(band_vals).alias("band", "val")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
     hamming = F.expr("bit_count(a.ahash_bits ^ b.ahash_bits)")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

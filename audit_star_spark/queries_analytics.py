@@ -301,17 +301,25 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# band spans generated from the SAME hamming_bands list the engine uses,
+# so the pigeonhole blocking cannot drift between the two dialects
+_D_SIMHASH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {i} AS band, "
+    f"(simhash >> {s}) & {(1 << w) - 1} AS val FROM fp"
+    for i, (s, w) in enumerate(dedup.hamming_bands(dedup.SIMHASH_BITS, 8))
+)
+
 SQL_SIMHASH_PAIRS = f"""
 WITH {_D_TH_CTE},
 fp AS (
   SELECT doc_id, {_D_SIMHASH} AS simhash FROM th
 ),
-b AS (
-  SELECT *, simhash >> {dedup.SIMHASH_BITS - 12} AS bucket FROM fp
+bk AS (
+  {_D_SIMHASH_BANDS}
 )
-SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
-FROM b a JOIN b b2 ON a.bucket = b2.bucket
+FROM bk a JOIN bk b2 ON a.band = b2.band AND a.val = b2.val
 WHERE a.doc_id < b2.doc_id
   AND bit_count(xor(a.simhash, b2.simhash)) <= 8
 """
