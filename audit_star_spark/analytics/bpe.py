@@ -122,11 +122,18 @@ def bpe_apply(
     (and recompute-on-retry cost) stays bounded — at production scale each
     cut is a storage write, exactly like the training rounds."""
     toks = spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    prev_cut = None
     for i, (a, b) in enumerate(rules, 1):
         toks = toks.select("doc_id", F.expr(_merge_expr(a, b)).alias("toks"))
         if i % persist_every == 0 and i < len(rules):
             toks.persist()
             toks.count()
+            # the newly materialized cut supersedes the previous one;
+            # unpersist it so cached token-corpus copies don't accumulate
+            # for the whole encode (memory ~ rule count otherwise)
+            if prev_cut is not None:
+                prev_cut.unpersist()
+            prev_cut = toks
     return toks
 
 

@@ -321,11 +321,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
 
 # -- decoder ----------------------------------------------------------------
-def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
-    """Remove 0xFF00 stuffing; return (clean bytes, restart-split bit
-    offsets in the clean stream where RSTn markers sat)."""
+def _unstuff(scan: bytes) -> bytes:
+    """Remove 0xFF00 stuffing and RSTn markers; restart handling
+    byte-aligns on the markers themselves, so no offsets are kept."""
     out = bytearray()
-    resets: list[int] = []
     i = 0
     while i < len(scan):
         b = scan[i]
@@ -336,13 +335,12 @@ def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
                 i += 2
                 continue
             if 0xD0 <= nxt <= 0xD7:  # RSTn: byte-aligned state reset
-                resets.append(len(out) * 8)
                 i += 2
                 continue
             break  # next real marker (EOI or next scan) ends the data
         out.append(b)
         i += 1
-    return bytes(out), resets
+    return bytes(out)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -401,12 +399,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS: header, then entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             sel = []
             for k in range(ns):
                 cs, tt = body[1 + 2 * k : 3 + 2 * k]
                 sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
-            scan_data, resets = _unstuff(payload[i:])
+            scan_data = _unstuff(payload[i:])
             scans.append((sel, scan_data))
             # skip past consumed entropy bytes: recompute consumed length
             consumed = 0
@@ -423,7 +423,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 j += 1
                 consumed += 1
             i += consumed
-            frame["resets"] = resets  # type: ignore[index]
         # APPn/COM/other: skipped
     if frame is None or not scans:
         raise ValueError("missing SOF/SOS")

@@ -140,6 +140,14 @@ def test_progressive_and_garbage_raise():
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\x00\x00garbage")
+    # SOS arriving before any SOF must raise the documented ValueError,
+    # not a TypeError from subscripting a missing frame
+    no_sof = bytearray(encode_jpeg(img, quality=100))
+    sof = no_sof.find(b"\xff\xc0")
+    seglen = int.from_bytes(no_sof[sof + 2 : sof + 4], "big")
+    del no_sof[sof : sof + 2 + seglen]
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        decode_jpeg(bytes(no_sof))
 
 
 def test_image_meta_decodes_jpeg_and_degrades_on_truncation(spark):
