@@ -7,12 +7,16 @@ numpy/stdlib. Everything here derives from the public ITU-T T.81 spec
 tables) and the public JFIF note (YCbCr matrix).
 
 Scope (honest boundaries, mirroring the PNG decoder's):
-- DECODE: baseline sequential DCT (SOF0), 8-bit, grayscale or 3-component
-  YCbCr, any sampling factors (nearest-neighbor chroma upsample), both
-  interleaved and single-component scans, restart markers. Progressive
-  (SOF2), arithmetic coding, and 12-bit raise ValueError.
+- DECODE: baseline sequential DCT (SOF0/1) and progressive DCT (SOF2 —
+  spectral selection + successive approximation, T.81 G.2), 8-bit,
+  grayscale or 3-component YCbCr, any sampling factors (nearest-neighbor
+  chroma upsample), interleaved and single-component scans, restart
+  markers. Arithmetic coding, hierarchical, and 12-bit raise ValueError.
 - ENCODE: grayscale or 4:4:4 color, quality-scaled Annex-K quant tables,
   standard Huffman tables — the synthesis side of the differential gate.
+  ``encode_jpeg_progressive`` emits a multi-scan SOF2 stream carrying the
+  SAME quantized coefficients, so progressive decode is differentially
+  locked against baseline decode bit-for-bit at any quality.
   At quality=100 every quant entry is 1, so a constant 8×8 tile is
   DC-only with an EXACT integer coefficient: decode(encode(img)) is
   bit-identical for tile-constant images, which is what makes a
@@ -393,9 +397,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for k in range(nc):
                 cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0/1) supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": False}
+        elif marker == 0xC2:  # SOF2 progressive DCT, Huffman
+            prec = body[0]
+            if prec != 8:
+                raise ValueError("only 8-bit progressive JPEG supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps, "progressive": True}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0/1) and progressive (SOF2) Huffman JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS: header, then entropy data follows
@@ -406,8 +424,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for k in range(ns):
                 cs, tt = body[1 + 2 * k : 3 + 2 * k]
                 sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            # progressive scan parameters: spectral selection Ss..Se and
+            # successive approximation Ah (prior) / Al (this scan); for
+            # baseline they are fixed at 0, 63, 0, 0
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             scan_data = _unstuff(payload[i:])
-            scans.append((sel, scan_data))
+            scans.append((sel, (ss, se, ahal >> 4, ahal & 0xF), scan_data))
             # skip past consumed entropy bytes: recompute consumed length
             consumed = 0
             j = i
@@ -437,10 +459,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         c["bh"] = -(-c["hh"] // 8)
         c["coef"] = {}
 
-    for sel, data in scans:
+    for sel, (ss, se, ah, al), data in scans:
         br = _BitReader(data)
         active = [next(c for c in comps if c["id"] == s["cs"]) for s in sel]
         preds = {c["id"]: 0 for c in active}
+        if frame["progressive"]:
+            _decode_progressive_scan(
+                br, active, sel, ss, se, ah, al,
+                dc_tabs, ac_tabs, restart_interval, w, h, hmax, vmax,
+            )
+            continue
         if len(active) == 1:
             comp, s = active[0], sel[0]
             nblocks = comp["bw"] * comp["bh"]
@@ -535,3 +563,357 @@ def _decode_block_into(
         k += 1
     comp["coef"][(by, bx)] = zz
     return dc
+
+
+# -- progressive decode (T.81 G.2: spectral selection + successive approx) --
+def _block(comp: dict, by: int, bx: int) -> list[int]:
+    zz = comp["coef"].get((by, bx))
+    if zz is None:
+        zz = [0] * 64
+        comp["coef"][(by, bx)] = zz
+    return zz
+
+
+def _decode_progressive_scan(
+    br: "_BitReader", active: list, sel: list, ss: int, se: int,
+    ah: int, al: int, dc_tabs: dict, ac_tabs: dict,
+    restart_interval: int, w: int, h: int, hmax: int, vmax: int,
+) -> None:
+    """One progressive scan. DC scans (Ss=0) may be interleaved; AC scans
+    carry exactly one component (T.81 G.1.1.1.1). First scans (Ah=0) code
+    point-transformed coefficients; refinement scans (Ah>0) add one bit of
+    precision (Al = Ah - 1). Restart markers byte-align and reset both the
+    DC predictors and the EOB run."""
+    if ss == 0:  # ---------------------------------------------- DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        preds = {c["id"]: 0 for c in active}
+        if len(active) == 1:
+            comp, s = active[0], sel[0]
+            units = [(comp, s, by, bx)
+                     for by in range(comp["bh"]) for bx in range(comp["bw"])]
+            per_mcu = 1
+        else:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            units = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for comp, s in zip(active, sel):
+                        for vy in range(comp["v"]):
+                            for vx in range(comp["h"]):
+                                units.append(
+                                    (comp, s, my * comp["v"] + vy, mx * comp["h"] + vx)
+                                )
+            per_mcu = sum(c["h"] * c["v"] for c in active)
+        mcu_done = 0
+        for n, (comp, s, by, bx) in enumerate(units):
+            if (restart_interval and n and n % (restart_interval * per_mcu) == 0):
+                br.pos = (br.pos + 7) // 8 * 8
+                preds = {c["id"]: 0 for c in active}
+            zz = _block(comp, by, bx)
+            if ah == 0:
+                t = br.read_symbol(dc_tabs[s["td"]])
+                diff = _extend(br.read_bits(t), t) if t else 0
+                preds[comp["id"]] += diff
+                zz[0] = preds[comp["id"]] << al
+            else:  # refinement: one bit per block
+                if br.read_bit():
+                    zz[0] |= 1 << al
+        del mcu_done
+        return
+    # --------------------------------------------------------- AC scan
+    if len(active) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, s = active[0], sel[0]
+    tab = ac_tabs[s["ta"]]
+    eobrun = 0
+    n = 0
+    for by in range(comp["bh"]):
+        for bx in range(comp["bw"]):
+            if restart_interval and n and n % restart_interval == 0:
+                br.pos = (br.pos + 7) // 8 * 8
+                eobrun = 0
+            zz = _block(comp, by, bx)
+            if ah == 0:
+                eobrun = _dec_ac_first(br, zz, tab, ss, se, al, eobrun)
+            else:
+                eobrun = _dec_ac_refine(br, zz, tab, ss, se, al, eobrun)
+            n += 1
+
+
+def _dec_ac_first(br, zz, tab, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_symbol(tab)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r < 15:  # EOBn: run of 2^r + extra blocks ending here
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                return eobrun - 1  # this block is part of the run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        zz[k] = _extend(br.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(br, zz, tab, ss, se, al, eobrun) -> int:
+    """Refinement: newly-nonzero coefficients arrive as sign bits after a
+    run over ZERO-HISTORY positions; already-nonzero coefficients consume
+    one correction bit each as the run passes over them."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_symbol(tab)
+            r, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size == 0:
+                if r < 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # ZRL: pass over 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("refinement size must be 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        # remaining positions of this block: correction bits only
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# -- progressive encoder (the synthesis side of the differential gate) ------
+# A flat 256-symbol AC table: the standard baseline tables lack the EOBn
+# (r<<4, r>0) symbols progressive scans emit, and building optimal tables
+# is beside the point for a test-vector generator. 255 codes of length 8
+# plus one of length 9 is a valid canonical set (Kraft sum 255/256+1/512).
+_AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_AC_FLAT_VALS = list(range(256))
+
+
+class _EobState:
+    """Cross-block EOB-run + buffered-correction-bit state for one scan."""
+
+    def __init__(self, bw: "_BitWriter", ac_codes: dict) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+    def add_block(self, pending: list[int]) -> None:
+        self.eobrun += 1
+        self.bits.extend(pending)
+        if self.eobrun == 0x7FFF:
+            self.flush()
+
+
+def _enc_ac_first_block(zz, ss, se, al, st: _EobState) -> None:
+    r = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        t = abs(zz[k]) >> al
+        if t == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            code, ln = st.ac[0xF0]
+            st.bw.write(code, ln)
+            r -= 16
+        size = _category(t)
+        code, ln = st.ac[(r << 4) | size]
+        st.bw.write(code, ln)
+        v = t if zz[k] > 0 else -t
+        st.bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        r = 0
+        wrote = True
+    if r > 0 or not wrote:
+        st.add_block([])
+
+
+def _enc_ac_refine_block(zz, ss, se, al, st: _EobState) -> None:
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    last_new = -1
+    for idx, t in enumerate(absv):
+        if t == 1:
+            last_new = idx
+    r = 0
+    pending: list[int] = []
+    for idx, t in enumerate(absv):
+        k = ss + idx
+        if t == 0:
+            r += 1
+            continue
+        if t > 1:  # previously nonzero: correction bit rides behind
+            pending.append(t & 1)
+            continue
+        # newly nonzero (t == 1); idx <= last_new by construction
+        while r > 15:
+            st.flush()
+            code, ln = st.ac[0xF0]
+            st.bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                st.bw.write(b, 1)
+            pending = []
+        st.flush()
+        code, ln = st.ac[(r << 4) | 1]
+        st.bw.write(code, ln)
+        st.bw.write(1 if zz[k] > 0 else 0, 1)
+        for b in pending:
+            st.bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending or last_new < 0:
+        st.add_block(pending)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """HxWx{1,3} uint8 -> progressive (SOF2) JFIF bytes, exercising every
+    progressive decode path: an interleaved successive-approximation DC
+    scan + DC refinement, then per-component spectral-selection AC bands
+    at Al=1 with a full refinement pass to Al=0. Coefficients after all
+    scans equal the baseline encoder's exactly, so at quality=100
+    decode(progressive) == decode(baseline) bit-for-bit — the
+    differential contract the tests lock."""
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("encode_jpeg_progressive expects 1 or 3 channels")
+    qts = [_quality_scale(_QT_LUMA, quality)]
+    planes = [img[:, :, 0].astype(np.float64)]
+    if c == 3:
+        qts.append(_quality_scale(_QT_CHROMA, quality))
+        r_, g_, b_ = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        planes = [np.round(y), np.round(cb), np.round(cr)]
+    planes = [np.clip(p, 0, 255) for p in planes]
+
+    # quantized coefficient blocks per component, zigzag order
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    blocks: list[list[list[int]]] = []
+    for ci, p in enumerate(planes):
+        padded = np.pad(p, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
+        comp_blocks = []
+        qt = qts[min(ci, 1)]
+        for by in range(bh):
+            for bx in range(bwid):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = _C @ (blk - 128.0) @ _C.T
+                q = np.round(f / qt).astype(np.int64)
+                comp_blocks.append([int(v) for v in q[_ZIG_ROWS, _ZIG_COLS]])
+        blocks.append(comp_blocks)
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _dqt_seg(0, qts[0])
+    if c == 3:
+        head += _dqt_seg(1, qts[1])
+    comps = b"".join(bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(c))
+    head += _seg(
+        0xC2,  # SOF2
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([c]) + comps,
+    )
+    head += _dht_seg(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    head += _dht_seg(1, 0, _AC_FLAT_BITS, _AC_FLAT_VALS)
+    if c == 3:
+        head += _dht_seg(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+
+    dc_codes = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)] + [
+        _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ] * (c - 1)
+    ac_codes = _canonical_codes(_AC_FLAT_BITS, _AC_FLAT_VALS)
+    out = bytearray(head)
+
+    def sos(comp_ids_tabs: list[tuple[int, int, int]], ss, se, ah, al) -> bytearray:
+        body = bytes([len(comp_ids_tabs)])
+        for cid, td, ta in comp_ids_tabs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return bytearray(_seg(0xDA, body))
+
+    # scan 1: interleaved DC first, Al=1
+    out += sos([(i + 1, min(i, 1), 0) for i in range(c)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * c
+    for n in range(bh * bwid):  # 4:4:4 -> MCU = one block per component
+        for ci in range(c):
+            dc = blocks[ci][n][0] >> 1  # point transform Al=1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            size = _category(abs(diff))
+            code, ln = dc_codes[ci][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    out += bw.flush()
+
+    # scan 2: DC refinement to Al=0
+    out += sos([(i + 1, min(i, 1), 0) for i in range(c)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for n in range(bh * bwid):
+        for ci in range(c):
+            bw.write(blocks[ci][n][0] & 1, 1)
+    out += bw.flush()
+
+    # per component: AC bands at Al=1, then one refinement pass to Al=0
+    for ci in range(c):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([(ci + 1, 0, 0)], ss, se, 0, 1)
+            bw = _BitWriter()
+            st = _EobState(bw, ac_codes)
+            for n in range(bh * bwid):
+                _enc_ac_first_block(blocks[ci][n], ss, se, 1, st)
+            st.flush()
+            out += bw.flush()
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        st = _EobState(bw, ac_codes)
+        for n in range(bh * bwid):
+            _enc_ac_refine_block(blocks[ci][n], 1, 63, 0, st)
+        st.flush()
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -284,3 +284,42 @@ def test_corrupted_payloads_always_degrade_in_image_meta(spark):
     out = image_meta(media).collect()  # must not raise
     assert len(out) == 60
     assert {r["format"] for r in out} <= {"jpeg", "unknown"}
+
+
+# ---------------------------------------------------------- progressive
+def test_progressive_decode_matches_baseline_exactly():
+    """All scans together transmit exactly the baseline coefficients, so
+    progressive and baseline decodes must agree bit-for-bit at ANY
+    quality — grayscale and color, odd dimensions included."""
+    from audit_star_spark.analytics.jpeg import encode_jpeg_progressive
+
+    for shape, q in [((16, 16, 1), 100), ((13, 21, 1), 85), ((19, 14, 3), 90)]:
+        img = RNG.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base), (shape, q)
+
+
+def test_progressive_constant_tiles_bit_exact_and_eob_runs():
+    """Tile-constant image at quality=100: every AC band is zero, so the
+    encoder emits multi-block EOB runs (EOBn, r > 0) — the decode path a
+    single-block EOB never reaches — and the decode must still be
+    bit-exact against the source."""
+    from audit_star_spark.analytics.jpeg import encode_jpeg_progressive
+
+    img = np.zeros((32, 32, 1), dtype=np.uint8)
+    for ty in range(4):
+        for tx in range(4):
+            img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = 13 + 16 * (ty * 4 + tx)
+    payload = encode_jpeg_progressive(img, quality=100)
+    assert np.array_equal(decode_jpeg(payload), img)
+
+
+def test_progressive_smooth_gradient_close():
+    from audit_star_spark.analytics.jpeg import encode_jpeg_progressive
+
+    x = np.linspace(0, 255, 24)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)[:, :, None]
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=95))
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 12
