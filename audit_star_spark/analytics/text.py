@@ -33,20 +33,65 @@ TOK_HASHES_EXPR = (
 )
 
 
+def _nfc_pairs() -> list[tuple[str, str]]:
+    """Composition pairs (two-codepoint combining sequence -> precomposed
+    char) for ASCII bases x the common Latin combining marks, derived at
+    import time from the stdlib Unicode tables (unicodedata.normalize),
+    not transcribed. Spark SQL has no built-in NFC function, so the
+    engine applies this enumerated chain; the DuckDB oracle mirrors the
+    SAME chain (not full nfc_normalize) so both engines compute the
+    identical, documented function."""
+    import unicodedata
+
+    # grave, acute, circumflex, tilde, diaeresis, ring, cedilla
+    marks = ["\u0300", "\u0301", "\u0302", "\u0303", "\u0308", "\u030a", "\u0327"]
+    pairs = []
+    for base in "AEIOUNCYaeiouncy":
+        for mark in marks:
+            comp = unicodedata.normalize("NFC", base + mark)
+            if len(comp) == 1:
+                pairs.append((base + mark, comp))
+    return pairs
+
+
+NFC_PAIRS = _nfc_pairs()
+
+
+def nfc_lite_sql(col_sql: str) -> str:
+    """Nested replace() chain applying NFC_PAIRS — valid in both Spark
+    SQL and DuckDB (neither sequence contains quotes or backslashes)."""
+    out = col_sql
+    for dec, comp in NFC_PAIRS:
+        out = f"replace({out}, '{dec}', '{comp}')"
+    return out
+
+
+# Opt-in Unicode-aware tokenizer (the default TOKENS_EXPR is whitespace
+# split of lower(text), which every text operator inherits): NFC-lite
+# composition, Unicode lower(), then punctuation-aware extraction of
+# letter/digit runs. \p{L}\p{N} are supported by both Java regex (Spark)
+# and RE2 (DuckDB).
+TOKENS_EXPR_UNICODE = (
+    f"regexp_extract_all(lower({nfc_lite_sql('text')}), '[\\\\p{{L}}\\\\p{{N}}]+', 0)"
+)
+
+
 def _stopword_pattern(words: list[str]) -> str:
     # doubled backslashes: these patterns are embedded in F.expr SQL string
     # literals, where '\b' would parse as backspace (unlike DuckDB)
     return r"\\b(" + "|".join(words) + r")\\b"
 
 
-def with_text_stats(docs: DataFrame) -> DataFrame:
+def with_text_stats(docs: DataFrame, tokens_expr: str = TOKENS_EXPR) -> DataFrame:
     """Per-document stats: chars, tokens, punctuation, stopword ratio,
-    average token length, a BPE-ish token estimate, and a quality score."""
-    toks = F.expr(TOKENS_EXPR)
+    average token length, a BPE-ish token estimate, and a quality score.
+    ``tokens_expr=TOKENS_EXPR_UNICODE`` opts into the Unicode-aware
+    tokenizer (NFC-lite + punctuation-aware splitting)."""
+    toks = F.expr(tokens_expr)
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     n_punct = n_chars - F.length(F.regexp_replace("text", r"[\.,;:!\?]", ""))
-    tok_chars = F.expr(f"aggregate({TOKENS_EXPR}, 0, (a, t) -> a + length(t))")
+    tok_chars = F.expr(f"aggregate({tokens_expr}, 0, (a, t) -> a + length(t))")
     n_stop = F.size(
         F.expr(f"regexp_extract_all(lower(text), '{_stopword_pattern(STOPWORDS)}', 0)")
     )
@@ -249,7 +294,9 @@ def sequence_packing(docs: DataFrame, budget_tokens: int = 256) -> DataFrame:
     )
 
 
-def source_tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+def source_tfidf_topk(
+    docs: DataFrame, k: int = 5, tokens_expr: str = TOKENS_EXPR
+) -> DataFrame:
     """Per-source distinctive vocabulary: top-``k`` terms per source by
     smoothed TF-IDF (tf × (ln((1+N)/(1+df)) + 1), N = number of sources,
     df = number of sources containing the term) — the corpus-mixture
@@ -265,7 +312,7 @@ def source_tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     last-ulp ln() difference between libm and the JVM cannot flip a
     hash comparison."""
     toks = docs.select(
-        F.col("source"), F.explode(F.expr(TOKENS_EXPR)).alias("term")
+        F.col("source"), F.explode(F.expr(tokens_expr)).alias("term")
     )
     tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -291,7 +338,9 @@ def source_tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def vocab_coverage(docs: DataFrame, vocab_k: int = 100) -> DataFrame:
+def vocab_coverage(
+    docs: DataFrame, vocab_k: int = 100, tokens_expr: str = TOKENS_EXPR
+) -> DataFrame:
     """Vocabulary-coverage / OOV report: induce the top-``vocab_k``
     vocabulary on the corpus, then per (source, lang) report total token
     occurrences, how many fall outside the vocabulary, and the OOV rate
@@ -303,7 +352,7 @@ def vocab_coverage(docs: DataFrame, vocab_k: int = 100) -> DataFrame:
     per-token join fan-out (membership is a broadcast hash lookup)."""
     vocab = token_topk(docs, k=vocab_k).select("token")
     toks = spread(docs).select(
-        "source", "lang", F.explode(F.expr(TOKENS_EXPR)).alias("token")
+        "source", "lang", F.explode(F.expr(tokens_expr)).alias("token")
     ).filter(F.length("token") > 0)
     tagged = toks.join(
         F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "token", "left"
@@ -318,4 +367,34 @@ def vocab_coverage(docs: DataFrame, vocab_k: int = 100) -> DataFrame:
             / F.count("*").cast("double"),
             9,
         ).alias("oov_rate"),
+    )
+
+
+# deterministic non-ASCII augmentation for the Unicode-tokenizer gate:
+# mixed decomposed/precomposed forms plus punctuation the whitespace
+# tokenizer would glue onto tokens (the corpus itself is pure ASCII)
+UNICODE_SUFFIX = (
+    " Cafe\u0301, CAFE\u0301; caf\u00e9 \u2014 u\u0308ber \u00dcber nai\u0308ve end."
+)
+
+
+def unicode_token_stats(docs: DataFrame) -> DataFrame:
+    """Unicode-tokenizer report over a deterministically augmented corpus:
+    per document, token count, distinct-token count, and how many tokens
+    normalize to 'caf\u00e9' / '\u00fcber'. All three decomposed/precomposed/cased
+    forms of each must collapse to ONE distinct token (n_cafe = 3,
+    n_uber = 2 in every row) — that is the NFC + Unicode-lower +
+    punctuation-splitting contract, checked value-exactly against the
+    DuckDB mirror of the same replace chain."""
+    aug = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(UNICODE_SUFFIX)).alias("text")
+    )
+    toks = aug.select(
+        "doc_id", F.explode(F.expr(TOKENS_EXPR_UNICODE)).alias("token")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("token").cast("long").alias("n_distinct"),
+        F.count(F.when(F.col("token") == "caf\u00e9", 1)).cast("long").alias("n_cafe"),
+        F.count(F.when(F.col("token") == "\u00fcber", 1)).cast("long").alias("n_uber"),
     )

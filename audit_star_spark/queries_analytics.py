@@ -2169,6 +2169,37 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------------------- unicode tokenizer (r4)
+def q_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unicode_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _unicode_tokens_sql() -> str:
+    """DuckDB mirror of TOKENS_EXPR_UNICODE: the same nfc_lite_sql replace
+    chain (generated from the same NFC_PAIRS list, so it cannot drift) and
+    the same letter/digit-run extraction; DuckDB string literals keep
+    backslashes raw, hence the single-backslash regex."""
+    tok = (
+        "regexp_extract_all(lower(" + text.nfc_lite_sql("text") + "), "
+        "'[\\p{L}\\p{N}]+')"
+    )
+    suffix = text.UNICODE_SUFFIX
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text || '{suffix}' AS text FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({tok}) AS token FROM aug
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+       CAST(count(CASE WHEN token = 'caf\u00e9' THEN 1 END) AS BIGINT) AS n_cafe,
+       CAST(count(CASE WHEN token = '\u00fcber' THEN 1 END) AS BIGINT) AS n_uber
+FROM toks GROUP BY doc_id
+"""
+
+
 # Driver-gate analytics group: exactly 42 entries, so the driver's 50-row
 # correctness window is 8 audit + these 42 (insertion order; see
 # __spark_entry__.queries()). Round 4 rotated the 17 round-3 queries
@@ -2283,6 +2314,7 @@ EXTRA_QUERIES = {
     "sequence_packing": q_sequence_packing,
     "simhash_fingerprints": q_simhash,
     "image_meta": q_image_meta,
+    "unicode_token_stats": q_unicode_tokens,
 }
 
 EXTRA_ORACLES = {
@@ -2300,4 +2332,5 @@ EXTRA_ORACLES = {
     "sequence_packing": _sequence_packing_sql(),
     "simhash_fingerprints": SQL_SIMHASH,
     "image_meta": SQL_IMAGE_META,
+    "unicode_token_stats": _unicode_tokens_sql(),
 }
