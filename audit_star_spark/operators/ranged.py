@@ -40,14 +40,24 @@ def ranged_count_join(
     counts: dict[str, F.Column | None] | None = None,
     carry_right: tuple[str, ...] = (),
     right_prefix: str = "r_",
+    aggregates: dict[str, F.Column] | None = None,
 ) -> DataFrame:
-    """For each (distinct) left row, count right rows with matching ``keys``
-    and ``left_ts + lower_s <= right_ts < left_ts + upper_s``.
+    """For each (distinct) left row, count — and optionally aggregate —
+    right rows with matching ``keys`` and
+    ``left_ts + lower_s <= right_ts < left_ts + upper_s``.
 
     ``counts`` maps output column name -> optional boolean condition over
     the carried right columns (referenced as ``F.col(f"{right_prefix}<name>")``
     for every name in ``carry_right``); ``None`` counts every in-range row.
     Default output column is ``n_in_range``. Left rows with no match get 0.
+
+    ``aggregates`` maps output column name -> an arbitrary aggregate
+    expression (sum/min/max/avg/count/...) over the carried right columns.
+    Before aggregation every carried column is masked to NULL for
+    out-of-range candidate rows, so any null-skipping aggregate sees ONLY
+    the in-range rows — same bucketed plan, still no nested-loop node.
+    Left rows with no in-range match get the aggregate's empty value
+    (NULL for sum/min/max; wrap in coalesce yourself if you need 0).
 
     Left rows must be distinct (the final aggregate groups by all left
     columns to restore the pre-explode row set; duplicate left rows would
@@ -95,4 +105,13 @@ def ranged_count_join(
         aggs.append(
             F.coalesce(F.sum(F.when(hit, 1)), F.lit(0)).cast("long").alias(name)
         )
+    if aggregates:
+        # mask carried columns so null-skipping aggregates only see
+        # in-range rows; the user expression then applies unchanged
+        for c in carry_right:
+            joined = joined.withColumn(
+                f"{right_prefix}{c}",
+                F.when(in_range, F.col(f"{right_prefix}{c}")),
+            )
+        aggs.extend(expr.alias(name) for name, expr in aggregates.items())
     return joined.groupBy(*left_cols).agg(*aggs)

@@ -2169,6 +2169,54 @@ GROUP BY 1, 2
 """
 
 
+def q_purchase_value_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged-join aggregate generalization (r4): per purchase, count,
+    sum, and max of the same-user click/view VALUES in the prior hour —
+    same bucketed plan as the count-only query, no nested-loop node.
+    The sum is rounded (6 dp) because double addition order differs
+    between engines; max is exact."""
+    from audit_star_spark.operators.ranged import ranged_count_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    prior = ev.filter(F.col("event_type").isin("click", "view"))
+    return ranged_count_join(
+        purchases,
+        prior,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_s=-3600,
+        upper_s=0,
+        counts={"n_prior": None},
+        carry_right=("value",),
+        aggregates={
+            "sum_prior_value": F.round(
+                F.coalesce(F.sum("r_value"), F.lit(0.0)), 6
+            ),
+            "max_prior_value": F.max("r_value"),
+        },
+    )
+
+
+SQL_PURCHASE_VALUE_ATTRIBUTION = """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COALESCE(SUM(CASE WHEN e.ts IS NOT NULL THEN 1 END), 0)
+         AS BIGINT) AS n_prior,
+       round(COALESCE(SUM(e.value), 0), 6) AS sum_prior_value,
+       MAX(e.value) AS max_prior_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type IN ('click', 'view')) e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL 3600 SECOND
+ AND e.ts < p.ts
+GROUP BY 1, 2, 3
+"""
+
+
 # -------------------------------------------- unicode tokenizer (r4)
 def q_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unicode_token_stats(load_table(spark, sf_dir, "documents"))
@@ -2315,6 +2363,7 @@ EXTRA_QUERIES = {
     "simhash_fingerprints": q_simhash,
     "image_meta": q_image_meta,
     "unicode_token_stats": q_unicode_tokens,
+    "purchase_value_attribution": q_purchase_value_attribution,
 }
 
 EXTRA_ORACLES = {
@@ -2333,4 +2382,5 @@ EXTRA_ORACLES = {
     "simhash_fingerprints": SQL_SIMHASH,
     "image_meta": SQL_IMAGE_META,
     "unicode_token_stats": _unicode_tokens_sql(),
+    "purchase_value_attribution": SQL_PURCHASE_VALUE_ATTRIBUTION,
 }

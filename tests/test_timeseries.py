@@ -140,3 +140,56 @@ def test_event_funnel_requires_stage_order(spark):
     assert got["purchase"] == (3, 1, 0.5)
     with pytest.raises(ValueError, match="non-empty"):
         event_funnel(events, [])
+
+
+def test_ranged_join_aggregates_match_bruteforce(spark):
+    """sum/min/max over in-range rows only — out-of-range candidates from
+    the same bucket must be masked out of the aggregates."""
+    import datetime as dt
+
+    d = dt.datetime
+    ldf = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 12, 0, 0)), (2, d(2024, 1, 1, 12, 0, 0))],
+        "k long, ts timestamp",
+    )
+    rows = [
+        (1, d(2024, 1, 1, 11, 59, 30), 10.0),  # in range [-60, 0)
+        (1, d(2024, 1, 1, 11, 59, 59), 5.0),   # in range
+        (1, d(2024, 1, 1, 12, 0, 0), 100.0),   # boundary: excluded
+        (1, d(2024, 1, 1, 11, 58, 0), 77.0),   # same bucket, out of range
+        (2, d(2024, 1, 1, 11, 30, 0), 3.0),    # out of range
+    ]
+    rdf = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {
+        r["k"]: r
+        for r in ranged_count_join(
+            ldf, rdf, ["k"], "ts", "ts", -60, 0,
+            counts={"n": None},
+            carry_right=("v",),
+            aggregates={
+                "sum_v": F.coalesce(F.sum("r_v"), F.lit(0.0)),
+                "min_v": F.min("r_v"),
+                "max_v": F.max("r_v"),
+            },
+        ).collect()
+    }
+    assert (got[1]["n"], got[1]["sum_v"], got[1]["min_v"], got[1]["max_v"]) == (
+        2, 15.0, 5.0, 10.0,
+    )
+    # no in-range rows: count 0, null-skipping aggregates stay NULL/0
+    assert (got[2]["n"], got[2]["sum_v"], got[2]["min_v"], got[2]["max_v"]) == (
+        0, 0.0, None, None,
+    )
+    # the aggregate path keeps the bucketed-equi-join plan
+    plan = (
+        ranged_count_join(
+            ldf, rdf, ["k"], "ts", "ts", -60, 0,
+            carry_right=("v",),
+            aggregates={"sum_v": F.sum("r_v")},
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
