@@ -81,41 +81,70 @@ def resample_events(events: DataFrame, bucket: str = "hour") -> DataFrame:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape for a single-quoted Spark SQL literal (backslashes first —
+    Spark applies C-style escapes inside string literals)."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
+
 def event_funnel(events: DataFrame, stages: list[str]) -> DataFrame:
     """Ordered conversion funnel: per stage, how many users reached it —
     a user reaches stage k iff they have a ``stages[k]`` event strictly
     after their (earliest qualifying) stage k-1 event. Output:
     (stage_idx, stage, n_users, conversion_rate vs previous stage).
 
-    Each level is min-timestamp conditional aggregation per user joined
-    back to the event stream — the textbook funnel definition, expressible
-    identically in ANSI SQL (the oracle mirrors it CTE for CTE).
+    Single-pass design (r4 — replaces the per-stage join cascade, which
+    was |stages| shuffle joins against a shrinking frame): ONE shuffle
+    keyed on user_id collects each user's ts-sorted stage events, an
+    in-row left fold walks them greedily — (depth, t) advances when the
+    next event matches stages[depth] strictly after t, which reproduces
+    the min-timestamp recurrence exactly because events arrive in
+    ascending ts order — and a global conditional aggregate turns
+    per-user depths into per-stage reach counts. The greedy fold and the
+    oracle's min-based CTE cascade are provably the same function, and
+    the oracle (unchanged) locks it.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
-    reached = None  # per-user frame: user_id, __t (ts of reaching current stage)
-    counts = []
-    for idx, stage in enumerate(stages):
-        ev = events.filter(F.col("event_type") == stage)
-        if reached is None:
-            reached = ev.groupBy("user_id").agg(F.min("ts").alias("__t"))
-        else:
-            reached = (
-                ev.join(reached, "user_id")
-                .filter(F.col("ts") > F.col("__t"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("__t"))
-            )
-        counts.append(
-            reached.agg(F.count("*").cast("long").alias("n_users")).select(
-                F.lit(idx + 1).alias("stage_idx"),
-                F.lit(stage).alias("stage"),
-                "n_users",
-            )
+    n = len(stages)
+    stage_arr = "array(" + ", ".join(f"'{_sql_str(s)}'" for s in stages) + ")"
+    per_user = (
+        events.filter(F.col("event_type").isin(list(stages)))
+        .select("user_id", "ts", F.col("event_type").alias("et"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "et"))).alias("evs"))
+    )
+    depth = F.expr(
+        f"""aggregate(
+              evs,
+              named_struct('depth', 0, 't', CAST(NULL AS TIMESTAMP)),
+              (s, e) -> CASE
+                WHEN s.depth < {n}
+                 AND e.et = element_at({stage_arr}, s.depth + 1)
+                 AND (s.depth = 0 OR e.ts > s.t)
+                THEN named_struct('depth', s.depth + 1, 't', e.ts)
+                ELSE s END
+            ).depth"""
+    )
+    # no depth >= 1 filter: depth-0 users satisfy none of the conditional
+    # counts below, and a filter on the computed column would re-inline
+    # the fold into the scan predicate (evaluated twice per user)
+    depths = per_user.select(depth.alias("depth"))
+    one_row = depths.agg(
+        *[
+            F.count(F.when(F.col("depth") >= i + 1, 1))
+            .cast("long")
+            .alias(f"__n_{i}")
+            for i in range(n)
+        ]
+    )
+    out = one_row.selectExpr(
+        f"stack({n}, "
+        + ", ".join(
+            f"{i + 1}, '{_sql_str(st)}', __n_{i}" for i, st in enumerate(stages)
         )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
+        + ") as (stage_idx, stage, n_users)"
+    )
     # global window over a |stages|-row frame — not a data-scale window
     w = Window.orderBy("stage_idx")
     prev = F.lag("n_users").over(w)

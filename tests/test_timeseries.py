@@ -193,3 +193,21 @@ def test_ranged_join_aggregates_match_bruteforce(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_plan_is_single_shuffle_no_joins(spark):
+    """r4 single-pass funnel: one user_id exchange total — the old
+    per-stage cascade had |stages| shuffle joins against a shrinking
+    frame. The only other exchange is the one-row global rollup."""
+    from audit_star_spark.sources.testdata import load_table
+
+    df = event_funnel(
+        load_table(spark, "/root/testdata/sf0.001", "events"),
+        ["signup", "view", "purchase"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert plan.count("events.parquet") == 1, plan
