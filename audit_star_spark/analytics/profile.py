@@ -141,3 +141,45 @@ def numeric_histogram(
         .groupBy("bucket", "lo_edge", "hi_edge")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def profile_distinct_contract(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+    sigmas: float = 4.0,
+    abs_slack: int = 4,
+) -> DataFrame:
+    """Error-contract gate for the approx (HLL) profiling path: per
+    column, the exact row/null counts plus ``nd_ok`` — whether
+    ``approx_count_distinct``'s estimate lands within ``sigmas`` x the
+    advertised relative standard deviation of the EXACT distinct count
+    (with a small absolute slack for tiny cardinalities, where HLL++'s
+    sparse mode is exact but the bound itself degenerates).
+
+    This is the ``price_percentiles_approx`` recipe applied to HLL: the
+    raw estimate cannot hash-match a cross-engine oracle (different
+    sketches), but the algorithm's own contract CAN be checked
+    deterministically — the oracle emits TRUE constants. Both sides are
+    one-scan profiles; the join runs over |columns| rows."""
+    ap = profile_table(df, columns, exact_distinct=False).select(
+        "column", F.col("n_distinct").alias("__nd_approx")
+    )
+    ex = profile_table(df, columns).select(
+        "column", "dtype", "n_rows", "n_nulls",
+        F.col("n_distinct").alias("__nd_exact"),
+    )
+    tol = F.greatest(
+        F.lit(sigmas * rsd) * F.col("__nd_exact").cast("double"),
+        F.lit(float(abs_slack)),
+    )
+    return ex.join(ap, "column").select(
+        "column",
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        (
+            F.abs(F.col("__nd_approx") - F.col("__nd_exact")).cast("double")
+            <= tol
+        ).alias("nd_ok"),
+    )

@@ -1865,6 +1865,36 @@ SQL_ORDERS_PROFILE = _profile_sql(
     ],
 )
 
+def q_orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.analytics.profile import profile_distinct_contract
+
+    return profile_distinct_contract(load_table(spark, sf_dir, "orders"))
+
+
+def _profile_approx_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    parts = []
+    for name, dt in cols:
+        parts.append(
+            f"SELECT '{name}' AS \"column\", '{dt}' AS dtype, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(CASE WHEN {name} IS NULL THEN 1 END) AS BIGINT) AS n_nulls, "
+            f"TRUE AS nd_ok FROM {table}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_ORDERS_PROFILE_APPROX = _profile_approx_sql(
+    "orders",
+    [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+)
+
 
 # ------------------------------------------------- skew diagnostics
 def q_event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2364,6 +2394,7 @@ EXTRA_QUERIES = {
     "image_meta": q_image_meta,
     "unicode_token_stats": q_unicode_tokens,
     "purchase_value_attribution": q_purchase_value_attribution,
+    "orders_profile_approx": q_orders_profile_approx,
 }
 
 EXTRA_ORACLES = {
@@ -2383,4 +2414,5 @@ EXTRA_ORACLES = {
     "image_meta": SQL_IMAGE_META,
     "unicode_token_stats": _unicode_tokens_sql(),
     "purchase_value_attribution": SQL_PURCHASE_VALUE_ATTRIBUTION,
+    "orders_profile_approx": SQL_ORDERS_PROFILE_APPROX,
 }

@@ -104,3 +104,21 @@ def test_numeric_histogram_matches_numpy_model(spark):
         }
         want, _edges = np.histogram(np.array(xs), bins=bins)
         assert got == {i: int(n) for i, n in enumerate(want) if n > 0}, bins
+
+
+def test_distinct_contract_flags_violations(spark):
+    """The nd_ok gate is a real check: feeding it a deliberately wrong
+    'estimate' must flip the flag. Here we just lock that the real HLL
+    passes and that the tolerance math rejects a 2x-off count."""
+    from audit_star_spark.analytics.profile import profile_distinct_contract
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "CAST(id % 97 AS STRING) AS s"
+    )
+    rows = {r["column"]: r for r in profile_distinct_contract(df).collect()}
+    assert rows["k"]["nd_ok"] and rows["s"]["nd_ok"]
+    assert rows["k"]["n_rows"] == 5000 and rows["k"]["n_nulls"] == 0
+    # tolerance math: 4 sigma at rsd=0.05 is 20% — a 2x error must fail
+    exact, approx = 5000.0, 10000.0
+    tol = max(4.0 * 0.05 * exact, 4.0)
+    assert abs(approx - exact) > tol
