@@ -86,3 +86,68 @@ def test_replayed_batch_is_idempotent_and_compact_preserves(spark, tmp_path):
     b2 = _rows(2)
     roll.apply_batch(spark.createDataFrame(b2, EV_SCHEMA), 2)
     _assert_same(roll.read(spark), _want(spark, b0 + b1 + b2))
+
+
+def test_live_trigger_rollup_multi_batch_and_compaction(spark, tmp_path):
+    """Continuous (available_now=False) trigger: each appended file
+    arrives through a live micro-batch and the maintained rollup must
+    reflect it; compact() then runs BETWEEN triggers (the documented
+    discipline — it uses a full overwrite and must not race an ingest)
+    and preserves the result while folding partials to one partition."""
+    import time
+
+    src, store, ckpt = (str(tmp_path / p) for p in ("src", "store", "ckpt"))
+    roll = EventRollup(store)
+    all_rows = []
+
+    def wait_for(cond, timeout=90.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            try:
+                if cond():
+                    return
+            except Exception:
+                pass  # store not created yet
+            time.sleep(0.5)
+        raise AssertionError("timed out waiting for live micro-batch")
+
+    # the file source requires an existing path: seed batch 0 first, then
+    # batches 1-2 arrive through LIVE triggers
+    all_rows.extend(_rows(0))
+    spark.createDataFrame(_rows(0), EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    query = roll.ingest(
+        spark.readStream.schema(EV_SCHEMA).parquet(src),
+        ckpt,
+        available_now=False,
+    )
+    try:
+        wait_for(
+            lambda: roll.read(spark).agg(F.sum("n_events")).first()[0]
+            == len(all_rows)
+        )
+        for batch in range(1, 3):
+            rows = _rows(batch)
+            all_rows.extend(rows)
+            spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            want_events = len(all_rows)
+            wait_for(
+                lambda: roll.read(spark)
+                .agg(F.sum("n_events"))
+                .first()[0]
+                == want_events
+            )
+    finally:
+        query.stop()
+        query.awaitTermination()
+    _assert_same(roll.read(spark), _want(spark, all_rows))
+    # between-trigger compaction: one baseline partition, same result
+    roll.compact(spark)
+    import os
+
+    parts = [p for p in os.listdir(store) if p.startswith("ingest_batch_id=")]
+    assert parts == ["ingest_batch_id=-1"]
+    _assert_same(roll.read(spark), _want(spark, all_rows))
