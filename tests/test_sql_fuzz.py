@@ -147,6 +147,74 @@ def _gen_lineitem(rng: random.Random) -> str:
     )
 
 
+def _gen_orderby_limit(rng: random.Random) -> str:
+    """ORDER BY + LIMIT — deterministic because the sort always ends with
+    the unique o_orderkey tie-break, so both engines must return the
+    identical row SET (compare() is order-insensitive; the tie-break is
+    what makes the limited set well-defined)."""
+    order = rng.choice(
+        [
+            "o_totalprice DESC, o_orderkey",
+            "o_totalprice, o_orderkey",
+            "o_orderdate DESC, o_orderkey",
+            "o_orderkey DESC",
+        ]
+    )
+    k = rng.randint(1, 50)
+    return (
+        f"SELECT o_orderkey, o_orderstatus, o_totalprice "
+        f"FROM orders{_where(rng)} ORDER BY {order} LIMIT {k}"
+    )
+
+
+def _gen_setop(rng: random.Random) -> str:
+    """UNION / UNION ALL / EXCEPT / INTERSECT of two filtered projections
+    — both engines treat bare EXCEPT/INTERSECT as DISTINCT variants."""
+    op = rng.choice(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
+    col = rng.choice(["o_custkey", "o_orderkey % 1000", "o_orderstatus"])
+    return (
+        f"SELECT {col} AS v FROM orders WHERE {_pred(rng)} "
+        f"{op} "
+        f"SELECT {col} AS v FROM orders WHERE {_pred(rng)}"
+    )
+
+
+def _gen_outer_join(rng: random.Random) -> str:
+    """LEFT OUTER join with a filtered inner side: NULL-extended rows are
+    exactly where COUNT(*) and COUNT(column) diverge between dialects if
+    either engine mishandles them."""
+    q = (
+        f"SELECT c_mktsegment, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_all, "
+        f"CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_matched, "
+        f"CAST(SUM(o.o_orderkey) AS BIGINT) AS s "
+        f"FROM customer LEFT JOIN "
+        f"(SELECT * FROM orders WHERE {_pred(rng)}) o "
+        f"ON o.o_custkey = c_custkey "
+        f"GROUP BY c_mktsegment"
+    )
+    return q
+
+
+def _gen_scalar_subquery(rng: random.Random) -> str:
+    """Uncorrelated scalar subqueries in WHERE — anchored on exact
+    MIN/MAX scalars (never float AVG, whose summation order differs)."""
+    frac = rng.choice(["0.25", "0.5", "0.75"])
+    anchor = rng.choice(
+        [
+            f"{frac} * (SELECT MAX(o_totalprice) FROM orders)",
+            f"(SELECT MIN(o_totalprice) FROM orders) + {rng.randint(1000, 90000)}",
+        ]
+    )
+    groups = rng.choice(["o_orderstatus", "o_orderpriority"])
+    return (
+        f"SELECT {groups}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        f"FROM orders WHERE o_totalprice > {anchor} "
+        f"GROUP BY {groups}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -155,6 +223,10 @@ def _corpus() -> list[str]:
         + [_gen_window(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_events(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_lineitem(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_orderby_limit(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_setop(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_outer_join(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_scalar_subquery(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
