@@ -562,3 +562,30 @@ def span_dedup_stats(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
         "n_dup_spans",
         (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_fraction"),
     )
+
+
+def dedup_keep_canonical(docs: DataFrame) -> DataFrame:
+    """End-to-end dedup pipeline report: near-dup pairs (n-gram Jaccard)
+    -> connected components -> keep ONE canonical document per cluster
+    (the minimum doc_id, which IS the cluster id by construction) -> per
+    source, how many documents survive. This is the operator a corpus
+    build actually runs — find near-dups is diagnosis; dropping all but
+    one per cluster is the treatment.
+
+    Scale shape: the drop set is (cluster members - canonicals), bounded
+    by candidate-pair membership, never corpus-sized for a mostly-unique
+    corpus; it joins back on the doc_id key (AQE picks broadcast when it
+    is small). Documents in no pair never enter the cluster frame and
+    survive by default."""
+    pairs = ngram_jaccard_pairs(docs)
+    clusters = dedup_clusters(pairs)
+    drop = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("__dropped"))
+    )
+    tagged = docs.select("doc_id", "source").join(drop, "doc_id", "left")
+    return tagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("__dropped").cast("long").alias("n_dropped"),
+        (F.count("*") - F.count("__dropped")).cast("long").alias("n_kept"),
+    )

@@ -278,6 +278,25 @@ SELECT src AS doc_id, MIN(dst) AS cluster_id
 FROM reach GROUP BY src
 """
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_keep_canonical(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_canonical_sql() -> str:
+    """Canonical-keep over the SAME recursive-CTE clusters the
+    dedup_clusters oracle uses: a member is dropped iff it is not its
+    cluster's minimum doc_id."""
+    return f"""
+WITH cl AS ({_clusters_sql()}),
+dropped AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+GROUP BY d.source
+"""
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2395,6 +2414,7 @@ EXTRA_QUERIES = {
     "unicode_token_stats": q_unicode_tokens,
     "purchase_value_attribution": q_purchase_value_attribution,
     "orders_profile_approx": q_orders_profile_approx,
+    "dedup_canonical_stats": q_dedup_canonical,
 }
 
 EXTRA_ORACLES = {
@@ -2415,4 +2435,5 @@ EXTRA_ORACLES = {
     "unicode_token_stats": _unicode_tokens_sql(),
     "purchase_value_attribution": SQL_PURCHASE_VALUE_ATTRIBUTION,
     "orders_profile_approx": SQL_ORDERS_PROFILE_APPROX,
+    "dedup_canonical_stats": _dedup_canonical_sql(),
 }
