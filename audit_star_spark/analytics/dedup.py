@@ -107,11 +107,27 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return out
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.7, max_bucket: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs: LSH band-bucket collision candidates, verified
     with exact Jaccard over distinct shingle HASHES (exact modulo md5
     collisions, mirrored in the oracle). Returns (doc_a, doc_b, jaccard)
-    with doc_a < doc_b, jaccard >= threshold."""
+    with doc_a < doc_b, jaccard >= threshold.
+
+    ``max_bucket`` (opt-in) is the 100 TB skew guard: a band bucket with
+    B members yields B^2/2 candidate pairs from the self-join — one
+    degenerate bucket (thousands of boilerplate near-identical documents
+    sharing a band value) turns into a quadratic hot task no AQE skew
+    split can fix, because the blowup is in the JOIN OUTPUT, not the
+    partition. Buckets larger than ``max_bucket`` switch to STAR
+    candidates — every member pairs with the bucket's minimum doc_id —
+    bounding their candidate count at B-1. Trade-off (documented, not
+    implied): the returned PAIR LIST may omit intra-bucket pairs of an
+    oversized bucket, but downstream clustering is preserved whenever
+    members verify against the anchor (the star keeps the component
+    connected and transitivity does the rest — see the bucket-cap test).
+    Default None = exact pair semantics, required by the gate oracle."""
     # persist: the band union reads sig N_BANDS times and the candidate
     # self-join doubles it again — without this the md5-heavy signature
     # pipeline runs ~6x (at real scale: write signatures to storage once)
@@ -121,6 +137,26 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         for b in range(N_BANDS)
     ]
     buckets = reduce(lambda a, b: a.unionByName(b), bands).filter(F.col("key").isNotNull())
+    if max_bucket is not None:
+        # bucket stats shuffle on the SAME (band, key) the join uses —
+        # co-partitioned, no extra exchange pattern at scale
+        stats = buckets.groupBy("band", "key").agg(
+            F.count("*").alias("__bn"), F.min("doc_id").alias("__anchor")
+        )
+        tagged = buckets.join(stats, ["band", "key"])
+        buckets = tagged.filter(F.col("__bn") <= max_bucket).drop("__bn", "__anchor")
+        star = (
+            tagged.filter(
+                (F.col("__bn") > max_bucket)
+                & (F.col("doc_id") != F.col("__anchor"))
+            )
+            .select(
+                F.col("__anchor").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+    else:
+        star = None
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
@@ -128,6 +164,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star).distinct()
     sets = sig.select("doc_id", F.array_distinct("shash").alias("sset"))
     j = (
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
