@@ -89,3 +89,60 @@ def domain_stats(pages: DataFrame, html_col: str = "html", id_col: str = "doc_id
         F.count("*").cast("long").alias("n_links"),
         F.countDistinct(id_col).cast("long").alias("n_docs"),
     )
+
+
+# URL canonicalization: the crawl-dedup primitive — two spellings of the
+# same resource must map to one key before frontier dedup or per-URL
+# aggregation. Steps (each mirrored in the DuckDB oracle):
+#   1. strip the fragment (#...)
+#   2. lowercase scheme and authority (path/query stay case-sensitive)
+#   3. drop the default port (:80 for http, :443 for https)
+#   4. empty path -> '/'
+#   5. drop tracking query params (utm_*, fbclid, gclid); drop a then-
+#      empty query entirely
+# Relative URLs (no scheme) only get fragment-stripping.
+_TRACKING = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)"
+
+
+def normalize_url(url: Column) -> Column:
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: (~kv.rlike(_TRACKING)) & (kv != ""),
+    )
+    fq = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(fq != "", F.concat(F.lit("?"), fq)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def url_census(links: DataFrame, url_col: str = "url") -> DataFrame:
+    """Collapse a link table onto canonical URLs: (url_norm, n_raw,
+    n_spellings) — n_spellings > 1 is exactly the frontier-dedup win.
+    One normalized-key shuffle with map-side combine."""
+    return (
+        links.withColumn("url_norm", normalize_url(F.col(url_col)))
+        .groupBy("url_norm")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.countDistinct(url_col).cast("long").alias("n_spellings"),
+        )
+    )

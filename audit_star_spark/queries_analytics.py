@@ -297,6 +297,81 @@ FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
 GROUP BY d.source
 """
 
+def q_url_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization census over deterministically synthesized
+    variant spellings (the corpus has no URL column): the uppercased /
+    default-port / tracking-param / fragment spelling and its canonical
+    twin MUST collapse to one url_norm key (n_spellings = 2 for those
+    groups)."""
+    from audit_star_spark.analytics.html import url_census
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTP://Site"), m(7), F.lit(".COM:80/p"), m(3),
+                    F.lit("?utm_source=a&id="), m(5), F.lit("#frag"),
+                ),
+                F.concat(
+                    F.lit("http://site"), m(7), F.lit(".com/p"), m(3),
+                    F.lit("?id="), m(5),
+                ),
+                F.concat(F.lit("https://Host"), m(4), F.lit(".io:443")),
+                F.concat(F.lit("/rel/"), m(6), F.lit("#x")),
+            )
+        ).alias("url"),
+    )
+    return url_census(urls)
+
+
+_D_URL_RE = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+
+SQL_URL_NORMALIZATION = f"""
+WITH urls AS (
+  SELECT doc_id, unnest([
+    'HTTP://Site' || (doc_id % 7) || '.COM:80/p' || (doc_id % 3)
+      || '?utm_source=a&id=' || (doc_id % 5) || '#frag',
+    'http://site' || (doc_id % 7) || '.com/p' || (doc_id % 3)
+      || '?id=' || (doc_id % 5),
+    'https://Host' || (doc_id % 4) || '.io:443',
+    '/rel/' || (doc_id % 6) || '#x'
+  ]) AS url FROM documents
+),
+n0 AS (SELECT url, regexp_replace(url, '#.*$', '') AS u FROM urls),
+n1 AS (SELECT url, u,
+        lower(regexp_extract(u, '{_D_URL_RE.replace("://", "")}://', 0)) AS scheme_raw,
+        lower(regexp_extract(u, '({_D_URL_RE.replace("://", "")})://', 1)) AS scheme,
+        lower(regexp_extract(u, '{_D_URL_RE}([^/?#]+)', 1)) AS auth0,
+        regexp_replace(u, '{_D_URL_RE}[^/?#]+', '') AS rest
+       FROM n0),
+n2 AS (SELECT url, u, scheme, rest,
+        CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+             ELSE auth0 END AS auth,
+        CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+             ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+        regexp_extract(rest, '\?(.*)$', 1) AS query
+       FROM n1),
+n3 AS (SELECT url, u, scheme, auth, path,
+        array_to_string(list_filter(string_split(query, '&'),
+          p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)')
+               AND p <> ''), '&') AS fq
+       FROM n2),
+n4 AS (SELECT url,
+        CASE WHEN scheme = '' THEN u
+             ELSE scheme || '://' || auth || path
+                  || CASE WHEN fq <> '' THEN '?' || fq ELSE '' END
+        END AS url_norm
+       FROM n3)
+SELECT url_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_spellings
+FROM n4 GROUP BY url_norm
+"""
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2415,6 +2490,7 @@ EXTRA_QUERIES = {
     "purchase_value_attribution": q_purchase_value_attribution,
     "orders_profile_approx": q_orders_profile_approx,
     "dedup_canonical_stats": q_dedup_canonical,
+    "url_normalization": q_url_normalization,
 }
 
 EXTRA_ORACLES = {
@@ -2436,4 +2512,5 @@ EXTRA_ORACLES = {
     "purchase_value_attribution": SQL_PURCHASE_VALUE_ATTRIBUTION,
     "orders_profile_approx": SQL_ORDERS_PROFILE_APPROX,
     "dedup_canonical_stats": _dedup_canonical_sql(),
+    "url_normalization": SQL_URL_NORMALIZATION,
 }
