@@ -627,3 +627,51 @@ def dedup_keep_canonical(docs: DataFrame) -> DataFrame:
         F.count("__dropped").cast("long").alias("n_dropped"),
         (F.count("*") - F.count("__dropped")).cast("long").alias("n_kept"),
     )
+
+
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    bands = [
+        sig.select("doc_id", F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+        for b in range(N_BANDS)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), bands).filter(
+        F.col("key").isNotNull()
+    )
+
+
+def cross_corpus_near_dups(
+    corpus_a: DataFrame, corpus_b: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """A x B near-duplicate pairs between TWO corpora — the
+    contamination / incremental-crawl shape: compare today's arrivals (B)
+    against the standing corpus (A) without ever self-joining either
+    side. Candidates are band-bucket collisions of A-buckets vs
+    B-buckets only (an equi join keyed on (band, key), linear in bucket
+    co-membership), verified with exact Jaccard over distinct shingle
+    hashes exactly like the self-join operator. Returns
+    (doc_a from A, doc_b from B, jaccard >= threshold); doc_id spaces
+    may overlap freely since the sides are never mixed."""
+    sig_a = minhash_signatures(corpus_a).persist()
+    sig_b = minhash_signatures(corpus_b).persist()
+    cand = (
+        _band_buckets(sig_a)
+        .alias("a")
+        .join(
+            _band_buckets(sig_b).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = sig_a.select(
+        F.col("doc_id").alias("doc_a"), F.array_distinct("shash").alias("set_a")
+    )
+    sets_b = sig_b.select(
+        F.col("doc_id").alias("doc_b"), F.array_distinct("shash").alias("set_b")
+    )
+    j = cand.join(sets_a, "doc_a").join(sets_b, "doc_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return j.select(
+        "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

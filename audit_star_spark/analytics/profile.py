@@ -160,26 +160,40 @@ def profile_distinct_contract(
     This is the ``price_percentiles_approx`` recipe applied to HLL: the
     raw estimate cannot hash-match a cross-engine oracle (different
     sketches), but the algorithm's own contract CAN be checked
-    deterministically — the oracle emits TRUE constants. Both sides are
-    one-scan profiles; the join runs over |columns| rows."""
-    ap = profile_table(df, columns, exact_distinct=False).select(
-        "column", F.col("n_distinct").alias("__nd_approx")
-    )
-    ex = profile_table(df, columns).select(
-        "column", "dtype", "n_rows", "n_nulls",
-        F.col("n_distinct").alias("__nd_exact"),
-    )
-    tol = F.greatest(
-        F.lit(sigmas * rsd) * F.col("__nd_exact").cast("double"),
-        F.lit(float(abs_slack)),
-    )
-    return ex.join(ap, "column").select(
-        "column",
-        "dtype",
-        "n_rows",
-        "n_nulls",
-        (
-            F.abs(F.col("__nd_approx") - F.col("__nd_exact")).cast("double")
-            <= tol
-        ).alias("nd_ok"),
-    )
+    deterministically — the oracle emits TRUE constants. ONE scan
+    computes the exact and approx distincts side by side (the HLL
+    aggregates ride the same Expand the exact multi-distinct plan
+    already pays), and the per-column rows come from the same in-plan
+    struct explode as profile_table."""
+    cols = columns or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        qc = F.col(f"`{c}`")
+        aggs.append(F.count(F.when(qc.isNull(), 1)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(qc).alias(f"__nd_{c}"))
+        aggs.append(F.approx_count_distinct(qc, rsd).alias(f"__na_{c}"))
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        tol = F.greatest(
+            F.lit(sigmas * rsd) * F.col(f"__nd_{c}").cast("double"),
+            F.lit(float(abs_slack)),
+        )
+        dt = fields[c].simpleString().replace("timestamp_ntz", "timestamp")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt).alias("dtype"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                (
+                    F.abs(F.col(f"__na_{c}") - F.col(f"__nd_{c}")).cast("double")
+                    <= tol
+                ).alias("nd_ok"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -398,3 +398,38 @@ def unicode_token_stats(docs: DataFrame) -> DataFrame:
         F.count(F.when(F.col("token") == "caf\u00e9", 1)).cast("long").alias("n_cafe"),
         F.count(F.when(F.col("token") == "\u00fcber", 1)).cast("long").alias("n_uber"),
     )
+
+
+# Unicode-script profiling: (java regex class, RE2/DuckDB class) pairs —
+# Java spells scripts \p{IsLatin}, RE2 spells them \p{Latin}; the oracle
+# generator uses the second column so the two dialects stay aligned.
+SCRIPT_CLASSES = [
+    ("latin", "IsLatin", "Latin"),
+    ("cyrillic", "IsCyrillic", "Cyrillic"),
+    ("han", "IsHan", "Han"),
+]
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode-script census: how many characters belong to
+    each script, plus the dominant script (deterministic preference order
+    on ties) — the script-mix signal a multilingual corpus router uses
+    before language ID. Pure JVM regex algebra, zero shuffles."""
+    counts = {
+        name: F.length(
+            F.regexp_replace(F.col(text_col), rf"[^\p{{{java}}}]", "")
+        ).cast("long")
+        for name, java, _ in SCRIPT_CLASSES
+    }
+    names = [n for n, _, _ in SCRIPT_CLASSES]
+    best, best_n = F.lit(names[0]), counts[names[0]]
+    for n in names[1:]:
+        cond = counts[n] > best_n
+        best = F.when(cond, F.lit(n)).otherwise(best)
+        best_n = F.when(cond, counts[n]).otherwise(best_n)
+    dominant = F.when(best_n > 0, best).otherwise(F.lit("none"))
+    return docs.select(
+        "doc_id",
+        *[counts[n].alias(f"n_{n}") for n in names],
+        dominant.alias("dominant_script"),
+    )

@@ -372,6 +372,124 @@ SELECT url_norm,
 FROM n4 GROUP BY url_norm
 """
 
+def q_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A x B near-dup join over the even/odd doc_id halves of the corpus
+    — the incremental-crawl / contamination shape (never self-joins
+    either side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_corpus_near_dups(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _cross_corpus_sql(threshold: float = 0.7) -> str:
+    """Same signature pipeline as the self-join oracle; the candidate
+    join pairs even-side buckets with odd-side buckets only."""
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shash, h -> ({dedup.MH_A[j]} * h + {dedup.MH_B[j]}) % {dedup.MH_P})) AS mh_{j}"
+        for j in range(dedup.N_PERMS)
+    )
+    bands = ",\n         ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(mh_{j} AS VARCHAR)"
+            for j in range(b * dedup.ROWS_PER_BAND, (b + 1) * dedup.ROWS_PER_BAND)
+        )
+        + f") AS band_{b}"
+        for b in range(dedup.N_BANDS)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, band_{b} AS key FROM bands WHERE band_{b} IS NOT NULL"
+        for b in range(dedup.N_BANDS)
+    )
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id, {D_SHINGLES} AS shingles,
+         list_transform({D_SHINGLES},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {dedup.MH_P}) AS shash
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, shingles,
+         {mh}
+  FROM docs_sh
+),
+bands AS (
+  SELECT doc_id,
+         {bands}
+  FROM sig
+),
+buckets AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+sets AS (
+  SELECT doc_id, list_distinct(shash) AS sset FROM docs_sh
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+           / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) AS jaccard
+  FROM cand
+  JOIN sets sa ON sa.doc_id = doc_a
+  JOIN sets sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script census over a deterministically augmented corpus
+    (the synthetic documents are pure ASCII, so per-doc_id suffixes plant
+    Cyrillic / Han / extra-Latin runs the counters must see)."""
+    from audit_star_spark.analytics.text import script_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" \u4f60\u597d\u4e16\u754c"))
+        .otherwise(F.lit(" salve mundi"))
+    )
+    aug = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    return script_profile(aug)
+
+
+def _script_profile_sql() -> str:
+    from audit_star_spark.analytics.text import SCRIPT_CLASSES
+
+    cyr = " \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+    han = " \u4f60\u597d\u4e16\u754c"
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_replace(text, '[^\\p{{{re2}}}]', '', 'g')) AS BIGINT) AS n_{name}"
+        for name, _, re2 in SCRIPT_CLASSES
+    )
+    # the engine's chained argmax resolves to: han iff it beats BOTH,
+    # else cyrillic iff it beats latin, else latin; 'none' if all zero
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '{cyr}'
+                      WHEN doc_id % 3 = 1 THEN '{han}'
+                      ELSE ' salve mundi' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+       {counts}
+  FROM aug
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han,
+       CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0 THEN 'none'
+            WHEN n_han > n_latin AND n_han > n_cyrillic THEN 'han'
+            WHEN n_cyrillic > n_latin THEN 'cyrillic'
+            ELSE 'latin' END AS dominant_script
+FROM c
+"""
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2491,6 +2609,8 @@ EXTRA_QUERIES = {
     "orders_profile_approx": q_orders_profile_approx,
     "dedup_canonical_stats": q_dedup_canonical,
     "url_normalization": q_url_normalization,
+    "cross_corpus_near_dups": q_cross_corpus_near_dups,
+    "script_profile": q_script_profile,
 }
 
 EXTRA_ORACLES = {
@@ -2513,4 +2633,6 @@ EXTRA_ORACLES = {
     "orders_profile_approx": SQL_ORDERS_PROFILE_APPROX,
     "dedup_canonical_stats": _dedup_canonical_sql(),
     "url_normalization": SQL_URL_NORMALIZATION,
+    "cross_corpus_near_dups": _cross_corpus_sql(),
+    "script_profile": _script_profile_sql(),
 }

@@ -55,3 +55,26 @@ def test_default_path_unchanged(spark):
     b = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
          for r in minhash_lsh_pairs(docs, max_bucket=None).collect()}
     assert a == b and len(a) > 0
+
+
+def test_cross_corpus_pairs_never_mix_sides(spark):
+    """A x B only: no intra-A or intra-B pairs, and results agree with
+    the self-join operator restricted to cross pairs."""
+    from audit_star_spark.analytics.dedup import cross_corpus_near_dups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {(r["doc_a"], r["doc_b"]) for r in cross_corpus_near_dups(a, b).collect()}
+    assert all(x % 2 == 0 and y % 2 == 1 for x, y in got)
+    want = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+        if r["doc_a"] % 2 != r["doc_b"] % 2
+    }
+    # normalize got to (min, max) for comparison with the self-join view
+    got_n = {(min(x, y), max(x, y)) for x, y in got}
+    assert got_n == want
+    assert len(got_n) > 0
