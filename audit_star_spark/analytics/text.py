@@ -159,7 +159,9 @@ def with_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
-def token_topk(docs: DataFrame, k: int = 500) -> DataFrame:
+def token_topk(
+    docs: DataFrame, k: int = 500, tokens_expr: str = TOKENS_EXPR
+) -> DataFrame:
     """Global token vocabulary: top-k tokens by corpus frequency with a
     deterministic tie-break — the vocabulary-induction primitive of a
     tokenizer-training pipeline.
@@ -168,7 +170,7 @@ def token_topk(docs: DataFrame, k: int = 500) -> DataFrame:
     collapses each partition's token stream to its local vocabulary
     before the shuffle, so shuffle volume is bounded by distinct tokens
     per partition, not corpus token count) -> TakeOrderedAndProject."""
-    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("token")).filter(
+    toks = docs.select(F.explode(F.expr(tokens_expr)).alias("token")).filter(
         F.length("token") > 0
     )
     return (
@@ -350,7 +352,10 @@ def vocab_coverage(
     anti-join side); the token stream aggregates per (source, lang) with
     map-side combine — one corpus-sized explode, one small shuffle, no
     per-token join fan-out (membership is a broadcast hash lookup)."""
-    vocab = token_topk(docs, k=vocab_k).select("token")
+    # vocabulary induction uses the SAME tokenizer as the coverage count
+    # (an opt-in Unicode tokenizer with a default-tokenized vocab would
+    # report phantom OOV)
+    vocab = token_topk(docs, k=vocab_k, tokens_expr=tokens_expr).select("token")
     toks = spread(docs).select(
         "source", "lang", F.explode(F.expr(tokens_expr)).alias("token")
     ).filter(F.length("token") > 0)

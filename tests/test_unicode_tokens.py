@@ -36,3 +36,23 @@ def test_text_stats_accepts_unicode_tokenizer(spark):
     )
     row = with_text_stats(docs, tokens_expr=TOKENS_EXPR_UNICODE).collect()[0]
     assert row["n_tokens"] == 3  # café / visits / twelve — punctuation split off
+
+
+def test_vocab_coverage_threads_tokenizer_through_vocab(spark):
+    """With the Unicode tokenizer, vocabulary induction must use the same
+    tokenizer as the coverage count — otherwise normalized tokens look
+    OOV against a whitespace-token vocab."""
+    from audit_star_spark.analytics.text import (
+        TOKENS_EXPR_UNICODE,
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", "en", "Café Café café.") for i in range(4)],
+        "doc_id long, source string, lang string, text string",
+    )
+    [row] = vocab_coverage(
+        docs, vocab_k=5, tokens_expr=TOKENS_EXPR_UNICODE
+    ).collect()
+    # all forms normalize to one in-vocab token: zero OOV
+    assert row["n_tokens"] == 12 and row["n_oov"] == 0
