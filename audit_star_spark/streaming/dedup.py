@@ -239,3 +239,26 @@ class StreamingNearDup:
         if not os.path.isdir(self.pairs_dir):
             return None
         return spark.read.parquet(self.pairs_dir).drop("ingest_batch_id")
+
+    def compact(self, spark) -> None:
+        """Fold the per-batch signature partitions into one
+        ``ingest_batch_id=-1`` baseline — the log-compaction pass that
+        bounds the store's file count (one partition per trigger
+        otherwise). Same contract as EventRollup.compact: run BETWEEN
+        triggers, and only once the checkpoint is committed past the
+        folded batches — after compaction the per-batch replay filter
+        can no longer exclude a folded batch's rows, so a replay of one
+        of them would duplicate its signatures."""
+        from pyspark.sql import functions as F
+
+        merged = spark.read.parquet(self.store_dir).withColumn(
+            "ingest_batch_id", F.lit(-1)
+        )
+        # eager localCheckpoint: the full overwrite below must never
+        # recompute from its half-overwritten input
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("ingest_batch_id")
+            .parquet(self.store_dir)
+        )

@@ -220,3 +220,40 @@ def test_streaming_neardup_sketch_estimator_tolerance(spark, tmp_path):
     assert store.agg(F.max(F.size("sketch"))).first()[0] <= k
     # sketches ARE truncated at this k (the estimator path is exercised)
     assert store.agg(F.max(F.size("sketch"))).first()[0] == k
+
+
+def test_streaming_neardup_store_compaction(spark, tmp_path):
+    """compact() folds the per-batch signature partitions into one
+    baseline partition between triggers; subsequent batches still emit
+    exactly the batch operator's cross/new pairs, exactly once."""
+    import os
+
+    from audit_star_spark.analytics.dedup import minhash_lsh_pairs
+    from audit_star_spark.streaming.dedup import StreamingNearDup
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .collect()
+    )
+    nd = StreamingNearDup(str(tmp_path / "store"), str(tmp_path / "pairs"))
+    for i, chunk in enumerate([rows[:50], rows[50:100]]):
+        nd.process_batch(spark.createDataFrame(chunk, "doc_id long, text string"), i)
+    nd.compact(spark)
+    parts = [p for p in os.listdir(str(tmp_path / "store"))
+             if p.startswith("ingest_batch_id=")]
+    assert parts == ["ingest_batch_id=-1"]
+    nd.process_batch(
+        spark.createDataFrame(rows[100:150], "doc_id long, text string"), 2
+    )
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"), threshold=0.7
+        ).collect()
+    }
+    got_rows = nd.pairs(spark).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got)  # still exactly-once
