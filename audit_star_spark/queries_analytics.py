@@ -2497,7 +2497,6 @@ FROM toks GROUP BY doc_id
 # entries to EXTRA_QUERIES below; every displaced query stays
 # oracle-locked in tests/test_oracle_parity.py.
 ANALYTICS_QUERIES = {
-    "dedup_exact": q_dedup_exact,
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
@@ -2507,19 +2506,13 @@ ANALYTICS_QUERIES = {
     "knn_ivf": q_knn_ivf,
     "label_nearest_neighbor": q_label_nn,
     "capped_user_sessions": q_capped_sessions,
-    "audio_meta": q_audio_meta,
-    "png_meta": q_png_meta,
     "jpeg_meta": q_jpeg_meta,
     "benchmark_contamination": q_benchmark_contamination,
-    "boilerplate_phrases": q_boilerplate_phrases,
     "bpe_merges": q_bpe_merges,
     "bpe_corpus": q_bpe_corpus,
     "repetition_stats": q_repetition_stats,
     "quality_flags": q_quality_flags,
     "pii_scan": q_pii_scan,
-    "semantic_dedup": q_semantic_dedup,
-    "kmeans_update": q_kmeans_update,
-    "source_mix_report": q_source_mix_report,
     "pipeline_report": q_pipeline_report,
     "corpus_clean_stats": q_corpus_clean_stats,
     "span_dedup_stats": q_span_dedup,
@@ -2539,10 +2532,16 @@ ANALYTICS_QUERIES = {
     "orders_validation": q_orders_validation,
     "price_histogram": q_price_histogram,
     "vocab_coverage": q_vocab_coverage,
+    "unicode_token_stats": q_unicode_tokens,
+    "purchase_value_attribution": q_purchase_value_attribution,
+    "orders_profile_approx": q_orders_profile_approx,
+    "dedup_canonical_stats": q_dedup_canonical,
+    "url_normalization": q_url_normalization,
+    "cross_corpus_near_dups": q_cross_corpus_near_dups,
+    "script_profile": q_script_profile,
 }
 
 ANALYTICS_ORACLES = {
-    "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_pairs": _minhash_sql_clean(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_clusters": _clusters_sql(),
@@ -2552,19 +2551,13 @@ ANALYTICS_ORACLES = {
     "knn_ivf": _ivf_sql(),
     "label_nearest_neighbor": SQL_LABEL_NN,
     "capped_user_sessions": SQL_CAPPED_SESSIONS,
-    "audio_meta": SQL_AUDIO_META,
-    "png_meta": SQL_PNG_META,
     "jpeg_meta": SQL_JPEG_META,
     "benchmark_contamination": _contamination_sql(),
-    "boilerplate_phrases": _boilerplate_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_corpus": _bpe_corpus_sql(),
     "repetition_stats": _repetition_sql(),
     "quality_flags": _quality_flags_sql(),
     "pii_scan": _pii_sql(),
-    "semantic_dedup": _semantic_dedup_sql(),
-    "kmeans_update": _kmeans_sql(),
-    "source_mix_report": _source_mix_sql(),
     "pipeline_report": _pipeline_report_sql(),
     "corpus_clean_stats": _corpus_clean_sql(),
     "span_dedup_stats": _span_dedup_sql(),
@@ -2584,6 +2577,13 @@ ANALYTICS_ORACLES = {
     "orders_validation": SQL_ORDERS_VALIDATION,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "unicode_token_stats": _unicode_tokens_sql(),
+    "purchase_value_attribution": SQL_PURCHASE_VALUE_ATTRIBUTION,
+    "orders_profile_approx": SQL_ORDERS_PROFILE_APPROX,
+    "dedup_canonical_stats": _dedup_canonical_sql(),
+    "url_normalization": SQL_URL_NORMALIZATION,
+    "cross_corpus_near_dups": _cross_corpus_sql(),
+    "script_profile": _script_profile_sql(),
 }
 
 # Trailing group, outside the driver's 50-slot window: queries that were
@@ -2604,13 +2604,13 @@ EXTRA_QUERIES = {
     "sequence_packing": q_sequence_packing,
     "simhash_fingerprints": q_simhash,
     "image_meta": q_image_meta,
-    "unicode_token_stats": q_unicode_tokens,
-    "purchase_value_attribution": q_purchase_value_attribution,
-    "orders_profile_approx": q_orders_profile_approx,
-    "dedup_canonical_stats": q_dedup_canonical,
-    "url_normalization": q_url_normalization,
-    "cross_corpus_near_dups": q_cross_corpus_near_dups,
-    "script_profile": q_script_profile,
+    "dedup_exact": q_dedup_exact,
+    "audio_meta": q_audio_meta,
+    "png_meta": q_png_meta,
+    "boilerplate_phrases": q_boilerplate_phrases,
+    "semantic_dedup": q_semantic_dedup,
+    "kmeans_update": q_kmeans_update,
+    "source_mix_report": q_source_mix_report,
 }
 
 EXTRA_ORACLES = {
@@ -2628,11 +2628,11 @@ EXTRA_ORACLES = {
     "sequence_packing": _sequence_packing_sql(),
     "simhash_fingerprints": SQL_SIMHASH,
     "image_meta": SQL_IMAGE_META,
-    "unicode_token_stats": _unicode_tokens_sql(),
-    "purchase_value_attribution": SQL_PURCHASE_VALUE_ATTRIBUTION,
-    "orders_profile_approx": SQL_ORDERS_PROFILE_APPROX,
-    "dedup_canonical_stats": _dedup_canonical_sql(),
-    "url_normalization": SQL_URL_NORMALIZATION,
-    "cross_corpus_near_dups": _cross_corpus_sql(),
-    "script_profile": _script_profile_sql(),
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "audio_meta": SQL_AUDIO_META,
+    "png_meta": SQL_PNG_META,
+    "boilerplate_phrases": _boilerplate_sql(),
+    "semantic_dedup": _semantic_dedup_sql(),
+    "kmeans_update": _kmeans_sql(),
+    "source_mix_report": _source_mix_sql(),
 }
