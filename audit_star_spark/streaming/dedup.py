@@ -225,13 +225,18 @@ class StreamingNearDup:
         )
         new_sig.unpersist()
 
-    def start(self, docs_stream: DataFrame, checkpoint: str):
-        return (
-            docs_stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
+    def start(
+        self, docs_stream: DataFrame, checkpoint: str, available_now: bool = True
+    ):
+        """``available_now=False`` runs a live continuous trigger (the
+        production dedup-on-ingest mode); True drains what exists and
+        stops (the batch-replay / test mode)."""
+        writer = docs_stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def pairs(self, spark) -> DataFrame | None:
         import os

@@ -257,3 +257,61 @@ def test_streaming_neardup_store_compaction(spark, tmp_path):
     got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
     assert got == want
     assert len(got_rows) == len(got)  # still exactly-once
+
+
+def test_streaming_neardup_live_trigger(spark, tmp_path):
+    """Live (non-availableNow) trigger: arrivals flow through live
+    micro-batches and the pair sink converges to the batch operator's
+    result, exactly once."""
+    import time
+
+    from audit_star_spark.analytics.dedup import minhash_lsh_pairs
+    from audit_star_spark.streaming.dedup import StreamingNearDup
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+        .collect()
+    )
+    src = str(tmp_path / "src")
+    nd = StreamingNearDup(str(tmp_path / "store"), str(tmp_path / "pairs"))
+    spark.createDataFrame(rows[:50], "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = nd.start(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        str(tmp_path / "ckpt"),
+        available_now=False,
+    )
+
+    def wait_for(cond, timeout=90.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            try:
+                if cond():
+                    return
+            except Exception:
+                pass
+            time.sleep(0.5)
+        raise AssertionError("timed out waiting for live micro-batch")
+
+    try:
+        wait_for(lambda: spark.read.parquet(str(tmp_path / "store")).count() == 50)
+        spark.createDataFrame(rows[50:], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        wait_for(lambda: spark.read.parquet(str(tmp_path / "store")).count() == 100)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"), threshold=0.7
+        ).collect()
+    }
+    got_rows = nd.pairs(spark).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got)
