@@ -158,3 +158,69 @@ def event_funnel(events: DataFrame, stages: list[str]) -> DataFrame:
             9,
         ).alias("conversion_rate"),
     )
+
+
+def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, and for
+    each week offset 0..max_weeks how many of that cohort were active —
+    the canonical product-analytics rollup.
+
+    Scale shape: ONE user-keyed aggregate finds each user's cohort week
+    (min event ts truncated to week), then the (user, week) activity set
+    joins its cohort on the user key and aggregates per (cohort_week,
+    offset) — two shuffles total (user, then the tiny cohort grid), no
+    window over raw events, no per-offset scan loop."""
+    weekly = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = weekly.join(cohorts, "user_id")
+    offset = (
+        F.floor(
+            (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+            / (7 * 24 * 3600)
+        )
+    ).cast("int")
+    return (
+        j.select("cohort_week", offset.alias("week_offset"), "user_id")
+        .filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    bucket: str = "hour",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per (event_type, bucket) event-rate anomaly flags: a bucket is
+    anomalous when its count deviates from the TRAILING window's mean by
+    more than ``z_threshold`` sample standard deviations. Runs over the
+    densely resampled series (gap buckets count 0 — a dead feed IS an
+    anomaly), so the window sees |types| x |buckets| rows, never raw
+    events. Buckets with fewer than 3 trailing observations or zero
+    variance are never flagged (z undefined); z is rounded to 9 dp so
+    the flag and value are engine-stable."""
+    series = resample_events(events, bucket=bucket).select(
+        "event_type", "bucket", F.col("n_events").cast("double").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    cnt = F.count("n").over(w)
+    z = F.round((F.col("n") - mu) / sd, 9)
+    return series.select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("long").alias("n_events"),
+        F.when((cnt >= 3) & (sd > 0), z).alias("z_score"),
+        F.coalesce((cnt >= 3) & (sd > 0) & (F.abs(z) > z_threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

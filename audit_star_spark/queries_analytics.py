@@ -490,6 +490,79 @@ SELECT doc_id, n_latin, n_cyrillic, n_han,
 FROM c
 """
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.analytics.timeseries import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+coh AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+),
+j AS (
+  SELECT c.cohort_week,
+         CAST(floor(epoch(w.week - c.cohort_week) / (7 * 24 * 3600)) AS INT)
+           AS week_offset,
+         w.user_id
+  FROM weekly w JOIN coh c USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j WHERE week_offset <= 8 GROUP BY 1, 2
+"""
+
+
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audit_star_spark.analytics.timeseries import rate_anomalies
+
+    return rate_anomalies(load_table(spark, sf_dir, "events"))
+
+
+# trailing-window z over the SAME dense resample the resample oracle
+# builds; the window sees the |types| x |buckets| grid, never raw events
+SQL_RATE_ANOMALIES = """
+WITH agg AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi FROM events
+),
+spine AS (
+  SELECT t.event_type,
+         CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+           AS bucket
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+),
+series AS (
+  SELECT s.event_type, s.bucket,
+         CAST(COALESCE(a.n, 0) AS DOUBLE) AS n
+  FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+),
+win AS (
+  SELECT event_type, bucket, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd,
+         count(n) OVER w AS cnt
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN cnt >= 3 AND sd > 0 THEN round((n - mu) / sd, 9) END AS z_score,
+       COALESCE(cnt >= 3 AND sd > 0 AND abs(round((n - mu) / sd, 9)) > 3.0,
+                FALSE) AS is_anomaly
+FROM win
+"""
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2611,6 +2684,8 @@ EXTRA_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "kmeans_update": q_kmeans_update,
     "source_mix_report": q_source_mix_report,
+    "retention_cohorts": q_retention_cohorts,
+    "rate_anomalies": q_rate_anomalies,
 }
 
 EXTRA_ORACLES = {
@@ -2635,4 +2710,6 @@ EXTRA_ORACLES = {
     "semantic_dedup": _semantic_dedup_sql(),
     "kmeans_update": _kmeans_sql(),
     "source_mix_report": _source_mix_sql(),
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "rate_anomalies": SQL_RATE_ANOMALIES,
 }

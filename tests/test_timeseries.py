@@ -211,3 +211,53 @@ def test_funnel_plan_is_single_shuffle_no_joins(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, node
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_retention_cohorts_offsets(spark):
+    """u1 joins week 0, active weeks 0 and 2; u2 joins week 1, active
+    week 1 only."""
+    d = dt.datetime
+    events = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 10), 1, "click", 0.0, ""),   # Mon wk0
+            (2, d(2024, 1, 16, 10), 1, "click", 0.0, ""),  # wk2
+            (3, d(2024, 1, 9, 10), 2, "view", 0.0, ""),    # wk1
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from audit_star_spark.analytics.timeseries import retention_cohorts
+
+    got = {
+        (r["cohort_week"].day, r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(events).collect()
+    }
+    assert got == {(1, 0): 1, (1, 2): 1, (8, 0): 1}
+
+
+def test_rate_anomalies_flags_spike_and_dead_feed(spark):
+    """25 calm hours at ~2 events then a 40-event spike -> flagged; a
+    gap bucket after steady traffic is a negative-z candidate."""
+    d = dt.datetime
+    rows = []
+    eid = 0
+    for h in range(25):
+        for k in range(2 + (h % 2)):  # 2-3 events/hour, nonzero variance
+            rows.append((eid, d(2024, 1, 1, 0) + dt.timedelta(hours=h, minutes=k), 1, "click", 0.0, ""))
+            eid += 1
+    for k in range(40):  # spike in hour 25
+        rows.append((eid, d(2024, 1, 2, 1, 0) + dt.timedelta(seconds=k), 1, "click", 0.0, ""))
+        eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from audit_star_spark.analytics.timeseries import rate_anomalies
+
+    out = {r["bucket"]: r for r in rate_anomalies(events).collect()}
+    spike = out[d(2024, 1, 2, 1, 0)]
+    assert spike["is_anomaly"] and spike["z_score"] > 3
+    # early buckets with <3 trailing observations are never flagged
+    first = out[d(2024, 1, 1, 0, 0)]
+    assert first["z_score"] is None and not first["is_anomaly"]
