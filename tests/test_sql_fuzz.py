@@ -215,6 +215,26 @@ def _gen_scalar_subquery(rng: random.Random) -> str:
     )
 
 
+def _gen_exists(rng: random.Random) -> str:
+    """Correlated EXISTS / NOT EXISTS — the semi/anti-join shape (Q4/Q21
+    family); the inner predicate keeps the correlation on the equi-key."""
+    neg = rng.choice(["", "NOT "])
+    inner_pred = rng.choice(
+        [
+            f"l_quantity >= {rng.randint(20, 45)}",
+            f"l_returnflag = '{rng.choice(['A', 'N', 'R'])}'",
+            "l_discount > 0.05",
+        ]
+    )
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        f"FROM orders WHERE {neg}EXISTS ("
+        f"SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND {inner_pred}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -227,6 +247,7 @@ def _corpus() -> list[str]:
         + [_gen_setop(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_outer_join(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_scalar_subquery(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_exists(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
