@@ -323,3 +323,29 @@ def test_progressive_smooth_gradient_close():
     img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)[:, :, None]
     out = decode_jpeg(encode_jpeg_progressive(img, quality=95))
     assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 12
+
+
+def test_corrupted_progressive_payloads_always_degrade(spark):
+    """Same poison-payload contract for the new SOF2 path: byte-flipped
+    and truncated progressive JPEGs must degrade in image_meta, never
+    propagate an exception into the task."""
+    import random
+
+    from audit_star_spark.analytics.jpeg import encode_jpeg_progressive
+    from audit_star_spark.analytics.multimodal import image_meta
+
+    img = RNG.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    good = bytearray(encode_jpeg_progressive(img, quality=90))
+    random.seed(6)
+    rows = []
+    for i in range(40):
+        p = bytearray(good)
+        for _ in range(random.randint(1, 4)):
+            p[random.randrange(len(p))] = random.randrange(256)
+        rows.append((i, p))
+    for i in range(40, 60):  # truncations
+        rows.append((i, bytearray(good[: random.randrange(2, len(good))])))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = image_meta(media).collect()  # must not raise
+    assert len(out) == 60
+    assert {r["format"] for r in out} <= {"jpeg", "unknown"}
