@@ -4,13 +4,14 @@ pandas functions over ``mapInPandas``.
 
 Decode is REAL, with no codec libraries: netpbm P5/P6 (PGM/PPM),
 uncompressed 8/24-bit BMP, 8-bit non-interlaced PNG (stdlib-zlib inflate
-+ all five scanline filters), baseline sequential JPEG (pure-numpy
-Huffman + dequant + IDCT + YCbCr, analytics/jpeg.py), and RIFF/WAVE
-16-bit PCM audio. Progressive/arithmetic JPEG and other containers raise
-NotImplementedError honestly; the Spark-side plumbing is format-agnostic
-either way. On top: nearest-neighbor resize, image/audio metadata,
-perceptual average-hash + near-dup pairs, and an audio energy-contour
-fingerprint.
++ all five scanline filters), baseline AND progressive JPEG (pure-numpy
+Huffman + dequant + IDCT + YCbCr, analytics/jpeg.py), RIFF/WAVE 16-bit
+PCM audio, and RIFF/AVI MJPEG video (container chunk walk + per-frame
+JPEG decode). Arithmetic/12-bit JPEG and other containers raise
+honestly; the Spark-side plumbing is format-agnostic either way. On
+top: nearest-neighbor resize, image/audio/video metadata, perceptual
+average-hash + near-dup pairs, an audio energy-contour fingerprint, and
+real sampled-frame statistics.
 
 Scale notes: mapInPandas is narrow (no shuffle); batch size is bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
@@ -796,3 +797,213 @@ def synth_windowed_audio(docs: DataFrame) -> DataFrame:
     from audit_star_spark.util import spread
 
     return spread(docs.select("doc_id")).mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------- video: MJPEG/AVI (r4)
+# A real container + real frame decode: RIFF/AVI parsed from the public
+# byte layout (RIFF chunks, 'avih' main header, 'movi' data chunks), with
+# MJPEG frame payloads decoded by the in-repo baseline JPEG codec — the
+# video pipeline stops being a byte-slicing stand-in.
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Minimal spec-shaped MJPEG AVI: RIFF('AVI ') with an hdrl LIST
+    (avih + one video strl) and a movi LIST of '00dc' JPEG chunks —
+    enough structure for any AVI-aware reader, and the synthesis side of
+    the decode differential. ``frames`` are HxWx{1,3} uint8 arrays,
+    JPEG-encoded at quality=100 (tile-constant frames decode
+    bit-exactly)."""
+    from audit_star_spark.analytics.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=100) for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    us_per_frame = 1_000_000 // fps
+    avih = chunk(
+        b"avih",
+        us_per_frame.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3
+        + len(frames).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4,
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + (0).to_bytes(4, "little") * 3  # flags, prio/lang, initialframes
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate
+        + (0).to_bytes(4, "little")  # start
+        + len(frames).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3  # bufsize, quality, samplesize
+        + (0).to_bytes(8, "little"),  # rcFrame
+    )
+    strf = chunk(
+        b"strf",
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (0).to_bytes(4, "little") * 5,
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def parse_avi(payload: bytes) -> dict:
+    """RIFF/AVI -> {width, height, us_per_frame, n_frames, frames:[bytes]}.
+    Walks the chunk tree; frame data is every 00dc/00db chunk inside the
+    movi LIST. Raises ValueError on anything that is not an AVI."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    meta: dict = {"frames": []}
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            data_start = pos + 8
+            data_end = min(data_start + size, end)
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_end)
+            elif fourcc == b"avih":
+                body = buf[data_start:data_end]
+                if len(body) < 40:
+                    raise ValueError("truncated avih header")
+                meta["us_per_frame"] = int.from_bytes(body[0:4], "little")
+                meta["n_frames"] = int.from_bytes(body[16:20], "little")
+                meta["width"] = int.from_bytes(body[32:36], "little")
+                meta["height"] = int.from_bytes(body[36:40], "little")
+            elif fourcc in (b"00dc", b"00db"):
+                meta["frames"].append(buf[data_start:data_end])
+            pos = data_start + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if "width" not in meta:
+        raise ValueError("missing avih header")
+    return meta
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_data_chunks", T.LongType()),
+    ]
+)
+
+
+def video_meta(media: DataFrame) -> DataFrame:
+    """Per-video container metadata from a real AVI parse; undecodable
+    payloads degrade to container='unknown' (the poison-payload
+    contract every decoder here follows)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "container", "width", "height", "fps",
+                    "n_frames", "n_data_chunks")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = parse_avi(bytes(payload))
+                    row = ("avi", m["width"], m["height"],
+                           round(1_000_000.0 / m["us_per_frame"], 6)
+                           if m.get("us_per_frame") else None,
+                           m.get("n_frames"), len(m["frames"]))
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    row = ("unknown", None, None, None, None, None)
+                out["doc_id"].append(doc_id)
+                for k, v in zip(
+                    ("container", "width", "height", "fps", "n_frames",
+                     "n_data_chunks"), row,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "container": pd.Series(out["container"], dtype="object"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "fps": pd.Series(out["fps"], dtype="Float64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="Int64"),
+                    "n_data_chunks": pd.Series(out["n_data_chunks"], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_META_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_means(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: parse the AVI, decode every ``every_n``-th
+    MJPEG frame with the in-repo JPEG decoder, and emit per-frame
+    dimensions + mean luma (mean over channels for color frames). 1:N
+    in-row fan-out, narrow execution; undecodable payloads or frames
+    contribute no rows."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from audit_star_spark.analytics.jpeg import decode_jpeg
+
+        for pdf in batches:
+            ids, idxs, ws, hs, lumas = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = parse_avi(bytes(payload))["frames"]
+                except Exception:  # noqa: BLE001
+                    continue
+                for i in range(0, len(frames), every_n):
+                    try:
+                        img = decode_jpeg(frames[i])
+                    except Exception:  # noqa: BLE001
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    lumas.append(float(np.round(img.astype(np.float64).mean(), 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

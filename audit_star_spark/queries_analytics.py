@@ -563,6 +563,89 @@ SELECT event_type, bucket,
 FROM win
 """
 
+# --------------------------------------------------- video: MJPEG/AVI (r4)
+def _synth_avi(spark_df):
+    """doc_id-keyed MJPEG AVI synthesis (mapInPandas): nf = 2 + d%3
+    single-tile 8x8 frames, frame f's value = (d*11 + f*17) % 256,
+    fps = 5 + d%4 — tile-constant frames at quality=100 decode
+    bit-exactly, so per-frame mean luma is hash-stable."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    from audit_star_spark.analytics.multimodal import encode_avi_mjpeg
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [
+                    np.full((8, 8, 1), (d * 11 + f * 17) % 256, dtype=np.uint8)
+                    for f in range(2 + d % 3)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=5 + d % 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parse through the gate: RIFF/AVI chunk walk
+    (avih header + movi data chunks) over synthesized MJPEG payloads;
+    the oracle states the header fields in closed form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.video_meta(_synth_avi(docs))
+
+
+SQL_VIDEO_META = """
+SELECT doc_id,
+       'avi' AS container,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       round(1000000.0 / (1000000 // (5 + doc_id % 4)), 6) AS fps,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_data_chunks
+FROM documents
+"""
+
+
+def q_video_frame_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame decode through the gate: every 2nd MJPEG frame is
+    decoded by the in-repo baseline JPEG decoder; tile-constant frames
+    make mean_luma exactly the synthesized tile value."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.video_frame_means(_synth_avi(docs), every_n=2)
+
+
+SQL_VIDEO_FRAME_MEANS = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST((doc_id * 11 + frame_idx * 17) % 256 AS DOUBLE) AS mean_luma
+FROM f WHERE frame_idx % 2 = 0
+"""
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2686,6 +2769,8 @@ EXTRA_QUERIES = {
     "source_mix_report": q_source_mix_report,
     "retention_cohorts": q_retention_cohorts,
     "rate_anomalies": q_rate_anomalies,
+    "video_meta": q_video_meta,
+    "video_frame_means": q_video_frame_means,
 }
 
 EXTRA_ORACLES = {
@@ -2712,4 +2797,6 @@ EXTRA_ORACLES = {
     "source_mix_report": _source_mix_sql(),
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "rate_anomalies": SQL_RATE_ANOMALIES,
+    "video_meta": SQL_VIDEO_META,
+    "video_frame_means": SQL_VIDEO_FRAME_MEANS,
 }
