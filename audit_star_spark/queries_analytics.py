@@ -353,7 +353,7 @@ n2 AS (SELECT url, u, scheme, rest,
              ELSE auth0 END AS auth,
         CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
              ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
-        regexp_extract(rest, '\?(.*)$', 1) AS query
+        regexp_extract(rest, '\\?(.*)$', 1) AS query
        FROM n1),
 n3 AS (SELECT url, u, scheme, auth, path,
         array_to_string(list_filter(string_split(query, '&'),
