@@ -675,3 +675,43 @@ def cross_corpus_near_dups(
     return j.select(
         "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def split_leakage_report(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Near-dup leakage across train/val/test splits: pairs of
+    near-duplicate documents whose members land in DIFFERENT splits are
+    exactly the contamination that silently inflates held-out metrics.
+    Per ordered split pair (train < val < test lexically normalized),
+    the count of cross-split near-dup pairs, plus each split's total
+    pair involvement.
+
+    Composes the deterministic hash split (content-independent, so the
+    report is stable across rebuilds) with the LSH near-dup pairs —
+    pair discovery is the dominant cost, the split join adds two
+    broadcast-sized probes on the doc_id key."""
+    from audit_star_spark.analytics.text import with_split
+
+    splits = with_split(docs.select("doc_id")).select("doc_id", "split")
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    j = (
+        pairs.join(
+            splits.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        j.select(lo.alias("split_lo"), hi.alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("long").alias("n_leaky_pairs"))
+    )

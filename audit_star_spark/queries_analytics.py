@@ -646,6 +646,33 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
 FROM f WHERE frame_idx % 2 = 0
 """
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.split_leakage_report(load_table(spark, sf_dir, "documents"))
+
+
+def _split_leakage_sql() -> str:
+    """Minhash pair oracle joined to the hash-split assignment."""
+    return f"""
+WITH pairs AS ({_minhash_sql_clean()}),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        FROM documents)
+),
+x AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi
+  FROM pairs p
+  JOIN assigned sa ON sa.doc_id = p.doc_a
+  JOIN assigned sb ON sb.doc_id = p.doc_b
+  WHERE sa.split <> sb.split
+)
+SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+FROM x GROUP BY 1, 2
+"""
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2771,6 +2798,7 @@ EXTRA_QUERIES = {
     "rate_anomalies": q_rate_anomalies,
     "video_meta": q_video_meta,
     "video_frame_means": q_video_frame_means,
+    "split_leakage": q_split_leakage,
 }
 
 EXTRA_ORACLES = {
@@ -2799,4 +2827,5 @@ EXTRA_ORACLES = {
     "rate_anomalies": SQL_RATE_ANOMALIES,
     "video_meta": SQL_VIDEO_META,
     "video_frame_means": SQL_VIDEO_FRAME_MEANS,
+    "split_leakage": _split_leakage_sql(),
 }
