@@ -334,3 +334,62 @@ def _gate_batch(batch_df: DataFrame, batch_id: int, out_path: str) -> None:
         .parquet(out_path)
     )
     flags.unpersist()
+
+
+COMPRESSION_SCHEMA_FIELDS = "doc_id long, n_raw_bytes long, n_zlib_bytes long, zlib_ratio double, bits_per_char double"
+
+
+def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
+    """Per-document zlib compressibility — the Gopher/Dolma-family
+    quality heuristic: machine-generated or highly repetitive text
+    compresses far below natural language (~0.3-0.5 at level 6), while
+    random noise approaches 1.0. Emits raw/compressed byte counts, the
+    ratio, and bits-per-character.
+
+    Arrow-batched mapInPandas (zlib is stdlib; no SQL-expressible
+    equivalent exists in DuckDB, so this operator is locked by a
+    semantic pytest — monotonicity on known-compressibility corpora and
+    run-to-run determinism — rather than a value oracle). Narrow
+    execution, no shuffle."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_raw_bytes", T.LongType()),
+            T.StructField("n_zlib_bytes", T.LongType()),
+            T.StructField("zlib_ratio", T.DoubleType()),
+            T.StructField("bits_per_char", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, raws, comps, ratios, bpcs = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(int(doc_id))
+                raws.append(len(raw))
+                comps.append(len(comp))
+                ratios.append(round(len(comp) / len(raw), 9) if raw else None)
+                bpcs.append(
+                    round(8.0 * len(comp) / len(text), 9) if text else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_raw_bytes": pd.Series(raws, dtype="int64"),
+                    "n_zlib_bytes": pd.Series(comps, dtype="int64"),
+                    "zlib_ratio": pd.Series(ratios, dtype="float64"),
+                    "bits_per_char": pd.Series(bpcs, dtype="float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=schema)

@@ -673,6 +673,13 @@ SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
 FROM x GROUP BY 1, 2
 """
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document — no DuckDB oracle exists (zlib
+    is not SQL-expressible); the semantic lock lives in
+    tests/test_oracle_parity.py (_SEMANTIC_CHECKS) and
+    tests/test_quality.py."""
+    return quality.compression_ratio(load_table(spark, sf_dir, "documents"))
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2799,6 +2806,7 @@ EXTRA_QUERIES = {
     "video_meta": q_video_meta,
     "video_frame_means": q_video_frame_means,
     "split_leakage": q_split_leakage,
+    "compression_ratio": q_compression_ratio,
 }
 
 EXTRA_ORACLES = {

@@ -48,9 +48,35 @@ def _check_capped_sessions(spark, df):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def _check_compression_ratio(spark, df):
+    """Driver-side zlib replay: the distributed result must equal a
+    sequential recomputation over the same corpus byte-for-byte."""
+    import zlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        raw = (text or "").encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        r = got[doc_id]
+        assert r["n_raw_bytes"] == len(raw)
+        assert r["n_zlib_bytes"] == len(comp)
+        if raw:
+            assert abs(r["zlib_ratio"] - len(comp) / len(raw)) < 1e-9
+
+
 # oracle-less queries each need a registered semantic check — a bare
 # count() is a tautology, not a test
-_SEMANTIC_CHECKS = {"capped_user_sessions": _check_capped_sessions}
+_SEMANTIC_CHECKS = {
+    "capped_user_sessions": _check_capped_sessions,
+    "compression_ratio": _check_compression_ratio,
+}
 
 
 @pytest.mark.parametrize("name,fn,sql", _all_queries(), ids=[n for n, _, _ in _all_queries()])

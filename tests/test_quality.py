@@ -150,3 +150,29 @@ def test_semantic_dedup_invariants(spark):
             assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
             assert cell[r["dup_of"]] == r["cell_id"]
     assert any(not r["kept"] for r in rows)
+
+
+def test_compression_ratio_orders_text_by_compressibility(spark):
+    """Repetitive text compresses far below natural-ish text, which
+    compresses below random noise; ratios are deterministic."""
+    import random
+
+    random.seed(3)
+    noise = "".join(chr(random.randrange(33, 127)) for _ in range(2000))
+    rows = [
+        (1, "spam ham " * 250),
+        (2, "the quick brown fox jumps over the lazy dog and then rests " * 33),
+        (3, noise),
+        (4, ""),
+    ]
+    from audit_star_spark.analytics.quality import compression_ratio
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert got[1]["zlib_ratio"] < got[2]["zlib_ratio"] < got[3]["zlib_ratio"]
+    assert got[3]["zlib_ratio"] > 0.7  # noise barely compresses
+    assert got[1]["zlib_ratio"] < 0.1  # pure repetition collapses
+    assert got[4]["zlib_ratio"] is None and got[4]["n_raw_bytes"] == 0
+    # deterministic across runs
+    again = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(docs).collect()}
+    assert again == {k: v["zlib_ratio"] for k, v in got.items()}
