@@ -438,3 +438,64 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *[counts[n].alias(f"n_{n}") for n in names],
         dominant.alias("dominant_script"),
     )
+
+
+def resample_to_mix(docs: DataFrame, weights: dict[str, float] | None = None) -> DataFrame:
+    """Downsample-only corpus mixing: given per-source target WEIGHTS
+    (unnormalized; unlisted sources default to 1.0), compute the keep
+    rate that reaches the target proportions without upsampling —
+    rate_s = (target_share_s / current_share_s), normalized so the
+    binding source keeps 100% — and apply it as a deterministic
+    doc_id-hash filter (stable across rebuilds, like with_split).
+    Returns per source: n_docs, rate (9 dp), n_kept.
+
+    Scale shape: the rate table is |sources|-sized (two tiny windows
+    over the counts frame — no driver collect); the kept-count pass is
+    one broadcast join + hash filter over the corpus. This is the
+    treatment step for the source_mix_report diagnosis."""
+    weights = weights or {}
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w_expr = F.lit(1.0)
+    for src, w in sorted(weights.items()):
+        w_expr = F.when(F.col("source") == src, F.lit(float(w))).otherwise(w_expr)
+    t = counts.select(
+        "source",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
+            "share"
+        ),
+        w_expr.alias("w"),
+    )
+    r0 = t.select(
+        "source",
+        "n",
+        ((F.col("w") / F.sum("w").over(Window.partitionBy())) / F.col("share")).alias(
+            "raw_rate"
+        ),
+    )
+    r = r0.select(
+        "source",
+        "n",
+        (F.col("raw_rate") / F.max("raw_rate").over(Window.partitionBy())).alias(
+            "rate"
+        ),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(r.select("source", "rate")), "source")
+        .filter(bucket < F.round(F.col("rate") * 1_000_000).cast("long"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        r.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round("rate", 9).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

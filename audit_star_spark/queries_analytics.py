@@ -680,6 +680,44 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality.py."""
     return quality.compression_ratio(load_table(spark, sf_dir, "documents"))
 
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0}  # others default 1.0
+
+
+def q_resample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: upweight src0/src1, downsample-only — the binding
+    source keeps 100% and every other source's deterministic hash keep
+    rate follows the target proportions."""
+    return text.resample_to_mix(
+        load_table(spark, sf_dir, "documents"), weights=_MIX_WEIGHTS
+    )
+
+
+def _resample_mix_sql() -> str:
+    w_case = "CASE WHEN source = 'src0' THEN 3.0 WHEN source = 'src1' THEN 2.0 ELSE 1.0 END"
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (
+  SELECT source, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+         {w_case} AS w
+  FROM c
+),
+r0 AS (SELECT source, n, (w / SUM(w) OVER ()) / share AS raw_rate FROM t),
+r AS (SELECT source, n, raw_rate / MAX(raw_rate) OVER () AS rate FROM r0),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        < CAST(round(r.rate * 1000000) AS BIGINT)
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n AS BIGINT) AS n_docs,
+       round(r.rate, 9) AS rate,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN kept k ON r.source = k.source
+"""
+
 
 # ------------------------------------------------------------- simhash
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2807,6 +2845,7 @@ EXTRA_QUERIES = {
     "video_frame_means": q_video_frame_means,
     "split_leakage": q_split_leakage,
     "compression_ratio": q_compression_ratio,
+    "resample_to_mix": q_resample_to_mix,
 }
 
 EXTRA_ORACLES = {
@@ -2836,4 +2875,5 @@ EXTRA_ORACLES = {
     "video_meta": SQL_VIDEO_META,
     "video_frame_means": SQL_VIDEO_FRAME_MEANS,
     "split_leakage": _split_leakage_sql(),
+    "resample_to_mix": _resample_mix_sql(),
 }

@@ -70,3 +70,21 @@ def test_sequence_packing_invariants(spark):
             run += r["est_bpe_tokens"]
         # pack ids are dense from 0
         assert min(r["pack_id"] for r in rs) == 0
+
+
+def test_resample_to_mix_rates_and_binding_source(spark):
+    """src0 triple-weighted over two equal sources: src0 binds (rate 1),
+    src1's rate is 1/3, and kept counts follow the deterministic hash."""
+    from audit_star_spark.analytics.text import resample_to_mix
+
+    docs = spark.createDataFrame(
+        [(i, "src0" if i < 30 else "src1", "t") for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in resample_to_mix(docs, {"src0": 3.0}).collect()}
+    assert got["src0"]["rate"] == 1.0 and got["src0"]["n_kept"] == 30
+    assert abs(got["src1"]["rate"] - 1 / 3) < 1e-9
+    assert 0 < got["src1"]["n_kept"] < 30
+    # deterministic: same run, same kept counts
+    again = {r["source"]: r["n_kept"] for r in resample_to_mix(docs, {"src0": 3.0}).collect()}
+    assert again == {k: v["n_kept"] for k, v in got.items()}
