@@ -235,6 +235,48 @@ def _gen_exists(rng: random.Random) -> str:
     )
 
 
+def _gen_range_window(rng: random.Random) -> str:
+    """RANGE-frame windows over event time: interval frames include
+    peers, so the result is deterministic without a unique tie-break —
+    exactly where ROWS/RANGE confusion bugs diverge."""
+    hours = rng.randint(1, 48)
+    part = rng.choice(["event_type", ""])
+    part_sql = f"PARTITION BY {part} " if part else ""
+    cols = "event_type, " if part else ""
+    return (
+        f"SELECT {cols}ts, CAST(cnt AS BIGINT) AS cnt FROM ("
+        f"SELECT {cols.rstrip()} ts, COUNT(*) OVER ({part_sql}ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL {hours} HOURS PRECEDING AND CURRENT ROW) AS cnt "
+        f"FROM events WHERE user_id % {rng.randint(3, 9)} = 0) t"
+    )
+
+
+def _gen_grouping_sets(rng: random.Random) -> str:
+    """GROUPING SETS / ROLLUP / CUBE with a GROUPING() marker — the
+    Expand-operator family; NULL group markers must align across
+    engines.
+
+    Documented divergence this shape SURFACED (fuzz_308/310, r4): over
+    an EMPTY input, DuckDB emits the SQL-standard grand-total row for
+    the () grouping set (count 0), Spark emits zero rows. The corpus
+    normalizes with HAVING COUNT(*) > 0, which is identity on non-empty
+    groups and erases the divergent empty-input row on both engines."""
+    op = rng.choice(
+        [
+            "GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+            "ROLLUP (o_orderstatus, o_orderpriority)",
+            "CUBE (o_orderstatus, o_orderpriority)",
+        ]
+    )
+    return (
+        f"SELECT o_orderstatus, o_orderpriority, "
+        f"CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1, "
+        f"CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        f"FROM orders{_where(rng)} GROUP BY {op} HAVING COUNT(*) > 0"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -248,6 +290,8 @@ def _corpus() -> list[str]:
         + [_gen_outer_join(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_scalar_subquery(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_exists(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_range_window(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_grouping_sets(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
