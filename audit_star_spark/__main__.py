@@ -59,8 +59,22 @@ def corpus_main(argv: list[str]) -> int:
     ap.add_argument("--overlap", type=int, default=8)
     ap.add_argument("--budget-tokens", type=int, default=256)
     ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument(
+        "--mix", action="append", default=[], metavar="SOURCE=WEIGHT",
+        help="target mix weight for a source (repeatable; unlisted "
+             "sources default to 1.0; downsample-only)",
+    )
     ap.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
+    mix_weights = {}
+    for item in args.mix:
+        src, _, w = item.partition("=")
+        if not _ or not src:
+            ap.error(f"--mix expects SOURCE=WEIGHT, got {item!r}")
+        try:
+            mix_weights[src] = float(w)
+        except ValueError:
+            ap.error(f"--mix weight must be numeric, got {item!r}")
 
     from audit_star_spark.pipeline import run_corpus_pipeline
     from audit_star_spark.session import get_spark
@@ -75,6 +89,7 @@ def corpus_main(argv: list[str]) -> int:
         overlap=args.overlap,
         budget_tokens=args.budget_tokens,
         shards=args.shards,
+        mix_weights=mix_weights or None,
     )
     for k, v in stats.items():
         print(f"{k:22s} {v}")

@@ -440,20 +440,10 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def resample_to_mix(docs: DataFrame, weights: dict[str, float] | None = None) -> DataFrame:
-    """Downsample-only corpus mixing: given per-source target WEIGHTS
-    (unnormalized; unlisted sources default to 1.0), compute the keep
-    rate that reaches the target proportions without upsampling —
-    rate_s = (target_share_s / current_share_s), normalized so the
-    binding source keeps 100% — and apply it as a deterministic
-    doc_id-hash filter (stable across rebuilds, like with_split).
-    Returns per source: n_docs, rate (9 dp), n_kept.
-
-    Scale shape: the rate table is |sources|-sized (two tiny windows
-    over the counts frame — no driver collect); the kept-count pass is
-    one broadcast join + hash filter over the corpus. This is the
-    treatment step for the source_mix_report diagnosis."""
-    weights = weights or {}
+def _mix_rates(docs: DataFrame, weights: dict[str, float]) -> DataFrame:
+    """(source, n, rate): downsample-only keep rates reaching the target
+    weight proportions; the binding source's rate is exactly 1.0. Two
+    windows over the |sources|-sized counts frame, no driver collect."""
     counts = docs.groupBy("source").agg(F.count("*").alias("n"))
     w_expr = F.lit(1.0)
     for src, w in sorted(weights.items()):
@@ -473,20 +463,47 @@ def resample_to_mix(docs: DataFrame, weights: dict[str, float] | None = None) ->
             "raw_rate"
         ),
     )
-    r = r0.select(
+    return r0.select(
         "source",
         "n",
         (F.col("raw_rate") / F.max("raw_rate").over(Window.partitionBy())).alias(
             "rate"
         ),
     )
-    bucket = F.expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"
+
+
+# doc_id hash bucket for the deterministic keep filter (built lazily:
+# F.expr needs an active session, and this module imports session-free)
+_MIX_BUCKET_SQL = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000"
+)
+
+
+def apply_mix(docs: DataFrame, weights: dict[str, float] | None = None) -> DataFrame:
+    """The sampled corpus itself: keep each document iff its
+    deterministic doc_id hash falls under its source's keep rate —
+    stable across rebuilds, broadcast rate probe, no shuffle of docs."""
+    weights = weights or {}
+    rates = _mix_rates(docs, weights).select("source", "rate")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            F.expr(_MIX_BUCKET_SQL) < F.round(F.col("rate") * 1_000_000).cast("long")
+        )
+        .drop("rate")
     )
+
+
+def resample_to_mix(docs: DataFrame, weights: dict[str, float] | None = None) -> DataFrame:
+    """Downsample-only corpus mixing REPORT: given per-source target
+    WEIGHTS (unnormalized; unlisted sources default to 1.0), the keep
+    rate that reaches the target proportions without upsampling and the
+    resulting kept counts. See :func:`apply_mix` for the sampled corpus.
+    Returns per source: n_docs, rate (9 dp), n_kept."""
+    weights = weights or {}
+    r = _mix_rates(docs, weights)
     kept = (
-        docs.select("doc_id", "source")
-        .join(F.broadcast(r.select("source", "rate")), "source")
-        .filter(bucket < F.round(F.col("rate") * 1_000_000).cast("long"))
+        apply_mix(docs.select("doc_id", "source"), weights)
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )

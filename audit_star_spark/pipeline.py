@@ -1,6 +1,7 @@
 """End-to-end corpus cleaning pipeline — the composed product surface of
 the analytics layer: quality gate -> exact dedup -> near-dup dedup ->
-chunking + packing layout -> sharded JSONL export, with per-stage counts.
+optional source mixing -> chunking + packing layout -> sharded JSONL
+export, with per-stage counts.
 
 This is the "switch to this repo and run your pipeline" entry point: each
 stage is exactly the standalone operator the driver gate verifies
@@ -32,6 +33,7 @@ def run_corpus_pipeline(
     overlap: int = 8,
     budget_tokens: int = 256,
     shards: int | None = None,
+    mix_weights: dict[str, float] | None = None,
 ) -> dict:
     """Run the full cleaning pipeline over a documents parquet
     (``doc_id``, ``text``, extra columns carried through). Writes
@@ -80,6 +82,16 @@ def run_corpus_pipeline(
     clean = exact.join(drop, "doc_id", "left_anti").persist()
     stats["n_after_near_dedup"] = clean.count()
     exact.unpersist()
+
+    # 3b. optional source mixing: downsample-only toward the target
+    # proportions (deterministic hash keep, binding source keeps 100%)
+    if mix_weights:
+        from audit_star_spark.analytics.text import apply_mix
+
+        mixed = apply_mix(clean, mix_weights).persist()
+        stats["n_after_mixing"] = mixed.count()
+        clean.unpersist()
+        clean = mixed
 
     # 4. training layouts + export (all from the SAME survivor set)
     chunks = chunk_documents(clean, chunk_tokens=chunk_tokens, overlap=overlap)

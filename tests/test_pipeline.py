@@ -74,3 +74,25 @@ def test_corpus_cli_smoke(spark, tmp_path, capsys):
     rc = main(["corpus", "--in", src, "--out", str(tmp_path / "o"), "--shards", "1"])
     assert rc == 0
     assert "n_after_near_dedup" in capsys.readouterr().out
+
+
+def test_pipeline_optional_mixing_stage(spark, tmp_path):
+    """With mix_weights the pipeline adds a downsample-only stage whose
+    survivor set matches apply_mix over the post-dedup frame; without it
+    stats carry no mixing key."""
+    import json
+    import os
+
+    from audit_star_spark.pipeline import run_corpus_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "in.parquet")
+    docs.limit(120).write.parquet(src)
+    out = str(tmp_path / "out")
+    stats = run_corpus_pipeline(
+        spark, src, out, mix_weights={"src0": 5.0}
+    )
+    assert "n_after_mixing" in stats
+    assert 0 < stats["n_after_mixing"] <= stats["n_after_near_dedup"]
+    with open(os.path.join(out, "stats.json")) as f:
+        assert json.load(f)["n_after_mixing"] == stats["n_after_mixing"]
