@@ -165,27 +165,33 @@ def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
     each week offset 0..max_weeks how many of that cohort were active —
     the canonical product-analytics rollup.
 
-    Scale shape: ONE user-keyed aggregate finds each user's cohort week
-    (min event ts truncated to week), then the (user, week) activity set
-    joins its cohort on the user key and aggregates per (cohort_week,
-    offset) — two shuffles total (user, then the tiny cohort grid), no
-    window over raw events, no per-offset scan loop."""
-    weekly = events.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
-    ).distinct()
-    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    j = weekly.join(cohorts, "user_id")
-    offset = (
-        F.floor(
-            (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
-            / (7 * 24 * 3600)
-        )
-    ).cast("int")
+    Scale shape: ONE scan and ONE user-keyed exchange — collect_set
+    dedups each user's active weeks with map-side partial aggregation,
+    an in-row transform turns the sorted week set into offsets from its
+    minimum (the cohort week), and the explode feeds the tiny
+    (cohort_week, offset) grid aggregate. Distinct weeks map to distinct
+    offsets (UTC Mondays are exactly 7 days apart), so the grid count is
+    a plain count, no per-group distinct. No window over raw events, no
+    join, no per-offset scan loop (plan-locked)."""
+    week_secs = 7 * 24 * 3600
+    per_user = (
+        events.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("week")).alias("weeks"))
+    )
+    rows = per_user.select(
+        F.col("weeks")[0].alias("cohort_week"),
+        F.explode(
+            F.expr(
+                "transform(weeks, w -> CAST(floor((unix_timestamp(w) - "
+                f"unix_timestamp(weeks[0])) / {week_secs}) AS INT))"
+            )
+        ).alias("week_offset"),
+    )
     return (
-        j.select("cohort_week", offset.alias("week_offset"), "user_id")
-        .filter(F.col("week_offset") <= max_weeks)
+        rows.filter(F.col("week_offset") <= max_weeks)
         .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .agg(F.count("*").cast("long").alias("n_users"))
     )
 
 

@@ -558,3 +558,74 @@ def test_resample_aggregates_before_densify(spark):
     # gap-filled series joins spine<->agg; the 1-row bounds cross join is
     # the sanctioned BroadcastNestedLoopJoin, never a CartesianProduct
     assert "CartesianProduct" not in plan, plan
+
+
+# ------------------------------------------------- round-4 operator locks
+def test_script_profile_is_zero_shuffle_codegen(spark):
+    """Unicode-script census: one scan, pure expression projection — no
+    exchange of any kind."""
+    from audit_star_spark.analytics.text import script_profile
+    from audit_star_spark.sources.testdata import load_table
+
+    plan = _plan(script_profile(load_table(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan, plan
+    # toString spells whole-stage codegen as the "*(n)" stage prefix
+    assert "*(1) Project" in plan, plan
+
+
+def test_url_census_is_single_keyed_exchange(spark):
+    """Canonical-URL census: normalization is in-row; the only exchange
+    is the normalized-key aggregate (plus map-side partial combine)."""
+    from audit_star_spark.analytics.html import url_census
+
+    links = spark.createDataFrame(
+        [(1, "http://A.com:80/x?utm_a=1")], "doc_id long, url string"
+    )
+    plan = _plan(url_census(links))
+    # two hash exchanges: the (url_norm, url) partial of the two-phase
+    # COUNT DISTINCT, then the url_norm-keyed final — both map-side
+    # combined; no join, no window
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_multiband_simhash_join_is_hash_join_no_nested_loop(spark):
+    """Multi-band blocking must stay an equi join on (band, val)."""
+    from audit_star_spark.analytics.dedup import simhash_near_pairs
+    from audit_star_spark.sources.testdata import load_table
+
+    plan = _plan(simhash_near_pairs(load_table(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_operators_are_narrow(spark):
+    """Container parse and frame decode are mapInPandas over the scan —
+    no shuffle anywhere in either plan."""
+    from audit_star_spark.analytics.multimodal import (
+        encode_avi_mjpeg,
+        video_frame_means,
+        video_meta,
+    )
+    import numpy as np
+
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_avi_mjpeg([np.zeros((8, 8, 1), dtype=np.uint8)])))],
+        "doc_id long, payload binary",
+    )
+    for df in (video_meta(media), video_frame_means(media)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_retention_cohorts_single_scan_two_exchanges(spark):
+    """collect_set single-pass: one events scan, one user-keyed exchange
+    plus the tiny cohort-grid aggregate — no window, no join."""
+    from audit_star_spark.analytics.timeseries import retention_cohorts
+    from audit_star_spark.sources.testdata import load_table
+
+    plan = _plan(retention_cohorts(load_table(spark, SF_DIR, "events")))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
