@@ -651,8 +651,11 @@ def cross_corpus_near_dups(
     hashes exactly like the self-join operator. Returns
     (doc_a from A, doc_b from B, jaccard >= threshold); doc_id spaces
     may overlap freely since the sides are never mixed."""
-    sig_a = minhash_signatures(corpus_a).persist()
-    sig_b = minhash_signatures(corpus_b).persist()
+    # eager localCheckpoint (not persist): each side is read twice (bands
+    # + verification sets); checkpointed blocks release when the frames
+    # go out of scope instead of leaking into the session cache
+    sig_a = minhash_signatures(corpus_a).localCheckpoint(eager=True)
+    sig_b = minhash_signatures(corpus_b).localCheckpoint(eager=True)
     cand = (
         _band_buckets(sig_a)
         .alias("a")

@@ -479,12 +479,20 @@ _MIX_BUCKET_SQL = (
 )
 
 
-def apply_mix(docs: DataFrame, weights: dict[str, float] | None = None) -> DataFrame:
+def apply_mix(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    rates: DataFrame | None = None,
+) -> DataFrame:
     """The sampled corpus itself: keep each document iff its
     deterministic doc_id hash falls under its source's keep rate —
-    stable across rebuilds, broadcast rate probe, no shuffle of docs."""
+    stable across rebuilds, broadcast rate probe, no shuffle of docs.
+    Pass a precomputed ``rates`` frame to avoid re-deriving it (and
+    re-scanning docs) when the caller already has one."""
     weights = weights or {}
-    rates = _mix_rates(docs, weights).select("source", "rate")
+    if rates is None:
+        rates = _mix_rates(docs, weights)
+    rates = rates.select("source", "rate")
     return (
         docs.join(F.broadcast(rates), "source")
         .filter(
@@ -503,7 +511,7 @@ def resample_to_mix(docs: DataFrame, weights: dict[str, float] | None = None) ->
     weights = weights or {}
     r = _mix_rates(docs, weights)
     kept = (
-        apply_mix(docs.select("doc_id", "source"), weights)
+        apply_mix(docs.select("doc_id", "source"), weights, rates=r)
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
