@@ -277,6 +277,29 @@ def _gen_grouping_sets(rng: random.Random) -> str:
     )
 
 
+def _gen_string_funcs(rng: random.Random) -> str:
+    """String-function algebra in the common dialect: substr (1-based),
+    upper/lower, length, concat via ||, trim, replace — grouped so the
+    result set stays small and exact."""
+    exprs = rng.sample(
+        [
+            "upper(substr(o_orderpriority, 1, 3))",
+            "lower(o_orderstatus)",
+            "CAST(length(o_orderpriority) AS BIGINT)",
+            "o_orderstatus || '-' || substr(o_orderpriority, 1, 1)",
+            "replace(o_orderpriority, '-', '_')",
+            "trim(o_orderpriority)",
+            "substr(o_orderpriority, 2)",
+        ],
+        rng.randint(1, 3),
+    )
+    sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(exprs))
+    return (
+        f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders{_where(rng)} GROUP BY {', '.join(str(i + 1) for i in range(len(exprs)))}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -292,6 +315,7 @@ def _corpus() -> list[str]:
         + [_gen_exists(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_range_window(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_grouping_sets(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_string_funcs(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
