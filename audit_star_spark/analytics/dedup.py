@@ -359,10 +359,19 @@ def hamming_bands(total_bits: int, max_hamming: int) -> list[tuple[int, int]]:
     band-equality blocking therefore has 100% recall for qualifying
     pairs (unlike any single-prefix bucket, which misses a pair that
     happens to differ in a high bit)."""
-    # more bands than bits would create empty (width-0) bands whose key
-    # is constant — an accidental all-pairs join; cap at one bit per band
-    # (recall is still exact: agreement on any single equal bit suffices
-    # when max_hamming >= total_bits - 1)
+    # max_hamming >= total_bits asks for EVERY pair (bitwise complements
+    # qualify but differ in every 1-bit band, so band-equality blocking
+    # would silently miss them) — refuse rather than return a blocking
+    # scheme that cannot deliver the exact-recall contract
+    if max_hamming >= total_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= total_bits={total_bits}: every "
+            "pair qualifies; use an explicit all-pairs join instead of "
+            "band blocking"
+        )
+    # cap at one bit per band (width-0 bands would have a constant key —
+    # an accidental all-pairs join); recall stays exact at the cap: a pair
+    # at distance <= total_bits - 1 agrees on >= 1 bit
     n = min(max_hamming + 1, total_bits)
     base, extra = divmod(total_bits, n)
     out, start = [], 0
@@ -384,11 +393,15 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     tests/test_ahash.py's brute-force recall twin for the image analog
     and test_oracle_parity's DuckDB mirror here)."""
     bands = hamming_bands(SIMHASH_BITS, max_hamming)
-    # eager localCheckpoint instead of persist: materializes the
-    # fingerprints once for the self-join AND releases the blocks when
-    # the DataFrame is unreferenced (a bare persist leaks the cache into
-    # the session; at real scale: write signatures to storage)
-    fp = simhash_fingerprints(docs).localCheckpoint(eager=True)
+    # lazy localCheckpoint instead of persist: materializes the
+    # fingerprints ONCE on the first action (eager=True would run Spark
+    # jobs at DataFrame-construction time even if the result is never
+    # executed) and releases the blocks when the DataFrame is
+    # unreferenced (a bare persist leaks the cache into the session; at
+    # real scale: write signatures to storage). Lineage is truncated, so
+    # executor loss after materialization cannot recompute the blocks —
+    # acceptable for this derived, cheap-to-rebuild input.
+    fp = simhash_fingerprints(docs).localCheckpoint(eager=False)
     band_vals = F.array(
         *[
             F.expr(f"shiftright(simhash, {s}) & {(1 << w) - 1}")
@@ -651,11 +664,12 @@ def cross_corpus_near_dups(
     hashes exactly like the self-join operator. Returns
     (doc_a from A, doc_b from B, jaccard >= threshold); doc_id spaces
     may overlap freely since the sides are never mixed."""
-    # eager localCheckpoint (not persist): each side is read twice (bands
-    # + verification sets); checkpointed blocks release when the frames
+    # lazy localCheckpoint (not persist): each side is read twice (bands
+    # + verification sets), materialized once on the first action — NOT
+    # at construction time; checkpointed blocks release when the frames
     # go out of scope instead of leaking into the session cache
-    sig_a = minhash_signatures(corpus_a).localCheckpoint(eager=True)
-    sig_b = minhash_signatures(corpus_b).localCheckpoint(eager=True)
+    sig_a = minhash_signatures(corpus_a).localCheckpoint(eager=False)
+    sig_b = minhash_signatures(corpus_b).localCheckpoint(eager=False)
     cand = (
         _band_buckets(sig_a)
         .alias("a")

@@ -784,11 +784,18 @@ def _enc_ac_refine_block(zz, ss, se, al, st: _EobState) -> None:
         if t == 0:
             r += 1
             continue
-        if t > 1:  # previously nonzero: correction bit rides behind
-            pending.append(t & 1)
-            continue
-        # newly nonzero (t == 1); idx <= last_new by construction
-        while r > 15:
+        # ZRLs must be emitted on arrival at ANY nonzero-history coefficient
+        # once >15 zero-history positions are pending (T.81 G.1.2.3 /
+        # libjpeg jcphuff.c encode_mcu_AC_refine): the decoder's ZRL advance
+        # stops at the 16th zero and consumes correction bits only for the
+        # nonzero coefficients it actually passes, so deferring the ZRL to
+        # the next newly-nonzero position desynchronizes the stream.
+        # Emitting here keeps the invariant that every buffered correction
+        # bit belongs to a coefficient inside the next ZRL's 16-zero span,
+        # which is what makes the flush-all-after-ZRL below correct.
+        # Beyond the last newly-nonzero coefficient the zeros fold into the
+        # EOB run instead (idx <= last_new guard).
+        while r > 15 and idx <= last_new:
             st.flush()
             code, ln = st.ac[0xF0]
             st.bw.write(code, ln)
@@ -796,6 +803,10 @@ def _enc_ac_refine_block(zz, ss, se, al, st: _EobState) -> None:
             for b in pending:
                 st.bw.write(b, 1)
             pending = []
+        if t > 1:  # previously nonzero: correction bit rides behind
+            pending.append(t & 1)
+            continue
+        # newly nonzero (t == 1); idx <= last_new by construction
         st.flush()
         code, ln = st.ac[(r << 4) | 1]
         st.bw.write(code, ln)

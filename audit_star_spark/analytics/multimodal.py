@@ -671,16 +671,17 @@ def ahash_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     band-equality collisions, so by pigeonhole every qualifying pair
     collides in >= 1 band (the old 16-bit prefix bucket missed pairs
     differing in a high bit). Exact Hamming verifies inside the join;
-    DISTINCT folds multi-band hits. No all-pairs product. The eager
-    localCheckpoint materializes fingerprints once for the self-join
-    and releases the blocks when unreferenced (a bare persist leaked
-    the cache into the session)."""
+    DISTINCT folds multi-band hits. No all-pairs product. The lazy
+    localCheckpoint materializes fingerprints once (on the first action,
+    not at construction) for the self-join and releases the blocks when
+    unreferenced (a bare persist leaked the cache into the session);
+    lineage truncation is acceptable for this cheap-to-rebuild input."""
     from audit_star_spark.analytics.dedup import hamming_bands
 
     fp = (
         image_ahash(media)
         .filter(F.col("ahash_bits").isNotNull())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     band_vals = F.array(
         *[

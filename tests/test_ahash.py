@@ -60,7 +60,7 @@ def test_ahash_poison_payload_degrades(spark):
     assert rows[1]["ahash"] is None and rows[1]["ahash_bits"] is None
     # degraded rows never reach the pair join
     assert (
-        ahash_near_pairs(_media(spark, [good, b"\x00junk"]), max_hamming=64).count()
+        ahash_near_pairs(_media(spark, [good, b"\x00junk"]), max_hamming=63).count()
         == 0
     )
 

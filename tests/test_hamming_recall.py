@@ -11,8 +11,19 @@ import numpy as np
 from audit_star_spark.analytics.dedup import hamming_bands
 
 
+def test_hamming_bands_rejects_degenerate_threshold():
+    """max_hamming >= total_bits means EVERY pair qualifies, but bitwise
+    complements differ in every 1-bit band and never collide — band
+    blocking cannot deliver exact recall there, so it must refuse."""
+    import pytest
+
+    for total, maxh in [(64, 64), (64, 200), (60, 60)]:
+        with pytest.raises(ValueError, match="all-pairs"):
+            hamming_bands(total, maxh)
+
+
 def test_hamming_bands_partition_and_cap():
-    for total, maxh in [(60, 8), (64, 6), (64, 0), (64, 63), (64, 200)]:
+    for total, maxh in [(60, 8), (64, 6), (64, 0), (64, 63), (60, 59)]:
         bands = hamming_bands(total, maxh)
         assert sum(w for _, w in bands) == total
         assert all(w >= 1 for _, w in bands)

@@ -349,3 +349,50 @@ def test_corrupted_progressive_payloads_always_degrade(spark):
     out = image_meta(media).collect()  # must not raise
     assert len(out) == 60
     assert {r["format"] for r in out} <= {"jpeg", "unknown"}
+
+
+def test_progressive_refine_zrl_past_16_zeros_bit_exact():
+    """Regression (r4 advice): in the AC refinement scan the ZRL loop must
+    run on arrival at ANY nonzero-history coefficient, not only at
+    newly-nonzero ones. A block with a previously-nonzero (abs >= 2)
+    coefficient beyond the 16th pending zero plus a later abs == 1
+    coefficient used to emit the deferred ZRL with ALL pending correction
+    bits flushed after it — but the decoder's ZRL advance stops at the
+    16th zero and expects that correction bit after the NEXT symbol, so
+    the stream decoded to wrong pixels (or raised). Every crafted pattern
+    must decode bit-identically to the baseline encoding."""
+    from audit_star_spark.analytics.jpeg import encode_jpeg_progressive
+
+    patterns = [
+        {20: 3, 40: 1},  # the verified repro: t>1 at 19 pending zeros
+        {1: 5, 20: 3, 40: 1},  # early t>1, then the deferred-ZRL shape
+        {5: 3, 40: 2, 62: 1},  # two ZRLs needed before a far t>1
+        {2: 2, 25: 2, 45: 1},  # two previously-nonzero past the span
+        {20: -3, 40: -1},  # negative values, same run shape
+        {10: 1, 30: 3},  # t>1 AFTER the last new bit folds into EOB run
+    ]
+    for coeffs in patterns:
+        zz = [0] * 64
+        for k, v in coeffs.items():
+            zz[k] = v
+        img = _idct_model(zz)[:, :, None]
+        base = decode_jpeg(encode_jpeg(img, quality=100))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=100))
+        assert np.array_equal(prog, base), coeffs
+
+
+def test_progressive_random_sparse_blocks_bit_exact():
+    """Randomized differential sweep over sparse coefficient blocks —
+    many zero-run / refinement-bit interleavings, far beyond the crafted
+    regression patterns — progressive must always equal baseline."""
+    from audit_star_spark.analytics.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(41)
+    for _ in range(60):
+        zz = [0] * 64
+        for k in rng.choice(63, size=rng.integers(1, 7), replace=False):
+            zz[int(k) + 1] = int(rng.integers(1, 6)) * (1 if rng.random() < 0.5 else -1)
+        img = _idct_model(zz)[:, :, None]
+        base = decode_jpeg(encode_jpeg(img, quality=100))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=100))
+        assert np.array_equal(prog, base), zz
