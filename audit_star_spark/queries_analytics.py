@@ -2720,28 +2720,29 @@ FROM toks GROUP BY doc_id
 
 # Driver-gate analytics group: exactly 42 entries, so the driver's 50-row
 # correctness window is 8 audit + these 42 (insertion order; see
-# __spark_entry__.queries()). Round 4 rotated the 17 round-3 queries
-# (span_dedup_stats .. vocab_coverage) in, displacing 14 long-stable
-# entries to EXTRA_QUERIES below; every displaced query stays
-# oracle-locked in tests/test_oracle_parity.py.
+# __spark_entry__.queries()). Round 5 rotated the 7 round-4 queries
+# (retention_cohorts .. resample_to_mix) in, displacing 7 double-green
+# (r03+r04) entries whose operator families stay represented in the
+# window; every displaced query stays oracle-locked in
+# tests/test_oracle_parity.py.
 ANALYTICS_QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash,
-    "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "embedding_near_pairs": q_embedding_near_pairs,
     "simhash_near_pairs": q_simhash_pairs,
-    "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
-    "label_nearest_neighbor": q_label_nn,
     "capped_user_sessions": q_capped_sessions,
     "jpeg_meta": q_jpeg_meta,
-    "benchmark_contamination": q_benchmark_contamination,
     "bpe_merges": q_bpe_merges,
-    "bpe_corpus": q_bpe_corpus,
-    "repetition_stats": q_repetition_stats,
     "quality_flags": q_quality_flags,
-    "pii_scan": q_pii_scan,
     "pipeline_report": q_pipeline_report,
+    "retention_cohorts": q_retention_cohorts,
+    "rate_anomalies": q_rate_anomalies,
+    "video_meta": q_video_meta,
+    "video_frame_means": q_video_frame_means,
+    "split_leakage": q_split_leakage,
+    "compression_ratio": q_compression_ratio,
+    "resample_to_mix": q_resample_to_mix,
     "corpus_clean_stats": q_corpus_clean_stats,
     "span_dedup_stats": q_span_dedup,
     "source_tfidf_topk": q_source_tfidf,
@@ -2771,22 +2772,24 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "dedup_minhash_pairs": _minhash_sql_clean(),
-    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_clusters": _clusters_sql(),
     "embedding_near_pairs": _near_pairs_sql(),
     "simhash_near_pairs": SQL_SIMHASH_PAIRS,
-    "knn_lsh": _knn_sql(k=5, n_queries=8, bucketed=True),
     "knn_ivf": _ivf_sql(),
-    "label_nearest_neighbor": SQL_LABEL_NN,
     "capped_user_sessions": SQL_CAPPED_SESSIONS,
     "jpeg_meta": SQL_JPEG_META,
-    "benchmark_contamination": _contamination_sql(),
     "bpe_merges": _bpe_merges_sql(),
-    "bpe_corpus": _bpe_corpus_sql(),
-    "repetition_stats": _repetition_sql(),
     "quality_flags": _quality_flags_sql(),
-    "pii_scan": _pii_sql(),
     "pipeline_report": _pipeline_report_sql(),
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "rate_anomalies": SQL_RATE_ANOMALIES,
+    "video_meta": SQL_VIDEO_META,
+    "video_frame_means": SQL_VIDEO_FRAME_MEANS,
+    "split_leakage": _split_leakage_sql(),
+    # compression_ratio: no SQL oracle exists (stdlib zlib inside the
+    # engine); the driver records a rows-only check and the byte-exact
+    # semantic replay lives in tests/test_oracle_parity.py.
+    "resample_to_mix": _resample_mix_sql(),
     "corpus_clean_stats": _corpus_clean_sql(),
     "span_dedup_stats": _span_dedup_sql(),
     "source_tfidf_topk": SQL_SOURCE_TFIDF,
@@ -2815,9 +2818,16 @@ ANALYTICS_ORACLES = {
 }
 
 # Trailing group, outside the driver's 50-slot window: queries that were
-# driver-green in r01-r03 and are displaced by the round-4 rotation.
+# driver-green in earlier rounds and are displaced by the latest rotation.
 # Still pytest-oracle-verified every run (tests/test_oracle_parity.py).
 EXTRA_QUERIES = {
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "knn_lsh": q_knn_lsh,
+    "label_nearest_neighbor": q_label_nn,
+    "repetition_stats": q_repetition_stats,
+    "pii_scan": q_pii_scan,
+    "benchmark_contamination": q_benchmark_contamination,
+    "bpe_corpus": q_bpe_corpus,
     "text_stats": q_text_stats,
     "token_topk": q_token_topk,
     "corpus_splits": q_corpus_splits,
@@ -2839,13 +2849,6 @@ EXTRA_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "kmeans_update": q_kmeans_update,
     "source_mix_report": q_source_mix_report,
-    "retention_cohorts": q_retention_cohorts,
-    "rate_anomalies": q_rate_anomalies,
-    "video_meta": q_video_meta,
-    "video_frame_means": q_video_frame_means,
-    "split_leakage": q_split_leakage,
-    "compression_ratio": q_compression_ratio,
-    "resample_to_mix": q_resample_to_mix,
 }
 
 EXTRA_ORACLES = {
@@ -2870,10 +2873,11 @@ EXTRA_ORACLES = {
     "semantic_dedup": _semantic_dedup_sql(),
     "kmeans_update": _kmeans_sql(),
     "source_mix_report": _source_mix_sql(),
-    "retention_cohorts": SQL_RETENTION_COHORTS,
-    "rate_anomalies": SQL_RATE_ANOMALIES,
-    "video_meta": SQL_VIDEO_META,
-    "video_frame_means": SQL_VIDEO_FRAME_MEANS,
-    "split_leakage": _split_leakage_sql(),
-    "resample_to_mix": _resample_mix_sql(),
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "knn_lsh": _knn_sql(k=5, n_queries=8, bucketed=True),
+    "label_nearest_neighbor": SQL_LABEL_NN,
+    "repetition_stats": _repetition_sql(),
+    "pii_scan": _pii_sql(),
+    "benchmark_contamination": _contamination_sql(),
+    "bpe_corpus": _bpe_corpus_sql(),
 }
