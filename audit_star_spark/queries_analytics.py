@@ -2820,7 +2820,10 @@ ANALYTICS_ORACLES = {
 # Trailing group, outside the driver's 50-slot window: queries that were
 # driver-green in earlier rounds and are displaced by the latest rotation.
 # Still pytest-oracle-verified every run (tests/test_oracle_parity.py).
+from audit_star_spark.queries_audit import SQL_SCD2_USERS, q_scd2_users  # noqa: E402
+
 EXTRA_QUERIES = {
+    "scd2_users": q_scd2_users,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -2852,6 +2855,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "scd2_users": SQL_SCD2_USERS,
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,

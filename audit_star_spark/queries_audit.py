@@ -367,6 +367,57 @@ SELECT id, etype, k, CAST(val AS DOUBLE) AS val FROM live
 """
 
 
+def q_scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (operators/scd.py): one row per row VERSION
+    with its validity interval — the materialized complement of the
+    reference's per-timestamp snapshot view (audit.go:1262-1359). The
+    oracle re-derives the versions independently from the snapshot CTE
+    plus a lead() window, so interval edges, tombstone closure (a D
+    closes the prior version without opening one) and is_current are all
+    hash-checked."""
+    from audit_star_spark.operators.scd import scd2_history
+
+    log, live, spec = _log(spark, sf_dir)
+    h = scd2_history(log, live, spec)
+    return h.select(
+        "version_audit_id",
+        "primary_key",
+        "id",
+        "etype",
+        "k",
+        F.col("val").cast("double").alias("val"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+SQL_SCD2_USERS = f"""
+WITH {_FEED_CTE} {_NB_CTE}
+, snap AS (
+  SELECT audit_id, primary_key, changed_at, op,
+         coalesce(CAST(nb_id AS BIGINT), live_id) AS id,
+         coalesce(c_etype, nb_etype, live_etype)  AS etype,
+         coalesce(CAST(c_k AS INT), CAST(nb_k AS INT), live_k) AS k,
+         CAST(coalesce(CAST(c_val AS DECIMAL(10,2)), CAST(nb_val AS DECIMAL(10,2)),
+                       live_val) AS DOUBLE) AS val
+  FROM joined
+)
+, versions AS (
+  SELECT *,
+         lead(changed_at) OVER w AS valid_to,
+         lead(audit_id)   OVER w AS next_id
+  FROM snap
+  WINDOW w AS (PARTITION BY primary_key ORDER BY audit_id)
+)
+SELECT audit_id AS version_audit_id, primary_key, id, etype, k, val,
+       changed_at AS valid_from, valid_to,
+       (next_id IS NULL) AS is_current
+FROM versions
+WHERE op NOT IN ('D', 'T')
+"""
+
+
 def q_sparse_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sparse-time index surface (audit.go:882–886 + the partial index
     at audit.go:837): one anchor per 1000 events, queried as coarse
