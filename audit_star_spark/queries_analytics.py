@@ -2822,8 +2822,64 @@ ANALYTICS_ORACLES = {
 # Still pytest-oracle-verified every run (tests/test_oracle_parity.py).
 from audit_star_spark.queries_audit import SQL_SCD2_USERS, q_scd2_users  # noqa: E402
 
+# ------------------------------------------------- retrieval / LM scoring
+BM25_QUERY_TERMS = ["spark", "window", "merge"]
+BM25_K = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval (analytics/search.py): the
+    query-probe shape every corpus sweep uses. Oracle generated from the
+    same term list and constants."""
+    from audit_star_spark.analytics.search import bm25_topk
+
+    t = bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=BM25_K
+    )
+    # round for a stable cross-engine hash (ln differs in the last ulp)
+    return t.select("doc_id", F.round("score", 6).alias("score"), "n_matched")
+
+
+def _bm25_sql() -> str:
+    from audit_star_spark.analytics.search import bm25_sql
+
+    inner = bm25_sql("documents", "text", BM25_QUERY_TERMS, k=BM25_K)
+    return f"""
+SELECT doc_id, round(score, 6) AS score, n_matched FROM ({inner})
+"""
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM perplexity per document (analytics/lm.py)
+    — the CCNet-style quality-filter signal. perplexity is rounded to 6
+    decimals for a stable cross-engine hash (ln/exp differ in the last
+    ulp between engines)."""
+    from audit_star_spark.analytics.lm import doc_perplexity
+
+    p = doc_perplexity(load_table(spark, sf_dir, "documents"))
+    return p.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+def _perplexity_sql() -> str:
+    from audit_star_spark.analytics.lm import perplexity_sql
+
+    inner = perplexity_sql("documents", "text")
+    return f"""
+SELECT doc_id, n_bigrams, round(avg_nll, 6) AS avg_nll,
+       round(perplexity, 6) AS perplexity
+FROM ({inner})
+"""
+
+
 EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
+    "bm25_search": q_bm25_search,
+    "doc_perplexity": q_doc_perplexity,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -2856,6 +2912,8 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "scd2_users": SQL_SCD2_USERS,
+    "bm25_search": _bm25_sql(),
+    "doc_perplexity": _perplexity_sql(),
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,

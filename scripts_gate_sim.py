@@ -10,8 +10,12 @@ only = sys.argv[2].split(',') if len(sys.argv) > 2 else None
 spark = get_spark()
 con = duckdb_connection(sf_dir)
 qs, oracles = entry.queries(), entry.oracle_sql()
-names = list(qs)[:50]
-if only: names = [n for n in names if n in only]
+# explicit names may target ANY query (incl. EXTRA, beyond the window);
+# default = the driver's 50-slot window
+names = [n for n in qs if n in only] if only else list(qs)[:50]
+if only:
+    missing = [n for n in only if n not in qs]
+    assert not missing, f"unknown query names: {missing}"
 fails = []
 for i, name in enumerate(names):
     t0 = time.time()
