@@ -1,0 +1,145 @@
+"""Link-graph analytics: join-based PageRank over an edge DataFrame.
+
+Web-scale corpus curation weights documents by the link structure of the
+crawl (the original PageRank use, still the backbone of crawl-frontier
+prioritization and per-domain quality priors). The operator takes any
+(src, dst) edge DataFrame — e.g. ``html.extract_links`` output mapped to
+doc or domain ids — and runs the classic damped iteration:
+
+    rank(v) = (1-d)/N + d * (sum_{u -> v} rank(u)/out(u) + dangling/N)
+
+with dangling-node mass (nodes with no outlinks) redistributed uniformly,
+so total rank mass stays 1 every iteration (asserted in tests).
+
+100 TB shape: the canonical join-based formulation — per iteration ONE
+equi join of ranks against the (src-keyed) edge list and ONE dst-keyed
+aggregation with map-side partial sums. The edge list with out-degrees is
+computed once, repartitioned by src and lazily localCheckpoint-ed, so
+every iteration's join reuses the same co-located partitioning without
+re-shuffling the (corpus-sized) edges; only the (node-sized) rank table
+moves. Dangling mass and N are 1-row broadcast aggregates (no driver
+round-trip inside the loop); per-iteration ``persist`` bounds lineage
+depth exactly like the BPE trainer (bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Ranks after ``n_iter`` damped iterations from a uniform start.
+
+    ``edges``: (src, dst) pairs; duplicate edges count as parallel links
+    (weight 2), matching the multigraph the raw href explode produces.
+    Returns (node, rank) for every node appearing as src or dst.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+
+    src = F.col("src")
+    nodes = (
+        edges.select(src.alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
+    # src-keyed layout reused by every iteration's join
+    e = (
+        edges.join(out_deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n"))  # 1-row broadcast
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    has_out = out_deg.select(F.col("src").alias("node"))
+
+    prev = None
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(F.broadcast(has_out), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        ranks.count()  # materialize; bounds lineage depth per iteration
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    return ranks
+
+
+def pagerank_sql_iterations(
+    edges_cte: str, n_iter: int, damping: float = 0.85
+) -> str:
+    """DuckDB mirror: the SAME iteration unrolled as chained CTEs.
+
+    ``edges_cte`` must define a relation ``edges(src, dst)``; the
+    returned statement selects (node, rank) after ``n_iter`` rounds.
+    """
+    d = damping
+    parts = [
+        f"WITH {edges_cte}",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS out FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst, sum(r.rank / o.out) AS contrib
+  FROM edges e JOIN outdeg o USING (src) JOIN r{i} r ON r.node = e.src
+  GROUP BY e.dst
+),
+dg{i} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dmass
+  FROM r{i} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+r{i + 1} AS (
+  SELECT n.node,
+         (1.0 - {d}) / nn.n
+           + {d} * (coalesce(c.contrib, 0.0) + dg{i}.dmass / nn.n) AS rank
+  FROM nodes n
+  LEFT JOIN c{i} c ON n.node = c.dst
+  CROSS JOIN nn CROSS JOIN dg{i}
+)"""
+        )
+    body = ",\n".join(parts[1:])
+    return f"{parts[0]},\n{body}\nSELECT node, rank FROM r{n_iter}"

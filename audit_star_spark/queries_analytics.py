@@ -2876,10 +2876,56 @@ FROM ({inner})
 """
 
 
+PAGERANK_ITERS = 3
+
+
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (analytics/graph.py) over a deterministic doc-level link
+    graph synthesized from doc_id (every doc links to (7i+1)%N and
+    (13i+3)%N; docs with i%17==0 are dangling) — the gate-query recipe:
+    both engines generate the SAME edges closed-form, then the oracle
+    unrolls the identical damped iteration as chained CTEs. Ranks are
+    rounded for a stable cross-engine hash (float sums associate
+    differently across engines)."""
+    from audit_star_spark.analytics.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nd = docs.agg(F.count("*").alias("n"))
+    linkers = docs.filter(F.col("doc_id") % 17 != 0).crossJoin(F.broadcast(nd))
+    edges = linkers.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % F.col("n")).alias("dst"),
+    ).unionByName(
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % F.col("n")).alias("dst"),
+        )
+    )
+    r = pagerank(edges, n_iter=PAGERANK_ITERS)
+    return r.select(F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    from audit_star_spark.analytics.graph import pagerank_sql_iterations
+
+    edges_cte = """nn0 AS (SELECT count(*) AS n FROM documents),
+linkers AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 13 + 3) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+)"""
+    inner = pagerank_sql_iterations(edges_cte, n_iter=PAGERANK_ITERS)
+    return f"""
+SELECT node AS doc_id, round(rank, 9) AS rank FROM ({inner})
+"""
+
+
 EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
+    "doc_pagerank": q_doc_pagerank,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -2914,6 +2960,7 @@ EXTRA_ORACLES = {
     "scd2_users": SQL_SCD2_USERS,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
+    "doc_pagerank": _pagerank_sql(),
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,
