@@ -627,3 +627,91 @@ def quantized_recall(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFra
         "n_hits",
         (F.col("n_hits").cast("double") / float(k)).alias("recall"),
     )
+
+
+# ----------------------------------------------------- random projection
+# Johnson-Lindenstrauss sign projection: out_dim=16 makes every matrix
+# entry +-1/sqrt(16) = +-0.25 — exactly representable in binary floating
+# point, so Spark and the SQL oracle compute BIT-IDENTICAL projections
+# when both fold the dot product left-to-right over the same literals.
+PROJ_OUT_DIM = 16
+PROJ_SEED = 7
+
+
+def projection_matrix(
+    in_dim: int, out_dim: int = PROJ_OUT_DIM, seed: int = PROJ_SEED
+) -> list[list[float]]:
+    """Deterministic +-1/sqrt(out_dim) sign matrix (Achlioptas 2003's
+    database-friendly JL variant), generated from a seeded PCG stream so
+    the engine and the oracle share the exact literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    signs = rng.integers(0, 2, size=(out_dim, in_dim)) * 2 - 1
+    return (signs / np.sqrt(out_dim)).tolist()
+
+
+def project_embeddings(
+    emb: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = PROJ_OUT_DIM,
+    seed: int = PROJ_SEED,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, label, proj array<double>) — each vector mapped to
+    ``out_dim`` dimensions by the seeded sign matrix. Pure in-row
+    expression algebra (out_dim fixed-order fold dot products), zero
+    shuffles, whole-stage codegen; the 4x-16x storage cut is the scale
+    lever for downstream ANN sweeps (JL: pairwise distances preserved
+    within 1 +- eps w.h.p. for out_dim = O(ln n / eps^2))."""
+    m = projection_matrix(in_dim, out_dim, seed)
+    dots = [
+        F.expr(
+            "aggregate(zip_with({v}, array({row}), (a, b) -> CAST(a AS DOUBLE) * b), "
+            "0D, (acc, x) -> acc + x)".format(
+                v=vec_col, row=", ".join(repr(x) + "D" for x in row)
+            )
+        )
+        for row in m
+    ]
+    return emb.select("vec_id", "label", F.array(*dots).alias("proj"))
+
+
+def projection_distortion(
+    emb: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = PROJ_OUT_DIM,
+    seed: int = PROJ_SEED,
+    pair_mod: int = 25,
+) -> DataFrame:
+    """Distance-preservation report on a deterministic pair sample:
+    every vec_id divisible by ``pair_mod`` pairs with vec_id+1, and the
+    row carries the original and projected Euclidean distances plus
+    their ratio (the JL distortion). One broadcastable self-join on the
+    tiny sampled slice — the full corpus is never paired."""
+    proj = project_embeddings(emb, in_dim, out_dim, seed)
+    both = emb.select("vec_id", "embedding").join(proj.select("vec_id", "proj"), "vec_id")
+    a = both.filter((F.col("vec_id") % pair_mod) == 0).alias("a")
+    b = both.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("b.vec_id") == F.col("a.vec_id") + 1
+    )
+
+    def _l2(col_a: str, col_b: str) -> F.Column:
+        return F.sqrt(
+            F.expr(
+                f"aggregate(zip_with({col_a}, {col_b}, "
+                "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+                "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+            )
+        )
+
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _l2("a.embedding", "b.embedding").alias("orig_dist"),
+        _l2("a.proj", "b.proj").alias("proj_dist"),
+        (_l2("a.proj", "b.proj") / _l2("a.embedding", "b.embedding")).alias(
+            "distortion"
+        ),
+    )

@@ -2921,11 +2921,65 @@ SELECT node AS doc_id, round(rank, 9) AS rank FROM ({inner})
 """
 
 
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random-projection distortion report (similarity.py): sampled
+    pairs' original vs 16-d projected Euclidean distance. The +-0.25
+    matrix entries are exactly representable and both engines fold the
+    dot products left-to-right over the same literals, so distances match
+    bit-for-bit before the stabilizing round."""
+    from audit_star_spark.analytics.similarity import projection_distortion
+
+    d = projection_distortion(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return d.select(
+        "vec_a",
+        "vec_b",
+        F.round("orig_dist", 9).alias("orig_dist"),
+        F.round("proj_dist", 9).alias("proj_dist"),
+        F.round("distortion", 9).alias("distortion"),
+    )
+
+
+def _projection_sql() -> str:
+    from audit_star_spark.analytics.similarity import projection_matrix
+
+    rows = projection_matrix(64)
+    proj_elems = ", ".join(
+        d_fold(
+            f"list_transform(list_zip({D_VEC}, [{', '.join(repr(x) for x in row)}]), "
+            "x -> x[1] * x[2])",
+            "CAST(0.0 AS DOUBLE)",
+            "(s, v) -> s + v",
+        )
+        for row in rows
+    )
+    l2 = (
+        lambda a, b: "sqrt("
+        + d_fold(
+            f"list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2]))",
+            "CAST(0.0 AS DOUBLE)",
+            "(s, v) -> s + v",
+        )
+        + ")"
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id, {D_VEC} AS vec, [{proj_elems}] AS p FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({l2('a.vec', 'b.vec')}, 9) AS orig_dist,
+       round({l2('a.p', 'b.p')}, 9) AS proj_dist,
+       round({l2('a.p', 'b.p')} / {l2('a.vec', 'b.vec')}, 9) AS distortion
+FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 25 = 0
+"""
+
+
 EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
+    "embedding_projection": q_embedding_projection,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -2961,6 +3015,7 @@ EXTRA_ORACLES = {
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),
+    "embedding_projection": _projection_sql(),
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,

@@ -1,0 +1,75 @@
+"""JL random projection: exact matrix application, norm-preservation
+statistics on real embeddings, determinism across seeds, and the
+zero-shuffle plan."""
+
+import math
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_one_hot_vectors_return_matrix_columns(spark):
+    """Projecting e_i must return column i of the sign matrix exactly —
+    the operator IS the matrix multiply."""
+    from audit_star_spark.analytics.similarity import (
+        project_embeddings,
+        projection_matrix,
+    )
+
+    m = projection_matrix(8, out_dim=4, seed=7)
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(8)], 0) for i in range(8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in project_embeddings(emb, in_dim=8, out_dim=4, seed=7).collect()
+    }
+    for i in range(8):
+        want = [m[j][i] for j in range(4)]
+        assert got[i] == pytest.approx(want, abs=0.0), i
+
+
+def test_projection_preserves_norms_statistically(spark):
+    """E[|Px|^2] = |x|^2 for the sign matrix: over the real corpus the
+    mean squared distortion must be near 1 and every sampled pair within
+    a loose JL band."""
+    from audit_star_spark.analytics.similarity import projection_distortion
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = projection_distortion(emb).collect()
+    assert len(rows) >= 15
+    sq = [r["distortion"] ** 2 for r in rows]
+    assert abs(float(np.mean(sq)) - 1.0) < 0.25
+    for r in rows:
+        assert 0.4 < r["distortion"] < 1.8, r
+
+
+def test_matrix_is_seed_deterministic_and_scaled(spark):
+    from audit_star_spark.analytics.similarity import projection_matrix
+
+    a = projection_matrix(64, out_dim=16, seed=7)
+    b = projection_matrix(64, out_dim=16, seed=7)
+    c = projection_matrix(64, out_dim=16, seed=8)
+    assert a == b
+    assert a != c
+    scale = 1 / math.sqrt(16)
+    assert {abs(x) for row in a for x in row} == {scale}
+
+
+def test_projection_plan_zero_shuffle_no_python(spark):
+    """The projection is pure in-row expression algebra: no Exchange, no
+    Python, one scan."""
+    from audit_star_spark.analytics.similarity import project_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        project_embeddings(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
