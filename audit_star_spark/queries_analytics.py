@@ -2974,12 +2974,91 @@ WHERE a.vec_id % 25 = 0
 """
 
 
+def _synth_warc(spark_df):
+    """doc_id-keyed WARC synthesis (mapInPandas): per doc one archive of
+    1 warcinfo + (1 + d%3) response records carrying the doc text; odd
+    doc_ids use per-record gzip members (the Common Crawl layout), even
+    ones plain — both decode paths cross the gate."""
+    from audit_star_spark.sources.warc import encode_warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                recs = [
+                    {
+                        "warc_type": "warcinfo",
+                        "content_type": "application/warc-fields",
+                        "payload": b"software: audit-star-spark\r\n",
+                    }
+                ] + [
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://example.org/{d}/{j}",
+                        "warc_date": "2024-01-01T00:00:00Z",
+                        "content_type": "text/plain",
+                        "payload": text.encode("utf-8"),
+                    }
+                    for j in range(1 + d % 3)
+                ]
+                payloads.append(encode_warc(recs, gzip_members=bool(d % 2)))
+            yield pd.DataFrame(
+                {"archive_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark_df.mapInPandas(synth, schema)
+
+
+def q_warc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC parse through the gate (sources/warc.py): synthesize an
+    archive per document (both plain and member-gzip layouts), run the
+    record parser, aggregate a per-archive census; the oracle states the
+    expected census closed-form from the same synthesis arithmetic."""
+    from audit_star_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recs = warc_records(_synth_warc(docs))
+    return recs.groupBy("archive_id").agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.when(F.col("warc_type") == "response", 1).otherwise(0)).alias(
+            "n_response"
+        ),
+        F.sum(
+            F.when(F.col("warc_type") == "response", F.col("content_length"))
+            .otherwise(0)
+        ).alias("response_bytes"),
+        F.min("target_uri").alias("first_uri"),
+    )
+
+
+SQL_WARC_CENSUS = """
+SELECT doc_id AS archive_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_records,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_response,
+       CAST((1 + doc_id % 3) * octet_length(encode(text)) AS BIGINT) AS response_bytes,
+       'https://example.org/' || CAST(doc_id AS VARCHAR) || '/0' AS first_uri
+FROM documents
+"""
+
+
 EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
     "embedding_projection": q_embedding_projection,
+    "warc_census": q_warc_census,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -3016,6 +3095,7 @@ EXTRA_ORACLES = {
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),
     "embedding_projection": _projection_sql(),
+    "warc_census": SQL_WARC_CENSUS,
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,
