@@ -220,6 +220,46 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int], default_pct: int =
     ).drop("__bucket")
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight: "F.Column | str",
+    k: int,
+    salt: str = "ws",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): each row draws a reproducible uniform
+    u in (0,1) from the md5 of its id (the same 60-bit bucket family as
+    :func:`with_split` — engine-independent, re-runnable) and the sample
+    is the top-k rows by key = u^(1/w), which is distributed exactly as
+    weighted sampling without replacement. The top-k compiles to
+    TakeOrderedAndProject — no global sort, only k rows per partition
+    survive the exchange, so the shape holds at any corpus size.
+
+    Rows with weight <= 0 or NULL can never be sampled. Ties cannot occur
+    for distinct ids (md5 injective on the id strings in practice);
+    ordering falls back to id for full determinism anyway.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    # 60-bit md5 bucket -> u in (0, 1); +1 in the numerator keeps u > 0
+    u = F.expr(
+        f"(CAST(conv(substring(md5(CAST({id_col} AS STRING) || ':{salt}'), 1, 15), "
+        "16, 10) AS DOUBLE) + 1.0) / 1152921504606846977.0"
+    )
+    key = F.when(
+        w.isNotNull() & (w > 0), F.pow(u, F.lit(1.0) / w.cast("double"))
+    )
+    return (
+        docs.withColumn("__ws_key", key)
+        .filter(F.col("__ws_key").isNotNull())
+        .orderBy(F.col("__ws_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__ws_key")
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:

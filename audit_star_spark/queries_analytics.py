@@ -3052,6 +3052,39 @@ FROM documents
 """
 
 
+WEIGHTED_SAMPLE_K = 50
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement (text.py
+    weighted_sample, Efraimidis-Spirakis over md5-derived uniforms):
+    sample K documents proportionally to token count — the standard
+    data-mixing draw. The oracle evaluates the identical key formula."""
+    from audit_star_spark.analytics.text import TOKENS_EXPR, weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tokens"),
+    )
+    return weighted_sample(docs, "n_tokens", k=WEIGHTED_SAMPLE_K)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(len({D_TOKENS}) AS BIGINT) AS n_tokens,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 15))::BIGINT
+           + 1.0) / 1152921504606846977.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, n_tokens
+FROM base
+WHERE n_tokens IS NOT NULL AND n_tokens > 0
+ORDER BY pow(u, 1.0 / n_tokens) DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
     "bm25_search": q_bm25_search,
@@ -3059,6 +3092,7 @@ EXTRA_QUERIES = {
     "doc_pagerank": q_doc_pagerank,
     "embedding_projection": q_embedding_projection,
     "warc_census": q_warc_census,
+    "weighted_sample_docs": q_weighted_sample,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -3096,6 +3130,7 @@ EXTRA_ORACLES = {
     "doc_pagerank": _pagerank_sql(),
     "embedding_projection": _projection_sql(),
     "warc_census": SQL_WARC_CENSUS,
+    "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,
