@@ -109,3 +109,60 @@ def heavy_hitters(df: DataFrame, keys: list[str], k: int = 10) -> DataFrame:
         .orderBy(F.col("n").desc(), *keys)
         .limit(k)
     )
+
+
+def heavy_hitters_sampled(
+    df: DataFrame,
+    keys: list[str],
+    row_id: str,
+    k: int = 10,
+    rate_pct: int = 10,
+    salt: str = "hh",
+) -> DataFrame:
+    """Sampled heavy-hitter certification — the scan-budget scale path
+    for :func:`heavy_hitters` (the profile_distinct_contract recipe):
+    estimate each hot key's count from a deterministic ``rate_pct``%
+    row sample, compare against the exact count, and flag whether the
+    estimate lands inside the 4-sigma binomial contract
+
+        |est - n| <= 4 * sqrt(n * (100/rate_pct - 1))
+
+    (sampled count ~ Binomial(n, p); est = sampled/p has variance
+    n*(1-p)/p). At 100 TB the exact side is what you drop: the sample
+    scan is ``rate_pct``% of the I/O and the contract query certifies
+    the estimator's error ONCE at validation scale, exactly like the
+    HLL distinct-count gate. The sample is keyed on md5(row_id) — the
+    same engine-independent bucket family as the split/mix operators —
+    so the oracle reproduces it bit-for-bit.
+
+    Returns the exact top-``k`` keys with (n, est_n, within_contract);
+    ties break count desc then key asc."""
+    if not 1 <= rate_pct <= 100:
+        raise ValueError(f"rate_pct must be in [1, 100], got {rate_pct}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(CAST({row_id} AS STRING) || ':{salt}'), 1, 15), "
+        "16, 10) AS BIGINT) % 100"
+    )
+    exact = df.groupBy(*[qcol(c) for c in keys]).agg(F.count("*").alias("n"))
+    sampled = (
+        df.filter(bucket < F.lit(rate_pct))
+        .groupBy(*[qcol(c) for c in keys])
+        .agg((F.count("*") * (100.0 / rate_pct)).alias("est_n"))
+    )
+    scale = 100.0 / rate_pct
+    return (
+        exact.join(sampled, keys, "left")
+        .select(
+            *keys,
+            "n",
+            F.coalesce(F.col("est_n"), F.lit(0.0)).alias("est_n"),
+            (
+                F.abs(F.coalesce(F.col("est_n"), F.lit(0.0)) - F.col("n"))
+                <= 4.0 * F.sqrt(F.col("n").cast("double") * (scale - 1.0))
+            ).alias("within_contract"),
+        )
+        .orderBy(F.col("n").desc(), *[qcol(c) for c in keys])
+        .limit(k)
+    )

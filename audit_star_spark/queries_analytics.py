@@ -3052,6 +3052,44 @@ FROM documents
 """
 
 
+def q_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled heavy-hitter certification (skew.py): top-10 hottest
+    users with exact count, 10%-sample estimate, and the 4-sigma
+    binomial contract flag — the scan-budget scale path, gate-certified
+    like the HLL distinct contract."""
+    from audit_star_spark.operators.skew import heavy_hitters_sampled
+
+    h = heavy_hitters_sampled(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        row_id="event_id",
+        k=10,
+        rate_pct=10,
+    )
+    return h.select(
+        "user_id", "n", F.round("est_n", 6).alias("est_n"), "within_contract"
+    )
+
+
+SQL_HEAVY_HITTERS_APPROX = """
+WITH exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+sampled AS (
+  SELECT user_id, CAST(count(*) * 10.0 AS DOUBLE) AS est_n
+  FROM events
+  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':hh'), 1, 15))::BIGINT % 100 < 10
+  GROUP BY 1
+)
+SELECT e.user_id, e.n,
+       round(coalesce(s.est_n, 0.0), 6) AS est_n,
+       (abs(coalesce(s.est_n, 0.0) - e.n) <= 4.0 * sqrt(e.n * 9.0)) AS within_contract
+FROM exact e LEFT JOIN sampled s USING (user_id)
+ORDER BY e.n DESC, e.user_id
+LIMIT 10
+"""
+
+
 WEIGHTED_SAMPLE_K = 50
 
 
@@ -3093,6 +3131,7 @@ EXTRA_QUERIES = {
     "embedding_projection": q_embedding_projection,
     "warc_census": q_warc_census,
     "weighted_sample_docs": q_weighted_sample,
+    "heavy_hitters_approx": q_heavy_hitters_approx,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -3131,6 +3170,7 @@ EXTRA_ORACLES = {
     "embedding_projection": _projection_sql(),
     "warc_census": SQL_WARC_CENSUS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
+    "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,

@@ -134,3 +134,47 @@ def test_heavy_hitters_exact_counts_and_ratio(spark):
     assert all(r["skew_ratio"] == 1.0 for r in got)
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, ["k"], k=0)
+
+
+def test_heavy_hitters_sampled_contract_holds_on_real_events(spark):
+    """The 4-sigma binomial contract must hold for every top-10 key on
+    the real event stream, and the estimate must be in the right
+    ballpark (not zero, not 10x off) for genuinely hot keys."""
+    from audit_star_spark.operators.skew import heavy_hitters_sampled
+    from audit_star_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = heavy_hitters_sampled(
+        ev, ["user_id"], row_id="event_id", k=10, rate_pct=10
+    ).collect()
+    assert len(got) == 10
+    assert all(r["within_contract"] for r in got), got
+    for r in got:
+        assert 0 < r["est_n"] < 3 * r["n"]
+
+
+def test_heavy_hitters_sampled_full_rate_is_exact(spark):
+    """rate_pct=100 samples everything: est must equal n exactly."""
+    from audit_star_spark.operators.skew import heavy_hitters_sampled
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "rid long, k long")
+    got = heavy_hitters_sampled(df, ["k"], row_id="rid", k=3, rate_pct=100).collect()
+    assert [(r["k"], r["n"], r["est_n"]) for r in got] == [
+        (0, 20, 20.0),
+        (1, 20, 20.0),
+        (2, 20, 20.0),
+    ]
+    assert all(r["within_contract"] for r in got)
+
+
+def test_heavy_hitters_sampled_validation(spark):
+    import pytest
+
+    from audit_star_spark.operators.skew import heavy_hitters_sampled
+
+    df = spark.createDataFrame([(1, 1)], "rid long, k long")
+    with pytest.raises(ValueError, match="rate_pct"):
+        heavy_hitters_sampled(df, ["k"], row_id="rid", rate_pct=0)
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters_sampled(df, ["k"], row_id="rid", k=0)
