@@ -300,6 +300,59 @@ def _gen_string_funcs(rng: random.Random) -> str:
     )
 
 
+def _gen_datetime(rng: random.Random) -> str:
+    """Timestamp algebra in the common dialect: date_trunc buckets and
+    EXTRACT fields over o_orderdate, grouped. Sticks to engine-exact
+    constructs (no date +- interval arithmetic — Spark returns DATE
+    where DuckDB returns TIMESTAMP for some forms)."""
+    field = rng.choice(["year", "month", "quarter"])
+    exprs = rng.sample(
+        [
+            f"CAST(date_trunc('{field}', o_orderdate) AS TIMESTAMP)",
+            "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)",
+            "CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)",
+            "CAST(EXTRACT(day FROM o_orderdate) AS BIGINT)",
+            "CAST(EXTRACT(hour FROM o_orderdate) AS BIGINT)",
+        ],
+        rng.randint(1, 2),
+    )
+    sel = ", ".join(f"{e} AS d{i}" for i, e in enumerate(exprs))
+    agg = rng.choice(_AGGS)
+    return (
+        f"SELECT {sel}, {agg} AS a FROM orders{_where(rng)} "
+        f"GROUP BY {', '.join(str(i + 1) for i in range(len(exprs)))}"
+    )
+
+
+def _gen_having_distinct(rng: random.Random) -> str:
+    """GROUP BY ... HAVING over aggregate predicates mixed with DISTINCT
+    aggregates — the post-aggregation filter path both planners rewrite
+    differently (Spark: Filter above Aggregate; DuckDB: HAVING clause
+    node), results must still agree exactly."""
+    key = rng.choice(["o_orderstatus", "o_orderpriority", "o_custkey % 23"])
+    aggs = rng.sample(
+        [
+            "CAST(COUNT(*) AS BIGINT)",
+            "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)",
+            "CAST(SUM(DISTINCT o_custkey % 101) AS BIGINT)",
+            "MIN(o_totalprice)",
+        ],
+        rng.randint(1, 2),
+    )
+    sel = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    having = rng.choice(
+        [
+            f"COUNT(*) > {rng.randint(1, 2000)}",
+            f"COUNT(DISTINCT o_custkey) >= {rng.randint(2, 50)}",
+            f"MIN(o_totalprice) < {rng.randint(5000, 100000)}",
+        ]
+    )
+    return (
+        f"SELECT {key} AS k, {sel} FROM orders{_where(rng)} "
+        f"GROUP BY 1 HAVING {having}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -316,6 +369,8 @@ def _corpus() -> list[str]:
         + [_gen_range_window(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_grouping_sets(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_string_funcs(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_datetime(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_having_distinct(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
