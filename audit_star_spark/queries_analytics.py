@@ -3090,6 +3090,52 @@ LIMIT 10
 """
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (plans/zorder.py) over
+    (o_custkey, o_totalprice) for a deterministic order sample — the
+    multi-column data-skipping layout's sort key, evaluated as the same
+    unrolled shift/mask closed form in both engines."""
+    from audit_star_spark.plans.zorder import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    keyed = zorder_key(orders, ["o_custkey", "o_totalprice"], width=8)
+    return (
+        keyed.filter(F.col("o_orderkey") % 101 == 0)
+        .select("o_orderkey", F.col("__zkey").alias("zkey"))
+    )
+
+
+def _zorder_sql() -> str:
+    from audit_star_spark.plans.zorder import morton_sql
+
+    def rank(c: str, lo: str, hi: str) -> str:
+        return (
+            f"CASE WHEN {hi} <= {lo} THEN CAST(0 AS BIGINT) ELSE "
+            f"CAST(least(CAST(255 AS DOUBLE), floor("
+            f"(CAST({c} AS DOUBLE) - CAST({lo} AS DOUBLE)) / "
+            f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) * 256)) AS BIGINT) END"
+        )
+
+    morton = morton_sql(["r_cust", "r_price"], width=8)
+    return f"""
+WITH bounds AS (
+  SELECT min(o_custkey) AS lo_c, max(o_custkey) AS hi_c,
+         min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderkey,
+         {rank('o_custkey', 'b.lo_c', 'b.hi_c')} AS r_cust,
+         {rank('o_totalprice', 'b.lo_p', 'b.hi_p')} AS r_price
+  FROM orders CROSS JOIN bounds b
+)
+SELECT o_orderkey, {morton} AS zkey
+FROM ranked WHERE o_orderkey % 101 = 0
+"""
+
+
 WEIGHTED_SAMPLE_K = 50
 
 
@@ -3132,6 +3178,7 @@ EXTRA_QUERIES = {
     "warc_census": q_warc_census,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
+    "zorder_keys": q_zorder_keys,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "knn_lsh": q_knn_lsh,
     "label_nearest_neighbor": q_label_nn,
@@ -3171,6 +3218,7 @@ EXTRA_ORACLES = {
     "warc_census": SQL_WARC_CENSUS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
+    "zorder_keys": _zorder_sql(),
     "text_stats": SQL_TEXT_STATS,
     "token_topk": SQL_TOKEN_TOPK,
     "corpus_splits": SQL_CORPUS_SPLITS,
