@@ -260,6 +260,43 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    docs: DataFrame,
+    group_col: str,
+    weight: "F.Column | str",
+    k: int,
+    salt: str = "ws",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: the top-``k``
+    Efraimidis-Spirakis keys WITHIN each group — e.g. k docs per source,
+    length-weighted. Same deterministic md5 key family as
+    :func:`weighted_sample`; one group-keyed window (rank, not a global
+    sort), so the shape is a single exchange on the group column."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = F.expr(
+        f"(CAST(conv(substring(md5(CAST({id_col} AS STRING) || ':{salt}'), 1, 15), "
+        "16, 10) AS DOUBLE) + 1.0) / 1152921504606846977.0"
+    )
+    key = F.when(
+        w.isNotNull() & (w > 0), F.pow(u, F.lit(1.0) / w.cast("double"))
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("__ws_key").desc(), F.col(id_col)
+    )
+    return (
+        docs.withColumn("__ws_key", key)
+        .filter(F.col("__ws_key").isNotNull())
+        .withColumn("__ws_rn", F.row_number().over(win))
+        .filter(F.col("__ws_rn") <= k)
+        .drop("__ws_key", "__ws_rn")
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:

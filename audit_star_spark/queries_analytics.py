@@ -3169,8 +3169,43 @@ LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-weighted sampling (text.py
+    weighted_sample_per_group): 3 docs per source — the per-bucket
+    variant of the data-mixing draw, one group-keyed window."""
+    from audit_star_spark.analytics.text import (
+        TOKENS_EXPR,
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"size({TOKENS_EXPR})").cast("long").alias("n_tokens"),
+    )
+    return weighted_sample_per_group(docs, "source", "n_tokens", k=3)
+
+
+SQL_SOURCE_WEIGHTED_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(len({D_TOKENS}) AS BIGINT) AS n_tokens,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 15))::BIGINT
+           + 1.0) / 1152921504606846977.0 AS u
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY pow(u, 1.0 / n_tokens) DESC, doc_id) AS rn
+  FROM base WHERE n_tokens IS NOT NULL AND n_tokens > 0
+)
+SELECT doc_id, source, n_tokens FROM ranked WHERE rn <= 3
+"""
+
+
 EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
+    "source_weighted_sample": q_source_weighted_sample,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3211,6 +3246,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "scd2_users": SQL_SCD2_USERS,
+    "source_weighted_sample": SQL_SOURCE_WEIGHTED_SAMPLE,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),
