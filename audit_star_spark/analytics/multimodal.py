@@ -1008,3 +1008,75 @@ def video_frame_means(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_resample(media: DataFrame, factor: int) -> DataFrame:
+    """Integer-factor downsampling of 16-bit PCM audio — the 44.1k/48k ->
+    16k mono prep step every speech-model pipeline runs. Each output
+    sample is the MEAN of ``factor`` consecutive input samples (a boxcar
+    anti-alias filter — exact, deterministic, and oracle-stateable,
+    unlike a windowed-sinc kernel), trailing remainder samples dropped,
+    rounded half-away-from-zero back to int16. Multi-channel inputs are
+    downmixed to mono (channel mean) first.
+
+    Returns (doc_id, payload re-encoded WAV at rate/factor, sample_rate,
+    n_samples, rms) — payload carried so downstream feature extractors
+    (fingerprint, meta) run on the resampled audio unchanged. Narrow
+    mapInPandas, no shuffle; poison payloads degrade to NULL payload
+    with NULL metrics (the repo-wide decoder contract)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, rates, counts, rmss = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    rate, channels, s = _parse_wav(bytes(payload))
+                    if rate % factor != 0:
+                        raise ValueError("rate not divisible by factor")
+                    f = s.astype(np.float64)
+                    if channels > 1:
+                        f = f[: len(f) - len(f) % channels]
+                        f = f.reshape(-1, channels).mean(axis=1)
+                    n_blocks = len(f) // factor
+                    blocks = f[: n_blocks * factor].reshape(n_blocks, factor)
+                    means = blocks.mean(axis=1)
+                    out = np.sign(means) * np.floor(np.abs(means) + 0.5)
+                    out = np.clip(out, -32768, 32767).astype("<i2")
+                    payloads.append(encode_wav(out, rate // factor))
+                    rates.append(rate // factor)
+                    counts.append(n_blocks)
+                    fo = out.astype(np.float64)
+                    rmss.append(
+                        float(np.sqrt(np.mean(fo * fo))) if n_blocks else None
+                    )
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    payloads.append(None)
+                    rates.append(None)
+                    counts.append(None)
+                    rmss.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_samples": pd.Series(counts, dtype="Int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_RESAMPLE_SCHEMA)

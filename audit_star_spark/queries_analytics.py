@@ -3169,6 +3169,44 @@ LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def q_audio_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resampling through the gate (multimodal.audio_resample,
+    factor 2): the synthesized ±A square wave decimates to blocks of two
+    samples — same-sign blocks stay ±A, blocks straddling a sign flip
+    average to 0, so the resampled RMS has the closed form
+    A*sqrt(1 - straddles/n_blocks) with straddles counted from the
+    half-period's odd multiples. The payload is re-encoded WAV; rms is
+    computed from the re-decoded int16 samples, so the whole
+    decode->filter->encode loop is differential."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = multimodal.audio_resample(multimodal.synth_audio(docs), factor=2)
+    return r.select(
+        "doc_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms")
+    )
+
+
+SQL_AUDIO_RESAMPLED = f"""
+WITH params AS (
+  SELECT doc_id,
+         10 + doc_id % 7 AS half,
+         CAST(400 + (doc_id % 5) * 80 AS BIGINT) AS n_blocks
+  FROM documents
+),
+straddle AS (
+  SELECT doc_id, n_blocks,
+         CASE WHEN half % 2 = 0 THEN 0
+              ELSE ((2 * n_blocks - 1) // half + 1) // 2 END AS s
+  FROM params
+)
+SELECT doc_id,
+       CAST({multimodal.AUDIO_RATE} // 2 AS INT) AS sample_rate,
+       n_blocks AS n_samples,
+       round({multimodal.AUDIO_AMP}.0 *
+             sqrt(1.0 - CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE)), 6) AS rms
+FROM straddle
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3206,6 +3244,7 @@ SELECT doc_id, source, n_tokens FROM ranked WHERE rn <= 3
 EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
     "source_weighted_sample": q_source_weighted_sample,
+    "audio_resampled": q_audio_resampled,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3247,6 +3286,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "scd2_users": SQL_SCD2_USERS,
     "source_weighted_sample": SQL_SOURCE_WEIGHTED_SAMPLE,
+    "audio_resampled": SQL_AUDIO_RESAMPLED,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),

@@ -172,3 +172,51 @@ def test_extract_features_empty_payload_degrades(spark):
     out = {r["doc_id"]: r for r in extract_features(media).collect()}
     assert out[0]["n_bytes"] == 0 and out[0]["head_mean"] == 0.0
     assert out[1]["n_bytes"] == 3
+
+
+def test_audio_resample_roundtrip_and_semantics(spark):
+    """Decimation by 2 of a known waveform: block means, int16 rounding,
+    re-encoded payload decodes at the new rate with the new length; rms
+    matches a direct numpy model; stereo downmixes to mono first."""
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        audio_resample,
+        encode_wav,
+        audio_meta,
+    )
+
+    s = np.array([100, 200, -100, -200, 301, 300, 7, -8, 5], dtype="<i2")
+    stereo = np.array([10, 30, 50, 70], dtype="<i2")  # L/R interleaved
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(s, 16000))),
+            (2, bytearray(encode_wav(stereo, 16000, channels=2))),
+            (3, bytearray(b"\x00poison")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_resample(media, factor=2).collect()}
+    # doc 1: blocks (100,200),(−100,−200),(301,300),(7,−8) -> 150,-150,301,-1
+    # (300.5 and −0.5 round half-AWAY-FROM-ZERO: 301 and −1; trailing 5
+    # dropped)
+    want = np.array([150, -150, 301, -1], dtype=np.float64)
+    assert rows[1]["n_samples"] == 4 and rows[1]["sample_rate"] == 8000
+    assert rows[1]["rms"] == pytest.approx(float(np.sqrt((want**2).mean())))
+    # re-decoded payload agrees
+    meta = {
+        r["doc_id"]: r
+        for r in audio_meta(
+            spark.createDataFrame(
+                [(1, rows[1]["payload"])], "doc_id long, payload binary"
+            )
+        ).collect()
+    }
+    assert meta[1]["sample_rate"] == 8000 and meta[1]["n_samples"] == 4
+    assert meta[1]["rms"] == pytest.approx(rows[1]["rms"])
+    # doc 2: mono downmix (20, 60) -> one block mean 40
+    assert rows[2]["n_samples"] == 1 and rows[2]["rms"] == pytest.approx(40.0)
+    # doc 3: poison degrades
+    assert rows[3]["payload"] is None and rows[3]["rms"] is None
+    with pytest.raises(ValueError, match="factor"):
+        audio_resample(media, factor=0)
