@@ -3207,6 +3207,74 @@ FROM straddle
 """
 
 
+def _synth_webdataset(spark_df):
+    """doc_id-keyed WebDataset shard synthesis: per doc a tar of
+    (1 + d%3) samples keyed {d:08d}-{j}, components txt (the doc text)
+    and cls (d%10); odd doc_ids gzip the shard."""
+    from audit_star_spark.sources.webdataset import encode_webdataset
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                samples = [
+                    {
+                        "key": f"{d:08d}-{j}",
+                        "components": {
+                            "txt": text.encode("utf-8"),
+                            "cls": str(d % 10).encode(),
+                        },
+                    }
+                    for j in range(1 + d % 3)
+                ]
+                payloads.append(encode_webdataset(samples, gz=bool(d % 2)))
+            yield pd.DataFrame(
+                {"archive_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark_df.mapInPandas(synth, schema)
+
+
+def q_webdataset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebDataset (tar-shard) parse through the gate
+    (sources/webdataset.py): synthesize a shard per document (plain and
+    gzip layouts), group members into samples, aggregate a census the
+    oracle states closed-form from the synthesis arithmetic."""
+    from audit_star_spark.sources.webdataset import webdataset_samples
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recs = webdataset_samples(_synth_webdataset(docs))
+    return recs.groupBy("archive_id").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("n_components").cast("long").alias("n_components"),
+        F.sum(
+            F.length(F.element_at("components", F.lit("txt")))
+        ).cast("long").alias("txt_bytes"),
+        F.min("sample_key").alias("first_key"),
+    )
+
+
+SQL_WEBDATASET_CENSUS = """
+SELECT doc_id AS archive_id,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_samples,
+       CAST(2 * (1 + doc_id % 3) AS BIGINT) AS n_components,
+       CAST((1 + doc_id % 3) * octet_length(encode(text)) AS BIGINT) AS txt_bytes,
+       printf('%08d-0', doc_id) AS first_key
+FROM documents
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3245,6 +3313,7 @@ EXTRA_QUERIES = {
     "scd2_users": q_scd2_users,
     "source_weighted_sample": q_source_weighted_sample,
     "audio_resampled": q_audio_resampled,
+    "webdataset_census": q_webdataset_census,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3287,6 +3356,7 @@ EXTRA_ORACLES = {
     "scd2_users": SQL_SCD2_USERS,
     "source_weighted_sample": SQL_SOURCE_WEIGHTED_SAMPLE,
     "audio_resampled": SQL_AUDIO_RESAMPLED,
+    "webdataset_census": SQL_WEBDATASET_CENSUS,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),
