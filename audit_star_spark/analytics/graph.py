@@ -66,7 +66,6 @@ def pagerank(
     )
     has_out = out_deg.select(F.col("src").alias("node"))
 
-    prev = None
     for _ in range(n_iter):
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -92,12 +91,13 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .persist()
+            # eager: the iteration IS execution (driver-side loop, like
+            # the BPE trainer); checkpoint materializes the round, bounds
+            # lineage depth, and — unlike persist — the blocks release
+            # when the frame is unreferenced, so repeated pagerank()
+            # calls don't accrete session cache
+            .localCheckpoint(eager=True)
         )
-        ranks.count()  # materialize; bounds lineage depth per iteration
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
     return ranks
 
 
