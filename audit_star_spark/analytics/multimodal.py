@@ -1080,3 +1080,73 @@ def audio_resample(media: DataFrame, factor: int) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
+IMAGE_PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+    ]
+)
+
+
+def image_patches(media: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch grid: decode each image, tile it into
+    ``patch``x``patch`` cells (edge remainders dropped, the standard
+    crop-to-multiple), and emit one row per patch with mean/std luminance
+    (ITU-R 601 for RGB) — the per-patch statistics a vision-training
+    curation pass filters on (blank-patch fraction, contrast). In-row
+    1:N explode inside the same narrow mapInPandas the other decoders
+    use; a WxH image yields (W//patch)*(H//patch) rows. Undecodable
+    payloads contribute zero rows."""
+    if patch < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload)).astype(np.float64)
+                except Exception:  # noqa: BLE001 — poison degrades
+                    continue
+                if img.shape[2] == 3:
+                    luma = (
+                        0.299 * img[:, :, 0]
+                        + 0.587 * img[:, :, 1]
+                        + 0.114 * img[:, :, 2]
+                    )
+                else:
+                    luma = img[:, :, 0]
+                gh, gw = luma.shape[0] // patch, luma.shape[1] // patch
+                if gh == 0 or gw == 0:
+                    continue
+                tiles = (
+                    luma[: gh * patch, : gw * patch]
+                    .reshape(gh, patch, gw, patch)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(gh, gw, patch * patch)
+                )
+                means = tiles.mean(axis=2)
+                stds = tiles.std(axis=2)
+                for r in range(gh):
+                    for c in range(gw):
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "patch_row": r,
+                                "patch_col": c,
+                                "mean_luma": float(means[r, c]),
+                                "std_luma": float(stds[r, c]),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_PATCH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_PATCH_SCHEMA)

@@ -3275,6 +3275,52 @@ FROM documents
 """
 
 
+def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> ViT patch grid through the gate
+    (multimodal.image_patches): per doc a 16x16 PGM with closed-form
+    bytes (ASCII-safe so the UTF-8 binary cast is byte-exact), tiled
+    into four 8x8 patches; the oracle restates per-patch mean and
+    population std in SQL. Rounded for cross-engine float-sum order."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(concat('P5\\n16 16\\n255\\n', concat_ws('', "
+            "transform(sequence(0, 255), "
+            "i -> char(32 + (doc_id * 11 + i * 7) % 95)))) AS BINARY)"
+        ).alias("payload"),
+    )
+    p = multimodal.image_patches(media, patch=8)
+    return p.select(
+        "doc_id",
+        "patch_row",
+        "patch_col",
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("std_luma", 6).alias("std_luma"),
+    )
+
+
+SQL_IMAGE_PATCHES = """
+WITH px AS (
+  SELECT doc_id, i // 16 AS r, i % 16 AS c,
+         CAST(32 + (doc_id * 11 + i * 7) % 95 AS DOUBLE) AS v
+  FROM documents, LATERAL (SELECT unnest(range(0, 256)) AS i)
+),
+patches AS (
+  SELECT doc_id,
+         CAST(r // 8 AS INT) AS patch_row,
+         CAST(c // 8 AS INT) AS patch_col,
+         avg(v) AS m,
+         avg(v * v) AS m2
+  FROM px GROUP BY 1, 2, 3
+)
+SELECT doc_id, patch_row, patch_col,
+       round(m, 6) AS mean_luma,
+       round(sqrt(m2 - m * m), 6) AS std_luma
+FROM patches
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3314,6 +3360,7 @@ EXTRA_QUERIES = {
     "source_weighted_sample": q_source_weighted_sample,
     "audio_resampled": q_audio_resampled,
     "webdataset_census": q_webdataset_census,
+    "image_patches": q_image_patches,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3357,6 +3404,7 @@ EXTRA_ORACLES = {
     "source_weighted_sample": SQL_SOURCE_WEIGHTED_SAMPLE,
     "audio_resampled": SQL_AUDIO_RESAMPLED,
     "webdataset_census": SQL_WEBDATASET_CENSUS,
+    "image_patches": SQL_IMAGE_PATCHES,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),

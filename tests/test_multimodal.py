@@ -220,3 +220,36 @@ def test_audio_resample_roundtrip_and_semantics(spark):
     assert rows[3]["payload"] is None and rows[3]["rms"] is None
     with pytest.raises(ValueError, match="factor"):
         audio_resample(media, factor=0)
+
+
+def test_image_patches_model_and_edges(spark):
+    """Patch statistics against a direct numpy model; remainder pixels
+    crop; undersized and poison images contribute zero rows."""
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        encode_netpbm,
+        image_patches,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (10, 18, 1), dtype=np.uint8)  # crops to 8x16
+    tiny = np.zeros((4, 4, 1), dtype=np.uint8)  # smaller than one patch
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_netpbm(img))),
+            (2, bytearray(encode_netpbm(tiny))),
+            (3, bytearray(b"\x00poison")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = image_patches(media, patch=8).collect()
+    got = {(r["patch_row"], r["patch_col"]): r for r in rows if r["doc_id"] == 1}
+    assert {r["doc_id"] for r in rows} == {1}
+    assert set(got) == {(0, 0), (0, 1)}
+    for (pr, pc), r in got.items():
+        tile = img[pr * 8 : pr * 8 + 8, pc * 8 : pc * 8 + 8, 0].astype(float)
+        assert r["mean_luma"] == pytest.approx(tile.mean())
+        assert r["std_luma"] == pytest.approx(tile.std())
+    with pytest.raises(ValueError, match="patch"):
+        image_patches(media, patch=0)
