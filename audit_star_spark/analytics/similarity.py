@@ -715,3 +715,53 @@ def projection_distortion(
             "distortion"
         ),
     )
+
+
+def embedding_outliers(
+    emb: DataFrame, in_dim: int = 64, z_threshold: float = 3.0
+) -> DataFrame:
+    """Corrupt-vector sweep: distance of every embedding to the corpus
+    centroid, z-scored over the distance distribution — the cheap first
+    filter for truncated/zeroed/garbage vectors before any ANN work.
+
+    Returns (vec_id, label, dist, z, is_outlier). The centroid is
+    ``in_dim`` per-dimension SUM aggregates — partial-aggregated
+    map-side, one 1-row result, never a collect_list funnel of the
+    corpus into a single reducer — broadcast back; the distance
+    mean/std is a second 1-row broadcast. Everything else is in-row
+    algebra: two corpus scans, zero keyed shuffles, no Python."""
+    dim_sums = emb.agg(
+        *[
+            F.sum(F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"s{i}")
+            for i in range(in_dim)
+        ],
+        F.count("*").alias("n"),
+    ).select(
+        F.array(
+            *[F.col(f"s{i}") / F.col("n") for i in range(in_dim)]
+        ).alias("centroid")
+    )
+    with_dist = emb.crossJoin(F.broadcast(dim_sums)).select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(embedding, centroid, "
+                "(x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+                "0D, (acc, v) -> acc + v)"
+            )
+        ).alias("dist"),
+    )
+    stats = with_dist.agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sigma")
+    )
+    return with_dist.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "label",
+        "dist",
+        ((F.col("dist") - F.col("mu")) / F.col("sigma")).alias("z"),
+        (
+            F.abs((F.col("dist") - F.col("mu")) / F.col("sigma"))
+            > F.lit(z_threshold)
+        ).alias("is_outlier"),
+    )

@@ -3321,6 +3321,47 @@ FROM patches
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance z-score outlier sweep (similarity.py
+    embedding_outliers): the corrupt-vector filter. The gate flag is
+    recomputed from the ROUNDED z so a boundary |z| ~ 3 cannot flip
+    between engines."""
+    from audit_star_spark.analytics.similarity import embedding_outliers
+
+    o = embedding_outliers(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    rz = F.round("z", 6)
+    return o.select(
+        "vec_id",
+        "label",
+        F.round("dist", 6).alias("dist"),
+        rz.alias("z"),
+        (F.abs(rz) > 3.0).alias("is_outlier"),
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH e AS (
+  SELECT vec_id, label, {D_VEC} AS v FROM embeddings
+),
+dims AS (
+  SELECT i, avg(v[i]) AS c
+  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY i
+),
+cent AS (SELECT list(c ORDER BY i) AS centroid FROM dims),
+d AS (
+  SELECT vec_id, label,
+         sqrt({d_fold("list_transform(list_zip(v, centroid), p -> (p[1] - p[2]) * (p[1] - p[2]))", "CAST(0.0 AS DOUBLE)", "(a, b) -> a + b")}) AS dist
+  FROM e CROSS JOIN cent
+),
+st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sigma FROM d)
+SELECT vec_id, label, round(dist, 6) AS dist,
+       round((dist - mu) / sigma, 6) AS z,
+       (abs(round((dist - mu) / sigma, 6)) > 3.0) AS is_outlier
+FROM d CROSS JOIN st
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3361,6 +3402,7 @@ EXTRA_QUERIES = {
     "audio_resampled": q_audio_resampled,
     "webdataset_census": q_webdataset_census,
     "image_patches": q_image_patches,
+    "embedding_outliers": q_embedding_outliers,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3405,6 +3447,7 @@ EXTRA_ORACLES = {
     "audio_resampled": SQL_AUDIO_RESAMPLED,
     "webdataset_census": SQL_WEBDATASET_CENSUS,
     "image_patches": SQL_IMAGE_PATCHES,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),

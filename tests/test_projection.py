@@ -73,3 +73,37 @@ def test_projection_plan_zero_shuffle_no_python(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_embedding_outliers_flags_planted_garbage(spark):
+    """Plant a far-away vector among the real corpus: it must be the
+    top-z row and flagged; real vectors keep modest z; mean z ~ 0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.analytics.similarity import embedding_outliers
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    garbage = spark.createDataFrame(
+        [(99999, [100.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = embedding_outliers(emb.unionByName(garbage)).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    top = max(out, key=lambda r: r["z"])
+    assert top["vec_id"] == 99999 and top["is_outlier"]
+    zs = [r["z"] for r in out]
+    assert abs(float(np.mean(zs))) < 1e-9  # z-scores center exactly
+    assert sum(1 for r in out if r["is_outlier"]) <= 5
+
+
+def test_embedding_outliers_plan_no_python_no_keyed_shuffle(spark):
+    from audit_star_spark.analytics.similarity import embedding_outliers
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        embedding_outliers(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "collect_list" not in plan, plan
