@@ -732,3 +732,73 @@ def split_leakage_report(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         .groupBy("split_lo", "split_hi")
         .agg(F.count("*").cast("long").alias("n_leaky_pairs"))
     )
+
+
+def string_subst_pairs(
+    df: DataFrame,
+    col: str,
+    max_subs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-recall near-pairs under substitution (per-position Hamming)
+    distance for equal-length strings — titles, normalized URLs, IDs:
+    the PassJoin idea restricted to the substitution-only case, where
+    segment blocking is exactly the :func:`hamming_bands` pigeonhole on
+    characters instead of bits.
+
+    Each string splits into ``max_subs + 1`` contiguous segments (by
+    proportional position, so the scheme is consistent per length); two
+    strings within ``max_subs`` substitutions differ in at most
+    ``max_subs`` segments and therefore agree EXACTLY on >= 1 — blocking
+    on (segment index, length, segment text) has 100% recall with no
+    all-pairs product. Verification is the per-position mismatch count
+    (in-row zip of the char arrays). DISTINCT folds multi-segment
+    collisions. Unequal-length pairs are out of scope by definition
+    (a substitution preserves length).
+
+    Returns (id_a, id_b, distance), id_a < id_b.
+    """
+    if max_subs < 0:
+        raise ValueError(f"max_subs must be >= 0, got {max_subs}")
+    n = max_subs + 1
+    staged = df.select(
+        F.col(id_col).alias("sid"),
+        F.col(col).alias("s"),
+        F.length(col).alias("slen"),
+    ).filter(F.col("slen") > 0)
+    seg_val = (
+        "substring(s, CAST(seg * slen / {n} AS INT) + 1, "
+        "CAST((seg + 1) * slen / {n} AS INT) - CAST(seg * slen / {n} AS INT))"
+    ).format(n=n)
+    segs = staged.select(
+        "sid",
+        "s",
+        "slen",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("seg"),
+    ).select("sid", "s", "slen", "seg", F.expr(seg_val).alias("seg_text"))
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.slen") == F.col("b.slen"))
+            & (F.col("a.seg_text") == F.col("b.seg_text"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    dist = F.expr(
+        "size(filter(zip_with(split(s_a, ''), split(s_b, ''), "
+        "(x, y) -> x <> y), v -> v))"
+    )
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= max_subs)
+        .select("id_a", "id_b", "distance")
+    )

@@ -3362,6 +3362,48 @@ FROM d CROSS JOIN st
 """
 
 
+# synthetic 20-char titles: groups of 5 docs share an md5-derived base
+# (collision-free across groups), each doc substitutes one digit at its
+# own position -> within-group pairwise substitution distance exactly 2
+_TITLE_SPARK = (
+    "concat_ws('', transform(sequence(0, 19), j -> "
+    "CASE WHEN j = (doc_id % 5) * 4 THEN char(48 + doc_id % 5) "
+    "ELSE char(97 + CAST(conv(substring(md5(concat(CAST(doc_id div 5 AS STRING), "
+    "'-', CAST(j AS STRING))), 1, 2), 16, 10) AS INT) % 26) END))"
+)
+
+
+def q_title_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall substitution-distance near-pairs (dedup.py
+    string_subst_pairs): pigeonhole segment blocking on synthetic
+    titles; the oracle brute-forces ALL pairs with DuckDB's hamming(),
+    so the blocking's 100%-recall claim is hash-checked against an
+    exhaustive independent computation."""
+    from audit_star_spark.analytics.dedup import string_subst_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TITLE_SPARK).alias("title")
+    )
+    return string_subst_pairs(docs, "title", max_subs=2)
+
+
+SQL_TITLE_NEAR_PAIRS = """
+WITH titles AS (
+  SELECT doc_id,
+         (SELECT string_agg(
+            CASE WHEN j = (d.doc_id % 5) * 4 THEN chr(48 + CAST(d.doc_id % 5 AS INT))
+                 ELSE chr(97 + ('0x' || substr(md5(concat(d.doc_id // 5, '-', j)), 1, 2))::INT % 26)
+            END, '' ORDER BY j)
+          FROM generate_series(0, 19) t(j)) AS title
+  FROM documents d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(hamming(a.title, b.title) AS INT) AS distance
+FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+WHERE hamming(a.title, b.title) <= 2
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3403,6 +3445,7 @@ EXTRA_QUERIES = {
     "webdataset_census": q_webdataset_census,
     "image_patches": q_image_patches,
     "embedding_outliers": q_embedding_outliers,
+    "title_near_pairs": q_title_near_pairs,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3448,6 +3491,7 @@ EXTRA_ORACLES = {
     "webdataset_census": SQL_WEBDATASET_CENSUS,
     "image_patches": SQL_IMAGE_PATCHES,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "title_near_pairs": SQL_TITLE_NEAR_PAIRS,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),

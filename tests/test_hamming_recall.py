@@ -92,3 +92,57 @@ def test_ahash_high_bit_pair_is_found(spark):
         for r in ahash_near_pairs(media, max_hamming=2).collect()
     }
     assert pairs == {(0, 1): 1}
+
+
+def test_string_subst_pairs_bruteforce_equivalence(spark):
+    """Segment blocking equals all-pairs brute force — 100% recall AND
+    no spurious pairs — on random strings with planted near-dups."""
+    import random
+
+    from audit_star_spark.analytics.dedup import string_subst_pairs
+
+    rng = random.Random(9)
+    base = ["".join(rng.choice("abcdef") for _ in range(12)) for _ in range(30)]
+    rows = []
+    rid = 0
+    for s in base:
+        rows.append((rid, s)); rid += 1
+        if rng.random() < 0.5:  # plant a 1- or 2-sub variant
+            t = list(s)
+            for _ in range(rng.randint(1, 2)):
+                p = rng.randrange(12)
+                t[p] = rng.choice("xyz")
+            rows.append((rid, "".join(t))); rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in string_subst_pairs(df, "s", max_subs=2).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i][1], rows[j][1]
+            if len(a) == len(b):
+                d = sum(1 for x, y in zip(a, b) if x != y)
+                if d <= 2:
+                    want.add((rows[i][0], rows[j][0], d))
+    assert got == want and want  # non-vacuous
+
+
+def test_string_subst_pairs_edges(spark):
+    import pytest
+
+    from audit_star_spark.analytics.dedup import string_subst_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd"), (3, "abce"), (4, "abcde"), (5, "")],
+        "doc_id long, s string",
+    )
+    # d=0: exact equality only
+    got0 = {(r["id_a"], r["id_b"]) for r in string_subst_pairs(df, "s", 0).collect()}
+    assert got0 == {(1, 2)}
+    # unequal lengths never pair; empty strings drop
+    got1 = {(r["id_a"], r["id_b"]) for r in string_subst_pairs(df, "s", 1).collect()}
+    assert got1 == {(1, 2), (1, 3), (2, 3)}
+    with pytest.raises(ValueError, match="max_subs"):
+        string_subst_pairs(df, "s", -1)
