@@ -353,6 +353,27 @@ def _gen_having_distinct(rng: random.Random) -> str:
     )
 
 
+def _gen_in_subquery(rng: random.Random) -> str:
+    """[NOT] IN (SELECT ...) membership subqueries — the semi/anti-join
+    rewrite path. Subquery sides stay NULL-free (key columns), keeping
+    NOT IN's three-valued logic out of play, which is exactly how the
+    curated queries use it too."""
+    seg = rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"])
+    sub = rng.choice(
+        [
+            f"SELECT c_custkey FROM customer WHERE c_mktsegment = '{seg}'",
+            f"SELECT c_custkey FROM customer WHERE c_acctbal > {rng.randint(0, 5000)}",
+            f"SELECT c_custkey FROM customer WHERE c_nationkey % {rng.randint(2, 7)} = 0",
+        ]
+    )
+    neg = rng.choice(["", "NOT "])
+    agg = rng.choice(_AGGS)
+    return (
+        f"SELECT o_orderstatus AS k, {agg} AS a FROM orders "
+        f"WHERE o_custkey {neg}IN ({sub}) GROUP BY 1"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -371,6 +392,7 @@ def _corpus() -> list[str]:
         + [_gen_string_funcs(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_datetime(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_having_distinct(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_in_subquery(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
