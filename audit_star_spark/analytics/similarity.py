@@ -765,3 +765,74 @@ def embedding_outliers(
             > F.lit(z_threshold)
         ).alias("is_outlier"),
     )
+
+
+def projected_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    in_dim: int = 64,
+    out_dim: int = PROJ_OUT_DIM,
+    seed: int = PROJ_SEED,
+) -> DataFrame:
+    """Brute-force cosine top-k in the JL-PROJECTED space — the narrow
+    (out_dim/in_dim of the bytes) sweep that stands in for the full-dim
+    scan at scale. Same broadcast-query shape as :func:`cosine_topk`."""
+    proj = project_embeddings(emb, in_dim, out_dim, seed)
+    norm = F.sqrt(
+        F.expr("aggregate(proj, 0D, (acc, x) -> acc + x * x)")
+    )
+    base = proj.select("vec_id", "proj", norm.alias("norm"))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("proj").alias("qproj"),
+        F.col("norm").alias("qnorm"),
+    )
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(
+        "aggregate(zip_with(qproj, proj, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+    )
+    cos = dot / F.nullif(F.col("qnorm") * F.col("norm"), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def projected_recall(
+    emb: DataFrame, n_queries: int = 8, k: int = 10, **proj_kw
+) -> DataFrame:
+    """Recall@k of the JL-projected sweep against the exact full-dim
+    top-k — the accuracy gate that justifies (or rejects) running ANN
+    over 16-d projections; twin of :func:`quantized_recall`.
+
+    Interpretation caveat the gate exists to surface: on near-uniform
+    random vectors (this repo's synthetic corpus) neighbors are nearly
+    equidistant, so 16-d recall@10 sits far below 1.0 (~0.1-0.3 — still
+    ~10x the k/N chance level). On real clustered embeddings the same
+    projection scores far higher; run THIS gate on YOUR corpus before
+    shipping the 4x-narrower sweep — that is the operator's point."""
+    exact = cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    proj = projected_topk(emb, n_queries=n_queries, k=k, **proj_kw).select(
+        "query_id", F.col("vec_id").alias("p_vec_id")
+    )
+    hits = exact.join(
+        proj,
+        (exact["query_id"] == proj["query_id"])
+        & (exact["vec_id"] == proj["p_vec_id"]),
+        "left",
+    ).groupBy(exact["query_id"].alias("query_id"))
+    return hits.agg(
+        F.count(F.col("p_vec_id")).cast("long").alias("n_hits")
+    ).select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / float(k)).alias("recall"),
+    )

