@@ -264,10 +264,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from audit_star_spark.analytics.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from audit_star_spark.analytics.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "netpbm P5/P6, BI_RGB BMP, 8-bit PNG, and baseline JPEG decode "
-        "here; progressive/arithmetic JPEG and other formats are out of "
-        "scope in this codec-library-free environment"
+        "netpbm P5/P6, BI_RGB BMP, 8-bit PNG, baseline+progressive JPEG, "
+        "and GIF decode here; arithmetic JPEG and other formats are out "
+        "of scope in this codec-library-free environment"
     )
 
 
@@ -352,6 +356,8 @@ def image_meta(media: DataFrame) -> DataFrame:
                     fmts.append("png")
                 elif data[:2] == b"\xff\xd8":
                     fmts.append("jpeg")
+                elif data[:6] in (b"GIF87a", b"GIF89a"):
+                    fmts.append("gif")
                 else:
                     fmts.append({b"P5": "pgm", b"P6": "ppm", b"BM": "bmp"}[data[:2]])
                 h, w, c = img.shape

@@ -3468,6 +3468,79 @@ GROUP BY e.query_id
 """
 
 
+def _synth_gif(spark_df):
+    """doc_id-keyed GIF synthesis (mapInPandas): grayscale
+    (4 + d%5) x (3 + d%4) frames, pixel i = (d*13 + i*5) % 256, every
+    third doc interlaced and every fourth two-frame — LZW, palette,
+    interlace and multi-frame paths all cross the gate."""
+    from audit_star_spark.analytics.gif import encode_gif
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                px = (d * 13 + np.arange(w * h) * 5) % 256
+                img = px.astype(np.uint8).reshape(h, w, 1)
+                payloads.append(
+                    encode_gif(
+                        img,
+                        interlace=(d % 3 == 0),
+                        n_frames=2 if d % 4 == 0 else 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark_df.mapInPandas(synth, schema)
+
+
+def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode through the gate (analytics/gif.py): LZW with
+    width growth, interlace, palette mapping and multi-frame structure,
+    pushed through image_meta; the oracle states dimensions and mean
+    luminance closed-form from the synthesis arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = multimodal.image_meta(_synth_gif(docs))
+    return m.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+SQL_GIF_META = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, CAST((doc_id * 13 + i * 5) % 256 AS DOUBLE) AS v
+  FROM dims, LATERAL (SELECT unnest(range(0, w * h)) AS i)
+)
+SELECT doc_id, 'gif' AS format,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       round(avg(0.299 * v + 0.587 * v + 0.114 * v), 6) AS mean_luma
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3511,6 +3584,7 @@ EXTRA_QUERIES = {
     "embedding_outliers": q_embedding_outliers,
     "title_near_pairs": q_title_near_pairs,
     "projected_knn_recall": q_projected_knn_recall,
+    "gif_meta": q_gif_meta,
     "bm25_search": q_bm25_search,
     "doc_perplexity": q_doc_perplexity,
     "doc_pagerank": q_doc_pagerank,
@@ -3558,6 +3632,7 @@ EXTRA_ORACLES = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "title_near_pairs": SQL_TITLE_NEAR_PAIRS,
     "projected_knn_recall": _projected_recall_sql(),
+    "gif_meta": SQL_GIF_META,
     "bm25_search": _bm25_sql(),
     "doc_perplexity": _perplexity_sql(),
     "doc_pagerank": _pagerank_sql(),
