@@ -110,3 +110,37 @@ def test_warc_records_plan_is_narrow(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # parse is shuffle-free
+
+
+def test_warc_records_streaming_ingest(spark, tmp_path):
+    """The record surface works under Structured Streaming: binaryFile
+    readStream -> warc_records -> foreachBatch, multi-batch."""
+    import glob
+
+    for i in range(3):
+        (tmp_path / f"a{i}.warc").write_bytes(encode_warc(RECS))
+    seen = []
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        # streaming sources need an explicit schema; this is binaryFile's
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path))
+        .selectExpr("abs(hash(path)) AS archive_id", "content AS payload")
+    )
+    recs = warc_records(raw)
+    q = (
+        recs.writeStream.foreachBatch(
+            lambda df, bid: seen.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(seen) == 9  # 3 archives x 3 records
+    assert len(seen) >= 3  # one file per trigger
