@@ -96,11 +96,52 @@ def corpus_main(argv: list[str]) -> int:
     return 0
 
 
+def layout_main(argv: list[str]) -> int:
+    """``python -m audit_star_spark layout`` — data-layout ops: inspect
+    parquet row-group statistics (what WILL a predicate prune?) or
+    rewrite a table Z-order-clustered on multiple columns."""
+    ap = argparse.ArgumentParser(prog="audit_star_spark layout")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    st = sub.add_parser("stats", help="row-group footer statistics")
+    st.add_argument("--path", required=True)
+    st.add_argument("--column", default=None, help="restrict to one column")
+    zo = sub.add_parser("zorder", help="rewrite clustered on a Z-curve")
+    zo.add_argument("--in", dest="in_path", required=True)
+    zo.add_argument("--out", dest="out_path", required=True)
+    zo.add_argument("--by", required=True, help="comma-separated columns")
+    zo.add_argument("--files", type=int, default=8)
+    for p in (st, zo):
+        p.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    from audit_star_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_star_spark-layout", master=args.master)
+    if args.cmd == "stats":
+        from audit_star_spark.plans.footer_stats import parquet_footer_stats
+
+        stats = parquet_footer_stats(spark, args.path)
+        if args.column:
+            stats = stats.filter(stats["column"] == args.column)
+        stats.orderBy("file", "row_group", "column").show(1000, truncate=False)
+        return 0
+    from audit_star_spark.plans.zorder import write_zordered
+
+    cols = [c.strip() for c in args.by.split(",") if c.strip()]
+    write_zordered(
+        spark.read.parquet(args.in_path), args.out_path, cols, n_files=args.files
+    )
+    print(f"zordered  {args.in_path} -> {args.out_path} by {cols}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "corpus":
         return corpus_main(argv[1:])
+    if argv and argv[0] == "layout":
+        return layout_main(argv[1:])
     # flag names mirror the reference CLI (audit.go:46–47)
     ap = argparse.ArgumentParser(prog="audit_star_spark")
     ap.add_argument("-cfg", default="audit.yml", help="path to YAML config")

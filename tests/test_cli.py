@@ -118,3 +118,24 @@ def test_owner_filtering():
     assert names(EngineConfig()) == ["t_owned", "t_other", "t_quoted", "t_unknown"]
     assert names(EngineConfig(owner="test__owner")) == ["t_owned", "t_unknown"]
     assert names(EngineConfig(owner="7357:owner")) == ["t_quoted", "t_unknown"]
+
+
+def test_layout_cli_stats_and_zorder(tmp_path, capsys, spark):
+    from audit_star_spark.__main__ import main
+    from audit_star_spark.sources.testdata import load_table
+
+    src = str(tmp_path / "src")
+    load_table(spark, "/root/testdata/sf0.001", "region").write.parquet(src)
+    rc = main(["layout", "stats", "--path", src, "--master", "local[2]"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out and "row_group" in out
+    dst = str(tmp_path / "dst")
+    rc = main(
+        [
+            "layout", "zorder", "--in", src, "--out", dst,
+            "--by", "r_regionkey", "--files", "1", "--master", "local[2]",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(dst).count() == 5
