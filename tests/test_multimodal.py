@@ -79,12 +79,15 @@ def test_bmp8_palette():
 
 
 def test_unknown_formats_raise_not_implemented():
-    # JPEG now decodes (analytics/jpeg.py); a malformed JPEG-signature
-    # payload is a ValueError, an unrecognized format NotImplementedError
+    # JPEG and GIF now decode (analytics/jpeg.py, analytics/gif.py); a
+    # malformed payload under a known signature is a ValueError, an
+    # unrecognized format NotImplementedError
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises((ValueError, IndexError)):
+        decode_image(b"GIF89a but malformed")
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"II*\x00 tiff is not supported")
 
 
 def test_resize_nearest_neighbor():
