@@ -2720,11 +2720,12 @@ FROM toks GROUP BY doc_id
 
 # Driver-gate analytics group: exactly 42 entries, so the driver's 50-row
 # correctness window is 8 audit + these 42 (insertion order; see
-# __spark_entry__.queries()). Round 5 rotated the 7 round-4 queries
-# (retention_cohorts .. resample_to_mix) in, displacing 7 double-green
-# (r03+r04) entries whose operator families stay represented in the
-# window; every displaced query stays oracle-locked in
-# tests/test_oracle_parity.py.
+# __spark_entry__.queries()). The per-round gate rotation happens in the
+# _R6_ROTATE block at the bottom of this module (the round-N query
+# functions are defined after this literal): round 6 rotates the 17
+# round-5 queries (scd2_users .. gif_meta) in, displacing 17 double-green
+# entries whose operator families stay represented in the window; every
+# displaced query stays oracle-locked in tests/test_oracle_parity.py.
 ANALYTICS_QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
@@ -3670,3 +3671,60 @@ EXTRA_ORACLES = {
     "benchmark_contamination": _contamination_sql(),
     "bpe_corpus": _bpe_corpus_sql(),
 }
+
+
+# ----------------------------------------------------------- gate rotation
+# Round-6 rotation of the driver's 50-row correctness window (8 audit +
+# 42 analytics, insertion order — see __spark_entry__.queries()). The 17
+# round-5 queries move from EXTRA into the gate so they earn hard
+# CORRECTNESS_r06 rows; 17 double-green (driver-green in >=2 prior
+# rounds) entries move out to EXTRA, where tests/test_oracle_parity.py
+# keeps them oracle-locked every pytest run. Done as a mutation block
+# because the round-5 query functions are defined after the
+# ANALYTICS_QUERIES literal above.
+_R6_ROTATE_IN = [
+    "scd2_users",
+    "source_weighted_sample",
+    "bm25_search",
+    "doc_perplexity",
+    "doc_pagerank",
+    "embedding_projection",
+    "warc_census",
+    "weighted_sample_docs",
+    "heavy_hitters_approx",
+    "zorder_keys",
+    "audio_resampled",
+    "webdataset_census",
+    "image_patches",
+    "embedding_outliers",
+    "title_near_pairs",
+    "projected_knn_recall",
+    "gif_meta",
+]
+_R6_ROTATE_OUT = [
+    "span_dedup_stats",
+    "source_tfidf_topk",
+    "event_resample_hourly",
+    "purchase_attribution",
+    "event_funnel",
+    "image_ahash",
+    "audio_fingerprint",
+    "html_extract",
+    "link_domains",
+    "orders_validation",
+    "price_histogram",
+    "vocab_coverage",
+    "embedding_quantization",
+    "bpe_transfer_stats",
+    "event_heavy_hitters",
+    "url_normalization",
+    "script_profile",
+]
+for _name in _R6_ROTATE_OUT:
+    EXTRA_QUERIES[_name] = ANALYTICS_QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ANALYTICS_ORACLES.pop(_name)
+for _name in _R6_ROTATE_IN:
+    ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+assert len(ANALYTICS_QUERIES) == 42, len(ANALYTICS_QUERIES)
+del _name
