@@ -105,10 +105,24 @@ class StreamingNearDup:
 
         from pyspark.errors import AnalysisException
 
+        from audit_star_spark.streaming.store_compact import (
+            compacted_through,
+            recover_store,
+            visible,
+        )
+
+        recover_store(self.store_dir)
         if not os.path.isdir(self.store_dir):
             return None
         try:
-            return spark.read.parquet(self.store_dir)
+            # partitions of batches already folded into the -1 baseline
+            # are pruned: a batch replayed after compaction re-creates
+            # its partition next to the baseline copy, and reading both
+            # would double every folded doc's signatures
+            return visible(
+                spark.read.parquet(self.store_dir),
+                compacted_through(self.store_dir),
+            )
         except AnalysisException as ex:
             # Only an absent/empty store reads as "no prior state"; any
             # other failure (corrupt footer, transient IO wrapped in an
@@ -147,6 +161,15 @@ class StreamingNearDup:
             # store may already hold THIS batch's partition — reading it
             # back would double every batch doc (duplicate pairs rows)
             prev = prev.filter(F.col("ingest_batch_id") != batch_id)
+            # a batch replayed AFTER compaction: its docs live inside the
+            # -1 baseline where the partition filter cannot see them, and
+            # every pair would join 2x per duplicated endpoint. The
+            # batch's freshly-computed signatures are authoritative —
+            # drop the store's copies of the batch's own doc_ids
+            # (broadcast anti-join: map-side, the store never shuffles)
+            prev = prev.join(
+                F.broadcast(new_sig.select("doc_id")), "doc_id", "left_anti"
+            )
 
         def buckets(sig, tag):
             bands = [
@@ -249,21 +272,26 @@ class StreamingNearDup:
         """Fold the per-batch signature partitions into one
         ``ingest_batch_id=-1`` baseline — the log-compaction pass that
         bounds the store's file count (one partition per trigger
-        otherwise). Same contract as EventRollup.compact: run BETWEEN
-        triggers, and only once the checkpoint is committed past the
-        folded batches — after compaction the per-batch replay filter
-        can no longer exclude a folded batch's rows, so a replay of one
-        of them would duplicate its signatures."""
+        otherwise). Crash-atomic temp-dir + rename swap (store_compact):
+        pre- OR post-compaction contents stay readable through any crash
+        window, and the recorded ``compacted_through`` lets _store()
+        exclude a folded batch that gets replayed later (the replayed
+        partition is pruned, so its signatures are never doubled). Run
+        between triggers, like log compaction."""
         from pyspark.sql import functions as F
 
-        merged = spark.read.parquet(self.store_dir).withColumn(
-            "ingest_batch_id", F.lit(-1)
+        from audit_star_spark.streaming.store_compact import (
+            BASELINE_ID,
+            compact_partitioned_store,
+            compacted_through,
+            max_live_batch,
+            recover_store,
+            visible,
         )
-        # eager localCheckpoint: the full overwrite below must never
-        # recompute from its half-overwritten input
-        merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("ingest_batch_id")
-            .parquet(self.store_dir)
-        )
+
+        recover_store(self.store_dir)
+        ct = compacted_through(self.store_dir)
+        live = visible(spark.read.parquet(self.store_dir), ct)
+        new_ct = max(ct, max_live_batch(live))
+        merged = live.withColumn("ingest_batch_id", F.lit(BASELINE_ID))
+        compact_partitioned_store(self.store_dir, merged, new_ct)

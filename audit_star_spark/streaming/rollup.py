@@ -25,6 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from audit_star_spark.streaming.store_compact import (
+    BASELINE_ID,
+    compact_partitioned_store,
+    compacted_through,
+    max_live_batch,
+    recover_store,
+    visible,
+)
+
 
 def _cents(col: str) -> F.Column:
     return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
@@ -58,6 +67,9 @@ class EventRollup:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One idempotent micro-batch (exposed for replay testing)."""
+        # roll an interrupted compaction swap forward before touching the
+        # store dir (see store_compact module docstring)
+        recover_store(self.store_path)
         (
             _batch_partial(batch_df)
             .withColumn("ingest_batch_id", F.lit(batch_id))
@@ -70,7 +82,14 @@ class EventRollup:
     def read(self, spark: SparkSession) -> DataFrame:
         """The maintained rollup: merge all partials — the only scan is
         over the tiny partial store, never the event history."""
-        partials = spark.read.parquet(self.store_path)
+        recover_store(self.store_path)
+        # drop partitions of batches already folded into the baseline: a
+        # partial aggregate replayed after compaction would otherwise be
+        # counted twice (once inside -1, once under its own batch id)
+        partials = visible(
+            spark.read.parquet(self.store_path),
+            compacted_through(self.store_path),
+        )
         return partials.groupBy("day", "event_type").agg(
             F.sum("n_events").cast("long").alias("n_events"),
             (F.sum("sum_cents").cast("double") / 100.0).alias("total_value"),
@@ -79,24 +98,21 @@ class EventRollup:
     def compact(self, spark: SparkSession) -> None:
         """Fold accumulated partials into a single ``ingest_batch_id=-1``
         baseline partition and drop the per-batch ones — bounds read-side
-        fan-in. Uses a full (non-dynamic) overwrite, so it must not race
-        a live ingest; run it between triggers, like log compaction."""
+        fan-in. Crash-atomic temp-dir + rename swap (store_compact):
+        every crash window leaves pre- OR post-compaction contents
+        readable, and the recorded ``compacted_through`` keeps a batch
+        replayed after compaction from double-counting. Must not race a
+        live ingest; run between triggers, like log compaction."""
+        recover_store(self.store_path)
+        ct = compacted_through(self.store_path)
+        live = visible(spark.read.parquet(self.store_path), ct)
+        new_ct = max(ct, max_live_batch(live))
         merged = (
-            spark.read.parquet(self.store_path)
-            .groupBy("day", "event_type")
+            live.groupBy("day", "event_type")
             .agg(
                 F.sum("n_events").cast("long").alias("n_events"),
                 F.sum("sum_cents").cast("long").alias("sum_cents"),
             )
-            .withColumn("ingest_batch_id", F.lit(-1))
+            .withColumn("ingest_batch_id", F.lit(BASELINE_ID))
         )
-        # localCheckpoint (eager) truncates lineage: a persist could be
-        # evicted between materialization and the overwrite below, and
-        # recomputing from the half-overwritten store would corrupt the
-        # baseline — checkpointed blocks cannot recompute
-        merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("ingest_batch_id")
-            .parquet(self.store_path)
-        )
+        compact_partitioned_store(self.store_path, merged, new_ct)

@@ -28,6 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from audit_star_spark.catalog import TableSpec
+from audit_star_spark.streaming.store_compact import (
+    BASELINE_ID,
+    compact_partitioned_store,
+    compacted_through,
+    max_live_batch,
+    recover_store,
+    visible,
+)
 
 
 class StreamingSCD2:
@@ -80,6 +88,11 @@ class StreamingSCD2:
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One idempotent micro-batch: typed extraction + partition write
         (exposed for replay testing)."""
+        # a restarted query must roll an interrupted compaction swap
+        # forward BEFORE re-creating the store dir — writing first would
+        # make recovery mistake the fresh dir for the live store and
+        # discard the folded baseline
+        recover_store(self.store_path)
         (
             self._typed(batch_df)
             .withColumn("ingest_batch_id", F.lit(batch_id))
@@ -92,7 +105,28 @@ class StreamingSCD2:
     def read(self, spark: SparkSession) -> DataFrame:
         """The maintained SCD2 table — identical schema and contents to
         ``scd2_history`` over the same (payload) log."""
-        ev = spark.read.parquet(self.store_path)
+        recover_store(self.store_path)
+        # replay safety: partitions of batches already folded into the
+        # -1 baseline are pruned (a batch replayed after compaction
+        # re-creates its partition NEXT TO the baseline copy; without
+        # the filter every such event would exist twice and lead() would
+        # emit duplicate / zero-length versions)
+        ev = visible(
+            spark.read.parquet(self.store_path),
+            compacted_through(self.store_path),
+        )
+        # belt-and-braces audit_id dedup (keep the max-ingest_batch_id
+        # copy): exact duplicates cannot survive the visibility filter,
+        # but a store with out-of-contract history (e.g. hand-merged
+        # dirs) must degrade to correct output, not silent double
+        # versions. Same pk partitioning as the fill windows below ->
+        # one extra Sort, zero extra Exchanges (plan-locked).
+        w_dedup = Window.partitionBy("primary_key").orderBy(
+            "audit_id", F.col("ingest_batch_id").desc()
+        )
+        ev = ev.withColumn("__prev_id", F.lag("audit_id").over(w_dedup)).filter(
+            ~F.col("audit_id").eqNullSafe(F.col("__prev_id"))
+        )
         w = Window.partitionBy("primary_key").orderBy("audit_id")
         w_next = w.rowsBetween(1, Window.unboundedFollowing)
         # the batch operator's exact value rule (reconstruct.py B2/B5):
@@ -128,19 +162,19 @@ class StreamingSCD2:
         )
 
     def compact(self, spark: SparkSession) -> None:
-        """Fold all batch partitions into one ``ingest_batch_id=-1``
+        """Fold all live batch partitions into one ``ingest_batch_id=-1``
         baseline — bounds read-side partition fan-in. Event rows (incl.
         tombstones) are kept verbatim, so post-compaction batches and
-        late events need no interval surgery. Full overwrite: run
-        between triggers, like log compaction."""
-        merged = spark.read.parquet(self.store_path).withColumn(
-            "ingest_batch_id", F.lit(-1)
-        )
-        # eager checkpoint: the overwrite below must never recompute from
-        # the half-overwritten store (same reasoning as EventRollup)
-        merged = merged.localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            .partitionBy("ingest_batch_id")
-            .parquet(self.store_path)
-        )
+        late events need no interval surgery. Crash-atomic: the baseline
+        streams from the live store's lineage into a temp dir and is
+        installed by rename (store_compact.atomic_swap) — every crash
+        window leaves pre- OR post-compaction contents readable, and
+        nothing is materialized in session memory. The recorded
+        ``compacted_through`` makes a later replay of a folded batch
+        invisible to read(). Run between triggers, like log compaction."""
+        recover_store(self.store_path)
+        ct = compacted_through(self.store_path)
+        live = visible(spark.read.parquet(self.store_path), ct)
+        new_ct = max(ct, max_live_batch(live))
+        merged = live.withColumn("ingest_batch_id", F.lit(BASELINE_ID))
+        compact_partitioned_store(self.store_path, merged, new_ct)
