@@ -756,6 +756,17 @@ def string_subst_pairs(
     collisions. Unequal-length pairs are out of scope by definition
     (a substitution preserves length).
 
+    Short strings (``slen < max_subs + 1``) cannot host one non-empty
+    segment per allowed substitution, so the proportional split would
+    emit zero-width segments whose empty ``seg_text`` degenerates into a
+    constant blocking key (every same-length short string colliding, each
+    pair generated once per empty segment and re-folded by DISTINCT).
+    They take a direct length-keyed path instead: any two equal-length
+    strings with ``slen <= max_subs`` are within ``max_subs``
+    substitutions by definition, so the length class IS the exact result
+    set — each pair is emitted exactly once, with no segment explosion
+    and no DISTINCT shuffle.
+
     Returns (id_a, id_b, distance), id_a < id_b.
     """
     if max_subs < 0:
@@ -770,7 +781,7 @@ def string_subst_pairs(
         "substring(s, CAST(seg * slen / {n} AS INT) + 1, "
         "CAST((seg + 1) * slen / {n} AS INT) - CAST(seg * slen / {n} AS INT))"
     ).format(n=n)
-    segs = staged.select(
+    segs = staged.filter(F.col("slen") >= n).select(
         "sid",
         "s",
         "slen",
@@ -793,12 +804,24 @@ def string_subst_pairs(
         )
         .distinct()
     )
+    short = staged.filter(F.col("slen") < n)
+    sa, sb = short.alias("a"), short.alias("b")
+    short_cand = sa.join(
+        sb,
+        (F.col("a.slen") == F.col("b.slen")) & (F.col("a.sid") < F.col("b.sid")),
+    ).select(
+        F.col("a.sid").alias("id_a"),
+        F.col("b.sid").alias("id_b"),
+        F.col("a.s").alias("s_a"),
+        F.col("b.s").alias("s_b"),
+    )
     dist = F.expr(
         "size(filter(zip_with(split(s_a, ''), split(s_b, ''), "
         "(x, y) -> x <> y), v -> v))"
     )
     return (
-        cand.withColumn("distance", dist)
+        cand.unionByName(short_cand)
+        .withColumn("distance", dist)
         .filter(F.col("distance") <= max_subs)
         .select("id_a", "id_b", "distance")
     )

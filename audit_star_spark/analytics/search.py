@@ -10,20 +10,24 @@ declarative DataFrame algebra — no UDFs, no index service:
     score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*|d|/avgdl))
 
 100 TB shape: the expensive object — the full inverted index — is never
-built. The exploded token stream is filtered to the (broadcast) query-term
-set FIRST, so everything downstream is proportional to the postings of the
-handful of query terms, not the corpus vocabulary:
+built, and the corpus is scanned + tokenized exactly ONCE:
 
-  1. one corpus scan -> per-doc length (tiny: one row per doc);
-  2. same scan branch -> explode, filter to query terms, count -> the
-     (doc, term, tf) postings slice;
-  3. per-term document frequency (|terms| rows) joined back by broadcast;
-  4. per-doc score sum -> global top-k via orderBy+limit, which Spark
-     executes as TakeOrderedAndProject (no full sort, no single-node
-     funnel of the corpus — only k rows per partition reach the driver).
+  1. one scan -> per-doc slim projection (doc_id, dl, tf per query term),
+     all computed in-row from the token array (no explode, no per-doc
+     shuffle); lazily localCheckpointed so the two consumers below reuse
+     the materialized blocks instead of re-reading the corpus;
+  2. ONE 1-row aggregate over the slim rows yields every corpus
+     statistic at once — N, avgdl, and the per-term document
+     frequencies (sum of tf>0 indicators) — broadcast back by crossJoin
+     (the established scalar-broadcast pattern, profile.py);
+  3. per-doc score is a closed-form in-row expression over (tf_i, df_i,
+     dl, avgdl); docs matching no term are filtered; global top-k via
+     orderBy+limit, which Spark executes as TakeOrderedAndProject (no
+     full sort — only k rows per partition reach the driver).
 
-The corpus statistics (N, avgdl) are a 1-row aggregate broadcast by
-crossJoin — the established scalar-broadcast pattern (profile.py).
+Total shuffle traffic: one 1-row aggregate. The previous design branched
+the exploded token stream into `lengths` and `postings`, costing two (in
+effect three) full scan+tokenize passes of the corpus.
 """
 
 from __future__ import annotations
@@ -47,7 +51,8 @@ def bm25_topk(
     Returns (doc_id, score, n_matched) ordered by score desc, doc_id asc
     (deterministic tie-break). Duplicate query terms are folded (set
     semantics, like Lucene's default). Documents matching no term never
-    appear.
+    appear. ``doc_id`` must be unique per row (one document per row —
+    the corpus contract everywhere else in this package).
     """
     terms = sorted(set(query_terms))
     if not terms:
@@ -55,51 +60,58 @@ def bm25_topk(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
 
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(tokens_expr)).alias("token")
-    )
-    lengths = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = lengths.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # ONE tokenize pass -> slim per-doc row: length + tf per query term.
+    # All in-row (whole-stage codegen); NULL-text docs drop, mirroring
+    # what explode() did in the two-pass design.
+    arr = F.expr(tokens_expr)
+
+    def _tf(term: str):
+        return F.size(F.filter(arr, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    slim = (
+        docs.filter(arr.isNotNull())
+        .select("doc_id", F.size(arr).alias("dl"), *tf_cols)
+        .localCheckpoint(eager=False)
     )
 
-    # postings for the query terms only — the broadcast-hash semi filter
-    # reaches the scan side, everything after is query-sized
-    term_lit = F.array(*[F.lit(t) for t in terms])
-    postings = (
-        toks.filter(F.array_contains(term_lit, F.col("token")))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = postings.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    # ONE 1-row aggregate = every corpus statistic: N, avgdl, df per term
+    stats = slim.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
 
+    def _contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        term_score = (
+            idf
+            * (tf * (k1 + 1))
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(tf > 0, term_score).otherwise(F.lit(0.0))
+
+    score = sum((_contrib(i) for i in range(len(terms))), F.lit(0.0))
+    n_matched = sum(
+        ((F.col(f"tf_{i}") > 0).cast("long") for i in range(len(terms))),
+        F.lit(0).cast("long"),
+    )
     scored = (
-        postings.join(F.broadcast(df_t), "token")
-        .join(lengths, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+        slim.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            score.alias("score"),
+            n_matched.alias("n_matched"),
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("term_score").alias("score"),
-            F.count("*").alias("n_matched"),
-        )
+        .filter(F.col("n_matched") > 0)
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 

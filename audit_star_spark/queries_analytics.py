@@ -3726,5 +3726,9 @@ for _name in _R6_ROTATE_OUT:
 for _name in _R6_ROTATE_IN:
     ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
     ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
-assert len(ANALYTICS_QUERIES) == 42, len(ANALYTICS_QUERIES)
+if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
+    raise RuntimeError(
+        "ANALYTICS_QUERIES must stay exactly 42 entries so the driver's "
+        f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
+    )
 del _name

@@ -146,3 +146,50 @@ def test_string_subst_pairs_edges(spark):
     assert got1 == {(1, 2), (1, 3), (2, 3)}
     with pytest.raises(ValueError, match="max_subs"):
         string_subst_pairs(df, "s", -1)
+
+
+def test_string_subst_pairs_short_string_guard(spark):
+    """Strings shorter than max_subs+1 chars take the direct length-keyed
+    path: output still equals brute force, each pair is generated exactly
+    once (no zero-width-segment '' blocking key, no per-segment duplicate
+    candidates, no DISTINCT shuffle). The plan lock below would fail on
+    the old code, whose short strings went through the segment explode.
+    """
+    from audit_star_spark.analytics.dedup import string_subst_pairs
+
+    # short-heavy corpus: 1- and 2-char IDs/titles plus a few long rows
+    rows = [
+        (0, "a"), (1, "b"), (2, "a"), (3, "c"),
+        (4, "ab"), (5, "ba"), (6, "xy"), (7, "ab"),
+        (8, "abcdef"), (9, "abcxef"), (10, "zzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in string_subst_pairs(df, "s", max_subs=2).collect()
+    }
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i][1], rows[j][1]
+            if len(a) == len(b):
+                d = sum(1 for x, y in zip(a, b) if x != y)
+                if d <= 2:
+                    want.add((rows[i][0], rows[j][0], d))
+    assert got == want and want
+    # every 1-char and 2-char same-length pair is within 2 subs by
+    # definition -> candidates == matches (O(matches), not n-fold dup)
+    short_pairs = {(x, y) for (x, y, _) in got if len(rows[x][1]) < 3}
+    assert len(short_pairs) == 6 + 6  # C(4,2) 1-char + C(4,2) 2-char
+
+    # plan lock: length routing exists — the segment/explode branch only
+    # admits slen >= max_subs+1 and the direct branch only slen < that.
+    # The old code had no routing (every row hit the explode + DISTINCT).
+    plan = (
+        string_subst_pairs(df, "s", max_subs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "length(s" in plan and ">= 3" in plan, plan
+    assert "< 3" in plan, plan

@@ -156,3 +156,20 @@ def test_perplexity_plan_no_python(spark):
     df = doc_perplexity(load_table(spark, SF_DIR, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+def test_bm25_single_scan_plan_lock(spark):
+    """bm25_topk must tokenize the corpus exactly once: the slim
+    (doc_id, dl, tf_i...) projection is lazily localCheckpointed, so the
+    final plan's two consumers (stats broadcast + scoring) both read the
+    checkpointed blocks — NO parquet scan of documents remains in the
+    executed plan. The old design branched the exploded token stream and
+    paid two to three full scan+tokenize passes."""
+    from audit_star_spark.analytics.search import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = bm25_topk(docs, ["data", "model"], k=5)
+    assert t.count() == 5
+    plan = t._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
