@@ -254,12 +254,23 @@ class StreamingNearDup:
         """``available_now=False`` runs a live continuous trigger (the
         production dedup-on-ingest mode); True drains what exists and
         stops (the batch-replay / test mode)."""
+        from audit_star_spark.streaming.store_compact import (
+            bind_lineage,
+            verify_lineage,
+        )
+
+        # a compacted store is bound to its checkpoint lineage: a fresh
+        # checkpoint restarts batch ids at 0 and visible() would silently
+        # prune every new batch (store_compact module docstring)
+        verify_lineage(self.store_dir, checkpoint)
         writer = docs_stream.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        query = writer.start()
+        bind_lineage(self.store_dir, str(query.id))
+        return query
 
     def pairs(self, spark) -> DataFrame | None:
         import os
@@ -293,5 +304,23 @@ class StreamingNearDup:
         ct = compacted_through(self.store_dir)
         live = visible(spark.read.parquet(self.store_dir), ct)
         new_ct = max(ct, max_live_batch(live))
-        merged = live.withColumn("ingest_batch_id", F.lit(BASELINE_ID))
+        # belt-and-braces doc_id dedup when folding (the SCD2 read()
+        # analog): a doc_id legitimately re-ingested in a later batch
+        # leaves an old copy in one partition and a fresh one in another
+        # — folding both verbatim would put the doc twice inside the -1
+        # baseline, and every later batch would fan out duplicate pair
+        # rows per duplicated endpoint. Keep only the newest copy
+        # (max ingest_batch_id; max_by-struct argmax, no window shuffle
+        # beyond the one groupBy this fold already pays).
+        payload = [c for c in live.columns if c not in ("doc_id", "ingest_batch_id")]
+        merged = (
+            live.groupBy("doc_id")
+            .agg(
+                *[
+                    F.expr(f"max_by({c}, ingest_batch_id)").alias(c)
+                    for c in payload
+                ]
+            )
+            .withColumn("ingest_batch_id", F.lit(BASELINE_ID))
+        )
         compact_partitioned_store(self.store_dir, merged, new_ct)

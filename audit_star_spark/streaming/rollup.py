@@ -27,10 +27,12 @@ from pyspark.sql import functions as F
 
 from audit_star_spark.streaming.store_compact import (
     BASELINE_ID,
+    bind_lineage,
     compact_partitioned_store,
     compacted_through,
     max_live_batch,
     recover_store,
+    verify_lineage,
     visible,
 )
 
@@ -55,6 +57,11 @@ class EventRollup:
         self.store_path = store_path
 
     def ingest(self, events_stream: DataFrame, checkpoint: str, available_now: bool = True):
+        # a compacted store is bound to its checkpoint lineage: a fresh
+        # checkpoint restarts batch ids at 0 and visible() would silently
+        # prune every new batch (store_compact module docstring)
+        verify_lineage(self.store_path, checkpoint)
+
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             self.apply_batch(batch_df, batch_id)
 
@@ -63,7 +70,9 @@ class EventRollup:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        query = writer.start()
+        bind_lineage(self.store_path, str(query.id))
+        return query
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One idempotent micro-batch (exposed for replay testing)."""

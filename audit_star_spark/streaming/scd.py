@@ -30,10 +30,12 @@ from pyspark.sql import functions as F
 from audit_star_spark.catalog import TableSpec
 from audit_star_spark.streaming.store_compact import (
     BASELINE_ID,
+    bind_lineage,
     compact_partitioned_store,
     compacted_through,
     max_live_batch,
     recover_store,
+    verify_lineage,
     visible,
 )
 
@@ -51,6 +53,11 @@ class StreamingSCD2:
         checkpoint: str,
         available_now: bool = True,
     ):
+        # a compacted store is bound to its checkpoint lineage: a fresh
+        # checkpoint restarts batch ids at 0 and visible() would silently
+        # prune every new batch (store_compact module docstring)
+        verify_lineage(self.store_path, checkpoint)
+
         def on_batch(batch_df: DataFrame, batch_id: int) -> None:
             self.apply_batch(batch_df, batch_id)
 
@@ -59,7 +66,9 @@ class StreamingSCD2:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        query = writer.start()
+        bind_lineage(self.store_path, str(query.id))
+        return query
 
     def _typed(self, batch_df: DataFrame) -> DataFrame:
         # On U the change map holds ONLY the changed columns, and a

@@ -68,6 +68,12 @@ def test_crash_during_tmp_write_keeps_old(tmp_path):
     recover_store(store)
     assert _content(store) == "old"
     assert compacted_through(store) == -1
+    # the incomplete tmp is inert junk (no marker) — recover_store must
+    # NOT sweep it while the live store exists (it cannot tell junk from
+    # an in-progress compact's half-written tmp); the next swap does
+    assert os.path.exists(store + ".compact-tmp")
+    atomic_swap(store, _write_tmp("new"), 7)
+    assert _content(store) == "new"
     assert not os.path.exists(store + ".compact-tmp")
 
 
@@ -95,8 +101,13 @@ def test_crash_at_each_rename(tmp_path, monkeypatch, fail_at, expect):
     assert _content(store) == expect
     # post-compaction recovery must surface the meta too
     assert compacted_through(store) == (7 if expect == "new" else -1)
-    assert not os.path.exists(store + ".compact-tmp")
     assert not os.path.exists(store + ".compact-old")
+    if expect == "old":
+        # store intact -> recover leaves the tmp alone (could be an
+        # in-progress compact); the retry sweeps and completes it
+        atomic_swap(store, _write_tmp("new"), 7)
+        assert _content(store) == "new"
+    assert not os.path.exists(store + ".compact-tmp")
 
 
 def test_crash_before_old_cleanup_keeps_new(tmp_path, monkeypatch):
@@ -333,3 +344,173 @@ def test_meta_file_ignored_by_parquet_reader(tmp_path, spark):
         json.dump({"compacted_through": 3}, f)
     assert spark.read.parquet(p).count() == 5
     assert compacted_through(p) == 3
+
+
+def test_recover_during_compact_write_phase_is_safe(tmp_path):
+    """A read path calling recover_store while a compaction is mid-write
+    (live store present, tmp half-written) must leave the compactor's
+    tmp dir alone — the old behavior rmtree'd it out from under the
+    compaction, failing it."""
+    store = str(tmp_path / "s")
+    _mkstore(store, "old")
+
+    seen = {}
+
+    def write_with_concurrent_reader(tmp):
+        _mkstore(tmp, "new")
+        # a reader races the write phase
+        recover_store(store)
+        seen["tmp_survived"] = os.path.isdir(tmp)
+
+    atomic_swap(store, write_with_concurrent_reader, 3)
+    assert seen["tmp_survived"]
+    assert _content(store) == "new"
+    assert compacted_through(store) == 3
+
+
+# ---------------------------------------------------- checkpoint lineage
+
+
+def _fake_checkpoint(path, qid):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "metadata"), "w") as f:
+        json.dump({"id": qid}, f)
+
+
+def test_verify_lineage_refuses_fresh_checkpoint_on_compacted_store(tmp_path):
+    """visible() assumes batch ids at/below compacted_through only recur
+    as replays of folded batches. A fresh/reset checkpoint restarts ids
+    at 0 -> every new batch would be silently pruned. verify_lineage
+    must refuse instead of losing data silently."""
+    from audit_star_spark.streaming.store_compact import (
+        bind_lineage,
+        verify_lineage,
+    )
+
+    store = str(tmp_path / "s")
+    _mkstore(store, "x")
+    bind_lineage(store, "qid-original")
+    with open(os.path.join(store, "_compaction_meta.json"), "w") as f:
+        json.dump({"compacted_through": 4}, f)
+
+    ok = str(tmp_path / "ckpt_ok")
+    _fake_checkpoint(ok, "qid-original")
+    verify_lineage(store, ok)  # same lineage: fine
+
+    fresh = str(tmp_path / "ckpt_fresh")  # no metadata yet
+    with pytest.raises(RuntimeError, match="silently pruned"):
+        verify_lineage(store, fresh)
+
+    foreign = str(tmp_path / "ckpt_foreign")
+    _fake_checkpoint(foreign, "qid-other")
+    with pytest.raises(RuntimeError, match="silently pruned"):
+        verify_lineage(store, foreign)
+
+    # explicit unbind is the documented override
+    os.remove(os.path.join(store, "_query_lineage.json"))
+    verify_lineage(store, foreign)
+
+
+def test_verify_lineage_rebinds_uncompacted_store_with_warning(tmp_path):
+    from audit_star_spark.streaming.store_compact import (
+        bind_lineage,
+        bound_query_id,
+        verify_lineage,
+    )
+
+    store = str(tmp_path / "s")
+    _mkstore(store, "x")
+    bind_lineage(store, "qid-a")
+    foreign = str(tmp_path / "ckpt")
+    _fake_checkpoint(foreign, "qid-b")
+    with pytest.warns(UserWarning, match="re-bound"):
+        verify_lineage(store, foreign)  # uncompacted: allowed
+    bind_lineage(store, "qid-b")
+    assert bound_query_id(store) == "qid-b"
+
+
+def test_lineage_survives_compaction_swap(tmp_path):
+    from audit_star_spark.streaming.store_compact import (
+        bind_lineage,
+        bound_query_id,
+    )
+
+    store = str(tmp_path / "s")
+    _mkstore(store, "old")
+    bind_lineage(store, "qid-1")
+    atomic_swap(store, _write_tmp("new"), 5)
+    assert bound_query_id(store) == "qid-1"
+    assert compacted_through(store) == 5
+
+
+def test_scd2_ingest_binds_and_enforces_lineage(spark, tmp_path, users_log):
+    """End-to-end: ingest -> compact -> restart from the SAME checkpoint
+    works; restart from a FRESH checkpoint is refused."""
+    from audit_star_spark.streaming.scd import StreamingSCD2
+    from audit_star_spark.streaming.store_compact import bound_query_id
+
+    store = str(tmp_path / "scd_store")
+    log, spec = users_log
+    log_dir = str(tmp_path / "log")
+    log.select(
+        "audit_id",
+        "primary_key",
+        "changed_at",
+        "operation",
+        "change",
+        "before_change",
+    ).write.parquet(log_dir)
+    src = spark.readStream.schema(
+        spark.read.parquet(log_dir).schema
+    ).parquet(log_dir)
+    scd = StreamingSCD2(store, spec)
+    ck1 = str(tmp_path / "ck1")
+    q = scd.ingest(src, ck1)
+    q.awaitTermination()
+    assert bound_query_id(store) is not None
+    scd.compact(spark)
+    # same checkpoint: restart passes verify and is a no-op drain
+    scd.ingest(src, ck1).awaitTermination()
+    n = scd.read(spark).count()
+    assert n > 0
+    # fresh checkpoint: refused before any batch can be pruned
+    with pytest.raises(RuntimeError, match="silently pruned"):
+        scd.ingest(src, str(tmp_path / "ck2"))
+    assert scd.read(spark).count() == n
+
+
+def test_neardup_compact_folds_newest_copy_per_doc(spark, tmp_path):
+    """Out-of-contract shape: the same doc_id ingested in two batches
+    (old copy in one partition, fresh copy in another). compact() must
+    keep only the max-ingest_batch_id copy in the -1 baseline — folding
+    both verbatim made every later batch fan out duplicate pair rows."""
+    from audit_star_spark.streaming.dedup import StreamingNearDup
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    nd = StreamingNearDup(
+        str(tmp_path / "store"), str(tmp_path / "pairs"), threshold=0.5
+    )
+    b0 = docs.filter(F.col("doc_id") < 40)
+    # batch 1 re-ingests docs 20..39 (out of contract) plus fresh ones
+    b1 = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 80))
+    nd.process_batch(b0, 0)
+    raw = spark.read.parquet(str(tmp_path / "store"))
+    # simulate the hazard: batch 1's overlap lands WITHOUT the anti-join
+    # protection having pruned batch 0's copies (they are in partition 0)
+    nd.process_batch(b1, 1)
+    per_doc = (
+        spark.read.parquet(str(tmp_path / "store"))
+        .groupBy("doc_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert per_doc > 0  # the duplicate shape exists pre-compaction
+    nd.compact(spark)
+    store = nd._store(spark)
+    assert store.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # the kept copy is batch 1's (newest): spot-check one overlapped doc
+    assert store.filter(F.col("doc_id") == 25).count() == 1
