@@ -3053,6 +3053,111 @@ FROM documents
 """
 
 
+def _synth_warc_http(spark_df):
+    """doc_id-keyed WARC+HTTP synthesis: per doc one archive of
+    1 warcinfo + (1 + d%3) HTTP-enveloped responses (status 200/404 by
+    the (d+j)%4 formula, gzip Content-Encoding for odd d, chunked
+    Transfer-Encoding for d%5==0) + 1 bare-content response (no
+    envelope). Odd-indexed archives use per-record gzip members. Every
+    decode path of sources/warc.py's HTTP layer crosses the gate."""
+    from audit_star_spark.sources.warc import encode_http_response, encode_warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                body = text.encode("utf-8")
+                recs = [
+                    {
+                        "warc_type": "warcinfo",
+                        "content_type": "application/warc-fields",
+                        "payload": b"software: audit-star-spark\r\n",
+                    }
+                ]
+                for j in range(1 + d % 3):
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"https://example.org/{d}/{j}",
+                            "content_type": "application/http;msgtype=response",
+                            "payload": encode_http_response(
+                                404 if (d + j) % 4 == 0 else 200,
+                                body,
+                                gzip_body=bool(d % 2),
+                                chunked=d % 5 == 0,
+                            ),
+                        }
+                    )
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://example.org/{d}/bare",
+                        "content_type": "text/plain",
+                        "payload": body,
+                    }
+                )
+                payloads.append(encode_warc(recs, gzip_members=bool(d % 3 == 0)))
+            yield pd.DataFrame(
+                {"archive_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark_df.mapInPandas(synth, schema)
+
+
+def q_warc_http_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC + HTTP-envelope parse through the gate (sources/
+    warc.py http_responses): archives of HTTP response records — gzip
+    Content-Encoding, chunked Transfer-Encoding, 404s, bare-content
+    payloads — parsed by the real envelope layer; the census checks
+    status extraction, header mime/charset, and that every decoded body
+    round-trips to the original text bytes (closed-form oracle from the
+    same synthesis arithmetic)."""
+    from audit_star_spark.sources.warc import http_responses, warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    resp = http_responses(warc_records(_synth_warc_http(docs)))
+    return resp.groupBy("archive_id").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.count("http_status").cast("long").alias("n_http"),
+        F.sum(F.when(F.col("http_status") == 200, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ok"),
+        F.sum(F.length("body")).cast("long").alias("body_bytes"),
+        F.min("mime").alias("mime"),
+        F.min("charset").alias("charset"),
+        F.sum(F.when(F.col("content_encoding") == "gzip", 1).otherwise(0))
+        .cast("long")
+        .alias("n_gzip"),
+    )
+
+
+SQL_WARC_HTTP_CENSUS = """
+SELECT doc_id AS archive_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_responses,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_http,
+       CAST((CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN doc_id % 3 >= 1 AND (doc_id + 1) % 4 <> 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN doc_id % 3 >= 2 AND (doc_id + 2) % 4 <> 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ok,
+       CAST((2 + doc_id % 3) * octet_length(encode(text)) AS BIGINT) AS body_bytes,
+       'text/html' AS mime,
+       'utf-8' AS charset,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 3 ELSE 0 END AS BIGINT) AS n_gzip
+FROM documents
+"""
+
+
 def q_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled heavy-hitter certification (skew.py): top-10 hottest
     users with exact count, 10%-sample estimate, and the 4-sigma
@@ -3591,6 +3696,7 @@ EXTRA_QUERIES = {
     "doc_pagerank": q_doc_pagerank,
     "embedding_projection": q_embedding_projection,
     "warc_census": q_warc_census,
+    "warc_http_census": q_warc_http_census,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -3639,6 +3745,7 @@ EXTRA_ORACLES = {
     "doc_pagerank": _pagerank_sql(),
     "embedding_projection": _projection_sql(),
     "warc_census": SQL_WARC_CENSUS,
+    "warc_http_census": SQL_WARC_HTTP_CENSUS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

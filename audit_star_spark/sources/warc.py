@@ -205,3 +205,191 @@ def read_warc_files(spark, path: str) -> DataFrame:
         )
     )
     return warc_records(raw)
+
+
+# --------------------------------------------------------- HTTP envelope
+
+HTTP_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.LongType()),
+        T.StructField("record_index", T.IntegerType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("content_encoding", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+    ]
+)
+
+
+def encode_http_response(
+    status: int,
+    body: bytes,
+    content_type: str = "text/html; charset=utf-8",
+    gzip_body: bool = False,
+    chunked: bool = False,
+    reason: str = "OK",
+) -> bytes:
+    """Status + headers + body -> the raw HTTP/1.1 response bytes a
+    Common Crawl ``response`` record carries as its payload — the
+    differential test-vector generator for :func:`parse_http_response`.
+    ``gzip_body`` adds ``Content-Encoding: gzip`` (deterministic mtime=0
+    stream); ``chunked`` emits the body as two chunks with
+    ``Transfer-Encoding: chunked`` (encoding order per RFC 9112: chunking
+    is applied LAST, i.e. to the already-content-encoded bytes)."""
+    wire = body
+    head = [f"HTTP/1.1 {status} {reason}".encode()]
+    head.append(b"Content-Type: " + content_type.encode())
+    if gzip_body:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(wire)
+        wire = buf.getvalue()
+        head.append(b"Content-Encoding: gzip")
+    if chunked:
+        head.append(b"Transfer-Encoding: chunked")
+        half = len(wire) // 2
+        out = b""
+        for chunk in (wire[:half], wire[half:]):
+            if chunk:
+                out += f"{len(chunk):x}".encode() + _CRLF + chunk + _CRLF
+        wire = out + b"0" + _CRLF + _CRLF
+    else:
+        head.append(b"Content-Length: " + str(len(wire)).encode())
+    return _CRLF.join(head) + _CRLF + _CRLF + wire
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked body; on any malformed chunk
+    frame, return what decoded so far (poison-payload contract)."""
+    out = io.BytesIO()
+    pos = 0
+    while True:
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            break
+        size_tok = data[pos:eol].split(b";", 1)[0].strip()  # drop chunk exts
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            break
+        if n == 0:
+            break  # terminal chunk; trailers ignored
+        body_start = eol + 2
+        if body_start + n > len(data):
+            break  # truncated tail chunk
+        out.write(data[body_start : body_start + n])
+        pos = body_start + n + 2  # skip chunk-data CRLF
+    return out.getvalue()
+
+
+def parse_http_response(payload: bytes) -> dict | None:
+    """A WARC ``response`` record's payload -> the parsed HTTP envelope:
+
+    ``{"status": int, "mime": str|None, "charset": str|None,
+    "content_encoding": str|None, "headers": dict, "body": bytes}``
+
+    or None when the payload is not an HTTP response at all (some
+    archives store bare content) — callers then treat the whole payload
+    as the body. Envelope split is at the FIRST CRLFCRLF; transfer
+    decoding runs before content decoding (RFC 9112 order);
+    ``Content-Encoding: gzip``/``x-gzip``/``deflate`` are decompressed,
+    any other value (or a corrupt stream) leaves the body bytes as-is
+    with the encoding surfaced so the caller can filter — never a task
+    failure (poison-payload contract)."""
+    if not payload.startswith(b"HTTP/"):
+        return None
+    split = payload.find(_CRLF + _CRLF)
+    if split < 0:
+        head, body = payload, b""
+    else:
+        head, body = payload[:split], payload[split + 4 :]
+    lines = head.split(_CRLF)
+    status_parts = lines[0].split(None, 2)
+    try:
+        status = int(status_parts[1])
+    except (IndexError, ValueError):
+        return None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").strip().lower() or None
+    if enc in ("gzip", "x-gzip", "deflate"):
+        import zlib
+
+        try:
+            if enc == "deflate":
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw
+            else:
+                body = gzip.decompress(body)
+        except (OSError, EOFError, zlib.error):
+            pass  # corrupt stream: surface encoding, keep raw bytes
+    ctype = headers.get("content-type")
+    mime = charset = None
+    if ctype:
+        mime = ctype.split(";", 1)[0].strip().lower() or None
+        for part in ctype.split(";")[1:]:
+            k, sep, v = part.partition("=")
+            if sep and k.strip().lower() == "charset":
+                charset = v.strip().strip("\"'").lower() or None
+    return {
+        "status": status,
+        "mime": mime,
+        "charset": charset,
+        "content_encoding": enc,
+        "headers": headers,
+        "body": body,
+    }
+
+
+def http_responses(records: DataFrame) -> DataFrame:
+    """WARC record rows (:func:`warc_records` output) -> one row per
+    ``response`` record with the HTTP envelope parsed: status,
+    mime/charset (from the HTTP header, NOT the WARC record header),
+    content-encoding, and the transfer- and content-DECODED body bytes.
+    A payload with no HTTP envelope (bare-content archives) surfaces
+    with NULL status and the raw payload as body. mapInPandas: narrow,
+    Arrow-batched, no shuffle — composes with html_extract / the quality
+    operators downstream at input-split parallelism."""
+    resp = records.filter(records["warc_type"] == "response")
+
+    def gen(batches):
+        import pandas as pd
+
+        cols = [f.name for f in HTTP_RESPONSE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    env = parse_http_response(bytes(r.payload))
+                except Exception:
+                    env = None  # poison payload
+                rows.append(
+                    {
+                        "archive_id": int(r.archive_id),
+                        "record_index": int(r.record_index),
+                        "target_uri": r.target_uri,
+                        "warc_date": r.warc_date,
+                        "http_status": env["status"] if env else None,
+                        "mime": env["mime"] if env else None,
+                        "charset": env["charset"] if env else None,
+                        "content_encoding": (
+                            env["content_encoding"] if env else None
+                        ),
+                        "body": env["body"] if env else bytes(r.payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return resp.mapInPandas(gen, HTTP_RESPONSE_SCHEMA)

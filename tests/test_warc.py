@@ -144,3 +144,215 @@ def test_warc_records_streaming_ingest(spark, tmp_path):
     q.awaitTermination()
     assert sum(seen) == 9  # 3 archives x 3 records
     assert len(seen) >= 3  # one file per trigger
+
+
+# --------------------------------------------------------- HTTP envelope
+
+
+def _env(status=200, body=b"hello world", **kw):
+    from audit_star_spark.sources.warc import (
+        encode_http_response,
+        parse_http_response,
+    )
+
+    return parse_http_response(encode_http_response(status, body, **kw))
+
+
+def test_http_roundtrip_identity():
+    env = _env(200, b"<html>hi</html>")
+    assert env["status"] == 200
+    assert env["mime"] == "text/html"
+    assert env["charset"] == "utf-8"
+    assert env["content_encoding"] is None
+    assert env["body"] == b"<html>hi</html>"
+
+
+def test_http_gzip_content_encoding_decodes():
+    body = b"compressible " * 100
+    env = _env(200, body, gzip_body=True)
+    assert env["content_encoding"] == "gzip"
+    assert env["body"] == body
+
+
+def test_http_chunked_transfer_decodes():
+    body = bytes(range(256)) * 3
+    env = _env(206, body, chunked=True, content_type="application/octet-stream")
+    assert env["status"] == 206
+    assert env["mime"] == "application/octet-stream"
+    assert env["charset"] is None
+    assert env["body"] == body
+
+
+def test_http_chunked_then_gzip_rfc_order():
+    """RFC 9112: transfer decoding first, then content decoding."""
+    body = b"layered " * 50
+    env = _env(200, body, gzip_body=True, chunked=True)
+    assert env["body"] == body
+
+
+def test_http_deflate_both_wrappings():
+    import zlib
+
+    from audit_star_spark.sources.warc import parse_http_response
+
+    body = b"deflated " * 30
+    for wire in (zlib.compress(body), zlib.compress(body)[2:-4]):
+        raw = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: deflate\r\n\r\n" + wire
+        )
+        assert parse_http_response(raw)["body"] == body
+
+
+def test_http_envelope_poison_degrades_never_raises():
+    from audit_star_spark.sources.warc import parse_http_response
+
+    # not HTTP at all -> None (bare-content archive)
+    assert parse_http_response(b"<html>no envelope</html>") is None
+    assert parse_http_response(b"") is None
+    # garbage status -> None
+    assert parse_http_response(b"HTTP/1.1 xx OK\r\n\r\nbody") is None
+    # corrupt gzip: encoding surfaced, raw bytes kept
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n\x1f\x8bBROKEN"
+    )
+    env = parse_http_response(raw)
+    assert env["content_encoding"] == "gzip"
+    assert env["body"] == b"\x1f\x8bBROKEN"
+    # truncated chunk frame: decoded prefix only
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\nffff\r\nxx"
+    )
+    assert parse_http_response(raw)["body"] == b"hello"
+    # headers but no CRLFCRLF: empty body
+    assert parse_http_response(b"HTTP/1.1 204 No Content\r\nX: y")["body"] == b""
+
+
+def test_http_responses_dataframe_surface(spark):
+    """warc_records -> http_responses: envelope columns parsed, bodies
+    decoded, non-HTTP payloads pass through with NULL status."""
+    from audit_star_spark.sources.warc import (
+        encode_http_response,
+        http_responses,
+    )
+
+    recs = [
+        {
+            "warc_type": "warcinfo",
+            "payload": b"software: test\r\n",  # filtered: not response
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://example.org/gz",
+            "payload": encode_http_response(200, b"page one", gzip_body=True),
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://example.org/404",
+            "payload": encode_http_response(
+                404, b"missing", content_type="text/plain", reason="Not Found"
+            ),
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://example.org/bare",
+            "payload": b"no envelope here",
+        },
+    ]
+    df = spark.createDataFrame(
+        [(7, encode_warc(recs))], "archive_id long, payload binary"
+    )
+    got = {
+        r["target_uri"]: r
+        for r in http_responses(warc_records(df)).collect()
+    }
+    assert set(got) == {
+        "https://example.org/gz",
+        "https://example.org/404",
+        "https://example.org/bare",
+    }
+    gz = got["https://example.org/gz"]
+    assert (gz["http_status"], gz["content_encoding"], bytes(gz["body"])) == (
+        200,
+        "gzip",
+        b"page one",
+    )
+    nf = got["https://example.org/404"]
+    assert (nf["http_status"], nf["mime"], bytes(nf["body"])) == (
+        404,
+        "text/plain",
+        b"missing",
+    )
+    bare = got["https://example.org/bare"]
+    assert bare["http_status"] is None
+    assert bytes(bare["body"]) == b"no envelope here"
+
+
+def test_warc_http_html_quality_pipeline(spark):
+    """The flagship crawl composition: WARC archives of gzip'd HTML HTTP
+    responses -> http_responses -> html_extract -> gopher quality — and
+    the extracted text + quality signals equal running the same
+    operators directly on the raw page text (the envelope layer is
+    transparent)."""
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.analytics.html import html_extract
+    from audit_star_spark.analytics.quality import gopher_quality_flags
+    from audit_star_spark.sources.warc import (
+        encode_http_response,
+        http_responses,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    pages = {
+        int(r["doc_id"]): "<html><head><title>t%d</title></head><body><p>%s</p>"
+        '<a href="/next">n</a></body></html>' % (r["doc_id"], r["text"])
+        for r in docs.collect()
+    }
+    archives = [
+        (
+            did,
+            encode_warc(
+                [
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://example.org/{did}",
+                        "payload": encode_http_response(
+                            200, page.encode(), gzip_body=did % 2 == 0
+                        ),
+                    }
+                ],
+                gzip_members=did % 3 == 0,
+            ),
+        )
+        for did, page in pages.items()
+    ]
+    adf = spark.createDataFrame(archives, "archive_id long, payload binary")
+    crawled = http_responses(warc_records(adf)).filter(
+        (F.col("http_status") == 200) & (F.col("mime") == "text/html")
+    )
+    extracted = html_extract(
+        crawled.select(
+            F.col("archive_id").alias("doc_id"),
+            F.col("body").cast("string").alias("html"),
+        ),
+        "html",
+    )
+    via_warc = gopher_quality_flags(extracted.select("doc_id", "text"))
+    direct = gopher_quality_flags(
+        html_extract(
+            spark.createDataFrame(
+                list(pages.items()), "doc_id long, html string"
+            ),
+            "html",
+        ).select("doc_id", "text")
+    )
+    a = sorted(map(tuple, via_warc.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) == 40
