@@ -77,14 +77,27 @@ def _merge_expr(a: str, b: str) -> str:
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = N_MERGES, materialize_last: bool = True
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    materialize_last: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE rounds. Returns (merges, tokens) where merges
     is [(round, left, right, pair_count)] and tokens is the rewritten
     corpus (doc_id, toks) after all merges. ``materialize_last=False``
     skips persisting the final rewrite (for callers that only want the
-    merge rules, the last round's corpus is dead work)."""
+    merge rules, the last round's corpus is dead work).
+
+    ``checkpoint_dir``: opt-in reliable fault tolerance — each round's
+    rewritten corpus checkpoints to stable storage instead of executor
+    memory, so an executor loss during a long training run resumes from
+    the last round instead of cascading a recompute through every
+    unpersisted earlier round (plans/iterate.py has the trade)."""
+    from audit_star_spark.plans.iterate import iter_materialize
+
     toks = spread(docs).select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    if checkpoint_dir is not None:
+        toks = iter_materialize(toks, checkpoint_dir, eager=False)
     toks.persist()
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -102,8 +115,13 @@ def bpe_train(
             "doc_id", F.expr(_merge_expr(top["a"], top["b"])).alias("toks")
         )
         if r < n_merges or materialize_last:
-            nxt.persist()
-            nxt.count()  # materialize before dropping the previous round
+            if checkpoint_dir is not None:
+                # reliable mode: the round lands on stable storage (and
+                # is recomputable from it), not just executor memory
+                nxt = iter_materialize(nxt, checkpoint_dir, eager=True)
+            else:
+                nxt.persist()
+                nxt.count()  # materialize before dropping previous round
             toks.unpersist()
         toks = nxt
     return merges, toks

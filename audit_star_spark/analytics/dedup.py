@@ -437,6 +437,7 @@ def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
     driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: assign every
     document appearing in ``pairs`` (doc_a, doc_b) the MINIMUM doc_id
@@ -459,8 +460,14 @@ def dedup_clusters(
       shuffle join + one aggregation; ``localCheckpoint`` truncates the
       growing lineage so round N's plan does not replay rounds 1..N-1 —
       the standard Spark shape for fixpoint graph algorithms
-      (GraphX/GraphFrames do the same under the hood).
+      (GraphX/GraphFrames do the same under the hood). Pass
+      ``checkpoint_dir`` to swap the per-round localCheckpoint for a
+      reliable checkpoint on stable storage: an executor loss then
+      resumes from the last round instead of killing the fixpoint
+      (plans/iterate.py has the trade; only the distributed path
+      iterates, so the flag is a no-op on the union-find path).
     """
+    from audit_star_spark.plans.iterate import iter_materialize
     spark = pairs.sparkSession
     if driver_cc_max_edges:
         # Probe the size via persist + count, then collect FROM CACHE.
@@ -518,14 +525,16 @@ def dedup_clusters(
         edges_df.unpersist()  # distributed edges are materialized now
     parts = max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1))
     if parts < sc.defaultParallelism:
-        rebal = edges.repartition(parts, "dst").localCheckpoint()
+        rebal = iter_materialize(
+            edges.repartition(parts, "dst"), checkpoint_dir
+        )
         edges.unpersist()
         edges = rebal
-    labels = (
+    labels = iter_materialize(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("cluster_id", F.col("doc_id")),
+        checkpoint_dir,
     )
 
     def propagate(lbl: DataFrame) -> DataFrame:
@@ -549,7 +558,7 @@ def dedup_clusters(
     # changed-flag join.
     prev_sum: int | None = None
     for _ in range(max(1, max_iterations // 2)):
-        labels = propagate(propagate(labels)).localCheckpoint()
+        labels = iter_materialize(propagate(propagate(labels)), checkpoint_dir)
         cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur == prev_sum:
             break

@@ -237,3 +237,192 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# ------------------------------------------------- animation compositing
+
+
+def parse_gif_frames(payload: bytes) -> list[dict]:
+    """Full animated-GIF compositing: every frame's TRUE canvas pixels,
+    honoring Graphic Control Extension disposal methods, frame
+    offsets/sizes, and transparency — the animation analog of
+    ``parse_avi`` + per-frame decode.
+
+    Per GIF89a: a frame paints its (left, top, w, h) rect over the
+    canvas, skipping pixels of the transparent index; after it is
+    displayed its disposal method runs — 0/1 leave the canvas, 2
+    restores the frame RECT to the background color, 3 restores the
+    canvas to its pre-frame state. The canvas starts as the background
+    color (the logical-screen descriptor's background index into the
+    global color table; zeros if there is no GCT) — the spec reading;
+    browsers render it transparent, which RGB output cannot express.
+
+    Returns one dict per frame:
+    ``{"frame": HxWx3 uint8 (a fresh copy of the canvas AS DISPLAYED),
+    "left", "top", "width", "height", "disposal", "transparent": bool,
+    "delay_cs": int}``. Raises ValueError on truncated/corrupt streams
+    (mapInPandas callers degrade per the repo contract).
+    """
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("bad GIF signature")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    gflags = payload[10]
+    bg_index = payload[11]
+    gct, pos = _color_table(payload, 13, gflags)
+    if gct is not None and bg_index < len(gct):
+        bg = gct[bg_index]
+    else:
+        bg = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg
+    frames: list[dict] = []
+    # GCE state applies to the NEXT image descriptor only
+    disposal, transparent_idx, delay_cs = 0, None, 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            if label == 0xF9 and pos + 7 < len(payload):  # GCE
+                flags = payload[pos + 3]
+                disposal = (flags >> 2) & 0x07
+                delay_cs = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+                transparent_idx = payload[pos + 6] if flags & 0x01 else None
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        lct, pos = _color_table(payload, pos, iflags)
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + n])
+            pos += 1 + n
+        pos += 1  # block terminator
+        table = lct if lct is not None else gct
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        if top + h > sh or left + w > sw:
+            raise ValueError("GIF frame rect exceeds logical screen")
+        idx = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        rows = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+        if iflags & 0x40:
+            rows = _deinterlace(rows)
+        if rows.max() >= len(table):
+            raise ValueError("GIF index out of palette range")
+        saved = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + h, left : left + w]
+        if transparent_idx is not None:
+            opaque = rows != transparent_idx
+            rect[opaque] = table[rows[opaque]]
+        else:
+            rect[:, :] = table[rows]
+        frames.append(
+            {
+                "frame": canvas.copy(),
+                "left": left,
+                "top": top,
+                "width": w,
+                "height": h,
+                "disposal": disposal,
+                "transparent": transparent_idx is not None,
+                "delay_cs": delay_cs,
+            }
+        )
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3:
+            canvas = saved
+        disposal, transparent_idx, delay_cs = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def encode_gif_animation(
+    patches: list[dict],
+    screen: tuple[int, int],
+    bg_rgb: tuple[int, int, int] = (0, 0, 0),
+) -> bytes:
+    """Animated-GIF differential test-vector generator. Each patch dict:
+    ``img`` (hxwx3 uint8), ``left``/``top`` (default 0), ``disposal``
+    (default 0), optional ``mask`` (hxw bool, True = opaque; presence
+    adds a GCE transparency flag with a reserved transparent index),
+    optional ``delay_cs``. A shared 256-entry global palette is built
+    from all patch colors + the background; the background index is 0.
+
+    Deterministic bytes (same LZW writer as ``encode_gif``) so the
+    compositing tests can state expected canvases closed-form."""
+    sw, sh = screen
+    colors: set[tuple[int, int, int]] = {tuple(int(x) for x in bg_rgb)}
+    for p in patches:
+        img = p["img"]
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError("patch img must be hxwx3")
+        mask = p.get("mask")
+        flat = img.reshape(-1, 3)
+        keep = mask.reshape(-1) if mask is not None else np.ones(len(flat), bool)
+        for px in flat[keep]:
+            colors.add((int(px[0]), int(px[1]), int(px[2])))
+    ordered = [tuple(int(x) for x in bg_rgb)] + sorted(
+        c for c in colors if c != tuple(int(x) for x in bg_rgb)
+    )
+    needs_transparent = any(p.get("mask") is not None for p in patches)
+    if len(ordered) + (1 if needs_transparent else 0) > 256:
+        raise ValueError("encode_gif_animation supports <= 255 distinct colors")
+    transparent_index = len(ordered) if needs_transparent else None
+    lut = {c: i for i, c in enumerate(ordered)}
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(ordered)] = np.array(ordered, dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT, 256 entries, bg index 0
+    out += palette.tobytes()
+    for p in patches:
+        img = p["img"]
+        h, w = img.shape[:2]
+        left, top = int(p.get("left", 0)), int(p.get("top", 0))
+        disposal = int(p.get("disposal", 0))
+        mask = p.get("mask")
+        delay = int(p.get("delay_cs", 0))
+        flags = (disposal & 0x07) << 2
+        tidx = 0
+        if mask is not None:
+            flags |= 0x01
+            tidx = transparent_index
+        out += bytes([0x21, 0xF9, 0x04, flags])
+        out += delay.to_bytes(2, "little") + bytes([tidx, 0x00])
+        idx = np.empty((h, w), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                if mask is not None and not mask[y, x]:
+                    idx[y, x] = transparent_index
+                else:
+                    idx[y, x] = lut[tuple(int(v) for v in img[y, x])]
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0])  # no LCT, no interlace
+        min_code = 8
+        data = _lzw_encode(min_code, [int(v) for v in idx.reshape(-1)])
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -1,0 +1,248 @@
+"""Persisted IVF (inverted-file) ANN index: train once, probe many.
+
+The in-line IVF operators (similarity.ivf_topk, semantic_dedup) rebuild
+their coarse quantizer on every call — fine for one-shot analytics,
+wrong at 100 TB where the corpus is indexed once and then probed by
+every downstream retrieval/dedup job for months. This module persists
+the two index artifacts to a directory layout that Spark's parquet
+source prunes natively:
+
+    <index_dir>/centroids/            (cell_id, n_members, centroid, cnorm)
+    <index_dir>/assignments/          (vec_id, label, vec, norm)
+        cell_id=0/ cell_id=1/ ...      <- hive PARTITIONED by cell_id
+    <index_dir>/_ivf_meta.json        n_cells, iters, dim, n_vectors
+
+Probe path: nearest ``n_probe`` cells per query come from the (tiny,
+broadcast) centroid table; the probed cell ids — a bounded
+``n_queries x n_probe`` driver-side list, a control decision like the
+k-means shift probe — become a partition-column IN filter, so the
+assignment scan reads ONLY the probed cells' files (PartitionFilters at
+planning time, plan-locked in tests). No k-means job, no full-corpus
+scan, no shuffle of the corpus: candidates shrink by ~n_probe/n_cells
+exactly as in the in-line operator, but training cost is paid once at
+build time.
+
+Centroid training is ``similarity.kmeans_train`` (deterministic Lloyd
+from the first-``n_cells`` seed with sorted-fold sums), so a rebuild of
+the same corpus bit-reproduces the index — the index-reuse parity tests
+rely on this.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.similarity import (
+    N_CELLS,
+    N_PROBE,
+    _assign_to_cells,
+    _dot,
+    _prepared,
+    kmeans_train,
+)
+
+META = "_ivf_meta.json"
+
+
+class IVFIndex:
+    """Handle on a persisted IVF index directory (see module docstring).
+    Construct via :func:`build_ivf_index` or point at an existing one."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    @property
+    def _centroids_path(self) -> str:
+        return os.path.join(self.index_dir, "centroids")
+
+    @property
+    def _assignments_path(self) -> str:
+        return os.path.join(self.index_dir, "assignments")
+
+    def meta(self) -> dict:
+        with open(os.path.join(self.index_dir, META)) as f:
+            return json.load(f)
+
+    def centroids(self, spark) -> DataFrame:
+        return spark.read.parquet(self._centroids_path)
+
+    def assignments(self, spark) -> DataFrame:
+        return spark.read.parquet(self._assignments_path)
+
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = N_PROBE,
+    ) -> DataFrame:
+        """Top-k cosine neighbors for each query against the indexed
+        corpus, probing each query's ``n_probe`` nearest cells.
+
+        ``queries``: (query_id, qvec array<double>). Returns
+        (query_id, rank, vec_id, cosine); a query's own vec_id is not
+        excluded unless the caller filters it (the index knows nothing
+        about query identity). NO training runs here: the only corpus
+        I/O is the partition-pruned assignment scan.
+        """
+        if k <= 0:
+            raise ValueError(f"k must be positive, got {k}")
+        if n_probe <= 0:
+            raise ValueError(f"n_probe must be positive, got {n_probe}")
+        spark = queries.sparkSession
+        q = queries.select(
+            "query_id",
+            F.col("qvec").alias("qvec"),
+            F.sqrt(_dot("qvec", "qvec")).alias("qnorm"),
+        )
+        cents = self.centroids(spark).select(
+            "cell_id",
+            F.col("centroid").alias("cvec"),
+            F.col("cnorm").alias("cnorm"),
+        )
+        ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("ccos").desc(), F.col("cell_id")
+        )
+        probes = (
+            q.join(F.broadcast(cents))
+            .select("query_id", "qvec", "qnorm", "cell_id", ccos.alias("ccos"))
+            .withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= n_probe)
+            .select("query_id", "qvec", "qnorm", "cell_id")
+        )
+        # bounded driver-side cell list -> STATIC partition filter, so
+        # the scan plans with PartitionFilters and never opens un-probed
+        # cells' files (plan-locked in tests)
+        probes = probes.persist()
+        probed_cells = sorted(
+            {int(r["cell_id"]) for r in probes.select("cell_id").distinct().collect()}
+        )
+        cand = self.assignments(spark).filter(
+            F.col("cell_id").isin(probed_cells)
+        )
+        joined = cand.join(F.broadcast(probes), "cell_id")
+        cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        out = (
+            joined.select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine")
+        )
+        out = out.localCheckpoint(eager=True)
+        probes.unpersist()
+        return out
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = N_CELLS,
+    iters: int = 3,
+) -> IVFIndex:
+    """Train the coarse quantizer (deterministic Lloyd, kmeans_train)
+    and persist centroids + cell-partitioned assignments. Build cost is
+    the k-means run + ONE extra assignment pass with the final
+    centroids (kmeans_train's last internal assignment is keyed to the
+    second-to-last round's centroids, so it cannot be reused verbatim);
+    both are broadcast-join passes over the corpus with no shuffle
+    except the tiny (cell, dim) mean aggregate."""
+    cents_df, _shifts = kmeans_train(emb, n_cells=n_cells, iters=iters)
+    cents = cents_df.withColumn(
+        "cnorm", F.sqrt(_dot("centroid", "centroid"))
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+
+    spark = emb.sparkSession
+    saved = spark.read.parquet(os.path.join(index_dir, "centroids")).select(
+        "cell_id",
+        F.col("centroid").alias("cvec"),
+        "cnorm",
+    )
+    base = _prepared(emb).persist()
+    assigned = _assign_to_cells(base.select("vec_id", "vec", "norm"), saved)
+    # carry label for downstream consumers (semantic dedup groups on it)
+    assigned = assigned.join(
+        base.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "label", "vec", "norm", "cell_id")
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(index_dir, "assignments"))
+    )
+    dim_row = emb.select(
+        F.size(F.expr("embedding")).alias("d")
+    ).limit(1).collect()
+    n_vectors = int(base.count())
+    base.unpersist()
+    meta = {
+        "n_cells": int(n_cells),
+        "iters": int(iters),
+        "dim": int(dim_row[0]["d"]) if dim_row else 0,
+        "n_vectors": n_vectors,
+    }
+    with open(os.path.join(index_dir, META), "w") as f:
+        json.dump(meta, f)
+    return IVFIndex(index_dir)
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    iters: int = 3,
+) -> DataFrame:
+    """The one-shot (train-inline, nothing persisted) equivalent of
+    build_ivf_index(...).probe(...) with the corpus' own first
+    ``n_queries`` vectors as queries and self-matches excluded — the
+    retrain reference the index-reuse parity tests compare against, and
+    the trained counterpart of similarity.ivf_topk (whose centroids are
+    the untrained first-``n_cells`` seed)."""
+    cents_df, _ = kmeans_train(emb, n_cells=n_cells, iters=iters)
+    cents = cents_df.select(
+        "cell_id",
+        F.col("centroid").alias("cvec"),
+        F.sqrt(_dot("centroid", "centroid")).alias("cnorm"),
+    )
+    base = _prepared(emb)
+    assigned = _assign_to_cells(base.select("vec_id", "vec", "norm"), cents)
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qvec", "qnorm", "cell_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell_id")
+    )
+    joined = assigned.join(
+        F.broadcast(probes),
+        (assigned["cell_id"] == probes["cell_id"])
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -1016,6 +1016,62 @@ def video_frame_means(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
 
 
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("disposal", T.IntegerType()),
+        T.StructField("transparent", T.BooleanType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def gif_frame_means(media: DataFrame) -> DataFrame:
+    """REAL animated-GIF compositing through the Spark surface: every
+    frame's TRUE canvas (gif.parse_gif_frames — disposal methods, frame
+    offsets, transparency all honored) reduced to per-channel means —
+    the GIF analog of ``video_frame_means``. 1:N in-row fan-out, narrow
+    execution; undecodable payloads contribute no rows."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from audit_star_spark.analytics.gif import parse_gif_frames
+
+        for pdf in batches:
+            ids, idxs, disp, trans, mr, mg, mb = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = parse_gif_frames(bytes(payload))
+                except Exception:  # noqa: BLE001
+                    continue
+                for i, fr in enumerate(frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    disp.append(fr["disposal"])
+                    trans.append(fr["transparent"])
+                    px = fr["frame"].astype(np.float64)
+                    mr.append(float(np.round(px[:, :, 0].mean(), 6)))
+                    mg.append(float(np.round(px[:, :, 1].mean(), 6)))
+                    mb.append(float(np.round(px[:, :, 2].mean(), 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "disposal": pd.Series(disp, dtype="int32"),
+                    "transparent": pd.Series(trans, dtype="bool"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
 AUDIO_RESAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

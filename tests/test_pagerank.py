@@ -88,3 +88,85 @@ def test_edge_layout_reused_across_iterations(spark):
     # final iteration's plan: contribs agg exchange + the nodes-side join
     # exchanges; the edge scan itself appears as a checkpointed RDD scan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_reliable_checkpoint_mode_matches_local(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for reliable checkpoint():
+    identical ranks, and round data actually lands in the directory."""
+    import os
+
+    from audit_star_spark.analytics.graph import pagerank
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 0), (1, 3)])
+    want = _ranks(pagerank(e, n_iter=5))
+    ckpt = str(tmp_path / "ckpt")
+    got = _ranks(pagerank(e, n_iter=5, checkpoint_dir=ckpt))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # reliable files exist on stable storage
+    found = [
+        f for root, _, fs in os.walk(ckpt) for f in fs if f.startswith("part-")
+    ]
+    assert found
+
+
+def test_tol_stops_at_fixed_point_vs_unrolled_oracle(spark):
+    """With tol, iteration stops at the FIRST round k whose L1 delta
+    from round k-1 is below tol — and the result equals the unrolled-CTE
+    DuckDB oracle evaluated at exactly that k."""
+    import duckdb
+
+    from audit_star_spark.analytics.graph import (
+        pagerank,
+        pagerank_sql_iterations,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 0), (1, 3), (4, 1)]
+    cte = "edges(src, dst) AS (VALUES " + ", ".join(
+        f"({a}, {b})" for a, b in pairs
+    ) + ")"
+
+    def oracle(k):
+        rows = duckdb.sql(pagerank_sql_iterations(cte, k)).fetchall()
+        return {int(n): float(r) for n, r in rows}
+
+    tol = 2e-2
+    # find the expected stop round from the oracle itself
+    k, prev = 1, oracle(1)
+    while True:
+        cur = oracle(k + 1)
+        delta = sum(abs(cur[n] - prev[n]) for n in cur)
+        k, prev = k + 1, cur
+        if delta < tol:
+            break
+    assert k < 25  # converges; n_iter=25 cap never binds
+    got = _ranks(pagerank(_edges(spark, pairs), n_iter=25, tol=tol))
+    assert set(got) == set(prev)
+    for n in prev:
+        assert got[n] == pytest.approx(prev[n], abs=1e-9)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(_edges(spark, pairs), n_iter=5, tol=0.0)
+
+
+def test_tol_none_runs_all_iterations(spark):
+    """Without tol the behavior is unchanged: exactly n_iter rounds
+    (locked by equality with the unrolled oracle at n_iter)."""
+    import duckdb
+
+    from audit_star_spark.analytics.graph import (
+        pagerank,
+        pagerank_sql_iterations,
+    )
+
+    pairs = [(0, 1), (1, 0), (2, 0)]
+    cte = "edges(src, dst) AS (VALUES " + ", ".join(
+        f"({a}, {b})" for a, b in pairs
+    ) + ")"
+    want = {
+        int(n): float(r)
+        for n, r in duckdb.sql(pagerank_sql_iterations(cte, 6)).fetchall()
+    }
+    got = _ranks(pagerank(_edges(spark, pairs), n_iter=6))
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
