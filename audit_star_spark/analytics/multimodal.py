@@ -1144,6 +1144,95 @@ def audio_resample(media: DataFrame, factor: int) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_RESAMPLE_SCHEMA)
 
 
+def audio_resample_rational(media: DataFrame, up: int, down: int) -> DataFrame:
+    """Rational-factor resampling of 16-bit PCM audio — the 44.1 kHz ->
+    16 kHz (up=160, down=441) conversion the integer-factor
+    :func:`audio_resample` cannot express. The kernel is DOCUMENTED
+    closed-form arithmetic (deterministic and differentially testable,
+    unlike a windowed-sinc design):
+
+    1. downmix to mono (channel mean), float64;
+    2. anti-alias prefilter for net downsampling: trailing moving
+       average of width ``w = down // up`` when ``w >= 2``
+       (``f[i] = mean(s[i : i + w])``, ``len(f) = len(s) - w + 1``) —
+       the same exact boxcar the integer path uses; identity otherwise;
+    3. linear interpolation at exact rational positions: output sample
+       ``n`` sits at input position ``pos = n * down / up`` (integer
+       arithmetic: ``i = n * down // up``, ``frac = (n * down % up) /
+       up``), ``out[n] = f[i] * (1 - frac) + f[i + 1] * frac``;
+       ``n_out = (len(f) - 1) * up // down + 1``;
+    4. round half away from zero back to int16.
+
+    With ``up = 1`` the positions land exactly on the prefiltered
+    samples and the result is bit-identical to ``audio_resample(down)``
+    (test-locked). The output rate ``rate * up / down`` must be an
+    integer or the row degrades (poison contract) — a fractional
+    sample rate is not encodable in a WAV header.
+
+    Returns the same schema as :func:`audio_resample`."""
+    import math
+
+    if up < 1 or down < 1:
+        raise ValueError(f"up and down must be >= 1, got {up}/{down}")
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, rates, counts, rmss = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    rate, channels, s = _parse_wav(bytes(payload))
+                    if (rate * up) % down != 0:
+                        raise ValueError("non-integral output rate")
+                    out_rate = rate * up // down
+                    f = s.astype(np.float64)
+                    if channels > 1:
+                        f = f[: len(f) - len(f) % channels]
+                        f = f.reshape(-1, channels).mean(axis=1)
+                    w = down // up
+                    if w >= 2:
+                        if len(f) < w:
+                            raise ValueError("audio shorter than filter")
+                        c = np.concatenate(([0.0], np.cumsum(f)))
+                        f = (c[w:] - c[:-w]) / w
+                    if len(f) < 2:
+                        raise ValueError("audio too short to resample")
+                    n_out = (len(f) - 1) * up // down + 1
+                    n = np.arange(n_out, dtype=np.int64)
+                    i = n * down // up
+                    frac = (n * down % up).astype(np.float64) / up
+                    hi = np.minimum(i + 1, len(f) - 1)
+                    vals = f[i] * (1.0 - frac) + f[hi] * frac
+                    out = np.sign(vals) * np.floor(np.abs(vals) + 0.5)
+                    out = np.clip(out, -32768, 32767).astype("<i2")
+                    payloads.append(encode_wav(out, out_rate))
+                    rates.append(out_rate)
+                    counts.append(n_out)
+                    fo = out.astype(np.float64)
+                    rmss.append(
+                        float(np.sqrt(np.mean(fo * fo))) if n_out else None
+                    )
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    payloads.append(None)
+                    rates.append(None)
+                    counts.append(None)
+                    rmss.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_samples": pd.Series(counts, dtype="Int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_RESAMPLE_SCHEMA)
+
+
 IMAGE_PATCH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

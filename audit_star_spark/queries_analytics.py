@@ -1886,6 +1886,79 @@ FROM km
 """
 
 
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index through the gate (analytics/ivf_index.py):
+    build writes kmeans_train(iters=1) centroids + cell-partitioned
+    assignments to disk; probe ranks probe cells from the broadcast
+    centroid table and reads ONLY the probed cells' partitions (static
+    partition filter — no k-means job, no full-corpus scan on the probe
+    path). The oracle replays the identical train+assign+probe algebra
+    (sorted-fold sums, same tie-breaks) in DuckDB; self-matches are kept
+    (the index knows nothing about query identity)."""
+    import os
+    import tempfile
+
+    from audit_star_spark.analytics.ivf_index import IVFIndex, build_ivf_index
+    from audit_star_spark.analytics.similarity import VEC_EXPR
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivf_gate_")
+    idx = build_ivf_index(emb, os.path.join(d, "idx"), n_cells=16, iters=1)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.expr(VEC_EXPR).alias("qvec")
+    )
+    return IVFIndex(idx.index_dir).probe(queries, k=5, n_probe=4)
+
+
+def _ivf_index_probe_sql(
+    n_cells: int = 16, n_queries: int = 8, k: int = 5, n_probe: int = 4
+) -> str:
+    return f"""
+WITH km AS ({_kmeans_core_sql(n_cells)}),
+tcents AS (
+  SELECT cell_id, centroid AS cvec,
+         sqrt({d_dot('centroid', 'centroid')}) AS cnorm
+  FROM km
+),
+nbase AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+nnormed AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM nbase
+),
+nranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell_id) AS crank
+  FROM (
+    SELECT n.vec_id, n.vec, n.norm, c.cell_id,
+           {d_dot('c.cvec', 'n.vec')} / (c.cnorm * n.norm) AS ccos
+    FROM nnormed n CROSS JOIN tcents c
+  )
+),
+nassigned AS (
+  SELECT vec_id, vec, norm, cell_id FROM nranked WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm, cell_id AS pcell
+  FROM nranked WHERE crank <= {n_probe} AND vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qvec, p.qnorm, a.vec_id, a.vec, a.norm
+  FROM nassigned a JOIN probes p ON a.cell_id = p.pcell
+),
+scored AS (
+  SELECT query_id, vec_id,
+         {d_dot('qvec', 'vec')} / (qnorm * norm) AS cosine
+  FROM cand
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -3647,6 +3720,107 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+def _synth_gif_anim(spark_df):
+    """doc_id-keyed animated-GIF synthesis: 4 frames per doc over an
+    8x8 screen with grayscale v = doc_id % 200 + 1 — full paint
+    (disposal 0), 4x4 patch of 248 at (0,0) with disposal 2 (rect
+    restored to background), 2x2 patch of 128 at (4,4), and a
+    checkerboard-masked transparent 4x4 patch of 30 at (0,0). All pixel
+    counts are powers of two so every composite mean is EXACT in
+    float64 and the oracle states it closed-form."""
+    import numpy as np
+
+    from audit_star_spark.analytics.gif import encode_gif_animation
+
+    def synth(batches):
+        import pandas as pd
+
+        mask = np.zeros((4, 4), dtype=bool)
+        mask[::2, ::2] = True
+        mask[1::2, 1::2] = True  # 8 of 16 opaque
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                v = int(doc_id) % 200 + 1
+                base = np.full((8, 8, 3), v, dtype=np.uint8)
+                p1 = np.full((4, 4, 3), 248, dtype=np.uint8)
+                p2 = np.full((2, 2, 3), 128, dtype=np.uint8)
+                p3 = np.full((4, 4, 3), 30, dtype=np.uint8)
+                payloads.append(
+                    encode_gif_animation(
+                        [
+                            {"img": base, "disposal": 0},
+                            {"img": p1, "left": 0, "top": 0, "disposal": 2},
+                            {"img": p2, "left": 4, "top": 4, "disposal": 0},
+                            {
+                                "img": p3,
+                                "left": 0,
+                                "top": 0,
+                                "mask": mask,
+                                "disposal": 0,
+                            },
+                        ],
+                        (8, 8),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark_df.mapInPandas(synth, schema)
+
+
+def q_gif_anim_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF compositing through the gate (gif.py
+    parse_gif_frames via multimodal.gif_frame_means): disposal 0 and 2,
+    frame offsets, GCE transparency all cross the decode; the oracle
+    states every composite's channel mean closed-form (binary-exact
+    arithmetic by construction, no rounding hazard):
+
+      f0 = v;                      full paint
+      f1 = (48v + 16*248)/64       4x4 of 248 over f0
+      f2 = (44v + 4*128)/64        f1's rect restored to bg 0, 2x2 of 128
+      f3 = f2 + 8*30/64            8 transparent-masked px of 30 over bg
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = multimodal.gif_frame_means(_synth_gif_anim(docs))
+    return m.select(
+        "doc_id",
+        "frame_idx",
+        "disposal",
+        "transparent",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+SQL_GIF_ANIM_CENSUS = """
+WITH v AS (
+  SELECT doc_id, CAST(doc_id % 200 + 1 AS DOUBLE) AS v FROM documents
+),
+frames AS (
+  SELECT doc_id, 0 AS frame_idx, 0 AS disposal, FALSE AS transparent,
+         v AS m FROM v
+  UNION ALL
+  SELECT doc_id, 1, 2, FALSE, (48 * v + 16 * 248) / 64 FROM v
+  UNION ALL
+  SELECT doc_id, 2, 0, FALSE, (44 * v + 4 * 128) / 64 FROM v
+  UNION ALL
+  SELECT doc_id, 3, 0, TRUE, (44 * v + 4 * 128) / 64 + 240.0 / 64 FROM v
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(disposal AS INT) AS disposal, transparent,
+       round(m, 6) AS mean_r, round(m, 6) AS mean_b
+FROM frames
+"""
+
+
 def q_source_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-weighted sampling (text.py
     weighted_sample_per_group): 3 docs per source — the per-bucket
@@ -3697,6 +3871,8 @@ EXTRA_QUERIES = {
     "embedding_projection": q_embedding_projection,
     "warc_census": q_warc_census,
     "warc_http_census": q_warc_http_census,
+    "gif_anim_census": q_gif_anim_census,
+    "ivf_index_probe": q_ivf_index_probe,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -3746,6 +3922,8 @@ EXTRA_ORACLES = {
     "embedding_projection": _projection_sql(),
     "warc_census": SQL_WARC_CENSUS,
     "warc_http_census": SQL_WARC_HTTP_CENSUS,
+    "gif_anim_census": SQL_GIF_ANIM_CENSUS,
+    "ivf_index_probe": _ivf_index_probe_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

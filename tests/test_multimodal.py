@@ -256,3 +256,135 @@ def test_image_patches_model_and_edges(spark):
         assert r["std_luma"] == pytest.approx(tile.std())
     with pytest.raises(ValueError, match="patch"):
         image_patches(media, patch=0)
+
+
+def test_audio_resample_rational_441_to_160(spark):
+    """44.1 kHz -> 16 kHz (up=160, down=441): result equals an
+    independent numpy restatement of the documented kernel (trailing
+    boxcar w=2, linear interpolation at n*441/160, half-away rounding)."""
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        _parse_wav,
+        audio_resample_rational,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    s = (rng.integers(-3000, 3000, size=4410)).astype("<i2")
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, 44100)))], "doc_id long, payload binary"
+    )
+    row = audio_resample_rational(media, up=160, down=441).collect()[0]
+    assert row["sample_rate"] == 16000
+
+    # independent reference
+    f = s.astype(np.float64)
+    w = 441 // 160  # 2
+    f = np.array([f[i : i + w].mean() for i in range(len(f) - w + 1)])
+    n_out = (len(f) - 1) * 160 // 441 + 1
+    want = []
+    for n in range(n_out):
+        i, rem = divmod(n * 441, 160)
+        frac = rem / 160
+        hi = min(i + 1, len(f) - 1)
+        v = f[i] * (1 - frac) + f[hi] * frac
+        want.append(int(np.clip(np.sign(v) * np.floor(abs(v) + 0.5), -32768, 32767)))
+    _, _, got = _parse_wav(bytes(row["payload"]))
+    assert row["n_samples"] == n_out
+    assert list(got) == want
+
+
+def test_audio_resample_rational_upsample_exact_on_ramp(spark):
+    """Pure upsampling (8 kHz -> 12 kHz, up=3, down=2): no prefilter,
+    and linear interpolation reproduces a linear ramp EXACTLY at the
+    rational positions — closed form out[n] = a + b * (2n/3)."""
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        _parse_wav,
+        audio_resample_rational,
+        encode_wav,
+    )
+
+    a, b = -600.0, 9.0
+    s = (a + b * np.arange(200)).astype("<i2")
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s, 8000)))], "doc_id long, payload binary"
+    )
+    row = audio_resample_rational(media, up=3, down=2).collect()[0]
+    assert row["sample_rate"] == 12000
+    _, _, got = _parse_wav(bytes(row["payload"]))
+    n_out = (200 - 1) * 3 // 2 + 1
+    assert len(got) == n_out
+    for n in (0, 1, 2, 3, 100, n_out - 1):
+        v = a + b * (n * 2 / 3)
+        exp = int(np.sign(v) * np.floor(abs(v) + 0.5))
+        assert got[n] == exp
+
+
+def test_audio_resample_rational_integer_equivalence(spark):
+    """up=1 reduces to the integer boxcar path bit-for-bit."""
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        _parse_wav,
+        audio_resample,
+        audio_resample_rational,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    s = (rng.integers(-20000, 20000, size=997)).astype("<i2")
+    stereo = np.column_stack([s, np.roll(s, 3)]).reshape(-1).astype("<i2")
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(s, 48000))),
+            (2, bytearray(encode_wav(stereo, 48000, channels=2))),
+        ],
+        "doc_id long, payload binary",
+    )
+    a = {r["doc_id"]: r for r in audio_resample(media, factor=3).collect()}
+    b = {
+        r["doc_id"]: r
+        for r in audio_resample_rational(media, up=1, down=3).collect()
+    }
+    for d in (1, 2):
+        assert a[d]["sample_rate"] == b[d]["sample_rate"] == 16000
+        sa = _parse_wav(bytes(a[d]["payload"]))[2]
+        sb = _parse_wav(bytes(b[d]["payload"]))[2]
+        assert np.array_equal(sa, sb)
+        # gcd reduction: 2/6 == 1/3
+        c = {
+            r["doc_id"]: r
+            for r in audio_resample_rational(media, up=2, down=6).collect()
+        }
+        sc = _parse_wav(bytes(c[d]["payload"]))[2]
+        assert np.array_equal(sa, sc)
+
+
+def test_audio_resample_rational_degrades_and_validates(spark):
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        audio_resample_rational,
+        encode_wav,
+    )
+    import pytest
+
+    s = np.arange(100, dtype="<i2")
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(s, 44100))),
+            (2, bytearray(b"RIFFgarbage")),
+        ],
+        "doc_id long, payload binary",
+    )
+    # 44100 / 8 = 5512.5 is not an integer -> degrade, like poison
+    rows = {
+        r["doc_id"]: r
+        for r in audio_resample_rational(media, up=1, down=8).collect()
+    }
+    assert rows[1]["payload"] is None and rows[2]["payload"] is None
+    with pytest.raises(ValueError, match="up and down"):
+        audio_resample_rational(media, up=0, down=2)

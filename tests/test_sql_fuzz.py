@@ -374,6 +374,76 @@ def _gen_in_subquery(rng: random.Random) -> str:
     )
 
 
+def _gen_correlated_scalar_select(rng: random.Random) -> str:
+    """Correlated scalar subqueries in the SELECT list (the per-row
+    lookup shape Spark rewrites into a left outer aggregate join):
+    COUNT/MIN over lineitem correlated on the equi-key. ORDER BY the
+    unique key + LIMIT keeps the row set bounded and deterministic."""
+    inner_pred = rng.choice(
+        [
+            f"l_quantity >= {rng.randint(5, 45)}",
+            f"l_returnflag = '{rng.choice(['A', 'N', 'R'])}'",
+            f"l_linenumber <= {rng.randint(1, 5)}",
+        ]
+    )
+    second = rng.choice(
+        [
+            "(SELECT MIN(l_quantity) FROM lineitem "
+            "WHERE l_orderkey = o_orderkey) AS min_qty",
+            "(SELECT CAST(MAX(l_linenumber) AS BIGINT) FROM lineitem "
+            "WHERE l_orderkey = o_orderkey) AS max_line",
+        ]
+    )
+    return (
+        f"SELECT o_orderkey, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND {inner_pred}) AS n_match, "
+        f"{second} "
+        f"FROM orders{_where(rng)} "
+        f"ORDER BY o_orderkey LIMIT {rng.randint(20, 60)}"
+    )
+
+
+def _gen_chained_cte(rng: random.Random) -> str:
+    """Chained CTEs: each WITH member references the previous one
+    (filter -> aggregate -> post-filter/join-back), the staged-pipeline
+    shape real analytics SQL takes."""
+    k = rng.randint(2, 9)
+    thresh = rng.randint(2, 30)
+    tail = rng.choice(
+        [
+            "SELECT g, n, s FROM big",
+            "SELECT b.g, b.n, a.total FROM big b JOIN "
+            "(SELECT CAST(SUM(n) AS BIGINT) AS total FROM agg) a ON TRUE",
+        ]
+    )
+    return (
+        f"WITH base AS (SELECT o_orderstatus AS g, o_orderkey, o_custkey "
+        f"FROM orders{_where(rng)}), "
+        f"agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(o_orderkey % {k}) AS BIGINT) AS s FROM base GROUP BY g), "
+        f"big AS (SELECT g, n, s FROM agg WHERE n >= {thresh}) "
+        f"{tail}"
+    )
+
+
+def _gen_filter_agg(rng: random.Random) -> str:
+    """FILTER-clause aggregates: per-group conditional COUNT/SUM/MIN —
+    the pivot-free conditional-aggregation shape. An empty FILTER set
+    must yield NULL (MIN) / 0 (COUNT) identically in both engines."""
+    cut = rng.randint(1000, 400000)
+    k = rng.randint(2, 11)
+    groups = rng.choice(["o_orderstatus", "o_orderpriority"])
+    return (
+        f"SELECT {groups}, "
+        f"CAST(COUNT(*) FILTER (WHERE o_totalprice > {cut}) AS BIGINT) AS n_big, "
+        f"CAST(SUM(o_orderkey) FILTER (WHERE o_custkey % {k} = 0) AS BIGINT) AS s_mod, "
+        f"MIN(o_totalprice) FILTER (WHERE o_orderpriority LIKE '{rng.randint(1, 5)}%') AS m_pri "
+        f"FROM orders{_where(rng)} "
+        f"GROUP BY {groups}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -393,6 +463,9 @@ def _corpus() -> list[str]:
         + [_gen_datetime(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_having_distinct(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_in_subquery(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_correlated_scalar_select(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_chained_cte(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_filter_agg(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
