@@ -386,7 +386,13 @@ def encode_gif_animation(
     if len(ordered) + (1 if needs_transparent else 0) > 256:
         raise ValueError("encode_gif_animation supports <= 255 distinct colors")
     transparent_index = len(ordered) if needs_transparent else None
-    lut = {c: i for i, c in enumerate(ordered)}
+    # vectorized color -> palette index: searchsorted over the packed
+    # 24-bit palette (every image color is in `ordered` by construction)
+    packed_palette = np.array(
+        [(r << 16) | (g << 8) | b for r, g, b in ordered], dtype=np.int64
+    )
+    order = np.argsort(packed_palette)
+    sorted_packed = packed_palette[order]
     palette = np.zeros((256, 3), dtype=np.uint8)
     palette[: len(ordered)] = np.array(ordered, dtype=np.uint8)
     out = bytearray(b"GIF89a")
@@ -407,13 +413,14 @@ def encode_gif_animation(
             tidx = transparent_index
         out += bytes([0x21, 0xF9, 0x04, flags])
         out += delay.to_bytes(2, "little") + bytes([tidx, 0x00])
-        idx = np.empty((h, w), dtype=np.int32)
-        for y in range(h):
-            for x in range(w):
-                if mask is not None and not mask[y, x]:
-                    idx[y, x] = transparent_index
-                else:
-                    idx[y, x] = lut[tuple(int(v) for v in img[y, x])]
+        pk = (
+            (img[:, :, 0].astype(np.int64) << 16)
+            | (img[:, :, 1].astype(np.int64) << 8)
+            | img[:, :, 2].astype(np.int64)
+        )
+        idx = order[np.searchsorted(sorted_packed, pk)].astype(np.int32)
+        if mask is not None:
+            idx = np.where(mask, idx, transparent_index)
         out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
         out += bytes([0])  # no LCT, no interlace

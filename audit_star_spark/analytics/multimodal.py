@@ -445,12 +445,28 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
+def _parse_audio(payload: bytes) -> tuple[int, int, np.ndarray, str]:
+    """Audio decode dispatch by magic: RIFF/WAVE 16-bit PCM
+    (:func:`_parse_wav`) or FLAC (analytics/flac.py — constant/verbatim/
+    fixed/LPC subframes, Rice residuals, stereo decorrelation). Returns
+    (rate, channels, interleaved int samples, format). MP3 remains a
+    documented raise — a psychoacoustic codec is out of scope here."""
+    payload = bytes(payload)
+    if payload[:4] == b"fLaC":
+        from audit_star_spark.analytics.flac import parse_flac
+
+        rate, channels, _bps, frames = parse_flac(payload)
+        return rate, channels, frames.reshape(-1), "flac"
+    rate, channels, s = _parse_wav(payload)
+    return rate, channels, s, "wav"
+
+
 def audio_meta(media: DataFrame) -> DataFrame:
     """Real audio decode + feature extraction: per payload, sample rate /
     channel count / duration plus RMS amplitude and zero-crossing count
-    (the classic cheap speech/music discriminators). Undecodable payloads
-    degrade to format='unknown' with NULL metrics — same poison-payload
-    policy as ``image_meta``."""
+    (the classic cheap speech/music discriminators). WAV and FLAC decode
+    (_parse_audio); undecodable payloads degrade to format='unknown'
+    with NULL metrics — same poison-payload policy as ``image_meta``."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
@@ -462,7 +478,7 @@ def audio_meta(media: DataFrame) -> DataFrame:
                                       "zero_crossings")}
             for payload in pdf["payload"]:
                 try:
-                    rate, channels, s = _parse_wav(bytes(payload))
+                    rate, channels, s, fmt = _parse_audio(bytes(payload))
                 except Exception:  # noqa: BLE001 — same poison-payload
                     # degrade rule as image_meta
                     for k in cols:
@@ -471,7 +487,7 @@ def audio_meta(media: DataFrame) -> DataFrame:
                     continue
                 n = len(s) // channels
                 f = s.astype(np.float64)
-                cols["format"].append("wav")
+                cols["format"].append(fmt)
                 cols["sample_rate"].append(rate)
                 cols["n_channels"].append(channels)
                 cols["n_samples"].append(n)

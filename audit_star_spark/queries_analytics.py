@@ -1423,6 +1423,71 @@ FROM documents
 """
 
 
+def _synth_flac(spark_df):
+    """The synth_audio square wave FLAC-encoded (analytics/flac.py):
+    blocks are non-constant with sparse +-2A second differences, so the
+    encoder takes the FIXED-order-2 + Rice path — the real entropy-coded
+    decode crosses the gate, not just the container walk."""
+    import numpy as np
+
+    from audit_star_spark.analytics.flac import encode_flac
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                half = 10 + int(doc_id) % 7
+                n = 800 + (int(doc_id) % 5) * 160
+                i = np.arange(n)
+                s = multimodal.AUDIO_AMP * (1 - 2 * ((i // half) % 2))
+                payloads.append(
+                    encode_flac(s, multimodal.AUDIO_RATE, block_size=256)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spread(spark_df.select("doc_id")).mapInPandas(synth, schema)
+
+
+def q_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode through the gate (analytics/flac.py): the
+    square-wave vectors of ``audio_meta`` re-encoded as FLAC (FIXED
+    subframes + Rice residuals), pushed through the same audio_meta
+    operator via its magic dispatch; the oracle states the identical
+    closed forms with format='flac'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_meta(_synth_flac(docs))
+
+
+SQL_FLAC_META = f"""
+SELECT doc_id,
+       'flac' AS format,
+       CAST({multimodal.AUDIO_RATE} AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       800 + (doc_id % 5) * 160 AS n_samples,
+       CAST(800 + (doc_id % 5) * 160 AS DOUBLE) / {multimodal.AUDIO_RATE}.0 AS duration_s,
+       CAST({multimodal.AUDIO_AMP} AS DOUBLE) AS rms,
+       (800 + (doc_id % 5) * 160 - 1) // (10 + doc_id % 7) AS zero_crossings
+FROM documents
+"""
+
+
 # ------------------------------------------------------- sequence packing
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sequence_packing(load_table(spark, sf_dir, "documents"))
@@ -3873,6 +3938,7 @@ EXTRA_QUERIES = {
     "warc_http_census": q_warc_http_census,
     "gif_anim_census": q_gif_anim_census,
     "ivf_index_probe": q_ivf_index_probe,
+    "flac_meta": q_flac_meta,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -3924,6 +3990,7 @@ EXTRA_ORACLES = {
     "warc_http_census": SQL_WARC_HTTP_CENSUS,
     "gif_anim_census": SQL_GIF_ANIM_CENSUS,
     "ivf_index_probe": _ivf_index_probe_sql(),
+    "flac_meta": SQL_FLAC_META,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
