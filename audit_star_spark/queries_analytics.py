@@ -2024,6 +2024,135 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
 """
 
 
+def q_crawl_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship crawl composition as ONE DAG through the gate:
+    WARC archives of HTTP responses -> envelope parse (status/mime
+    filter, gzip decode) -> html_extract -> gopher quality flags ->
+    per-source survival report with the kept token budget. Every stage
+    is the REAL operator (sources/warc.py, analytics/html.py,
+    analytics/quality.py); the synthesis embeds each document's text
+    verbatim in a minimal page (the corpus has no HTML-special chars —
+    a real crawl would entity-escape), so the extracted text equals the
+    whitespace-canonical document text and the oracle can state the
+    quality flags over `documents` directly (tokenization canonicalizes
+    whitespace identically on both paths)."""
+    from audit_star_spark.analytics.html import html_extract
+    from audit_star_spark.analytics.quality import gopher_quality_flags
+    from audit_star_spark.sources.warc import http_responses, warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    crawled = http_responses(warc_records(_synth_crawl(docs))).filter(
+        (F.col("http_status") == 200) & (F.col("mime") == "text/html")
+    )
+    extracted = html_extract(
+        crawled.select(
+            F.col("archive_id").alias("doc_id"),
+            F.col("body").cast("string").alias("html"),
+        ),
+        "html",
+    ).select("doc_id", "text")
+    from audit_star_spark.analytics.text import TOKENS_EXPR
+
+    flags = gopher_quality_flags(extracted).select("doc_id", "keep")
+    toks = extracted.select(
+        "doc_id", F.size(F.expr(TOKENS_EXPR)).alias("nt")
+    )
+    fetched = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 7 != 0).alias("ok"),
+        ((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 != 0)).alias(
+            "is_page"
+        ),
+    )
+    staged = (
+        fetched.join(flags, "doc_id", "left")
+        .join(toks, "doc_id", "left")
+        .withColumn("kept", F.col("is_page") & F.coalesce("keep", F.lit(False)))
+    )
+    return staged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_ok"),
+        F.sum(F.col("is_page").cast("int")).cast("long").alias("n_pages"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("nt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+def _synth_crawl(spark_df):
+    """doc_id-keyed crawl synthesis: one WARC archive per doc holding a
+    single HTTP response — 404 for d%7==0, text/plain (filtered
+    downstream) for d%11==0, else a gzip'd (odd d) minimal HTML page
+    embedding the doc text; archives themselves member-gzip for
+    d%3==0."""
+    from audit_star_spark.sources.warc import encode_http_response, encode_warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                status = 404 if d % 7 == 0 else 200
+                if d % 11 == 0:
+                    ctype, body = "text/plain", text.encode("utf-8")
+                else:
+                    ctype = "text/html; charset=utf-8"
+                    body = (
+                        "<html><body><p>%s</p></body></html>" % text
+                    ).encode("utf-8")
+                rec = {
+                    "warc_type": "response",
+                    "target_uri": f"https://example.org/{d}",
+                    "content_type": "application/http;msgtype=response",
+                    "payload": encode_http_response(
+                        status, body, content_type=ctype, gzip_body=bool(d % 2)
+                    ),
+                }
+                payloads.append(encode_warc([rec], gzip_members=d % 3 == 0))
+            yield pd.DataFrame(
+                {"archive_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("archive_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return spark_df.mapInPandas(synth, schema)
+
+
+def _crawl_pipeline_sql() -> str:
+    return f"""
+WITH qf AS ({_quality_flags_sql()}),
+st AS (
+  SELECT doc_id, source,
+         (doc_id % 7 <> 0) AS ok,
+         (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS is_page,
+         len({D_TOKENS}) AS nt
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN st.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN st.is_page THEN 1 ELSE 0 END) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN st.is_page AND qf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN st.is_page AND qf.keep THEN st.nt ELSE 0 END), 0) AS BIGINT) AS kept_tokens
+FROM st JOIN qf USING (doc_id)
+GROUP BY source
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -3939,6 +4068,7 @@ EXTRA_QUERIES = {
     "gif_anim_census": q_gif_anim_census,
     "ivf_index_probe": q_ivf_index_probe,
     "flac_meta": q_flac_meta,
+    "crawl_pipeline_report": q_crawl_pipeline_report,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -3991,6 +4121,7 @@ EXTRA_ORACLES = {
     "gif_anim_census": SQL_GIF_ANIM_CENSUS,
     "ivf_index_probe": _ivf_index_probe_sql(),
     "flac_meta": SQL_FLAC_META,
+    "crawl_pipeline_report": _crawl_pipeline_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
