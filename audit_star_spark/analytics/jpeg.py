@@ -8,12 +8,17 @@ tables) and the public JFIF note (YCbCr matrix).
 
 Scope (honest boundaries, mirroring the PNG decoder's):
 - DECODE: baseline sequential DCT (SOF0/1) and progressive DCT (SOF2 —
-  spectral selection + successive approximation, T.81 G.2), 8-bit,
-  grayscale or 3-component YCbCr, any sampling factors (nearest-neighbor
-  chroma upsample), interleaved and single-component scans, restart
-  markers. Arithmetic coding, hierarchical, and 12-bit raise ValueError.
+  spectral selection + successive approximation, T.81 G.2), grayscale or
+  3-component YCbCr, any sampling factors (nearest-neighbor chroma
+  upsample), interleaved and single-component scans, restart markers.
+  Sequential streams decode at 8-bit AND 12-bit precision (Pq=1 16-bit
+  quant tables, level shift 2048, uint16 output); progressive remains
+  8-bit. Arithmetic coding and hierarchical raise ValueError.
 - ENCODE: grayscale or 4:4:4 color, quality-scaled Annex-K quant tables,
-  standard Huffman tables — the synthesis side of the differential gate.
+  standard Huffman tables — the synthesis side of the differential gate;
+  ``encode_jpeg12`` is the 12-bit variant (SOF1, flat Huffman tables
+  covering the wider DC/AC categories the Annex-K examples stop short
+  of).
   ``encode_jpeg_progressive`` emits a multi-scan SOF2 stream carrying the
   SAME quantized coefficients, so progressive decode is differentially
   locked against baseline decode bit-for-bit at any quality.
@@ -217,8 +222,9 @@ def _encode_block(
     ac_codes: dict[int, tuple[int, int]],
     pred: int,
     bw: _BitWriter,
+    center: float = 128.0,
 ) -> int:
-    f = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    f = _C @ (block.astype(np.float64) - center) @ _C.T
     q = np.round(f / qt).astype(np.int64)
     zz = q[_ZIG_ROWS, _ZIG_COLS]
     dc = int(zz[0])
@@ -324,6 +330,92 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     return bytes(head) + bw.flush() + b"\xff\xd9"  # EOI
 
 
+def _dqt_seg16(tid: int, qt: np.ndarray) -> bytes:
+    """Pq=1 quantization table segment (16-bit entries) — what 12-bit
+    precision streams carry."""
+    body = bytes([0x10 | tid]) + b"".join(
+        int(v).to_bytes(2, "big") for v in qt[_ZIG_ROWS, _ZIG_COLS]
+    )
+    return _seg(0xDB, body)
+
+
+# flat canonical tables for the 12-bit encoder: DC categories 0..15 all
+# at 5 bits (Kraft 16/32), AC (run,size) for run 0..15 x size 1..15 plus
+# EOB and ZRL all at 8 bits (242/256) — valid prefix codes with no
+# all-ones code, trivially canonical, covering every symbol a 12-bit
+# block can emit (the Annex K example tables stop at category 11).
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 16)
+]
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_jpeg12(img: np.ndarray, quality: int = 90) -> bytes:
+    """HxWx{1,3} uint16 (0..4095) -> 12-bit extended sequential (SOF1)
+    bytes: Pq=1 16-bit quant tables, level shift 2048, flat Huffman
+    tables sized for 12-bit categories. quality=100 clamps quant to 1,
+    so tile-constant images decode bit-exactly — the same differential
+    contract as the 8-bit encoder."""
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError("encode_jpeg12 expects 1 or 3 channels")
+    if img.min() < 0 or img.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    center = 2048.0
+    qts = [_quality_scale(_QT_LUMA, quality)]
+    planes = [img[:, :, 0].astype(np.float64)]
+    if c == 3:
+        qts.append(_quality_scale(_QT_CHROMA, quality))
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
+        planes = [np.round(y), np.round(cb), np.round(cr)]
+    planes = [np.clip(p, 0, 4095) for p in planes]
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _dqt_seg16(0, qts[0])
+    if c == 3:
+        head += _dqt_seg16(1, qts[1])
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(c)
+    )
+    head += _seg(
+        0xC1,
+        bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([c]) + comps,
+    )
+    head += _dht_seg(0, 0, _DC12_BITS, _DC12_VALS)
+    head += _dht_seg(1, 0, _AC12_BITS, _AC12_VALS)
+    if c == 3:
+        head += _dht_seg(0, 1, _DC12_BITS, _DC12_VALS)
+        head += _dht_seg(1, 1, _AC12_BITS, _AC12_VALS)
+    scomps = b"".join(bytes([i + 1, 0 if i == 0 else 0x11]) for i in range(c))
+    head += _seg(0xDA, bytes([c]) + scomps + bytes([0, 63, 0]))
+
+    dc_codes = _canonical_codes(_DC12_BITS, _DC12_VALS)
+    ac_codes = _canonical_codes(_AC12_BITS, _AC12_VALS)
+    bw = _BitWriter()
+    preds = [0] * c
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = [
+        np.pad(p, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
+        for p in planes
+    ]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(c):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                preds[ci] = _encode_block(
+                    block, qts[min(ci, 1)], dc_codes, ac_codes, preds[ci],
+                    bw, center=center,
+                )
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
 # -- decoder ----------------------------------------------------------------
 def _unstuff(scan: bytes) -> bytes:
     """Remove 0xFF00 stuffing and RSTn markers; restart handling
@@ -371,12 +463,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             p = 0
             while p < len(body):
                 prec, tid = body[p] >> 4, body[p] & 0xF
-                if prec != 0:
-                    raise ValueError("16-bit quant tables not supported")
                 qt = np.zeros((8, 8), dtype=np.int64)
-                qt[_ZIG_ROWS, _ZIG_COLS] = list(body[p + 1 : p + 65])
+                if prec == 0:
+                    qt[_ZIG_ROWS, _ZIG_COLS] = list(body[p + 1 : p + 65])
+                    p += 65
+                else:  # Pq=1: 16-bit entries (12-bit precision streams)
+                    qt[_ZIG_ROWS, _ZIG_COLS] = [
+                        int.from_bytes(body[p + 1 + 2 * k : p + 3 + 2 * k], "big")
+                        for k in range(64)
+                    ]
+                    p += 129
                 qts[tid] = qt
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -386,10 +483,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + n])
                 (ac_tabs if tclass else dc_tabs)[tid] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 sequential
             prec = body[0]
-            if prec != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+            if prec not in (8, 12):
+                raise ValueError("sequential JPEG precision must be 8 or 12")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -397,7 +494,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for k in range(nc):
                 cid, hv, tq = body[6 + 3 * k : 9 + 3 * k]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": False}
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": False, "prec": prec,
+            }
         elif marker == 0xC2:  # SOF2 progressive DCT, Huffman
             prec = body[0]
             if prec != 8:
@@ -502,6 +602,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 )
                     done += 1
 
+    prec = frame.get("prec", 8)
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     planes = []
     for c in comps:
         qt = qts[c["tq"]]
@@ -513,7 +616,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 blk[_ZIG_ROWS, _ZIG_COLS] = zz
                 coefs[by * nbx + bx] = blk * qt
         # vectorized IDCT over every block at once: B = C^T F C
-        spatial = np.einsum("km,bmn,nl->bkl", _C.T, coefs, _C) + 128.0
+        spatial = np.einsum("km,bmn,nl->bkl", _C.T, coefs, _C) + center
         plane = (
             spatial.reshape(nby, nbx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -529,13 +632,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         out = planes[0][:, :, None]
     elif len(planes) == 3:
         y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
         out = np.stack([r, g, b], axis=2)
     else:
         raise ValueError(f"{len(planes)}-component JPEG not supported")
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    out = np.clip(np.round(out), 0, maxval)
+    return out.astype(np.uint8) if prec == 8 else out.astype(np.uint16)
 
 
 def _decode_block_into(

@@ -269,9 +269,9 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         return decode_gif(payload)
     raise NotImplementedError(
-        "netpbm P5/P6, BI_RGB BMP, 8-bit PNG, baseline+progressive JPEG, "
-        "and GIF decode here; arithmetic JPEG and other formats are out "
-        "of scope in this codec-library-free environment"
+        "netpbm P5/P6, BI_RGB BMP, 8-bit PNG, baseline/progressive/12-bit "
+        "JPEG, and GIF decode here; arithmetic JPEG and other formats are "
+        "out of scope in this codec-library-free environment"
     )
 
 

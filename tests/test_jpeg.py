@@ -396,3 +396,67 @@ def test_progressive_random_sparse_blocks_bit_exact():
         base = decode_jpeg(encode_jpeg(img, quality=100))
         prog = decode_jpeg(encode_jpeg_progressive(img, quality=100))
         assert np.array_equal(prog, base), zz
+
+
+# ----------------------------------------------------- 12-bit precision
+
+
+def test_jpeg12_constant_tiles_roundtrip_exact():
+    """quality=100 clamps quant to 1; tile-constant 12-bit images decode
+    bit-exactly (the same differential contract as the 8-bit gate)."""
+    import numpy as np
+
+    from audit_star_spark.analytics.jpeg import decode_jpeg, encode_jpeg12
+
+    tiles = np.array([[100, 2048], [4095, 3000]], dtype=np.uint16)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:, :, None]
+    got = decode_jpeg(encode_jpeg12(img, quality=100))
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, img)
+    assert got.max() == 4095  # true 12-bit dynamic range survives
+
+
+def test_jpeg12_rgb_roundtrip_close():
+    import numpy as np
+
+    from audit_star_spark.analytics.jpeg import decode_jpeg, encode_jpeg12
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(256, 3840, size=(2, 2, 3), dtype=np.uint16)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    got = decode_jpeg(encode_jpeg12(img, quality=100))
+    assert got.dtype == np.uint16 and got.shape == img.shape
+    # YCbCr roundtrip rounding only: within 2 counts out of 4096
+    assert np.max(np.abs(got.astype(np.int64) - img.astype(np.int64))) <= 2
+
+
+def test_jpeg12_gradient_quantized_close_and_8bit_unchanged():
+    import numpy as np
+
+    from audit_star_spark.analytics.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg12,
+    )
+
+    x = np.linspace(0, 4095, 32)
+    img12 = (x[None, :] * np.ones((24, 1))).astype(np.uint16)[:, :, None]
+    got = decode_jpeg(encode_jpeg12(img12, quality=95))
+    err = np.abs(got.astype(np.float64) - img12.astype(np.float64))
+    assert err.mean() < 32  # smooth ramp survives quantization
+    # the 8-bit path still returns uint8
+    img8 = (img12 >> 4).astype(np.uint8)
+    got8 = decode_jpeg(encode_jpeg(img8, quality=95))
+    assert got8.dtype == np.uint8
+
+
+def test_jpeg12_validation():
+    import numpy as np
+    import pytest
+
+    from audit_star_spark.analytics.jpeg import encode_jpeg12
+
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg12(np.full((8, 8, 1), 5000, dtype=np.uint16))
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg12(np.zeros((8, 8, 2), dtype=np.uint16))
