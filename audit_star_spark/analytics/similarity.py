@@ -240,7 +240,10 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
 
 
 def semantic_dedup(
-    emb: DataFrame, n_cells: int = N_CELLS, threshold: float = 0.35
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    threshold: float = 0.35,
+    index=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
@@ -259,23 +262,37 @@ def semantic_dedup(
     Centroids are the first ``n_cells`` vectors by vec_id — the same
     deterministic stand-in for offline k-means as ``ivf_topk`` (the
     dataflow, which is what matters at scale, is identical either way).
+
+    ``index``: optional :class:`~audit_star_spark.analytics.ivf_index.
+    IVFIndex` — the train-once / probe-many path. The persisted cell
+    assignments replace both the centroid broadcast and the assignment
+    scan entirely (``emb`` and ``n_cells`` are then ignored for
+    assignment; the cell-blocked dedup join runs straight off the
+    partitioned assignment parquet).
     """
-    base = _prepared(emb)
-    cents = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
-    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "vec", "norm", "cell_id")
-    )
+    if index is not None:
+        assigned = index.assignments(emb.sparkSession).select(
+            "vec_id", "vec", "norm", "cell_id"
+        )
+    else:
+        base = _prepared(emb)
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+        ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+        scored = base.join(F.broadcast(cents)).select(
+            "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
+        )
+        wc = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cell_id")
+        )
+        assigned = (
+            scored.withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") == 1)
+            .select("vec_id", "vec", "norm", "cell_id")
+        )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
     dup_of = (

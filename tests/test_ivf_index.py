@@ -107,3 +107,56 @@ def test_reload_from_disk_is_identical(index, spark, emb):
     a = sorted(map(tuple, index.probe(q, k=4).collect()))
     b = sorted(map(tuple, again.probe(q, k=4).collect()))
     assert a == b and a
+
+
+def test_semantic_dedup_from_persisted_index(index, spark, emb):
+    """semantic_dedup(index=...) runs the dedup join straight off the
+    persisted assignments — same keep/drop decisions as computing the
+    assignment from the same centroids inline, zero training jobs."""
+    from audit_star_spark.analytics.ivf_index import IVFIndex
+    from audit_star_spark.analytics.similarity import (
+        _assign_to_cells,
+        _dot,
+        _prepared,
+        semantic_dedup,
+    )
+
+    got = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.35, index=index).collect())
+    )
+    # inline reference from the SAME persisted centroids
+    cents = index.centroids(spark).select(
+        "cell_id",
+        F.col("centroid").alias("cvec"),
+        F.col("cnorm").alias("cnorm"),
+    )
+    assigned = _assign_to_cells(
+        _prepared(emb).select("vec_id", "vec", "norm"), cents
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.35)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    want = sorted(
+        map(
+            tuple,
+            assigned.drop("vec", "norm")
+            .join(dup_of, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cell_id",
+                "dup_of",
+                F.col("dup_of").isNull().alias("kept"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got
