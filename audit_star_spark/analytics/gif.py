@@ -418,7 +418,13 @@ def encode_gif_animation(
             | (img[:, :, 1].astype(np.int64) << 8)
             | img[:, :, 2].astype(np.int64)
         )
-        idx = order[np.searchsorted(sorted_packed, pk)].astype(np.int32)
+        # masked-OUT pixels may carry colors absent from the palette;
+        # their lookup result is garbage but immediately overwritten by
+        # the transparent index — clip keeps the gather in bounds
+        pos = np.clip(
+            np.searchsorted(sorted_packed, pk), 0, len(sorted_packed) - 1
+        )
+        idx = order[pos].astype(np.int32)
         if mask is not None:
             idx = np.where(mask, idx, transparent_index)
         out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")

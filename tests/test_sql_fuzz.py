@@ -444,6 +444,29 @@ def _gen_filter_agg(rng: random.Random) -> str:
     )
 
 
+def _gen_lateral(rng: random.Random) -> str:
+    """LATERAL correlated derived tables — the per-row subrelation shape
+    (Spark >= 3.2 lateral subquery, DuckDB LATERAL)."""
+    inner_pred = rng.choice(
+        [
+            f"l_linenumber <= {rng.randint(1, 6)}",
+            f"l_quantity >= {rng.randint(5, 40)}",
+            f"l_returnflag = '{rng.choice(['A', 'N', 'R'])}'",
+        ]
+    )
+    agg = rng.choice(
+        ["MAX(l_quantity) AS m", "MIN(l_quantity) AS m",
+         "CAST(MAX(l_linenumber) AS BIGINT) AS m"]
+    )
+    return (
+        f"SELECT o_orderkey, t.n, t.m FROM orders, "
+        f"LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n, {agg} "
+        f"FROM lineitem WHERE l_orderkey = o_orderkey AND {inner_pred}) t"
+        f"{_where(rng)} "
+        f"ORDER BY o_orderkey LIMIT {rng.randint(20, 50)}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -466,6 +489,7 @@ def _corpus() -> list[str]:
         + [_gen_correlated_scalar_select(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_chained_cte(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_filter_agg(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_lateral(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 

@@ -356,3 +356,55 @@ def test_warc_http_html_quality_pipeline(spark):
     a = sorted(map(tuple, via_warc.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b and len(a) == 40
+
+
+def test_http_responses_streaming_crawl(spark, tmp_path):
+    """The full crawl chain under Structured Streaming: binaryFile
+    readStream -> warc_records -> http_responses -> foreachBatch.
+    Envelope decode (gzip bodies) happens inside the micro-batch; the
+    drained rows equal the batch run over the same archives."""
+    from audit_star_spark.sources.warc import (
+        encode_http_response,
+        http_responses,
+    )
+
+    for i in range(3):
+        recs = [
+            {
+                "warc_type": "response",
+                "target_uri": f"https://example.org/{i}",
+                "payload": encode_http_response(
+                    200, f"page {i}".encode(), gzip_body=i % 2 == 0
+                ),
+            }
+        ]
+        (tmp_path / f"c{i}.warc").write_bytes(encode_warc(recs))
+
+    raw_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    got = []
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path))
+        .selectExpr("abs(hash(path)) AS archive_id", "content AS payload")
+    )
+    q = (
+        http_responses(warc_records(stream))
+        .writeStream.foreachBatch(
+            lambda df, bid: got.extend(
+                (r["target_uri"], r["http_status"], bytes(r["body"]))
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == [
+        (f"https://example.org/{i}", 200, f"page {i}".encode())
+        for i in range(3)
+    ]
