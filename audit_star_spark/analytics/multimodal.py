@@ -479,7 +479,29 @@ def audio_meta(media: DataFrame) -> DataFrame:
             for payload in pdf["payload"]:
                 try:
                     rate, channels, s, fmt = _parse_audio(bytes(payload))
-                except Exception:  # noqa: BLE001 — same poison-payload
+                except Exception:  # noqa: BLE001
+                    # MP3: header census without sample decode — rate,
+                    # channels, duration from the frame walk; the
+                    # sample-derived metrics stay NULL (analytics/mp3.py)
+                    try:
+                        from audit_star_spark.analytics.mp3 import (
+                            SAMPLES_PER_FRAME,
+                            parse_mp3,
+                        )
+
+                        info = parse_mp3(bytes(payload))
+                        cols["format"].append("mp3")
+                        cols["sample_rate"].append(info["sample_rate"])
+                        cols["n_channels"].append(info["channels"])
+                        cols["n_samples"].append(
+                            info["n_frames"] * SAMPLES_PER_FRAME
+                        )
+                        cols["duration_s"].append(info["duration_s"])
+                        cols["rms"].append(None)
+                        cols["zero_crossings"].append(None)
+                        continue
+                    except Exception:  # noqa: BLE001 — same poison-payload
+                        pass
                     # degrade rule as image_meta
                     for k in cols:
                         cols[k].append(None)
