@@ -1,0 +1,155 @@
+"""Streaming IVF maintenance (streaming/ivf.py): assign-on-ingest with
+frozen centroids, union reads, replayed-batch idempotence, crash-atomic
+merge into the index, and post-merge replay pruning."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.ivf_index import build_ivf_index
+from audit_star_spark.analytics.similarity import VEC_EXPR
+from audit_star_spark.streaming.ivf import StreamingIVFIngest
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb, n):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.expr(VEC_EXPR).alias("qvec")
+    )
+
+
+def _setup(spark, emb, tmp_path, cut=400):
+    """Index built over vec_id < cut; the rest arrives via streaming."""
+    idx = build_ivf_index(
+        emb.filter(F.col("vec_id") < cut),
+        str(tmp_path / "idx"),
+        n_cells=8,
+        iters=1,
+    )
+    ing = StreamingIVFIngest(idx.index_dir, str(tmp_path / "side"))
+    rest = emb.filter(F.col("vec_id") >= cut)
+    ing.process_batch(rest.filter(F.col("vec_id") % 2 == 0), 0)
+    ing.process_batch(rest.filter(F.col("vec_id") % 2 == 1), 1)
+    return idx, ing
+
+
+def _reference(spark, emb, idx):
+    """Assignment of the FULL corpus with the same frozen centroids."""
+    from audit_star_spark.analytics.similarity import (
+        _assign_to_cells,
+        _prepared,
+    )
+
+    cents = idx.centroids(spark).select(
+        "cell_id",
+        F.col("centroid").alias("cvec"),
+        F.col("cnorm").alias("cnorm"),
+    )
+    return _assign_to_cells(_prepared(emb).select("vec_id", "vec", "norm"), cents)
+
+
+def test_union_assignment_equals_frozen_batch_assignment(spark, emb, tmp_path):
+    idx, ing = _setup(spark, emb, tmp_path)
+    got = sorted(
+        (int(r["vec_id"]), int(r["cell_id"]))
+        for r in ing.assignments(spark).select("vec_id", "cell_id").collect()
+    )
+    want = sorted(
+        (int(r["vec_id"]), int(r["cell_id"]))
+        for r in _reference(spark, emb, idx).select("vec_id", "cell_id").collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+
+def test_replayed_batch_is_idempotent_pre_merge(spark, emb, tmp_path):
+    idx, ing = _setup(spark, emb, tmp_path)
+    n = ing.assignments(spark).count()
+    rest = emb.filter(F.col("vec_id") >= 400)
+    ing.process_batch(rest.filter(F.col("vec_id") % 2 == 1), 1)  # replay
+    assert ing.assignments(spark).count() == n
+    dup = ing.assignments(spark).groupBy("vec_id").count().filter("count > 1")
+    assert dup.count() == 0
+
+
+def test_probe_union_matches_probe_of_merged_index(spark, emb, tmp_path):
+    idx, ing = _setup(spark, emb, tmp_path)
+    q = _queries(emb, 5)
+    before = sorted(map(tuple, ing.probe(q, k=4, n_probe=3).collect()))
+    ing.merge_into_index(spark)
+    after = sorted(map(tuple, ing.probe(q, k=4, n_probe=3).collect()))
+    assert before == after and before
+    # post-merge the index alone answers identically
+    alone = sorted(map(tuple, idx.probe(q, k=4, n_probe=3).collect()))
+    assert alone == before
+
+
+def test_merge_is_replay_safe_and_atomic(spark, emb, tmp_path, monkeypatch):
+    idx, ing = _setup(spark, emb, tmp_path)
+    total = ing.assignments(spark).count()
+    ing.merge_into_index(spark)
+    assert ing.assignments(spark).count() == total
+    # batch 1 replayed AFTER the merge: its partition re-appears in the
+    # side store but the recorded merged_through prunes it from reads
+    rest = emb.filter(F.col("vec_id") >= 400)
+    ing.process_batch(rest.filter(F.col("vec_id") % 2 == 1), 1)
+    assert ing.assignments(spark).count() == total
+    dup = ing.assignments(spark).groupBy("vec_id").count().filter("count > 1")
+    assert dup.count() == 0
+    # crash injection: a merge dying at the first rename leaves the
+    # index readable with pre-merge contents
+    ing.process_batch(
+        rest.filter(F.col("vec_id") % 2 == 1).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        ),
+        2,
+    )
+    import audit_star_spark.streaming.store_compact as sc
+
+    real = os.rename
+    calls = {"n": 0}
+
+    def failing(a, b):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash at rename")
+        return real(a, b)
+
+    monkeypatch.setattr(sc.os, "rename", failing)
+    with pytest.raises(RuntimeError):
+        ing.merge_into_index(spark)
+    monkeypatch.setattr(sc.os, "rename", real)
+    n_after_crash = ing.assignments(spark).count()
+    assert n_after_crash == total + rest.filter(F.col("vec_id") % 2 == 1).count()
+    # and the retry completes
+    ing.merge_into_index(spark)
+    assert ing.assignments(spark).count() == n_after_crash
+
+
+def test_streaming_ingest_end_to_end_with_lineage(spark, emb, tmp_path):
+    idx = build_ivf_index(
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "idx"),
+        n_cells=8,
+        iters=1,
+    )
+    ing = StreamingIVFIngest(idx.index_dir, str(tmp_path / "side"))
+    src_dir = str(tmp_path / "arrivals")
+    emb.filter(F.col("vec_id") >= 400).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ck = str(tmp_path / "ck")
+    ing.start(stream, ck).awaitTermination()
+    assert ing.assignments(spark).count() == emb.count()
+    ing.merge_into_index(spark)
+    # a fresh checkpoint is refused once merge has folded batch ids
+    with pytest.raises(RuntimeError, match="silently pruned"):
+        ing.start(stream, str(tmp_path / "ck2"))

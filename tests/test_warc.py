@@ -408,3 +408,38 @@ def test_http_responses_streaming_crawl(spark, tmp_path):
         (f"https://example.org/{i}", 200, f"page {i}".encode())
         for i in range(3)
     ]
+
+
+def test_crawl_chain_is_narrow_until_aggregation(spark):
+    """Plan lock: WARC -> HTTP -> html_extract is one narrow pass — no
+    Exchange anywhere in the chain (the 100 TB contract: archive splits
+    decode independently; the first shuffle belongs to the report)."""
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.analytics.html import html_extract
+    from audit_star_spark.sources.warc import (
+        encode_http_response,
+        http_responses,
+    )
+
+    page = b"<html><body><p>hello world</p></body></html>"
+    rec = {
+        "warc_type": "response",
+        "target_uri": "https://example.org/x",
+        "payload": encode_http_response(200, page, gzip_body=True),
+    }
+    df = spark.createDataFrame(
+        [(1, encode_warc([rec]))], "archive_id long, payload binary"
+    )
+    chain = html_extract(
+        http_responses(warc_records(df))
+        .filter(F.col("http_status") == 200)
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            F.col("body").cast("string").alias("html"),
+        ),
+        "html",
+    )
+    assert chain.count() == 1
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
