@@ -393,3 +393,66 @@ def http_responses(records: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return resp.mapInPandas(gen, HTTP_RESPONSE_SCHEMA)
+
+
+def to_warc_shards(
+    docs: DataFrame,
+    docs_per_shard: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Distributed re-sharding writer — the WRITE side of the WARC
+    surface: (id, text) rows -> one archive per ``docs_per_shard``
+    contiguous ids, each document a ``response`` record wrapping an
+    HTTP 200 envelope (so the archives round-trip through
+    warc_records -> http_responses). Returns (shard_id, payload binary,
+    n_records).
+
+    Deterministic: shard = id // docs_per_shard, records sorted by id,
+    gzip members with mtime=0 — re-runs are byte-identical. One shuffle
+    on shard_id (inherent); Common Crawl's ~1 GB archives set the
+    target shard size."""
+    from pyspark.sql import functions as F
+
+    if docs_per_shard < 1:
+        raise ValueError("docs_per_shard must be >= 1")
+
+    schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_records", T.LongType()),
+        ]
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        recs = [
+            {
+                "warc_type": "response",
+                "target_uri": f"https://example.org/{int(i)}",
+                "content_type": "application/http;msgtype=response",
+                "payload": encode_http_response(
+                    200,
+                    str(t).encode("utf-8"),
+                    content_type="text/plain; charset=utf-8",
+                ),
+            }
+            for i, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["__shard"].iloc[0])],
+                "payload": [encode_warc(recs, gzip_members=gzip_members)],
+                "n_records": [len(recs)],
+            }
+        )
+
+    staged = docs.select(
+        F.col(id_col), F.col(text_col),
+        (F.col(id_col) / docs_per_shard).cast("long").alias("__shard"),
+    )
+    return staged.groupBy("__shard").applyInPandas(build, schema)

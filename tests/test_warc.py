@@ -443,3 +443,40 @@ def test_crawl_chain_is_narrow_until_aggregation(spark):
     assert chain.count() == 1
     plan = chain._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_to_warc_shards_roundtrip_and_determinism(spark):
+    """Write side: re-shard (id, text) rows into WARC archives, read
+    them back through the REAL warc_records -> http_responses chain and
+    recover every document; shard bytes are run-to-run identical."""
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.sources.warc import http_responses, to_warc_shards
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 50)
+    )
+    shards = to_warc_shards(docs, docs_per_shard=16).collect()
+    assert sorted(r["shard_id"] for r in shards) == [0, 1, 2, 3]
+    assert sum(r["n_records"] for r in shards) == 50
+    # round-trip through the real readers
+    adf = spark.createDataFrame(
+        [(r["shard_id"], bytes(r["payload"])) for r in shards],
+        "archive_id long, payload binary",
+    )
+    got = {
+        int(r["target_uri"].rsplit("/", 1)[1]): bytes(r["body"]).decode()
+        for r in http_responses(warc_records(adf)).collect()
+    }
+    want = {int(r["doc_id"]): r["text"] for r in docs.collect()}
+    assert got == want
+    # determinism: a second run produces byte-identical shards
+    again = {
+        r["shard_id"]: bytes(r["payload"])
+        for r in to_warc_shards(docs, docs_per_shard=16).collect()
+    }
+    for r in shards:
+        assert again[r["shard_id"]] == bytes(r["payload"])

@@ -106,3 +106,36 @@ def test_spark_sample_surface_and_decoder_composition(spark):
     meta = audio_meta(wavs).collect()
     assert len(meta) == 1
     assert meta[0]["sample_rate"] == 16000 and meta[0]["n_samples"] == 100
+
+
+def test_to_webdataset_shards_roundtrip_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.sources.webdataset import (
+        parse_webdataset,
+        to_webdataset_shards,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    shards = {
+        r["shard_id"]: r
+        for r in to_webdataset_shards(docs, samples_per_shard=15, gz=True).collect()
+    }
+    assert sorted(shards) == [0, 1, 2]
+    assert sum(r["n_samples"] for r in shards.values()) == 40
+    got = {}
+    for r in shards.values():
+        for s in parse_webdataset(bytes(r["payload"])):
+            got[int(s["key"])] = s["components"]["txt"].decode()
+    want = {int(r["doc_id"]): r["text"] for r in docs.collect()}
+    assert got == want
+    again = {
+        r["shard_id"]: bytes(r["payload"])
+        for r in to_webdataset_shards(docs, samples_per_shard=15, gz=True).collect()
+    }
+    assert {k: bytes(v["payload"]) for k, v in shards.items()} == again
