@@ -2153,6 +2153,48 @@ GROUP BY source
 """
 
 
+def q_warc_reshard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-shard round-trip through the gate: documents -> to_warc_shards
+    (deterministic id-keyed archives of HTTP-enveloped records) -> the
+    REAL warc_records + http_responses readers -> per-shard census. The
+    oracle states the census closed-form from the id arithmetic — every
+    body must survive the envelope encode/decode byte-exactly."""
+    from audit_star_spark.sources.warc import (
+        http_responses,
+        to_warc_shards,
+        warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = to_warc_shards(docs, docs_per_shard=64)
+    resp = http_responses(
+        warc_records(
+            shards.select(
+                F.col("shard_id").alias("archive_id"), F.col("payload")
+            )
+        )
+    )
+    return resp.groupBy("archive_id").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(F.when(F.col("http_status") == 200, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ok"),
+        F.sum(F.length("body")).cast("long").alias("body_bytes"),
+        F.min("target_uri").alias("first_uri"),
+    )
+
+
+SQL_WARC_RESHARD_CENSUS = """
+SELECT doc_id // 64 AS archive_id,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_ok,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS body_bytes,
+       'https://example.org/' || min(CAST(doc_id AS VARCHAR)) AS first_uri
+FROM documents
+GROUP BY doc_id // 64
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4069,6 +4111,7 @@ EXTRA_QUERIES = {
     "ivf_index_probe": q_ivf_index_probe,
     "flac_meta": q_flac_meta,
     "crawl_pipeline_report": q_crawl_pipeline_report,
+    "warc_reshard_census": q_warc_reshard_census,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4122,6 +4165,7 @@ EXTRA_ORACLES = {
     "ivf_index_probe": _ivf_index_probe_sql(),
     "flac_meta": SQL_FLAC_META,
     "crawl_pipeline_report": _crawl_pipeline_sql(),
+    "warc_reshard_census": SQL_WARC_RESHARD_CENSUS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
