@@ -135,6 +135,61 @@ def layout_main(argv: list[str]) -> int:
     return 0
 
 
+def index_main(argv: list[str]) -> int:
+    """``python -m audit_star_spark index`` — persisted IVF ANN index
+    ops: build (train-once) and probe (partition-pruned, zero k-means
+    jobs) against an embeddings parquet (vec_id, label, embedding)."""
+    ap = argparse.ArgumentParser(prog="audit_star_spark index")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    bu = sub.add_parser("build", help="train centroids + write assignments")
+    bu.add_argument("--embeddings", required=True)
+    bu.add_argument("--out", dest="index_dir", required=True)
+    bu.add_argument("--cells", type=int, default=16)
+    bu.add_argument("--iters", type=int, default=3)
+    pr = sub.add_parser("probe", help="top-k neighbors for query vec_ids")
+    pr.add_argument("--index", dest="index_dir", required=True)
+    pr.add_argument("--embeddings", required=True,
+                    help="parquet holding the query vectors")
+    pr.add_argument("--queries", required=True,
+                    help="comma-separated vec_ids to use as queries")
+    pr.add_argument("-k", type=int, default=10)
+    pr.add_argument("--probes", type=int, default=4)
+    for p in (bu, pr):
+        p.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_star_spark-index", master=args.master)
+    if args.cmd == "build":
+        from audit_star_spark.analytics.ivf_index import build_ivf_index
+
+        idx = build_ivf_index(
+            spark.read.parquet(args.embeddings),
+            args.index_dir,
+            n_cells=args.cells,
+            iters=args.iters,
+        )
+        for k, v in idx.meta().items():
+            print(f"{k:12s} {v}")
+        return 0
+    from audit_star_spark.analytics.ivf_index import IVFIndex
+    from audit_star_spark.analytics.similarity import VEC_EXPR
+
+    ids = [int(v) for v in args.queries.split(",") if v.strip()]
+    q = (
+        spark.read.parquet(args.embeddings)
+        .filter(F.col("vec_id").isin(ids))
+        .select(F.col("vec_id").alias("query_id"), F.expr(VEC_EXPR).alias("qvec"))
+    )
+    IVFIndex(args.index_dir).probe(q, k=args.k, n_probe=args.probes).orderBy(
+        "query_id", "rank"
+    ).show(1000, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -142,6 +197,8 @@ def main(argv: list[str] | None = None) -> int:
         return corpus_main(argv[1:])
     if argv and argv[0] == "layout":
         return layout_main(argv[1:])
+    if argv and argv[0] == "index":
+        return index_main(argv[1:])
     # flag names mirror the reference CLI (audit.go:46–47)
     ap = argparse.ArgumentParser(prog="audit_star_spark")
     ap.add_argument("-cfg", default="audit.yml", help="path to YAML config")

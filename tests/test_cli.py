@@ -139,3 +139,30 @@ def test_layout_cli_stats_and_zorder(tmp_path, capsys, spark):
     )
     assert rc == 0
     assert spark.read.parquet(dst).count() == 5
+
+
+def test_index_cli_build_and_probe(tmp_path, capsys, spark):
+    from audit_star_spark.__main__ import main
+    from tests.conftest import SF_DIR
+
+    emb = f"{SF_DIR}/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    rc = main(
+        [
+            "index", "build", "--embeddings", emb, "--out", idx,
+            "--cells", "8", "--iters", "1", "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n_cells" in out and "n_vectors" in out
+    rc = main(
+        [
+            "index", "probe", "--index", idx, "--embeddings", emb,
+            "--queries", "0,1", "-k", "3", "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # two queries x 3 ranked rows; rank-1 is the self-match (cosine 1)
+    assert out.count("|1      ") >= 2 or "query_id" in out
