@@ -314,6 +314,114 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
     return encode_netpbm(np.ascontiguousarray(img[rows][:, cols]))
 
 
+def resize_bilinear(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Bilinear rescale with half-pixel centers (the PIL/TF
+    align_corners=False convention): source coordinate of output pixel
+    d is ``(d + 0.5) * src/dst - 0.5``, edge-clamped; channels resample
+    independently; output rounds half-away back to the input dtype.
+    Bilinear interpolation reproduces any per-axis-linear image exactly
+    (the closed-form differential the tests lean on). Vectorized numpy
+    gather — no per-pixel Python."""
+    if width < 1 or height < 1:
+        raise ValueError("target dimensions must be >= 1")
+    h, w, c = img.shape
+    sy = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+    sx = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+    y0 = np.floor(sy).astype(np.int64)
+    x0 = np.floor(sx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (sy - y0)[:, None, None]
+    fx = (sx - x0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - fx) + f[y0][:, x1] * fx
+    bot = f[y1][:, x0] * (1 - fx) + f[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    hi = 65535 if img.dtype == np.uint16 else 255
+    return np.clip(np.floor(out + 0.5), 0, hi).astype(img.dtype)
+
+
+def center_crop(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Centered crop (floor offsets); raises when the crop exceeds the
+    image — silent padding would corrupt training statistics."""
+    h, w, _c = img.shape
+    if width > w or height > h:
+        raise ValueError(f"crop {width}x{height} exceeds image {w}x{h}")
+    top = (h - height) // 2
+    left = (w - width) // 2
+    return img[top : top + height, left : left + width]
+
+
+def hflip(img: np.ndarray) -> np.ndarray:
+    """Horizontal mirror (the standard training-time augmentation)."""
+    return img[:, ::-1]
+
+
+VISION_PREP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def vision_preprocess(
+    media: DataFrame,
+    width: int,
+    height: int,
+    crop: tuple[int, int] | None = None,
+    flip: bool = False,
+) -> DataFrame:
+    """The vision-training preprocessing chain as one narrow pass:
+    decode -> optional hflip -> bilinear resize to (width, height) ->
+    optional center crop -> re-encode netpbm. Emits (doc_id, payload,
+    width, height, mean_luma); poison payloads degrade to NULLs. 8-bit
+    outputs only (netpbm re-encode); 12-bit JPEG inputs are rescaled to
+    8-bit first (>> 4) so the chain composes over mixed corpora."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, ws, hs, lumas = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    img = decode_image(bytes(payload))
+                    if img.dtype == np.uint16:
+                        img = (img >> 4).astype(np.uint8)
+                    if flip:
+                        img = hflip(img)
+                    img = resize_bilinear(img, width, height)
+                    if crop is not None:
+                        img = center_crop(img, crop[0], crop[1])
+                    img = np.ascontiguousarray(img)
+                    payloads.append(encode_netpbm(img))
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    lumas.append(
+                        float(np.round(img.astype(np.float64).mean(), 6))
+                    )
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    payloads.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    lumas.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=VISION_PREP_SCHEMA)
+
+
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -2195,6 +2195,62 @@ GROUP BY doc_id // 64
 """
 
 
+def q_vision_prep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision preprocessing chain through the gate: constant-color
+    netpbm synthesis (size keyed off doc_id) -> decode -> hflip (odd
+    ids) -> bilinear resize -> center crop -> re-encode; constants are
+    a fixed point of every stage, so the oracle states dims and mean
+    exactly (the interpolation arithmetic itself is differentially
+    locked in tests/test_vision_prep.py against a scalar reference)."""
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        encode_netpbm,
+        vision_preprocess,
+    )
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = np.full(
+                    (3 + d % 4, 4 + d % 5, 3), (d * 31) % 256, dtype=np.uint8
+                )
+                payloads.append(encode_netpbm(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = spread(docs).mapInPandas(synth, schema)
+    out = vision_preprocess(media, 10, 8, crop=(6, 6), flip=True)
+    return out.select("doc_id", "width", "height", "mean_luma")
+
+
+SQL_VISION_PREP_CENSUS = """
+SELECT doc_id,
+       CAST(6 AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_luma
+FROM documents
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4112,6 +4168,7 @@ EXTRA_QUERIES = {
     "flac_meta": q_flac_meta,
     "crawl_pipeline_report": q_crawl_pipeline_report,
     "warc_reshard_census": q_warc_reshard_census,
+    "vision_prep_census": q_vision_prep_census,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4166,6 +4223,7 @@ EXTRA_ORACLES = {
     "flac_meta": SQL_FLAC_META,
     "crawl_pipeline_report": _crawl_pipeline_sql(),
     "warc_reshard_census": SQL_WARC_RESHARD_CENSUS,
+    "vision_prep_census": SQL_VISION_PREP_CENSUS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
