@@ -2251,6 +2251,52 @@ FROM documents
 """
 
 
+def q_hll_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct sketch through the gate (analytics/
+    sketch.py): per event_type, the register-row sketch estimate of
+    distinct users next to the exact count and the 4-sigma accuracy
+    contract flag. The oracle rebuilds the SAME md5-derived registers
+    and sorted-fold estimator in DuckDB — the approximate answer itself
+    hash-matches bit-for-bit (an auditable approximation, unlike opaque
+    aggregation-buffer sketches)."""
+    from audit_star_spark.analytics.sketch import HLL_RSE, hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    contract = F.abs(F.col("est_distinct") - F.col("n_exact")) <= F.greatest(
+        F.lit(4.0 * HLL_RSE) * F.col("n_exact"), F.lit(8.0)
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_distinct",
+        "n_hit",
+        "zeros",
+        "n_exact",
+        contract.alias("within_contract"),
+    )
+
+
+def _hll_event_users_sql() -> str:
+    from audit_star_spark.analytics.sketch import HLL_RSE, hll_sql
+
+    inner = hll_sql("events", ["event_type"], "user_id")
+    return f"""
+WITH sk AS ({inner}),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT sk.event_type, sk.est_distinct, sk.n_hit, sk.zeros, ex.n_exact,
+       (abs(sk.est_distinct - ex.n_exact)
+          <= greatest(CAST({4.0 * HLL_RSE!r} AS DOUBLE) * ex.n_exact,
+                      CAST(8.0 AS DOUBLE))) AS within_contract
+FROM sk JOIN ex USING (event_type)
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4169,6 +4215,7 @@ EXTRA_QUERIES = {
     "crawl_pipeline_report": q_crawl_pipeline_report,
     "warc_reshard_census": q_warc_reshard_census,
     "vision_prep_census": q_vision_prep_census,
+    "hll_event_users": q_hll_event_users,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4224,6 +4271,7 @@ EXTRA_ORACLES = {
     "crawl_pipeline_report": _crawl_pipeline_sql(),
     "warc_reshard_census": SQL_WARC_RESHARD_CENSUS,
     "vision_prep_census": SQL_VISION_PREP_CENSUS,
+    "hll_event_users": _hll_event_users_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

@@ -1,0 +1,101 @@
+"""Incrementally maintained distinct-count sketches: the HLL register
+rows (analytics/sketch.py) ARE mergeable state, so maintaining a
+grouped approximate distinct over an arriving stream needs no custom
+stateful operator — per micro-batch write the batch's partial
+registers to a batch-id partition (idempotent dynamic overwrite, the
+EventRollup pattern), and read() re-maximizes registers across
+partitions before estimating. The store holds at most
+``groups x m`` rows per batch regardless of event volume — register
+partials, never raw events.
+
+compact() folds the per-batch partitions into one baseline via the
+crash-atomic swap (store_compact); folding is the same groupBy-max the
+read path runs, so it is idempotent and replay-safe by construction
+(the recorded compacted_through prunes a replayed folded batch).
+Checkpoint-lineage binding as in every other store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.sketch import hll_estimate, hll_partials
+from audit_star_spark.streaming.store_compact import (
+    BASELINE_ID,
+    bind_lineage,
+    compact_partitioned_store,
+    compacted_through,
+    max_live_batch,
+    recover_store,
+    verify_lineage,
+    visible,
+)
+
+
+class StreamingHLL:
+    """Grouped approximate distinct count over a stream, maintained as
+    persisted mergeable HLL register partials."""
+
+    def __init__(self, store_path: str, keys: Sequence[str], value_col: str):
+        self.store_path = store_path
+        self.keys = list(keys)
+        self.value_col = value_col
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        recover_store(self.store_path)
+        (
+            hll_partials(batch_df, self.keys, self.value_col)
+            .withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(self.store_path)
+        )
+
+    def ingest(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
+        verify_lineage(self.store_path, checkpoint)
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        writer = stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        bind_lineage(self.store_path, str(query.id))
+        return query
+
+    def _merged(self, spark: SparkSession) -> DataFrame:
+        recover_store(self.store_path)
+        regs = visible(
+            spark.read.parquet(self.store_path),
+            compacted_through(self.store_path),
+        )
+        return regs.groupBy(*self.keys, "idx").agg(
+            F.max("rho_max").alias("rho_max")
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """(keys..., est_distinct, n_hit, zeros) over everything
+        ingested so far — identical to the batch sketch of the full
+        history (the merge law, test-locked)."""
+        return hll_estimate(self._merged(spark), self.keys)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold per-batch register partials into one baseline partition
+        (crash-atomic swap; replayed folded batches pruned)."""
+        recover_store(self.store_path)
+        ct = compacted_through(self.store_path)
+        live = visible(spark.read.parquet(self.store_path), ct)
+        new_ct = max(ct, max_live_batch(live))
+        merged = (
+            live.groupBy(*self.keys, "idx")
+            .agg(F.max("rho_max").alias("rho_max"))
+            .withColumn("ingest_batch_id", F.lit(BASELINE_ID))
+        )
+        compact_partitioned_store(self.store_path, merged, new_ct)
