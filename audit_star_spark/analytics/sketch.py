@@ -150,3 +150,85 @@ SELECT {ks},
        CAST({HLL_M} - n_hit AS BIGINT) AS zeros
 FROM folded
 """
+
+
+# ------------------------------------------------- KMV / theta sketches
+
+KMV_K = 256
+KMV_H = 1 << 60  # md5-derived hash space (15 hex chars)
+
+
+def kmv_partials(
+    df: DataFrame, keys: Sequence[str], value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per group: the k smallest DISTINCT value hashes, sorted —
+    (keys..., hs array<bigint>). A KMV (bottom-k) sketch: mergeable by
+    union+re-truncate, and it answers set operations (union AND
+    intersection) that HLL registers cannot.
+
+    Scale shape: distinct (group, hash) rows first (one dedup shuffle),
+    then a per-group bottom-k window — the sketch never buffers a
+    group's full distinct set in one aggregation buffer."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.expr(_hash_expr(value_col))
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+    )
+
+
+def kmv_merge_expr(a: str, b: str, k: int = KMV_K) -> F.Column:
+    """In-row merge of two sketch arrays: union, dedup, re-truncate."""
+    return F.expr(f"slice(array_sort(array_distinct(concat({a}, {b}))), 1, {k})")
+
+
+def kmv_estimate_expr(hs: str, k: int = KMV_K) -> F.Column:
+    """Distinct-count estimate from a sketch array: exact |hs| while the
+    set fits (the sketch IS the distinct hash set, modulo md5
+    collisions); otherwise the classic (k-1)/theta with
+    theta = kth smallest / H."""
+    return F.expr(
+        f"CASE WHEN size({hs}) < {k} THEN CAST(size({hs}) AS DOUBLE) "
+        f"ELSE ({k} - 1) * CAST({KMV_H} AS DOUBLE) / element_at({hs}, {k}) END"
+    )
+
+
+def kmv_intersection_expr(a: str, b: str, k: int = KMV_K) -> F.Column:
+    """Theta-sketch intersection estimate: with theta the smaller
+    sketch threshold, |A ∩ B ∩ [0, theta)| / theta — all in-row."""
+    theta = (
+        f"least(CASE WHEN size({a}) < {k} THEN CAST({KMV_H} AS DOUBLE) "
+        f"ELSE CAST(element_at({a}, {k}) AS DOUBLE) END, "
+        f"CASE WHEN size({b}) < {k} THEN CAST({KMV_H} AS DOUBLE) "
+        f"ELSE CAST(element_at({b}, {k}) AS DOUBLE) END)"
+    )
+    inter = (
+        f"size(filter(array_intersect({a}, {b}), x -> x < {theta}))"
+    )
+    return F.expr(f"{inter} * CAST({KMV_H} AS DOUBLE) / {theta}")
+
+
+def kmv_sql_partials(
+    table: str, keys: Sequence[str], value_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB mirror of kmv_partials (bit-identical arrays)."""
+    ks = ", ".join(keys)
+    h = f"('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+SELECT {ks}, list_sort(list(h)) AS hs FROM (
+  SELECT {ks}, h, row_number() OVER (PARTITION BY {ks} ORDER BY h) AS rn
+  FROM (SELECT DISTINCT {ks}, {h} AS h FROM {table}
+        WHERE {value_col} IS NOT NULL)
+) WHERE rn <= {k} GROUP BY {ks}
+"""

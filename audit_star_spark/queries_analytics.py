@@ -2297,6 +2297,115 @@ FROM sk JOIN ex USING (event_type)
 """
 
 
+def q_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta set-operation sketches through the gate: bottom-k
+    (k=8, forcing the estimator regime at every SF) user sketches for
+    the click and purchase audiences; union estimate via in-row
+    merge+re-truncate, intersection via the theta rule, next to exact
+    counts. Every number is deterministic md5-derived arithmetic — the
+    oracle reproduces the ESTIMATES bit-for-bit."""
+    from audit_star_spark.analytics.sketch import (
+        kmv_estimate_expr,
+        kmv_intersection_expr,
+        kmv_merge_expr,
+        kmv_partials,
+    )
+
+    k = 8
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_partials(
+        ev.filter(F.col("event_type").isin("click", "purchase")),
+        ["event_type"],
+        "user_id",
+        k=k,
+    )
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("hs").alias("hs_a")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("hs").alias("hs_b")
+    )
+    pair = a.crossJoin(b).withColumn(
+        "hs_u", kmv_merge_expr("hs_a", "hs_b", k=k)
+    )
+    flags = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "user_id"
+    ).agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.sum("in_a").cast("long").alias("n_click"),
+        F.sum("in_b").cast("long").alias("n_purchase"),
+        F.count("*").cast("long").alias("n_union"),
+        F.sum((F.col("in_a") * F.col("in_b"))).cast("long").alias("n_inter"),
+    )
+    return pair.crossJoin(F.broadcast(exact)).select(
+        F.round(kmv_estimate_expr("hs_a", k=k), 6).alias("est_click"),
+        F.round(kmv_estimate_expr("hs_b", k=k), 6).alias("est_purchase"),
+        F.round(kmv_estimate_expr("hs_u", k=k), 6).alias("est_union"),
+        F.round(kmv_intersection_expr("hs_a", "hs_b", k=k), 6).alias(
+            "est_inter"
+        ),
+        "n_click",
+        "n_purchase",
+        "n_union",
+        "n_inter",
+    )
+
+
+def _kmv_overlap_sql(k: int = 8) -> str:
+    from audit_star_spark.analytics.sketch import KMV_H, kmv_sql_partials
+
+    inner = kmv_sql_partials(
+        "(SELECT * FROM events WHERE event_type IN ('click', 'purchase'))",
+        ["event_type"],
+        "user_id",
+        k=k,
+    )
+    H = f"CAST({KMV_H} AS DOUBLE)"
+
+    def est(hs):
+        return (
+            f"CASE WHEN len({hs}) < {k} THEN CAST(len({hs}) AS DOUBLE) "
+            f"ELSE ({k} - 1) * {H} / {hs}[{k}] END"
+        )
+
+    theta = (
+        f"least(CASE WHEN len(hs_a) < {k} THEN {H} ELSE CAST(hs_a[{k}] AS DOUBLE) END, "
+        f"CASE WHEN len(hs_b) < {k} THEN {H} ELSE CAST(hs_b[{k}] AS DOUBLE) END)"
+    )
+    return f"""
+WITH sk AS ({inner}),
+pair AS (
+  SELECT a.hs AS hs_a, b.hs AS hs_b,
+         list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:{k}] AS hs_u
+  FROM (SELECT hs FROM sk WHERE event_type = 'click') a
+  CROSS JOIN (SELECT hs FROM sk WHERE event_type = 'purchase') b
+),
+flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY user_id
+),
+exact AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n_click,
+         CAST(SUM(in_b) AS BIGINT) AS n_purchase,
+         CAST(COUNT(*) AS BIGINT) AS n_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+  FROM flags
+)
+SELECT round({est('hs_a')}, 6) AS est_click,
+       round({est('hs_b')}, 6) AS est_purchase,
+       round({est('hs_u')}, 6) AS est_union,
+       round(len(list_filter(list_intersect(hs_a, hs_b), x -> x < {theta}))
+               * {H} / {theta}, 6) AS est_inter,
+       n_click, n_purchase, n_union, n_inter
+FROM pair CROSS JOIN exact
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4216,6 +4325,7 @@ EXTRA_QUERIES = {
     "warc_reshard_census": q_warc_reshard_census,
     "vision_prep_census": q_vision_prep_census,
     "hll_event_users": q_hll_event_users,
+    "kmv_audience_overlap": q_kmv_audience_overlap,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4272,6 +4382,7 @@ EXTRA_ORACLES = {
     "warc_reshard_census": SQL_WARC_RESHARD_CENSUS,
     "vision_prep_census": SQL_VISION_PREP_CENSUS,
     "hll_event_users": _hll_event_users_sql(),
+    "kmv_audience_overlap": _kmv_overlap_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

@@ -142,3 +142,116 @@ def test_streaming_hll_end_to_end_stream(spark, tmp_path):
         map(tuple, hll_distinct(ev, ["event_type"], "user_id").collect())
     )
     assert sorted(map(tuple, s.read(spark).collect())) == want
+
+
+# ---------------------------------------------------- KMV / theta sketch
+
+
+def test_kmv_exact_regime_and_merge_law(spark):
+    from audit_star_spark.analytics.sketch import (
+        kmv_estimate_expr,
+        kmv_merge_expr,
+        kmv_partials,
+    )
+    from audit_star_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    # 15 distinct users << k=256: sketch is the exact distinct hash set
+    sk = kmv_partials(ev, ["event_type"], "user_id")
+    got = {
+        r["event_type"]: r["est"]
+        for r in sk.select(
+            "event_type", kmv_estimate_expr("hs").alias("est")
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == {t: float(n) for t, n in exact.items()}
+    # merge law: sketch(A) ∪ sketch(B) == sketch(A ∪ B), bit-equal arrays
+    a = kmv_partials(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "user_id", k=8
+    ).withColumnRenamed("hs", "hs_a")
+    b = kmv_partials(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "user_id", k=8
+    ).withColumnRenamed("hs", "hs_b")
+    merged = {
+        r["event_type"]: list(r["m"])
+        for r in a.join(b, "event_type")
+        .select("event_type", kmv_merge_expr("hs_a", "hs_b", k=8).alias("m"))
+        .collect()
+    }
+    whole = {
+        r["event_type"]: list(r["hs"])
+        for r in kmv_partials(ev, ["event_type"], "user_id", k=8).collect()
+    }
+    assert merged == whole
+
+
+def test_kmv_estimator_accuracy_large_set(spark):
+    """Estimator regime: 20k distinct values, k=256 -> relative error
+    well inside 4/sqrt(k-1) (~25%); typical is a few percent."""
+    from audit_star_spark.analytics.sketch import (
+        kmv_estimate_expr,
+        kmv_partials,
+    )
+
+    df = spark.range(20000).select(
+        F.lit(1).alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    row = kmv_partials(df, ["g"], "v").select(
+        kmv_estimate_expr("hs").alias("est")
+    ).collect()[0]
+    assert abs(row["est"] - 20000) / 20000 < 0.25
+
+
+def test_kmv_intersection_estimate(spark):
+    """Theta intersection on planted overlap: A = 0..11999,
+    B = 8000..19999 -> |A ∩ B| = 4000; estimate within 4-sigma-ish."""
+    from audit_star_spark.analytics.sketch import (
+        kmv_intersection_expr,
+        kmv_partials,
+    )
+
+    mk = lambda lo, hi, g: spark.range(lo, hi).select(
+        F.lit(g).alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    a = kmv_partials(mk(0, 12000, "a"), ["g"], "v").select(
+        F.col("hs").alias("hs_a")
+    )
+    b = kmv_partials(mk(8000, 20000, "b"), ["g"], "v").select(
+        F.col("hs").alias("hs_b")
+    )
+    row = a.crossJoin(b).select(
+        kmv_intersection_expr("hs_a", "hs_b").alias("est")
+    ).collect()[0]
+    assert abs(row["est"] - 4000) / 4000 < 0.5
+
+
+def test_kmv_duckdb_partials_bit_exact(spark):
+    from audit_star_spark.analytics.sketch import kmv_partials, kmv_sql_partials
+
+    got = {
+        r["source"]: list(r["hs"])
+        for r in kmv_partials(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            ["source"],
+            "doc_id",
+            k=16,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = {
+        r[0]: list(r[1])
+        for r in con.sql(
+            kmv_sql_partials("documents", ["source"], "doc_id", k=16)
+        ).fetchall()
+    }
+    assert got == want and got
