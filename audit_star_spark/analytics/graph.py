@@ -185,3 +185,110 @@ r{i + 1} AS MATERIALIZED (
         )
     body = ",\n".join(parts[1:])
     return f"{parts[0]},\n{body}\nSELECT node, rank FROM r{n_iter}"
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global + per-node triangle counts over an undirected view of the
+    edge list (duplicate edges and directions fold; self-loops drop).
+    Returns (node, n_triangles) — one row per node appearing in at
+    least one triangle.
+
+    The compact-forward orientation (Latapy 2008; the standard
+    distributed formulation): orient every undirected edge from its
+    lower-(degree, id) endpoint, so each node's out-degree is O(sqrt(E))
+    on any graph — the wedge self-join is then bounded by sum(out_deg^2)
+    = O(E^1.5) instead of the sum-of-squares-of-raw-degrees blowup a
+    hub node causes. Every triangle is generated exactly once (its
+    smallest-ordered vertex forms the wedge), then credited to all
+    three corners. Three equi-joins, no all-pairs anywhere.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    # orient low -> high in (deg, id) order
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(
+        F.col("e1.u").alias("w0"),
+        F.col("e1.v").alias("w1"),
+        F.col("e2.v").alias("w2"),
+    )
+    # the closing edge may be oriented either way between w1 and w2
+    closing = oriented.select(
+        F.least("u", "v").alias("c1"), F.greatest("u", "v").alias("c2")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("w1", "w2") == F.col("c1"))
+        & (F.greatest("w1", "w2") == F.col("c2")),
+    ).select("w0", "w1", "w2")
+    corners = (
+        tri.select(F.col("w0").alias("node"))
+        .unionByName(tri.select(F.col("w1").alias("node")))
+        .unionByName(tri.select(F.col("w2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def triangle_sql(edges_cte: str) -> str:
+    """DuckDB mirror of :func:`triangle_count` over ``edges(src, dst)``
+    — the same orientation and wedge-close joins."""
+    return f"""
+WITH {edges_cte},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+  FROM und
+  JOIN (SELECT node AS a, deg AS da FROM deg) USING (a)
+  JOIN (SELECT node AS b, deg AS db FROM deg) USING (b)
+),
+wedges AS (
+  SELECT e1.u AS w0, e1.v AS w1, e2.v AS w2
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+tri AS (
+  SELECT w0, w1, w2 FROM wedges
+  JOIN (SELECT least(u, v) AS c1, greatest(u, v) AS c2 FROM oriented) c
+    ON least(w1, w2) = c.c1 AND greatest(w1, w2) = c.c2
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT w0 AS node FROM tri
+  UNION ALL SELECT w1 FROM tri
+  UNION ALL SELECT w2 FROM tri
+) GROUP BY node
+"""

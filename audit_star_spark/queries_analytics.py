@@ -2406,6 +2406,43 @@ FROM pair CROSS JOIN exact
 """
 
 
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (analytics/graph.py triangle_count) over the
+    SAME deterministic doc link graph doc_pagerank uses — the
+    degree-oriented compact-forward algorithm (O(E^1.5) wedges, no
+    all-pairs), with the oracle replaying the identical orientation and
+    wedge-close joins in SQL."""
+    from audit_star_spark.analytics.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nd = docs.agg(F.count("*").alias("n"))
+    linkers = docs.filter(F.col("doc_id") % 17 != 0).crossJoin(F.broadcast(nd))
+    edges = linkers.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % F.col("n")).alias("dst"),
+    ).unionByName(
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % F.col("n")).alias("dst"),
+        )
+    )
+    return triangle_count(edges).withColumnRenamed("node", "doc_id")
+
+
+def _doc_triangles_sql() -> str:
+    from audit_star_spark.analytics.graph import triangle_sql
+
+    edges_cte = """nn0 AS (SELECT count(*) AS n FROM documents),
+linkers AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 13 + 3) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+)"""
+    inner = triangle_sql(edges_cte)
+    return f"SELECT node AS doc_id, n_triangles FROM ({inner})"
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4326,6 +4363,7 @@ EXTRA_QUERIES = {
     "vision_prep_census": q_vision_prep_census,
     "hll_event_users": q_hll_event_users,
     "kmv_audience_overlap": q_kmv_audience_overlap,
+    "doc_triangles": q_doc_triangles,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4383,6 +4421,7 @@ EXTRA_ORACLES = {
     "vision_prep_census": SQL_VISION_PREP_CENSUS,
     "hll_event_users": _hll_event_users_sql(),
     "kmv_audience_overlap": _kmv_overlap_sql(),
+    "doc_triangles": _doc_triangles_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

@@ -170,3 +170,44 @@ def test_tol_none_runs_all_iterations(spark):
     got = _ranks(pagerank(_edges(spark, pairs), n_iter=6))
     for n in want:
         assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+# ------------------------------------------------------ triangle counting
+
+
+def test_triangle_count_known_graphs(spark):
+    from audit_star_spark.analytics.graph import triangle_count
+
+    # K4: every node is in C(3,2)=3 triangles
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(_edges(spark, k4)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # triangle + pendant + disjoint edge; duplicates/reverses/self-loops fold
+    e = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (4, 5), (6, 6), (0, 1)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(_edges(spark, e)).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+    # triangle-free (star) -> empty
+    assert triangle_count(_edges(spark, [(0, i) for i in range(1, 6)])).count() == 0
+
+
+def test_triangle_count_matches_duckdb_on_random_graph(spark):
+    import random
+
+    import duckdb
+
+    from audit_star_spark.analytics.graph import triangle_count, triangle_sql
+
+    rng = random.Random(41)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(160)})
+    cte = "edges(src, dst) AS (VALUES " + ", ".join(
+        f"({a}, {b})" for a, b in pairs
+    ) + ")"
+    got = sorted(map(tuple, triangle_count(_edges(spark, pairs)).collect()))
+    want = sorted(tuple(r) for r in duckdb.sql(triangle_sql(cte)).fetchall())
+    assert got == want and got
