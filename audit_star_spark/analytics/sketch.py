@@ -232,3 +232,154 @@ SELECT {ks}, list_sort(list(h)) AS hs FROM (
         WHERE {value_col} IS NOT NULL)
 ) WHERE rn <= {k} GROUP BY {ks}
 """
+
+
+# ------------------------------ HDR log-linear quantile sketches
+
+HDR_SUB_BITS = 7
+# Bucket-midpoint relative error bound: half the bucket width over the
+# bucket's lower edge = 2^-(sub_bits+1) (~0.39% at sub_bits=7).
+
+
+def _hdr_bucket_exprs(value_col: str, sub_bits: int) -> tuple[str, str]:
+    """(e, sub) bucket coordinates for a non-negative BIGINT value.
+
+    Log-linear (HdrHistogram-style) bucketing: ``e`` is the bit length
+    of the value, ``sub`` its top ``sub_bits + 1`` bits — every
+    operation is integer-exact, so unlike log-based DDSketch indices
+    there is no float-``ln`` last-ulp boundary hazard between engines.
+    Ordering by (e, sub) is value order: e is the bit length, and
+    within one e the top bits order the values."""
+    e = f"length(bin({value_col}))"
+    shift = f"greatest({e} - {sub_bits + 1}, 0)"
+    sub = f"shiftright({value_col}, cast({shift} as int))"
+    return e, sub
+
+
+def hdr_partials(
+    df: DataFrame, keys: Sequence[str], value_col: str,
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Grouped mergeable quantile-sketch rows ``(keys..., e, sub,
+    cnt)`` over a non-negative integer column (scale decimals to
+    integer units — cents, micros — first; NULL and negative rows are
+    dropped, mirrored by the SQL oracle).
+
+    One map-side-combined hash aggregation; at most
+    ``64 * 2^sub_bits`` buckets per group survive regardless of input
+    size. Merging partials is ``sum(cnt)`` grouped by the bucket —
+    partial sketches from different batches/partitions/days combine
+    exactly (the streaming store's contract)."""
+    e, sub = _hdr_bucket_exprs(value_col, sub_bits)
+    return (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
+        .select(
+            *keys,
+            F.expr(e).alias("e"),
+            F.expr(sub).alias("sub"),
+        )
+        .groupBy(*keys, "e", "sub")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_merge(partials_a: DataFrame, partials_b: DataFrame) -> DataFrame:
+    """Union two partial-sketch relations and re-sum — the exact merge
+    (bucket counts combine by addition)."""
+    keys = [c for c in partials_a.columns if c not in ("cnt",)]
+    return (
+        partials_a.unionByName(partials_b)
+        .groupBy(*keys)
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    partials: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Sketch rows -> one row per (group, q): ``(keys..., q, n, lo,
+    hi, est)`` where [lo, hi] is the integer bucket holding the
+    nearest-rank (rank = max(1, ceil(q*n)), 1-based) order statistic —
+    so ``lo <= exact_disc_quantile <= hi`` ALWAYS, by construction —
+    and est is the bucket midpoint (relative error <=
+    2^-(sub_bits+1)).
+
+    The rank walk is a cumulative-count window ordered by (e, sub)
+    (= value order); buckets are unique per group so the cumsum is
+    deterministic at any parallelism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("e", "sub")
+    wall = Window.partitionBy(*[F.col(k) for k in keys])
+    shift = f"greatest(e - {sub_bits + 1}, 0)"
+    cum = (
+        partials.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wall).cast("long"))
+        .withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+        )
+        .withColumn(
+            "rank",
+            F.greatest(F.lit(1).cast("long"), F.expr("cast(ceil(q * n) as bigint)")),
+        )
+        .filter((F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("cnt") < F.col("rank")))
+    )
+    lo = F.expr(f"shiftleft(sub, cast({shift} as int))")
+    hi = F.expr(f"shiftleft(sub + 1, cast({shift} as int)) - 1")
+    return cum.select(
+        *keys,
+        "q",
+        "n",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.round((lo + hi) / F.lit(2.0), 6).alias("est"),
+    )
+
+
+def hdr_sql(
+    table: str,
+    keys: Sequence[str],
+    value_expr: str,
+    qs: Sequence[float],
+    sub_bits: int = HDR_SUB_BITS,
+) -> str:
+    """DuckDB mirror of hdr_partials + hdr_quantiles — identical
+    integer bucket math and rank walk, so lo/hi/est hash-match
+    bit-for-bit."""
+    ks = ", ".join(keys)
+    e = "length(bin(v))"
+    shift = f"greatest({e} - {sub_bits + 1}, 0)"
+    qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+WITH vals AS (
+  SELECT {ks}, {value_expr} AS v FROM {table}
+  WHERE {value_expr} IS NOT NULL AND {value_expr} >= 0
+),
+buckets AS (
+  SELECT {ks}, {e} AS e, (v >> CAST({shift} AS INTEGER)) AS sub,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY ALL
+),
+walked AS (
+  SELECT {ks}, e, sub, cnt,
+         SUM(cnt) OVER (PARTITION BY {ks} ORDER BY e, sub) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY {ks}) AS BIGINT) AS n
+  FROM buckets
+),
+picked AS (
+  SELECT w.*, q.q,
+         GREATEST(1, CAST(ceil(q.q * w.n) AS BIGINT)) AS rnk
+  FROM walked w CROSS JOIN (SELECT UNNEST([{qlist}]) AS q) q
+)
+SELECT {ks}, q, n,
+       (sub << CAST(GREATEST(e - {sub_bits + 1}, 0) AS INTEGER)) AS lo,
+       ((sub + 1) << CAST(GREATEST(e - {sub_bits + 1}, 0) AS INTEGER)) - 1 AS hi,
+       round(((sub << CAST(GREATEST(e - {sub_bits + 1}, 0) AS INTEGER))
+              + ((sub + 1) << CAST(GREATEST(e - {sub_bits + 1}, 0) AS INTEGER)) - 1)
+             / CAST(2.0 AS DOUBLE), 6) AS est
+FROM picked
+WHERE cum >= rnk AND cum - cnt < rnk
+"""

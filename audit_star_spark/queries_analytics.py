@@ -2443,6 +2443,93 @@ edges AS (
     return f"SELECT node AS doc_id, n_triangles FROM ({inner})"
 
 
+_HDR_QS = [0.5, 0.9, 0.99]
+
+
+def q_price_quantiles_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HDR log-linear quantile sketch through the gate
+    (analytics/sketch.py hdr_*): per l_returnflag, the p50/p90/p99
+    bucket of l_extendedprice in integer cents. All bucket math is
+    integer-exact (bit length + top-bits, no float log), so the
+    DuckDB oracle reproduces lo/hi/est bit-for-bit; the ``contained``
+    contract — the bucket [lo, hi] holds the exact nearest-rank order
+    statistic, guaranteed by construction — is checked against the
+    exact window quantile in BOTH engines."""
+    from pyspark.sql import Window
+
+    from audit_star_spark.analytics.sketch import hdr_partials, hdr_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+    sk = hdr_quantiles(
+        hdr_partials(cents, ["l_returnflag"], "cents"),
+        ["l_returnflag"],
+        _HDR_QS,
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wall = Window.partitionBy("l_returnflag")
+    exact = (
+        cents.withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count("*").over(wall))
+        .withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in _HDR_QS]))
+        )
+        .filter(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1).cast("long"), F.expr("cast(ceil(q * nn) as bigint)")
+            )
+        )
+        .select("l_returnflag", "q", F.col("cents").alias("exact_cents"))
+    )
+    return sk.join(exact, ["l_returnflag", "q"]).select(
+        "l_returnflag",
+        "q",
+        "n",
+        "lo",
+        "hi",
+        "est",
+        "exact_cents",
+        (
+            (F.col("lo") <= F.col("exact_cents"))
+            & (F.col("exact_cents") <= F.col("hi"))
+        ).alias("contained"),
+    )
+
+
+def _price_quantiles_hdr_sql() -> str:
+    from audit_star_spark.analytics.sketch import hdr_sql
+
+    inner = hdr_sql(
+        "lineitem",
+        ["l_returnflag"],
+        "cast(round(l_extendedprice * 100) as bigint)",
+        _HDR_QS,
+    )
+    qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in _HDR_QS)
+    return f"""
+WITH sk AS ({inner}),
+ranked AS (
+  SELECT l_returnflag, cast(round(l_extendedprice * 100) as bigint) AS cents,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cast(round(l_extendedprice * 100) as bigint)) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+  FROM lineitem
+),
+exact AS (
+  SELECT l_returnflag, q, cents AS exact_cents
+  FROM ranked CROSS JOIN (SELECT UNNEST([{qlist}]) AS q) qq
+  WHERE rn = GREATEST(1, CAST(ceil(q * nn) AS BIGINT))
+)
+SELECT sk.l_returnflag, sk.q, sk.n, sk.lo, sk.hi, sk.est, exact.exact_cents,
+       (sk.lo <= exact.exact_cents AND exact.exact_cents <= sk.hi) AS contained
+FROM sk JOIN exact ON sk.l_returnflag = exact.l_returnflag AND sk.q = exact.q
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4364,6 +4451,7 @@ EXTRA_QUERIES = {
     "hll_event_users": q_hll_event_users,
     "kmv_audience_overlap": q_kmv_audience_overlap,
     "doc_triangles": q_doc_triangles,
+    "price_quantiles_hdr": q_price_quantiles_hdr,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4422,6 +4510,7 @@ EXTRA_ORACLES = {
     "hll_event_users": _hll_event_users_sql(),
     "kmv_audience_overlap": _kmv_overlap_sql(),
     "doc_triangles": _doc_triangles_sql(),
+    "price_quantiles_hdr": _price_quantiles_hdr_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

@@ -99,3 +99,90 @@ class StreamingHLL:
             .withColumn("ingest_batch_id", F.lit(BASELINE_ID))
         )
         compact_partitioned_store(self.store_path, merged, new_ct)
+
+
+class StreamingHDR:
+    """Grouped approximate quantiles over a stream, maintained as
+    persisted mergeable HDR log-linear bucket counts
+    (analytics/sketch.py hdr_*). Same store discipline as StreamingHLL
+    — per-batch partial partitions (idempotent dynamic overwrite),
+    crash-atomic compaction, checkpoint-lineage binding — with the
+    merge law being ``sum(cnt)`` per bucket instead of register max.
+    The store holds at most ``groups x 64 x 2^sub_bits`` rows per
+    batch regardless of event volume."""
+
+    def __init__(
+        self,
+        store_path: str,
+        keys: Sequence[str],
+        value_col: str,
+        sub_bits: int | None = None,
+    ):
+        from audit_star_spark.analytics.sketch import HDR_SUB_BITS
+
+        self.store_path = store_path
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.sub_bits = HDR_SUB_BITS if sub_bits is None else sub_bits
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from audit_star_spark.analytics.sketch import hdr_partials
+
+        recover_store(self.store_path)
+        (
+            hdr_partials(batch_df, self.keys, self.value_col, self.sub_bits)
+            .withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(self.store_path)
+        )
+
+    def ingest(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
+        verify_lineage(self.store_path, checkpoint)
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        writer = stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        bind_lineage(self.store_path, str(query.id))
+        return query
+
+    def _merged(self, spark: SparkSession) -> DataFrame:
+        recover_store(self.store_path)
+        rows = visible(
+            spark.read.parquet(self.store_path),
+            compacted_through(self.store_path),
+        )
+        return rows.groupBy(*self.keys, "e", "sub").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+
+    def read(self, spark: SparkSession, qs: Sequence[float]) -> DataFrame:
+        """(keys..., q, n, lo, hi, est) over everything ingested so far
+        — identical to the batch sketch of the full history (the
+        sum-merge law, test-locked)."""
+        from audit_star_spark.analytics.sketch import hdr_quantiles
+
+        return hdr_quantiles(
+            self._merged(spark), self.keys, qs, self.sub_bits
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold per-batch bucket partials into one baseline partition
+        (crash-atomic swap; replayed folded batches pruned)."""
+        recover_store(self.store_path)
+        ct = compacted_through(self.store_path)
+        live = visible(spark.read.parquet(self.store_path), ct)
+        new_ct = max(ct, max_live_batch(live))
+        merged = (
+            live.groupBy(*self.keys, "e", "sub")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .withColumn("ingest_batch_id", F.lit(BASELINE_ID))
+        )
+        compact_partitioned_store(self.store_path, merged, new_ct)

@@ -255,3 +255,175 @@ def test_kmv_duckdb_partials_bit_exact(spark):
         ).fetchall()
     }
     assert got == want and got
+
+
+# ---------------------------------------- HDR log-linear quantile sketch
+
+
+def _hdr_cents(spark):
+    from audit_star_spark.sources.testdata import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    return li.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+    )
+
+
+def test_hdr_containment_and_relative_error(spark):
+    """The bucket [lo, hi] contains the exact nearest-rank order
+    statistic (guaranteed by construction) and the midpoint estimate is
+    within the 2^-(sub_bits+1) relative-error bound."""
+    from audit_star_spark.analytics.sketch import (
+        HDR_SUB_BITS,
+        hdr_partials,
+        hdr_quantiles,
+    )
+
+    cents = _hdr_cents(spark)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    sk = {
+        (r["l_returnflag"], r["q"]): r
+        for r in hdr_quantiles(
+            hdr_partials(cents, ["l_returnflag"], "cents"),
+            ["l_returnflag"],
+            qs,
+        ).collect()
+    }
+    vals = {}
+    for r in cents.collect():
+        vals.setdefault(r["l_returnflag"], []).append(r["cents"])
+    import math
+
+    for flag, vs in vals.items():
+        vs.sort()
+        for q in qs:
+            exact = vs[max(1, math.ceil(q * len(vs))) - 1]
+            row = sk[(flag, q)]
+            assert row["lo"] <= exact <= row["hi"], (flag, q, row, exact)
+            assert abs(row["est"] - exact) <= exact * 2 ** -(HDR_SUB_BITS + 1) + 1.0
+            assert row["n"] == len(vs)
+
+
+def test_hdr_merge_equals_whole(spark):
+    """Sum-merge law: sketch(A) + sketch(B) is EXACTLY sketch(A ∪ B)."""
+    from audit_star_spark.analytics.sketch import (
+        hdr_merge,
+        hdr_partials,
+        hdr_quantiles,
+    )
+
+    cents = _hdr_cents(spark).withColumn(
+        "half", (F.col("cents") % 2 == 0).cast("int")
+    )
+    a = hdr_partials(cents.filter("half = 0"), ["l_returnflag"], "cents")
+    b = hdr_partials(cents.filter("half = 1"), ["l_returnflag"], "cents")
+    merged = hdr_quantiles(hdr_merge(a, b), ["l_returnflag"], [0.5, 0.95])
+    whole = hdr_quantiles(
+        hdr_partials(cents, ["l_returnflag"], "cents"),
+        ["l_returnflag"],
+        [0.5, 0.95],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hdr_duckdb_differential_bit_exact(spark):
+    """DuckDB mirror reproduces every (lo, hi, est, n) bit-for-bit."""
+    from audit_star_spark.analytics.sketch import (
+        hdr_partials,
+        hdr_quantiles,
+        hdr_sql,
+    )
+
+    cents = _hdr_cents(spark)
+    got = sorted(
+        map(
+            tuple,
+            hdr_quantiles(
+                hdr_partials(cents, ["l_returnflag"], "cents"),
+                ["l_returnflag"],
+                [0.5, 0.9, 0.99],
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                hdr_sql(
+                    "lineitem",
+                    ["l_returnflag"],
+                    "cast(round(l_extendedprice * 100) as bigint)",
+                    [0.5, 0.9, 0.99],
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_hdr_small_values_exact_buckets(spark):
+    """Values below 2^(sub_bits+1) land in singleton buckets — the
+    sketch is EXACT there (lo == hi == value)."""
+    from audit_star_spark.analytics.sketch import hdr_partials, hdr_quantiles
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (100,), (255,)], "v long"
+    ).withColumn("g", F.lit("x"))
+    out = hdr_quantiles(
+        hdr_partials(df, ["g"], "v"), ["g"], [0.01, 0.5, 1.0]
+    ).collect()
+    import math
+
+    vs = [0, 1, 2, 3, 100, 255]
+    for r in out:
+        exact = vs[max(1, math.ceil(r["q"] * len(vs))) - 1]
+        assert r["lo"] == r["hi"] == exact == r["est"]
+
+
+def test_streaming_hdr_equals_batch_across_batches(spark, tmp_path):
+    """Multi-batch ingest + replay + compact + more batches: read()
+    always equals the one-shot batch sketch of everything ingested."""
+    import os
+
+    from audit_star_spark.analytics.sketch import hdr_partials, hdr_quantiles
+    from audit_star_spark.streaming.sketch import StreamingHDR
+
+    cents = _hdr_cents(spark).withColumn("m", F.col("cents") % 3)
+    s = StreamingHDR(str(tmp_path / "hdr"), ["l_returnflag"], "cents")
+    b = [cents.filter(F.col("m") == i).drop("m") for i in range(3)]
+    qs = [0.5, 0.9]
+
+    def batch_of(df):
+        return sorted(
+            map(
+                tuple,
+                hdr_quantiles(
+                    hdr_partials(df, ["l_returnflag"], "cents"),
+                    ["l_returnflag"],
+                    qs,
+                ).collect(),
+            )
+        )
+
+    s.apply_batch(b[0], 0)
+    s.apply_batch(b[1], 1)
+    want2 = batch_of(b[0].unionByName(b[1]))
+    assert sorted(map(tuple, s.read(spark, qs).collect())) == want2
+    s.apply_batch(b[1], 1)  # replay: idempotent
+    assert sorted(map(tuple, s.read(spark, qs).collect())) == want2
+    s.compact(spark)
+    assert sorted(map(tuple, s.read(spark, qs).collect())) == want2
+    s.apply_batch(b[1], 1)  # replay AFTER compaction: pruned
+    assert sorted(map(tuple, s.read(spark, qs).collect())) == want2
+    s.apply_batch(b[2], 2)
+    want3 = batch_of(cents.drop("m"))
+    assert sorted(map(tuple, s.read(spark, qs).collect())) == want3
+    parts = {p for p in os.listdir(s.store_path) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1", "ingest_batch_id=1", "ingest_batch_id=2"}
