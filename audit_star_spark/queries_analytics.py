@@ -2530,6 +2530,92 @@ FROM sk JOIN exact ON sk.l_returnflag = exact.l_returnflag AND sk.q = exact.q
 """
 
 
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join pre-filter through the gate (plans/
+    bloom_join.py): lineitem rows joining the p_size = 1 parts. The
+    REAL operator runs — a driver-built 512-bit md5-seeded bitmap
+    evaluated as one codegen filter on the fact scan, then the exact
+    broadcast semi-join — and the report shows the shuffle-reduction
+    accounting per returnflag: rows scanned, bloom candidates (the only
+    rows that would enter the join shuffle at scale), true matches, and
+    surviving false positives. The oracle reproduces the candidate set
+    bit-for-bit from the same seeded positions."""
+    from audit_star_spark.plans.bloom_join import (
+        bloom_build,
+        bloom_probe_filter,
+    )
+
+    m_bits, k = 512, 4
+    small = load_table(spark, sf_dir, "part").filter("p_size = 1")
+    li = load_table(spark, sf_dir, "lineitem")
+    words = bloom_build(small, "p_partkey", m_bits, k)
+    keys = small.select(F.col("p_partkey").alias("l_partkey")).distinct()
+    cand = (
+        bloom_probe_filter(li, "l_partkey", words, m_bits, k)
+        .join(
+            F.broadcast(keys.withColumn("is_true", F.lit(1))),
+            "l_partkey",
+            "left",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0)))
+            .cast("long")
+            .alias("n_true"),
+        )
+    )
+    scanned = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_scanned")
+    )
+    return scanned.join(cand, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_scanned",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+        (
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            - F.coalesce(F.col("n_true"), F.lit(0))
+        ).cast("long").alias("n_false_pos"),
+    )
+
+
+def _bloom_prefilter_sql() -> str:
+    from audit_star_spark.plans.bloom_join import (
+        bloom_pos_cte_sql,
+        bloom_probe_sql,
+    )
+
+    m_bits, k = 512, 4
+    cte = bloom_pos_cte_sql(
+        "SELECT p_partkey FROM part WHERE p_size = 1", "p_partkey", m_bits, k
+    )
+    pred = bloom_probe_sql("l_partkey", None, None, m_bits, k)
+    return f"""
+WITH __bloom_pos AS ({cte}),
+truekeys AS (SELECT DISTINCT p_partkey FROM part WHERE p_size = 1),
+cand AS (
+  SELECT l.l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN t.p_partkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true
+  FROM lineitem l LEFT JOIN truekeys t ON l.l_partkey = t.p_partkey
+  WHERE {pred}
+  GROUP BY l.l_returnflag
+),
+scanned AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_scanned
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, s.n_scanned,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(c.n_true, 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(c.n_candidates, 0) - COALESCE(c.n_true, 0) AS BIGINT)
+         AS n_false_pos
+FROM scanned s LEFT JOIN cand c ON s.l_returnflag = c.l_returnflag
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4452,6 +4538,7 @@ EXTRA_QUERIES = {
     "kmv_audience_overlap": q_kmv_audience_overlap,
     "doc_triangles": q_doc_triangles,
     "price_quantiles_hdr": q_price_quantiles_hdr,
+    "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4511,6 +4598,7 @@ EXTRA_ORACLES = {
     "kmv_audience_overlap": _kmv_overlap_sql(),
     "doc_triangles": _doc_triangles_sql(),
     "price_quantiles_hdr": _price_quantiles_hdr_sql(),
+    "bloom_prefilter_stats": _bloom_prefilter_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
