@@ -2616,6 +2616,51 @@ FROM scanned s LEFT JOIN cand c ON s.l_returnflag = c.l_returnflag
 """
 
 
+def q_customer_fuzzy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage through the gate (analytics/linkage.py):
+    every seventh customer's name is corrupted by a key-derived
+    single-character deletion, then linked back against the clean roster
+    at edit distance <= 1 via FastSS symmetric-deletion blocking + the
+    built-in levenshtein verify. The oracle is the ALL-PAIRS
+    levenshtein join — exactly what the blocking provably reproduces
+    without the quadratic scan."""
+    from audit_star_spark.analytics.linkage import fuzzy_link_lev1
+
+    cust = load_table(spark, sf_dir, "customer")
+    pos = "cast(c_custkey % length(c_name) as int)"
+    dirty = cust.filter("c_custkey % 7 = 0").selectExpr(
+        "c_custkey AS dirty_id",
+        f"concat(substring(c_name, 1, {pos}), "
+        f"substring(c_name, {pos} + 2)) AS dirty_name",
+    )
+    links = fuzzy_link_lev1(
+        dirty, cust, "dirty_id", "dirty_name", "c_custkey", "c_name"
+    )
+    return links.select(
+        F.col("id_l").alias("dirty_id"),
+        F.col("s_l").alias("dirty_name"),
+        F.col("id_r").alias("c_custkey"),
+        F.col("s_r").alias("c_name"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+SQL_CUSTOMER_FUZZY_LINKS = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_id,
+         substring(c_name, 1, CAST(c_custkey % length(c_name) AS INTEGER))
+           || substring(c_name,
+                        CAST(c_custkey % length(c_name) AS INTEGER) + 2)
+           AS dirty_name
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name,
+       CAST(levenshtein(d.dirty_name, c.c_name) AS INTEGER) AS dist
+FROM dirty d CROSS JOIN customer c
+WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4539,6 +4584,7 @@ EXTRA_QUERIES = {
     "doc_triangles": q_doc_triangles,
     "price_quantiles_hdr": q_price_quantiles_hdr,
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
+    "customer_fuzzy_links": q_customer_fuzzy_links,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4599,6 +4645,7 @@ EXTRA_ORACLES = {
     "doc_triangles": _doc_triangles_sql(),
     "price_quantiles_hdr": _price_quantiles_hdr_sql(),
     "bloom_prefilter_stats": _bloom_prefilter_sql(),
+    "customer_fuzzy_links": SQL_CUSTOMER_FUZZY_LINKS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
