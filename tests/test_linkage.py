@@ -99,7 +99,11 @@ def test_null_strings_dropped(spark):
 def test_candidate_volume_is_bounded_not_quadratic(spark):
     """Distinct unrelated strings generate NO candidate pairs at all —
     the blocking never degenerates to an all-pairs comparison."""
-    rows = [(i, f"document-{i:06d}-token") for i in range(300)]
+    import hashlib
+
+    rows = [
+        (i, hashlib.md5(str(i).encode()).hexdigest()[:12]) for i in range(300)
+    ]
     df = spark.createDataFrame(rows, "id long, s string")
     a = df.selectExpr("id AS id_a", f"explode({_variants_expr('s')}) AS v")
     b = df.selectExpr("id AS id_b", f"explode({_variants_expr('s')}) AS v")
@@ -110,6 +114,6 @@ def test_candidate_volume_is_bounded_not_quadratic(spark):
         .distinct()
         .count()
     )
-    # only ids whose 6-digit decimal forms are one substitution apart
-    # collide (3000 such pairs among 300 ids) — nowhere near n^2/2 = 44850
-    assert n_cand <= 3000, n_cand
+    # unrelated 12-hex-char strings share no deletion variant: the
+    # blocking produces NO candidates (vs n^2/2 = 44850 comparisons)
+    assert n_cand == 0, n_cand
