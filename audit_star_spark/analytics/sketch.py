@@ -383,3 +383,129 @@ SELECT {ks}, q, n,
 FROM picked
 WHERE cum >= rnk AND cum - cnt < rnk
 """
+
+
+# ------------------------------------------- Count-Min frequency sketch
+
+CMS_W = 256
+CMS_D = 3
+
+
+def cms_partials(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Count-Min sketch rows (Cormode & Muthukrishnan 2005) per group:
+    ``(keys..., i, j, cnt)`` — d seeded hash rows of w counters, each
+    input value incrementing one cell per row. At most ``d * w`` rows
+    per group survive regardless of input size; partial sketches merge
+    by ``sum(cnt)`` (the streaming-store law). Every cell index is the
+    repo's seeded md5 integer hash — a SQL oracle reproduces the whole
+    counter table, and therefore every estimate, exactly."""
+    rows = []
+    for i in range(d):
+        h = (
+            f"CAST(conv(substring(md5(concat(CAST({value_col} AS STRING), "
+            f"'#', '{i}')), 1, 15), 16, 10) AS BIGINT)"
+        )
+        rows.append(f"named_struct('i', {i}, 'j', CAST({h} % {w} AS INT))")
+    cells = F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("cell")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, cells)
+        .select(*keys, F.col("cell.i").alias("i"), F.col("cell.j").alias("j"))
+        .groupBy(*keys, "i", "j")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(partials_a: DataFrame, partials_b: DataFrame) -> DataFrame:
+    """Union + re-sum: the exact merge (counters combine by addition)."""
+    keys = [c for c in partials_a.columns if c != "cnt"]
+    return (
+        partials_a.unionByName(partials_b)
+        .groupBy(*keys)
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    partials: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    probe_col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` (one row per (group,
+    probe value)): ``est = min_i cnt[i][hash_i(v)]`` with absent cells
+    counting 0. The classic CMS contract — ``est >= true count``,
+    ALWAYS — holds by construction (cells only over-count).
+
+    Plan shape: the probe side explodes to d rows, left-joins the
+    sketch cells on (group, i, j), and min-aggregates — a broadcast-
+    friendly join against at most ``groups * d * w`` sketch rows."""
+    rows = []
+    for i in range(d):
+        h = (
+            f"CAST(conv(substring(md5(concat(CAST({probe_col} AS STRING), "
+            f"'#', '{i}')), 1, 15), 16, 10) AS BIGINT)"
+        )
+        rows.append(f"named_struct('i', {i}, 'j', CAST({h} % {w} AS INT))")
+    cells = F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("cell")
+    probe_cells = probes.select(
+        *keys,
+        F.col(probe_col),
+        cells,
+    ).select(
+        *keys, probe_col, F.col("cell.i").alias("i"), F.col("cell.j").alias("j")
+    )
+    joined = probe_cells.join(partials, [*keys, "i", "j"], "left")
+    return joined.groupBy(*keys, probe_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def cms_sql(
+    table: str,
+    keys: Sequence[str],
+    value_col: str,
+    probes_sql: str,
+    probe_col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> str:
+    """DuckDB mirror of cms_partials + cms_estimate over a probe
+    relation — identical cells, identical mins."""
+    ks = ", ".join(keys)
+    kj = " AND ".join(f"s.{k} = p.{k}" for k in keys) or "TRUE"
+    kp = ", ".join(f"p.{k}" for k in keys)
+    sel_keys = (kp + ", ") if keys else ""
+
+    def h(col: str, i: str) -> str:
+        return (
+            f"('0x' || substr(md5(CAST({col} AS VARCHAR) || '#' || "
+            f"CAST({i} AS VARCHAR)), 1, 15))::BIGINT"
+        )
+
+    return f"""
+WITH cells AS (
+  SELECT {ks}{',' if keys else ''} i, ({h(value_col, 'i')}) % {w} AS j,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} CROSS JOIN (SELECT UNNEST(range({d})) AS i)
+  WHERE {value_col} IS NOT NULL
+  GROUP BY ALL
+),
+probe_cells AS (
+  SELECT p.*, q.i, ({h(f'p.{probe_col}', 'q.i')}) % {w} AS j
+  FROM ({probes_sql}) p CROSS JOIN (SELECT UNNEST(range({d})) AS q_i) q(i)
+)
+SELECT {sel_keys}p.{probe_col},
+       CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+FROM probe_cells p LEFT JOIN cells s
+  ON {kj} AND s.i = p.i AND s.j = p.j
+GROUP BY {sel_keys}p.{probe_col}
+"""

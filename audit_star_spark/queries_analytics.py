@@ -2661,6 +2661,60 @@ WHERE levenshtein(d.dirty_name, c.c_name) <= 1
 """
 
 
+def q_cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch through the gate (analytics/
+    sketch.py cms_*): per event_type, the d=3 x w=256 counter table
+    over user_id, probed at the 10 hottest exact (type, user) cells.
+    The classic CMS one-sided contract — the estimate NEVER
+    undercounts — is reported as a flag; every counter is seeded md5
+    integer math, so the oracle reproduces the estimates exactly."""
+    from audit_star_spark.analytics.sketch import cms_estimate, cms_partials
+
+    w, d = 256, 3
+    ev = load_table(spark, sf_dir, "events")
+    partials = cms_partials(ev, ["event_type"], "user_id", w, d)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    probes = (
+        exact.orderBy(F.desc("n_exact"), "event_type", "user_id")
+        .limit(10)
+        .select("event_type", "user_id")
+    )
+    est = cms_estimate(partials, probes, ["event_type"], "user_id", w, d)
+    return est.join(exact, ["event_type", "user_id"]).select(
+        "event_type",
+        "user_id",
+        "n_exact",
+        "est",
+        (F.col("est") >= F.col("n_exact")).alias("never_under"),
+    )
+
+
+def _cms_event_counts_sql() -> str:
+    from audit_star_spark.analytics.sketch import cms_sql
+
+    probes_sql = (
+        "SELECT event_type, user_id FROM ("
+        "SELECT event_type, user_id, COUNT(*) AS c FROM events "
+        "GROUP BY event_type, user_id "
+        "ORDER BY c DESC, event_type, user_id LIMIT 10)"
+    )
+    inner = cms_sql(
+        "events", ["event_type"], "user_id", probes_sql, "user_id", 256, 3
+    )
+    return f"""
+WITH est AS ({inner}),
+exact AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type, user_id
+)
+SELECT est.event_type, est.user_id, exact.n_exact, est.est,
+       (est.est >= exact.n_exact) AS never_under
+FROM est JOIN exact USING (event_type, user_id)
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4585,6 +4639,7 @@ EXTRA_QUERIES = {
     "price_quantiles_hdr": q_price_quantiles_hdr,
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "customer_fuzzy_links": q_customer_fuzzy_links,
+    "cms_event_counts": q_cms_event_counts,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4646,6 +4701,7 @@ EXTRA_ORACLES = {
     "price_quantiles_hdr": _price_quantiles_hdr_sql(),
     "bloom_prefilter_stats": _bloom_prefilter_sql(),
     "customer_fuzzy_links": SQL_CUSTOMER_FUZZY_LINKS,
+    "cms_event_counts": _cms_event_counts_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

@@ -427,3 +427,105 @@ def test_streaming_hdr_equals_batch_across_batches(spark, tmp_path):
     assert sorted(map(tuple, s.read(spark, qs).collect())) == want3
     parts = {p for p in os.listdir(s.store_path) if p.startswith("ingest_")}
     assert parts == {"ingest_batch_id=-1", "ingest_batch_id=1", "ingest_batch_id=2"}
+
+
+# ------------------------------------------- Count-Min frequency sketch
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    """One-sided error: est >= true for EVERY key; and with w far above
+    the distinct count, no collisions — est == true."""
+    from audit_star_spark.analytics.sketch import cms_estimate, cms_partials
+    from audit_star_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    probes = exact.select("event_type", "user_id")
+    # tight sketch: w=4 forces collisions; wide sketch: exact
+    for w, must_be_exact in ((4, False), (1 << 14, True)):
+        p = cms_partials(ev, ["event_type"], "user_id", w, 3)
+        est = cms_estimate(p, probes, ["event_type"], "user_id", w, 3)
+        joined = est.join(exact, ["event_type", "user_id"]).select(
+            "n", "est"
+        )
+        rows = joined.collect()
+        assert all(r["est"] >= r["n"] for r in rows)
+        if must_be_exact:
+            assert all(r["est"] == r["n"] for r in rows)
+        else:
+            assert any(r["est"] > r["n"] for r in rows)
+
+
+def test_cms_merge_equals_whole(spark):
+    """Sum-merge law: sketch(A) + sketch(B) == sketch(A ∪ B) exactly."""
+    from audit_star_spark.analytics.sketch import cms_merge, cms_partials
+    from audit_star_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = cms_partials(ev.filter("event_id % 2 = 0"), ["event_type"], "user_id", 64, 3)
+    b = cms_partials(ev.filter("event_id % 2 = 1"), ["event_type"], "user_id", 64, 3)
+    whole = cms_partials(ev, ["event_type"], "user_id", 64, 3)
+    assert sorted(map(tuple, cms_merge(a, b).collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_duckdb_differential_bit_exact(spark):
+    from audit_star_spark.analytics.sketch import (
+        cms_estimate,
+        cms_partials,
+        cms_sql,
+    )
+    from audit_star_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    probes = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "event_type", "user_id")
+        .limit(8)
+        .select("event_type", "user_id")
+    )
+    p = cms_partials(ev, ["event_type"], "user_id", 128, 4)
+    got = sorted(
+        map(
+            tuple,
+            cms_estimate(p, probes, ["event_type"], "user_id", 128, 4).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    probes_sql = (
+        "SELECT event_type, user_id FROM ("
+        "SELECT event_type, user_id, COUNT(*) AS c FROM events "
+        "GROUP BY event_type, user_id ORDER BY c DESC, event_type, user_id "
+        "LIMIT 8)"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                cms_sql(
+                    "events", ["event_type"], "user_id", probes_sql,
+                    "user_id", 128, 4,
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_cms_absent_value_estimates_from_zero_cells(spark):
+    """Probing a value never ingested: est is whatever collisions put
+    in its cells — possibly 0 (all-absent cells count as 0, not NULL)."""
+    from audit_star_spark.analytics.sketch import cms_estimate, cms_partials
+
+    df = spark.createDataFrame([("g", "a")], "g string, v string")
+    probes = spark.createDataFrame(
+        [("g", "zzz-never-seen")], "g string, v string"
+    )
+    p = cms_partials(df, ["g"], "v", 1 << 12, 3)
+    [r] = cms_estimate(p, probes, ["g"], "v", 1 << 12, 3).collect()
+    assert r["est"] == 0
