@@ -1447,3 +1447,167 @@ def image_patches(media: DataFrame, patch: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=IMAGE_PATCH_SCHEMA)
+
+
+# ------------------------------------------- video: YUV4MPEG2 (Y4M)
+# The mplayer/mjpegtools interchange format: a one-line ASCII stream
+# header, then per frame an ASCII "FRAME" marker followed by raw planar
+# YCbCr — the simplest real video container there is, and the lingua
+# franca of codec toolchains (ffmpeg -f yuv4mpegpipe). Spec: the
+# yuv4mpeg(5) man page (mjpegtools).
+
+_Y4M_PLANE_FACTORS = {
+    # colorspace tag -> (cb/cr width divisor, cb/cr height divisor);
+    # mono has no chroma planes at all
+    "C420": (2, 2), "C420jpeg": (2, 2), "C420mpeg2": (2, 2),
+    "C420paldv": (2, 2), "C422": (2, 1), "C444": (1, 1),
+}
+
+
+def encode_y4m(
+    frames: list,
+    fps: tuple = (25, 1),
+    colorspace: str = "Cmono",
+) -> bytes:
+    """Synthesize a spec-shaped Y4M stream. ``frames`` are uint8
+    arrays: (h, w) luma for Cmono, or (3, h, w) planar YCbCr for C444.
+    (The synthesis side of the parse_y4m differential tests.)"""
+    import numpy as np
+
+    if colorspace not in ("Cmono", "C444"):
+        raise ValueError(f"encode side supports Cmono/C444, not {colorspace}")
+    first = np.asarray(frames[0])
+    h, w = (first.shape if colorspace == "Cmono" else first.shape[1:])
+    head = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    ).encode("ascii")
+    out = [head]
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if (a.shape if colorspace == "Cmono" else a.shape[1:]) != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out.append(b"FRAME\n")
+        out.append(a.tobytes())
+    return b"".join(out)
+
+
+def parse_y4m(payload: bytes) -> dict:
+    """Y4M -> {width, height, fps_num, fps_den, interlace, colorspace,
+    n_frames, y_planes: [np.ndarray (h, w)]}. Parses the real header
+    grammar (space-separated tagged params, C defaults to 420jpeg per
+    the man page) and walks FRAME-by-FRAME with exact plane sizes;
+    chroma planes are skipped, the luma plane is returned for every
+    frame. Raises ValueError on anything that is not Y4M."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    interlace, colorspace = "Ip", "C420jpeg"
+    for tok in payload[:nl].decode("ascii", "replace").split(" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "I":
+            interlace = tok
+        elif tag == "C":
+            colorspace = tok
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace == "Cmono":
+        chroma = 0
+    else:
+        if colorspace not in _Y4M_PLANE_FACTORS:
+            raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+        wd, hd = _Y4M_PLANE_FACTORS[colorspace]
+        chroma = 2 * ((width // wd) * (height // hd))
+    luma = width * height
+    pos = nl + 1
+    y_planes = []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        pos = fnl + 1
+        if pos + luma + chroma > len(payload):
+            raise ValueError("truncated Y4M frame")
+        y_planes.append(
+            np.frombuffer(payload[pos : pos + luma], dtype=np.uint8).reshape(
+                height, width
+            )
+        )
+        pos += luma + chroma
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "interlace": interlace,
+        "colorspace": colorspace,
+        "n_frames": len(y_planes),
+        "y_planes": y_planes,
+    }
+
+
+Y4M_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("colorspace", T.StringType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("mean_y", T.DoubleType()),
+    ]
+)
+
+
+def y4m_frame_means(media: DataFrame) -> DataFrame:
+    """REAL Y4M walk + per-frame luma means: one output row per frame
+    with stream metadata and the exact mean of the Y plane. 1:N in-row
+    fan-out, narrow execution; non-Y4M payloads contribute no rows
+    (the poison-payload contract)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = parse_y4m(bytes(payload))
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    continue
+                fps = round(m["fps_num"] / m["fps_den"], 6)
+                for idx, y in enumerate(m["y_planes"]):
+                    rows.append(
+                        (
+                            int(doc_id), idx, m["width"], m["height"],
+                            m["colorspace"], fps,
+                            float(y.sum()) / y.size,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "colorspace", "fps", "mean_y",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "frame_idx": "int64",
+                    "width": "int32", "height": "int32",
+                    "fps": "float64", "mean_y": "float64",
+                }
+            )
+
+    return media.mapInPandas(run, schema=Y4M_FRAME_SCHEMA)

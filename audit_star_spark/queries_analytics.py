@@ -2715,6 +2715,84 @@ FROM est JOIN exact USING (event_type, user_id)
 """
 
 
+def _synth_y4m(spark_df):
+    """doc_id-keyed Y4M synthesis (mapInPandas): nf = 1 + d%4 frames of
+    16x8, frame f's constant luma = (d*7 + f*13) % 256; even docs are
+    Cmono, odd docs planar C444 (neutral chroma); every third doc runs
+    at the NTSC 30000/1001 rate. Constant planes make per-frame mean_y
+    exactly the synthesized value."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from audit_star_spark.analytics.multimodal import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fps = (30000, 1001) if d % 3 == 0 else (25, 1)
+                frames = []
+                for f in range(1 + d % 4):
+                    y = np.full((8, 16), (d * 7 + f * 13) % 256, np.uint8)
+                    if d % 2 == 0:
+                        frames.append(y)
+                    else:
+                        frames.append(
+                            np.stack([y, np.full_like(y, 128), np.full_like(y, 128)])
+                        )
+                payloads.append(
+                    encode_y4m(
+                        frames, fps, "Cmono" if d % 2 == 0 else "C444"
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_y4m_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Y4M (yuv4mpeg) stream walk through the gate: header grammar
+    parse (W/H/F/I/C tags), exact per-colorspace plane strides, per-
+    frame luma means — over synthesized Cmono and planar C444 streams
+    at PAL and NTSC rates. The oracle states every field in closed
+    form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.y4m_frame_means(_synth_y4m(docs))
+
+
+SQL_Y4M_CENSUS = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'Cmono' ELSE 'C444' END AS colorspace,
+       round(CASE WHEN doc_id % 3 = 0 THEN 30000.0 / 1001 ELSE 25.0 END,
+             6) AS fps,
+       CAST((doc_id * 7 + frame_idx * 13) % 256 AS DOUBLE) AS mean_y
+FROM f
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4640,6 +4718,7 @@ EXTRA_QUERIES = {
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "customer_fuzzy_links": q_customer_fuzzy_links,
     "cms_event_counts": q_cms_event_counts,
+    "y4m_census": q_y4m_census,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4702,6 +4781,7 @@ EXTRA_ORACLES = {
     "bloom_prefilter_stats": _bloom_prefilter_sql(),
     "customer_fuzzy_links": SQL_CUSTOMER_FUZZY_LINKS,
     "cms_event_counts": _cms_event_counts_sql(),
+    "y4m_census": SQL_Y4M_CENSUS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

@@ -388,3 +388,91 @@ def test_audio_resample_rational_degrades_and_validates(spark):
     assert rows[1]["payload"] is None and rows[2]["payload"] is None
     with pytest.raises(ValueError, match="up and down"):
         audio_resample_rational(media, up=0, down=2)
+
+
+# ------------------------------------------------------- Y4M (yuv4mpeg)
+
+
+def test_y4m_roundtrip_mono_and_444():
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import encode_y4m, parse_y4m
+
+    frames = [np.full((4, 6), v, np.uint8) for v in (0, 127, 255)]
+    m = parse_y4m(encode_y4m(frames, fps=(30000, 1001), colorspace="Cmono"))
+    assert (m["width"], m["height"]) == (6, 4)
+    assert (m["fps_num"], m["fps_den"]) == (30000, 1001)
+    assert m["colorspace"] == "Cmono" and m["n_frames"] == 3
+    for y, v in zip(m["y_planes"], (0, 127, 255)):
+        assert (y == v).all()
+
+    color = [
+        np.stack([np.full((4, 6), 9, np.uint8)] * 3) for _ in range(2)
+    ]
+    m = parse_y4m(encode_y4m(color, fps=(25, 1), colorspace="C444"))
+    assert m["colorspace"] == "C444" and m["n_frames"] == 2
+    assert all((y == 9).all() for y in m["y_planes"])
+
+
+def test_y4m_420_stride_walk():
+    """A hand-built C420jpeg stream: the parser must skip the
+    half-resolution chroma planes exactly (1.5 * w * h per frame)."""
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import parse_y4m
+
+    w, h = 4, 2
+    head = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    f0 = b"FRAME\n" + bytes([10] * (w * h)) + bytes([99] * (w * h // 2))
+    f1 = b"FRAME\n" + bytes([20] * (w * h)) + bytes([99] * (w * h // 2))
+    m = parse_y4m(head + f0 + f1)
+    assert m["n_frames"] == 2
+    assert (m["y_planes"][0] == 10).all() and (m["y_planes"][1] == 20).all()
+    assert m["y_planes"][0].shape == (2, 4)
+
+
+def test_y4m_default_colorspace_is_420jpeg():
+    from audit_star_spark.analytics.multimodal import parse_y4m
+
+    m = parse_y4m(b"YUV4MPEG2 W2 H2 F1:1\n" + b"FRAME\n" + bytes(6))
+    assert m["colorspace"] == "C420jpeg" and m["n_frames"] == 1
+
+
+def test_y4m_poison_payloads_raise():
+    import pytest as _pytest
+
+    from audit_star_spark.analytics.multimodal import parse_y4m
+
+    for bad in (
+        b"",
+        b"RIFFxxxx",
+        b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + bytes(5),  # truncated
+        b"YUV4MPEG2 F25:1\n",  # missing W/H
+        b"YUV4MPEG2 W2 H2 C999\n",  # unknown colorspace
+        b"YUV4MPEG2 W2 H2 Cmono\nXRAME\n" + bytes(4),  # bad marker
+    ):
+        with _pytest.raises(ValueError):
+            parse_y4m(bad)
+
+
+def test_y4m_frame_means_operator(spark):
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        encode_y4m,
+        y4m_frame_means,
+    )
+
+    payload = encode_y4m(
+        [np.full((2, 2), 7, np.uint8), np.full((2, 2), 8, np.uint8)],
+        fps=(25, 1),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not video"))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], r["mean_y"])
+        for r in y4m_frame_means(df).collect()
+    )
+    assert rows == [(1, 0, 7.0), (1, 1, 8.0)]
