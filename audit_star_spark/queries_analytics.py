@@ -2793,6 +2793,140 @@ FROM f
 """
 
 
+def q_pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization through the gate (analytics/pq.py): 4
+    subspaces x 16 codewords over the 64-dim embeddings (one Lloyd
+    round from the deterministic seed — the oracle-checkable unit, as
+    for ivf_index_probe), asymmetric-distance top-5 per query scored
+    against the exact L2 top-5. The oracle replays codebook training,
+    encoding, the ADC table and both rankings with identical sorted
+    folds and tie-breaks — the RECALL itself hash-matches."""
+    from audit_star_spark.analytics.pq import pq_recall
+
+    return pq_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        m_sub=4,
+        k=16,
+        n_queries=8,
+        k_nn=5,
+    )
+
+
+def _pq_recall_sql(
+    m_sub: int = 4, k: int = 16, n_queries: int = 8, k_nn: int = 5, dim: int = 64
+) -> str:
+    w = dim // m_sub
+
+    def d2(a: str, b: str) -> str:
+        return d_fold(
+            f"list_transform(list_zip({a}, {b}), "
+            "x -> (x[1] - x[2]) * (x[1] - x[2]))",
+            "CAST(0.0 AS DOUBLE)",
+            "(s, v) -> s + v",
+        )
+
+    sorted_sum = d_fold(
+        "list_sort(list(pd))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+sub AS (
+  SELECT vec_id, s.sub_id,
+         list_slice(vec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS svec
+  FROM base CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+),
+seeds AS (
+  SELECT sub_id, vec_id AS cell_id, svec AS centroid
+  FROM sub WHERE vec_id < {k}
+),
+assigned AS (
+  SELECT vec_id, sub_id, svec, cell_id FROM (
+    SELECT b.vec_id, b.sub_id, b.svec, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub_id
+                              ORDER BY {d2('b.svec', 'c.centroid')},
+                                       c.cell_id) AS rn
+    FROM sub b JOIN seeds c USING (sub_id)
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT sub_id, cell_id, i - 1 AS pos, svec[i] AS x FROM (
+    SELECT sub_id, cell_id, svec,
+           unnest(generate_series(1, len(svec))) AS i
+    FROM assigned
+  )
+),
+sums AS (
+  SELECT sub_id, cell_id, pos,
+         {d_fold('list_sort(list(x))', 'CAST(0.0 AS DOUBLE)',
+                 '(s, v) -> s + v')} AS s,
+         COUNT(*) AS n
+  FROM dims GROUP BY 1, 2, 3
+),
+codebook AS (
+  SELECT sub_id, cell_id,
+         list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
+                        x -> x.m) AS centroid
+  FROM (SELECT sub_id, cell_id, pos, s / n AS m FROM sums)
+  GROUP BY 1, 2
+),
+enc AS (
+  SELECT vec_id, sub_id, cell_id FROM (
+    SELECT b.vec_id, b.sub_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub_id
+                              ORDER BY {d2('b.svec', 'c.centroid')},
+                                       c.cell_id) AS rn
+    FROM sub b JOIN codebook c USING (sub_id)
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, vec AS qvec FROM base WHERE vec_id < {n_queries}
+),
+qsub AS (
+  SELECT query_id, s.sub_id,
+         list_slice(qvec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS qsvec
+  FROM queries CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+),
+tbl AS (
+  SELECT q.query_id, q.sub_id, c.cell_id,
+         {d2('q.qsvec', 'c.centroid')} AS pd
+  FROM qsub q JOIN codebook c USING (sub_id)
+),
+adc AS (
+  SELECT t.query_id, e.vec_id, {sorted_sum} AS adc
+  FROM enc e JOIN tbl t ON e.sub_id = t.sub_id AND e.cell_id = t.cell_id
+  GROUP BY 1, 2
+),
+atop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= {k_nn}
+),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2('b.vec', 'q.qvec')},
+                                       b.vec_id) AS rk
+    FROM base b CROSS JOIN queries q
+  ) WHERE rk <= {k_nn}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM atop a JOIN ex USING (query_id, vec_id) GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / CAST({float(k_nn)!r} AS DOUBLE), 6)
+         AS recall
+FROM queries q LEFT JOIN hits h USING (query_id)
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -4719,6 +4853,7 @@ EXTRA_QUERIES = {
     "customer_fuzzy_links": q_customer_fuzzy_links,
     "cms_event_counts": q_cms_event_counts,
     "y4m_census": q_y4m_census,
+    "pq_topk_recall": q_pq_topk_recall,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4782,6 +4917,7 @@ EXTRA_ORACLES = {
     "customer_fuzzy_links": SQL_CUSTOMER_FUZZY_LINKS,
     "cms_event_counts": _cms_event_counts_sql(),
     "y4m_census": SQL_Y4M_CENSUS,
+    "pq_topk_recall": _pq_recall_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
