@@ -467,6 +467,68 @@ def _gen_lateral(rng: random.Random) -> str:
     )
 
 
+def _gen_not_in_null(rng: random.Random) -> str:
+    """NOT IN against a subquery that CONTAINS NULLs — the classic
+    three-valued-logic trap (one NULL in the list makes NOT IN return
+    no rows for non-matching values; both engines are ANSI here).
+    NULLIF injects the NULLs deterministically."""
+    mod = rng.randint(20, 60)
+    nullable = f"NULLIF(c_custkey % {mod}, {rng.randint(0, 3)})"
+    inner_where = f" WHERE c_custkey % {rng.randint(2, 5)} = 0" if rng.random() < 0.5 else ""
+    op = rng.choice(["NOT IN", "IN"])
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders WHERE o_custkey % {mod} {op} "
+        f"(SELECT {nullable} FROM customer{inner_where}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
+def _gen_rows_frame(rng: random.Random) -> str:
+    """Running / sliding integer sums over an explicit ROWS frame —
+    deterministic because the window order ends on the unique
+    o_orderkey and the sums are integer."""
+    part = rng.choice(["o_orderstatus", "o_orderpriority", ""])
+    over_part = f"PARTITION BY {part} " if part else ""
+    frame = rng.choice(
+        [
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {rng.randint(1, 4)} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN CURRENT ROW AND {rng.randint(1, 3)} FOLLOWING",
+        ]
+    )
+    return (
+        f"SELECT o_orderkey, "
+        f"CAST(SUM(o_custkey) OVER ({over_part}ORDER BY o_orderkey {frame}) "
+        f"AS BIGINT) AS running, "
+        f"CAST(COUNT(*) OVER ({over_part}ORDER BY o_orderkey {frame}) "
+        f"AS BIGINT) AS frame_n "
+        f"FROM orders{_where(rng)} "
+        f"ORDER BY o_orderkey LIMIT {rng.randint(30, 80)}"
+    )
+
+
+def _gen_theta_self_join(rng: random.Random) -> str:
+    """Self-join with an inequality (theta) term next to the equi key —
+    same-customer order pairs, canonical o1 < o2 ordering."""
+    extra = rng.choice(
+        [
+            "",
+            " AND o1.o_orderstatus = o2.o_orderstatus",
+            " AND o1.o_totalprice < o2.o_totalprice",
+        ]
+    )
+    return (
+        f"SELECT o1.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        f"CAST(SUM(o1.o_orderkey + o2.o_orderkey) AS BIGINT) AS key_sum "
+        f"FROM orders o1 JOIN orders o2 "
+        f"ON o1.o_custkey = o2.o_custkey "
+        f"AND o1.o_orderkey < o2.o_orderkey{extra} "
+        f"WHERE o1.o_custkey % {rng.randint(2, 7)} = 0 "
+        f"GROUP BY o1.o_orderstatus"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -490,6 +552,9 @@ def _corpus() -> list[str]:
         + [_gen_chained_cte(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_filter_agg(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_lateral(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_not_in_null(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_rows_frame(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_theta_self_join(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
