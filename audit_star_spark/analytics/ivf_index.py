@@ -246,3 +246,141 @@ def ivf_topk_trained(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+PQ_META = "_ivfpq_meta.json"
+
+
+def add_pq_codes(
+    index: IVFIndex,
+    emb: DataFrame,
+    m_sub: int = 4,
+    k_codes: int = 16,
+) -> None:
+    """Extend a built IVF index with product-quantization artifacts
+    (the FAISS IVF-PQ layout, raw-vector variant — by_residual=False,
+    which FAISS also ships; residual encoding would thread the coarse
+    centroid through pq_train's seeding and is left out deliberately):
+
+        <index_dir>/pq_codebook/   (sub_id, cell_id, n_members, centroid)
+        <index_dir>/pq_codes/      (vec_id, codes array<int>)
+            cell_id=0/ ...          <- partitioned by the COARSE cell
+
+    Codes live under the same hive partitioning as the assignments, so
+    a probe prunes code files exactly like vector files — but reads
+    m_sub ints per row instead of dim floats (16x smaller at
+    64-dim/4-sub)."""
+    from audit_star_spark.analytics.pq import pq_encode, pq_train
+
+    spark = emb.sparkSession
+    codebook = pq_train(emb, m_sub=m_sub, k=k_codes, iters=1)
+    codebook.write.mode("overwrite").parquet(
+        os.path.join(index.index_dir, "pq_codebook")
+    )
+    saved_cb = spark.read.parquet(os.path.join(index.index_dir, "pq_codebook"))
+    codes = pq_encode(emb, saved_cb, m_sub=m_sub)
+    cells = index.assignments(spark).select("vec_id", "cell_id")
+    (
+        codes.join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(index.index_dir, "pq_codes"))
+    )
+    with open(os.path.join(index.index_dir, PQ_META), "w") as f:
+        json.dump({"m_sub": int(m_sub), "k_codes": int(k_codes)}, f)
+
+
+def probe_pq(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-PQ probe: coarse cells prune the scan (static partition
+    filter, as in IVFIndex.probe), then candidates are ranked by
+    ASYMMETRIC distance — the query's exact subvectors against each
+    candidate's m_sub codes via the broadcast per-query distance table.
+    The corpus' float vectors are never read on this path; only the
+    int-code files of the probed cells. Returns
+    (query_id, rank, vec_id, adc); ADC sums fold over sorted partials
+    (bit-stable), ties break to the smaller vec_id."""
+    with open(os.path.join(index.index_dir, PQ_META)) as f:
+        pq_meta = json.load(f)
+    m_sub = pq_meta["m_sub"]
+    dim = index.meta()["dim"]
+    w_sub = dim // m_sub
+    spark = queries.sparkSession
+
+    q = queries.select(
+        "query_id",
+        "qvec",
+        F.sqrt(_dot("qvec", "qvec")).alias("qnorm"),
+    )
+    cents = index.centroids(spark).select(
+        "cell_id", F.col("centroid").alias("cvec"), "cnorm"
+    )
+    ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qvec", "cell_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qvec", "cell_id")
+    ).persist()
+    probed_cells = sorted(
+        {int(r["cell_id"]) for r in probes.select("cell_id").distinct().collect()}
+    )
+
+    codebook = spark.read.parquet(
+        os.path.join(index.index_dir, "pq_codebook")
+    ).select("sub_id", "cell_id", "centroid")
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m_sub - 1}), "
+                f"s -> named_struct('sub_id', s, "
+                f"'qsvec', slice(qvec, s * {w_sub} + 1, {w_sub})))"
+            )
+        ).alias("__s"),
+    ).select("query_id", F.col("__s.sub_id").alias("sub_id"), F.col("__s.qsvec").alias("qsvec"))
+    table = qsub.join(codebook, "sub_id").select(
+        "query_id",
+        "sub_id",
+        F.col("cell_id").alias("code"),
+        F.expr(
+            "aggregate(zip_with(qsvec, centroid, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        ).alias("pd"),
+    )
+
+    cand = (
+        spark.read.parquet(os.path.join(index.index_dir, "pq_codes"))
+        .filter(F.col("cell_id").isin(probed_cells))
+        .join(
+            F.broadcast(probes.select("query_id", "cell_id")), "cell_id"
+        )
+        .select("query_id", "vec_id", F.posexplode("codes").alias("sub_id", "code"))
+    )
+    adc = cand.join(F.broadcast(table), ["query_id", "sub_id", "code"]).groupBy(
+        "query_id", "vec_id"
+    ).agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(pd)), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        ).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    out = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("adc", 9).alias("adc"))
+    )
+    out = out.localCheckpoint(eager=True)
+    probes.unpersist()
+    return out

@@ -2812,27 +2812,24 @@ def q_pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recall_sql(
-    m_sub: int = 4, k: int = 16, n_queries: int = 8, k_nn: int = 5, dim: int = 64
-) -> str:
-    w = dim // m_sub
-
-    def d2(a: str, b: str) -> str:
-        return d_fold(
-            f"list_transform(list_zip({a}, {b}), "
-            "x -> (x[1] - x[2]) * (x[1] - x[2]))",
-            "CAST(0.0 AS DOUBLE)",
-            "(s, v) -> s + v",
-        )
-
-    sorted_sum = d_fold(
-        "list_sort(list(pd))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+def _d2(a: str, b: str) -> str:
+    """DuckDB squared-L2 over two lists (index-order fold, matching
+    Spark's in-row zip_with/aggregate)."""
+    return d_fold(
+        f"list_transform(list_zip({a}, {b}), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]))",
+        "CAST(0.0 AS DOUBLE)",
+        "(s, v) -> s + v",
     )
-    return f"""
-WITH base AS (
-  SELECT vec_id, {D_VEC} AS vec FROM embeddings
-),
-sub AS (
+
+
+def _pq_codebook_ctes(m_sub: int, k: int, dim: int) -> str:
+    """The shared PQ oracle block (assumes a ``base(vec_id, vec)`` CTE
+    is already in scope): subvector explode, seeded one-round Lloyd per
+    subspace, and the final code assignment — CTEs ``sub .. enc``."""
+    w = dim // m_sub
+    d2 = _d2
+    return f"""sub AS (
   SELECT vec_id, s.sub_id,
          list_slice(vec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS svec
   FROM base CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
@@ -2841,7 +2838,7 @@ seeds AS (
   SELECT sub_id, vec_id AS cell_id, svec AS centroid
   FROM sub WHERE vec_id < {k}
 ),
-assigned AS (
+pq_assigned AS (
   SELECT vec_id, sub_id, svec, cell_id FROM (
     SELECT b.vec_id, b.sub_id, b.svec, c.cell_id,
            ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub_id
@@ -2850,25 +2847,25 @@ assigned AS (
     FROM sub b JOIN seeds c USING (sub_id)
   ) WHERE rn = 1
 ),
-dims AS (
+pq_dims AS (
   SELECT sub_id, cell_id, i - 1 AS pos, svec[i] AS x FROM (
     SELECT sub_id, cell_id, svec,
            unnest(generate_series(1, len(svec))) AS i
-    FROM assigned
+    FROM pq_assigned
   )
 ),
-sums AS (
+pq_sums AS (
   SELECT sub_id, cell_id, pos,
          {d_fold('list_sort(list(x))', 'CAST(0.0 AS DOUBLE)',
                  '(s, v) -> s + v')} AS s,
          COUNT(*) AS n
-  FROM dims GROUP BY 1, 2, 3
+  FROM pq_dims GROUP BY 1, 2, 3
 ),
 codebook AS (
   SELECT sub_id, cell_id,
          list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
                         x -> x.m) AS centroid
-  FROM (SELECT sub_id, cell_id, pos, s / n AS m FROM sums)
+  FROM (SELECT sub_id, cell_id, pos, s / n AS m FROM pq_sums)
   GROUP BY 1, 2
 ),
 enc AS (
@@ -2879,7 +2876,25 @@ enc AS (
                                        c.cell_id) AS rn
     FROM sub b JOIN codebook c USING (sub_id)
   ) WHERE rn = 1
+)"""
+
+
+def _pq_recall_sql(
+    m_sub: int = 4, k: int = 16, n_queries: int = 8, k_nn: int = 5, dim: int = 64
+) -> str:
+    w = dim // m_sub
+
+    def d2(a: str, b: str) -> str:
+        return _d2(a, b)
+
+    sorted_sum = d_fold(
+        "list_sort(list(pd))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
 ),
+{_pq_codebook_ctes(m_sub, k, dim)},
 queries AS (
   SELECT vec_id AS query_id, vec AS qvec FROM base WHERE vec_id < {n_queries}
 ),
@@ -2911,6 +2926,170 @@ ex AS (
     SELECT q.query_id, b.vec_id,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
                               ORDER BY {d2('b.vec', 'q.qvec')},
+                                       b.vec_id) AS rk
+    FROM base b CROSS JOIN queries q
+  ) WHERE rk <= {k_nn}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM atop a JOIN ex USING (query_id, vec_id) GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / CAST({float(k_nn)!r} AS DOUBLE), 6)
+         AS recall
+FROM queries q LEFT JOIN hits h USING (query_id)
+"""
+
+
+def q_ivfpq_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted IVF-PQ path through the gate
+    (analytics/ivf_index.py add_pq_codes + probe_pq): coarse cells
+    prune the scan via static partition filters, then candidates rank
+    by asymmetric distance over their 4 int codes — the corpus' float
+    vectors are never read at probe time. Scored against the exact L2
+    top-5; the oracle replays coarse k-means, cell probing, PQ
+    codebooks, encoding and the ADC ranking with identical folds and
+    tie-breaks."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from audit_star_spark.analytics.ivf_index import (
+        add_pq_codes,
+        build_ivf_index,
+        probe_pq,
+    )
+    from audit_star_spark.analytics.similarity import VEC_EXPR
+
+    k_nn, n_probe = 5, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivfpq_gate_")
+    idx = build_ivf_index(emb, os.path.join(d, "idx"), n_cells=16, iters=1)
+    add_pq_codes(idx, emb, m_sub=4, k_codes=16)
+    base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    approx = probe_pq(idx, queries, k=k_nn, n_probe=n_probe).select(
+        "query_id", "vec_id"
+    )
+    d2 = (
+        "aggregate(zip_with(vec, qvec, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        base.join(F.broadcast(queries))
+        .select("query_id", "vec_id", F.expr(d2).alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k_nn)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivfpq_recall_sql(
+    n_cells: int = 16,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_queries: int = 8,
+    k_nn: int = 5,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    w = dim // m_sub
+    sorted_sum = d_fold(
+        "list_sort(list(pd))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH km AS ({_kmeans_core_sql(n_cells)}),
+tcents AS (
+  SELECT cell_id, centroid AS cvec,
+         sqrt({d_dot('centroid', 'centroid')}) AS cnorm
+  FROM km
+),
+base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+normed2 AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+coarse AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT n.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                              ORDER BY {d_dot('c.cvec', 'n.vec')}
+                                       / (c.cnorm * n.norm) DESC,
+                                       c.cell_id) AS crank
+    FROM normed2 n CROSS JOIN tcents c
+  ) WHERE crank = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, vec AS qvec,
+         sqrt({d_dot('vec', 'vec')}) AS qnorm
+  FROM base WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {d_dot('c.cvec', 'q.qvec')}
+                                       / (c.cnorm * q.qnorm) DESC,
+                                       c.cell_id) AS crank
+    FROM queries q CROSS JOIN tcents c
+  ) WHERE crank <= {n_probe}
+),
+{_pq_codebook_ctes(m_sub, k_codes, dim)},
+qsub AS (
+  SELECT query_id, s.sub_id,
+         list_slice(qvec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS qsvec
+  FROM queries CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+),
+tbl AS (
+  SELECT q.query_id, q.sub_id, c.cell_id AS code,
+         {_d2('q.qsvec', 'c.centroid')} AS pd
+  FROM qsub q JOIN codebook c USING (sub_id)
+),
+cand AS (
+  SELECT p.query_id, e.vec_id, e.sub_id, e.cell_id AS code
+  FROM enc e
+  JOIN coarse co ON co.vec_id = e.vec_id
+  JOIN probes p ON p.cell_id = co.cell_id
+),
+adc AS (
+  SELECT c.query_id, c.vec_id, {sorted_sum} AS adc
+  FROM cand c JOIN tbl t
+    ON t.query_id = c.query_id AND t.sub_id = c.sub_id AND t.code = c.code
+  GROUP BY 1, 2
+),
+atop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= {k_nn}
+),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_d2('b.vec', 'q.qvec')},
                                        b.vec_id) AS rk
     FROM base b CROSS JOIN queries q
   ) WHERE rk <= {k_nn}
@@ -4854,6 +5033,7 @@ EXTRA_QUERIES = {
     "cms_event_counts": q_cms_event_counts,
     "y4m_census": q_y4m_census,
     "pq_topk_recall": q_pq_topk_recall,
+    "ivfpq_probe_recall": q_ivfpq_probe_recall,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -4918,6 +5098,7 @@ EXTRA_ORACLES = {
     "cms_event_counts": _cms_event_counts_sql(),
     "y4m_census": SQL_Y4M_CENSUS,
     "pq_topk_recall": _pq_recall_sql(),
+    "ivfpq_probe_recall": _ivfpq_recall_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
