@@ -146,6 +146,10 @@ def index_main(argv: list[str]) -> int:
     bu.add_argument("--out", dest="index_dir", required=True)
     bu.add_argument("--cells", type=int, default=16)
     bu.add_argument("--iters", type=int, default=3)
+    bu.add_argument("--pq", action="store_true",
+                    help="also write PQ codebooks + codes (IVF-PQ)")
+    bu.add_argument("--pq-sub", type=int, default=4)
+    bu.add_argument("--pq-codes", type=int, default=16)
     pr = sub.add_parser("probe", help="top-k neighbors for query vec_ids")
     pr.add_argument("--index", dest="index_dir", required=True)
     pr.add_argument("--embeddings", required=True,
@@ -154,6 +158,9 @@ def index_main(argv: list[str]) -> int:
                     help="comma-separated vec_ids to use as queries")
     pr.add_argument("-k", type=int, default=10)
     pr.add_argument("--probes", type=int, default=4)
+    pr.add_argument("--pq", action="store_true",
+                    help="rank by asymmetric distance over PQ codes "
+                         "(requires an index built with --pq)")
     for p in (bu, pr):
         p.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
@@ -166,16 +173,22 @@ def index_main(argv: list[str]) -> int:
     if args.cmd == "build":
         from audit_star_spark.analytics.ivf_index import build_ivf_index
 
+        emb = spark.read.parquet(args.embeddings)
         idx = build_ivf_index(
-            spark.read.parquet(args.embeddings),
+            emb,
             args.index_dir,
             n_cells=args.cells,
             iters=args.iters,
         )
+        if args.pq:
+            from audit_star_spark.analytics.ivf_index import add_pq_codes
+
+            add_pq_codes(idx, emb, m_sub=args.pq_sub, k_codes=args.pq_codes)
+            print(f"pq           m_sub={args.pq_sub} k_codes={args.pq_codes}")
         for k, v in idx.meta().items():
             print(f"{k:12s} {v}")
         return 0
-    from audit_star_spark.analytics.ivf_index import IVFIndex
+    from audit_star_spark.analytics.ivf_index import IVFIndex, probe_pq
     from audit_star_spark.analytics.similarity import VEC_EXPR
 
     ids = [int(v) for v in args.queries.split(",") if v.strip()]
@@ -184,9 +197,13 @@ def index_main(argv: list[str]) -> int:
         .filter(F.col("vec_id").isin(ids))
         .select(F.col("vec_id").alias("query_id"), F.expr(VEC_EXPR).alias("qvec"))
     )
-    IVFIndex(args.index_dir).probe(q, k=args.k, n_probe=args.probes).orderBy(
-        "query_id", "rank"
-    ).show(1000, truncate=False)
+    idx = IVFIndex(args.index_dir)
+    out = (
+        probe_pq(idx, q, k=args.k, n_probe=args.probes)
+        if args.pq
+        else idx.probe(q, k=args.k, n_probe=args.probes)
+    )
+    out.orderBy("query_id", "rank").show(1000, truncate=False)
     return 0
 
 
