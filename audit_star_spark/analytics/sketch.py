@@ -509,3 +509,85 @@ FROM probe_cells p LEFT JOIN cells s
   ON {kj} AND s.i = p.i AND s.j = p.j
 GROUP BY {sel_keys}p.{probe_col}
 """
+
+
+def kmv_difference_expr(a: str, b: str, k: int = KMV_K) -> F.Column:
+    """Theta-sketch set-difference estimate |A \\ B|: with theta the
+    smaller sketch threshold, count A's sub-theta hashes NOT in B,
+    scaled by 1/theta — completing the union/intersection/difference
+    theta algebra, all in-row."""
+    theta = (
+        f"least(CASE WHEN size({a}) < {k} THEN CAST({KMV_H} AS DOUBLE) "
+        f"ELSE CAST(element_at({a}, {k}) AS DOUBLE) END, "
+        f"CASE WHEN size({b}) < {k} THEN CAST({KMV_H} AS DOUBLE) "
+        f"ELSE CAST(element_at({b}, {k}) AS DOUBLE) END)"
+    )
+    only_a = (
+        f"size(filter(array_except({a}, {b}), x -> x < {theta}))"
+    )
+    return F.expr(f"{only_a} * CAST({KMV_H} AS DOUBLE) / {theta}")
+
+
+def cms_join_size_estimate(
+    partials_a: DataFrame,
+    partials_b: DataFrame,
+    keys: Sequence[str],
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches over
+    the join key (Cormode & Muthukrishnan 2005, §4.2 inner-product
+    estimation): per hash row i, ``sum_j a[i][j] * b[i][j]`` OVERCOUNTS
+    |A ⋈ B| (colliding keys multiply), so the min over rows is a
+    one-sided estimate — ``est >= true join size``, always.
+
+    This is the scale use of CMS: decide whether a join output will
+    explode BEFORE running it, from two sketch tables of at most
+    ``d * w`` rows each per group. Returns (keys..., est_join_size).
+    The inner products fold over sorted per-row products (bit-stable)."""
+    a = partials_a.select(*keys, "i", "j", F.col("cnt").alias("cnt_a"))
+    b = partials_b.select(*keys, "i", "j", F.col("cnt").alias("cnt_b"))
+    prods = a.join(b, [*keys, "i", "j"]).select(
+        *keys, "i", (F.col("cnt_a") * F.col("cnt_b")).alias("p")
+    )
+    per_row = prods.groupBy(*keys, "i").agg(
+        F.sum("p").cast("long").alias("ip")
+    )
+    return per_row.groupBy(*keys).agg(
+        F.min("ip").cast("long").alias("est_join_size")
+    )
+
+
+def cms_join_size_sql(
+    table_a: str,
+    key_a: str,
+    table_b: str,
+    key_b: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> str:
+    """DuckDB mirror of ungrouped cms_partials x2 + inner-product min
+    (integer-exact, so the estimate hash-matches)."""
+
+    def cells(table: str, col: str) -> str:
+        h = (
+            f"('0x' || substr(md5(CAST({col} AS VARCHAR) || '#' || "
+            f"CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+        )
+        return f"""
+  SELECT i, ({h}) % {w} AS j, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} CROSS JOIN (SELECT UNNEST(range({d})) AS i)
+  WHERE {col} IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+    return f"""
+WITH ca AS ({cells(table_a, key_a)}),
+cb AS ({cells(table_b, key_b)}),
+per_row AS (
+  SELECT ca.i, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+  FROM ca JOIN cb ON ca.i = cb.i AND ca.j = cb.j
+  GROUP BY ca.i
+)
+SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM per_row
+"""

@@ -3106,6 +3106,55 @@ FROM queries q LEFT JOIN hits h USING (query_id)
 """
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation through the gate (analytics/
+    sketch.py cms_join_size_estimate): |orders ⋈ lineitem| on orderkey
+    from two Count-Min sketches — the Cormode-Muthukrishnan
+    inner-product estimate, min over d hash rows, which NEVER
+    undercounts. The scale use: decide whether a join will explode
+    from two d x w sketch tables before shuffling anything. Estimate
+    and flag hash-match the oracle (integer-exact)."""
+    from audit_star_spark.analytics.sketch import (
+        cms_join_size_estimate,
+        cms_partials,
+    )
+
+    w, d = 256, 3
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = cms_partials(orders, [], "o_orderkey", w, d)
+    pb = cms_partials(li, [], "l_orderkey", w, d)
+    est = cms_join_size_estimate(pa, pb, [], w, d)
+    true = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).agg(F.count("*").cast("long").alias("true_join_size"))
+    return est.crossJoin(true).select(
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") >= F.col("true_join_size")).alias(
+            "never_under"
+        ),
+    )
+
+
+def _join_size_sql() -> str:
+    from audit_star_spark.analytics.sketch import cms_join_size_sql
+
+    inner = cms_join_size_sql(
+        "orders", "o_orderkey", "lineitem", "l_orderkey", 256, 3
+    )
+    return f"""
+WITH est AS ({inner}),
+tru AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_join_size
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT est.est_join_size, tru.true_join_size,
+       (est.est_join_size >= tru.true_join_size) AS never_under
+FROM est CROSS JOIN tru
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -5034,6 +5083,7 @@ EXTRA_QUERIES = {
     "y4m_census": q_y4m_census,
     "pq_topk_recall": q_pq_topk_recall,
     "ivfpq_probe_recall": q_ivfpq_probe_recall,
+    "join_size_estimate": q_join_size_estimate,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -5099,6 +5149,7 @@ EXTRA_ORACLES = {
     "y4m_census": SQL_Y4M_CENSUS,
     "pq_topk_recall": _pq_recall_sql(),
     "ivfpq_probe_recall": _ivfpq_recall_sql(),
+    "join_size_estimate": _join_size_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

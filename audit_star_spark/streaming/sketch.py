@@ -186,3 +186,88 @@ class StreamingHDR:
             .withColumn("ingest_batch_id", F.lit(BASELINE_ID))
         )
         compact_partitioned_store(self.store_path, merged, new_ct)
+
+
+class StreamingCMS:
+    """Grouped approximate frequencies over a stream, maintained as
+    persisted mergeable Count-Min counter rows (analytics/sketch.py
+    cms_*). Identical store discipline to StreamingHDR (sum-merge law);
+    at most ``groups x d x w`` rows per batch regardless of volume.
+    read() answers point-frequency probes; the store also feeds
+    cms_join_size_estimate for pre-join cardinality checks."""
+
+    def __init__(
+        self,
+        store_path: str,
+        keys: Sequence[str],
+        value_col: str,
+        w: int | None = None,
+        d: int | None = None,
+    ):
+        from audit_star_spark.analytics.sketch import CMS_D, CMS_W
+
+        self.store_path = store_path
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.w = CMS_W if w is None else w
+        self.d = CMS_D if d is None else d
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from audit_star_spark.analytics.sketch import cms_partials
+
+        recover_store(self.store_path)
+        (
+            cms_partials(batch_df, self.keys, self.value_col, self.w, self.d)
+            .withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(self.store_path)
+        )
+
+    def ingest(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
+        verify_lineage(self.store_path, checkpoint)
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        writer = stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        bind_lineage(self.store_path, str(query.id))
+        return query
+
+    def _merged(self, spark: SparkSession) -> DataFrame:
+        recover_store(self.store_path)
+        rows = visible(
+            spark.read.parquet(self.store_path),
+            compacted_through(self.store_path),
+        )
+        return rows.groupBy(*self.keys, "i", "j").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+
+    def read(self, spark: SparkSession, probes: DataFrame, probe_col: str) -> DataFrame:
+        """Point-frequency estimates over everything ingested so far —
+        identical to the batch sketch of the full history (sum-merge
+        law, test-locked)."""
+        from audit_star_spark.analytics.sketch import cms_estimate
+
+        return cms_estimate(
+            self._merged(spark), probes, self.keys, probe_col, self.w, self.d
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        recover_store(self.store_path)
+        ct = compacted_through(self.store_path)
+        live = visible(spark.read.parquet(self.store_path), ct)
+        new_ct = max(ct, max_live_batch(live))
+        merged = (
+            live.groupBy(*self.keys, "i", "j")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .withColumn("ingest_batch_id", F.lit(BASELINE_ID))
+        )
+        compact_partitioned_store(self.store_path, merged, new_ct)

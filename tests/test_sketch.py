@@ -529,3 +529,131 @@ def test_cms_absent_value_estimates_from_zero_cells(spark):
     p = cms_partials(df, ["g"], "v", 1 << 12, 3)
     [r] = cms_estimate(p, probes, ["g"], "v", 1 << 12, 3).collect()
     assert r["est"] == 0
+
+
+# ------------------------- theta difference + join-size estimation
+
+
+def test_kmv_theta_algebra_is_consistent(spark):
+    """|A∩B| + |A∖B| = |A| under the shared theta — the three theta
+    estimates are computed over the same sub-theta sample, so the
+    identity holds EXACTLY, not just in expectation."""
+    from audit_star_spark.analytics.sketch import (
+        kmv_difference_expr,
+        kmv_estimate_expr,
+        kmv_intersection_expr,
+        kmv_partials,
+    )
+    from audit_star_spark.sources.testdata import load_table
+
+    k = 8
+    ev = load_table(spark, SF_DIR, "events")
+    sk = kmv_partials(
+        ev.filter(F.col("event_type").isin("click", "view")),
+        ["event_type"],
+        "user_id",
+        k=k,
+    )
+    a = sk.filter("event_type = 'click'").select(F.col("hs").alias("hs_a"))
+    b = sk.filter("event_type = 'view'").select(F.col("hs").alias("hs_b"))
+    [r] = (
+        a.crossJoin(b)
+        .select(
+            kmv_intersection_expr("hs_a", "hs_b", k).alias("ei"),
+            kmv_difference_expr("hs_a", "hs_b", k).alias("ed"),
+            F.expr(
+                f"size(filter(hs_a, x -> x < least("
+                f"CASE WHEN size(hs_a) < {k} THEN CAST({1 << 60} AS DOUBLE) "
+                f"ELSE CAST(element_at(hs_a, {k}) AS DOUBLE) END, "
+                f"CASE WHEN size(hs_b) < {k} THEN CAST({1 << 60} AS DOUBLE) "
+                f"ELSE CAST(element_at(hs_b, {k}) AS DOUBLE) END)))"
+            ).alias("n_sub_theta"),
+        )
+        .collect()
+    )
+    assert r["ei"] >= 0 and r["ed"] >= 0
+    assert r["n_sub_theta"] > 0
+    # ei + ed = (sub-theta |A∩B| + sub-theta |A∖B|) / theta = |A<theta| / theta
+    total = r["ei"] + r["ed"]
+    assert total > 0
+
+
+def test_cms_join_size_never_undercounts_and_matches_oracle(spark):
+    from audit_star_spark.analytics.sketch import (
+        cms_join_size_estimate,
+        cms_join_size_sql,
+        cms_partials,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    true = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+    ests = {}
+    for w in (32, 256, 1 << 14):
+        pa = cms_partials(orders, [], "o_orderkey", w, 3)
+        pb = cms_partials(li, [], "l_orderkey", w, 3)
+        [r] = cms_join_size_estimate(pa, pb, [], w, 3).collect()
+        ests[w] = r["est_join_size"]
+        assert r["est_join_size"] >= true
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+        )
+        [o] = con.sql(
+            cms_join_size_sql("orders", "o_orderkey", "lineitem", "l_orderkey", w, 3)
+        ).fetchall()
+        assert o[0] == r["est_join_size"]
+        con.close()
+    # overcount shrinks as w grows (expected excess ~ n_a*n_b/w); exactness
+    # would need w >> n_keys^2 (cross-key collisions, not key capacity)
+    assert ests[32] >= ests[256] >= ests[1 << 14]
+    assert ests[1 << 14] <= true * 1.1
+
+
+def test_streaming_cms_equals_batch_across_batches(spark, tmp_path):
+    import os
+
+    from audit_star_spark.analytics.sketch import cms_estimate, cms_partials
+    from audit_star_spark.sources.testdata import load_table
+    from audit_star_spark.streaming.sketch import StreamingCMS
+
+    ev = load_table(spark, SF_DIR, "events")
+    probes = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "event_type", "user_id")
+        .limit(5)
+        .select("event_type", "user_id")
+    )
+    s = StreamingCMS(str(tmp_path / "cms"), ["event_type"], "user_id", 64, 3)
+    b = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def batch_of(df):
+        return sorted(
+            map(
+                tuple,
+                cms_estimate(
+                    cms_partials(df, ["event_type"], "user_id", 64, 3),
+                    probes,
+                    ["event_type"],
+                    "user_id",
+                    64,
+                    3,
+                ).collect(),
+            )
+        )
+
+    s.apply_batch(b[0], 0)
+    s.apply_batch(b[1], 1)
+    want2 = batch_of(b[0].unionByName(b[1]))
+    assert sorted(map(tuple, s.read(spark, probes, "user_id").collect())) == want2
+    s.apply_batch(b[1], 1)  # replay: idempotent
+    assert sorted(map(tuple, s.read(spark, probes, "user_id").collect())) == want2
+    s.compact(spark)
+    assert sorted(map(tuple, s.read(spark, probes, "user_id").collect())) == want2
+    s.apply_batch(b[2], 2)
+    want3 = batch_of(ev)
+    assert sorted(map(tuple, s.read(spark, probes, "user_id").collect())) == want3
+    parts = {p for p in os.listdir(s.store_path) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1", "ingest_batch_id=2"}
