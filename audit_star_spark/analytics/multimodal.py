@@ -515,10 +515,14 @@ def _parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise ValueError("only 16-bit integer PCM decodes without codecs")
-    samples = np.frombuffer(data, dtype="<i2")
-    return rate, channels, samples
+    if audio_format == 1 and bits == 16:
+        return rate, channels, np.frombuffer(data, dtype="<i2")
+    if audio_format in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+        table = _g711_table("alaw" if audio_format == 6 else "ulaw")
+        return rate, channels, table[np.frombuffer(data, dtype=np.uint8)]
+    raise ValueError(
+        "only 16-bit integer PCM and 8-bit G.711 decode without codecs"
+    )
 
 
 def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
@@ -1611,3 +1615,127 @@ def y4m_frame_means(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=Y4M_FRAME_SCHEMA)
+
+
+# ----------------------------------------- audio: G.711 mu-law / A-law
+# ITU-T G.711 — the telephony companding codec (WAV format codes 7 and
+# 6). The segment decode is pure integer arithmetic, so the gate oracle
+# replays it in SQL; tables are built from the spec formulas, not
+# copied code.
+
+
+def _g711_table(law: str) -> "np.ndarray":
+    """256-entry decode table (companded byte -> linear int16)."""
+    out = np.empty(256, dtype=np.int16)
+    if law == "ulaw":
+        for b in range(256):
+            u = ~b & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+            out[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    elif law == "alaw":
+        for b in range(256):
+            a = b ^ 0x55
+            seg = (a & 0x70) >> 4
+            mant = a & 0x0F
+            if seg == 0:
+                t = (mant << 4) + 8
+            else:
+                t = ((mant << 4) + 0x108) << (seg - 1)
+            out[b] = t if (a & 0x80) else -t
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    return out
+
+
+def encode_wav_g711(payload_bytes: bytes, rate: int, law: str,
+                    channels: int = 1) -> bytes:
+    """Companded G.711 bytes -> RIFF/WAVE with format code 7 (mu) or
+    6 (A), 8 bits/sample (the synthesis side of the decode
+    differential — bytes pass through verbatim)."""
+    code = {"ulaw": 7, "alaw": 6}[law]
+    block = 1 * channels
+    fmt = (
+        code.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(payload_bytes).to_bytes(4, "little") + payload_bytes
+    if len(payload_bytes) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+G711_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("law", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_linear", T.LongType()),
+        T.StructField("min_linear", T.IntegerType()),
+        T.StructField("max_linear", T.IntegerType()),
+    ]
+)
+
+
+def g711_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL G.711 decode through the WAV chunk walk: per payload, the
+    companding law and exact INTEGER stats of the linearized samples
+    (sum/min/max — no float folds, hash-exact by construction).
+    Non-G.711 or undecodable payloads contribute no rows."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    data = bytes(payload)
+                    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                        continue
+                    # peek the format code off the fmt chunk for the label
+                    pos, code = 12, None
+                    while pos + 8 <= len(data):
+                        cid = data[pos : pos + 4]
+                        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+                        if cid == b"fmt ":
+                            code = int.from_bytes(
+                                data[pos + 8 : pos + 10], "little"
+                            )
+                        pos += 8 + size + (size & 1)
+                    if code not in (6, 7):
+                        continue
+                    rate, _ch, samples = _parse_wav(data)
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    continue
+                rows.append(
+                    (
+                        int(doc_id),
+                        "alaw" if code == 6 else "ulaw",
+                        rate,
+                        len(samples),
+                        int(samples.astype(np.int64).sum()),
+                        int(samples.min()),
+                        int(samples.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "law", "sample_rate", "n_samples",
+                    "sum_linear", "min_linear", "max_linear",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "sample_rate": "int32",
+                    "n_samples": "int64", "sum_linear": "int64",
+                    "min_linear": "int32", "max_linear": "int32",
+                }
+            )
+
+    return media.mapInPandas(run, schema=G711_STATS_SCHEMA)

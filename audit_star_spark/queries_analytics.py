@@ -3155,6 +3155,102 @@ FROM est CROSS JOIN tru
 """
 
 
+def _synth_g711(spark_df):
+    """doc_id-keyed G.711 WAV synthesis (mapInPandas): n = 16 + d%16
+    companded bytes with byte_i = (d*31 + i*7) % 256; even docs mu-law
+    (format 7), odd docs A-law (format 6), 8 kHz."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        from audit_star_spark.analytics.multimodal import encode_wav_g711
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 16 + d % 16
+                raw = bytes((d * 31 + i * 7) % 256 for i in range(n))
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                payloads.append(encode_wav_g711(raw, 8000, law))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_g711_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ITU-T G.711 decode through the gate (multimodal.py
+    _g711_table + the WAV chunk walk): mu-law and A-law payloads
+    linearized to int16, reported as exact INTEGER sample stats. The
+    oracle replays the spec's segment arithmetic in pure SQL — the
+    decoded values themselves are cross-checked, not just shapes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.g711_sample_stats(_synth_g711(docs))
+
+
+# G.711 decode as pure SQL integer arithmetic: u-law is
+# t = (((~b & 15) << 3) + 132) << ((~b >> 4) & 7), signed by bit 7 of ~b;
+# A-law xors with 0x55 then applies the segment ladder.
+SQL_G711_CENSUS = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 15 + doc_id % 16)) AS i
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ((doc_id * 31 + i * 7) % 256) AS byte FROM f
+),
+dec AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      CASE WHEN (255 - byte) >= 128
+           THEN 132 - ((((255 - byte) % 16) * 8 + 132)
+                       * (1 << (((255 - byte) // 16) % 8)))
+           ELSE ((((255 - byte) % 16) * 8 + 132)
+                 * (1 << (((255 - byte) // 16) % 8))) - 132
+      END
+    ELSE
+      CASE WHEN xor(byte, 85) >= 128
+           THEN CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
+                     THEN (xor(byte, 85) % 16) * 16 + 8
+                     ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                          * (1 << (((xor(byte, 85) // 16) % 8) - 1))
+                END
+           ELSE -(CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
+                       THEN (xor(byte, 85) % 16) * 16 + 8
+                       ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                            * (1 << (((xor(byte, 85) // 16) % 8) - 1))
+                  END)
+      END
+    END AS v
+  FROM b
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(16 + doc_id % 16 AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_linear,
+       CAST(MIN(v) AS INT) AS min_linear,
+       CAST(MAX(v) AS INT) AS max_linear
+FROM dec GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -5084,6 +5180,7 @@ EXTRA_QUERIES = {
     "pq_topk_recall": q_pq_topk_recall,
     "ivfpq_probe_recall": q_ivfpq_probe_recall,
     "join_size_estimate": q_join_size_estimate,
+    "g711_census": q_g711_census,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -5150,6 +5247,7 @@ EXTRA_ORACLES = {
     "pq_topk_recall": _pq_recall_sql(),
     "ivfpq_probe_recall": _ivfpq_recall_sql(),
     "join_size_estimate": _join_size_sql(),
+    "g711_census": SQL_G711_CENSUS,
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),

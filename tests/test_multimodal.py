@@ -476,3 +476,76 @@ def test_y4m_frame_means_operator(spark):
         for r in y4m_frame_means(df).collect()
     )
     assert rows == [(1, 0, 7.0), (1, 1, 8.0)]
+
+
+# ------------------------------------------------------- G.711 (mu/A-law)
+
+
+def test_g711_tables_match_spec_properties():
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import _g711_table
+
+    u = _g711_table("ulaw")
+    a = _g711_table("alaw")
+    assert u.dtype == np.int16 and a.dtype == np.int16
+    # mu-law: 0xFF decodes to 0, 0x7F to -0 (also 0); extremes at 0x80/0x00
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert u[0x80] == 32124 and u[0x00] == -32124
+    # sign symmetry: byte b and b^0x80 decode to negatives of each other
+    b = np.arange(256)
+    assert (u[b] == -u[b ^ 0x80]).all()
+    assert (a[b] == -a[b ^ 0x80]).all()
+    # A-law extremes per spec: |max| = 0xF08 << 3 = 32256? no — seg 7,
+    # mant 15: ((15<<4)+0x108) << 6 = 0x7D00 = 32000? compute: 504 << 6
+    assert a.max() == ((15 << 4) + 0x108) << 6
+    assert a.min() == -a.max()
+
+
+def test_g711_wav_roundtrip_through_parse_wav():
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        _g711_table,
+        _parse_wav,
+        encode_wav_g711,
+    )
+
+    raw = bytes(range(256))
+    for law, code in (("ulaw", 7), ("alaw", 6)):
+        rate, ch, samples = _parse_wav(encode_wav_g711(raw, 8000, law))
+        assert (rate, ch) == (8000, 1)
+        assert (samples == _g711_table(law)[np.frombuffer(raw, np.uint8)]).all()
+
+
+def test_g711_odd_payload_pads_even_chunk():
+    from audit_star_spark.analytics.multimodal import (
+        _parse_wav,
+        encode_wav_g711,
+    )
+
+    rate, ch, samples = _parse_wav(encode_wav_g711(b"\x01\x02\x03", 8000, "ulaw"))
+    assert len(samples) == 3
+
+
+def test_g711_stats_operator_ignores_pcm_and_poison(spark):
+    import numpy as np
+
+    from audit_star_spark.analytics.multimodal import (
+        encode_wav,
+        encode_wav_g711,
+        g711_sample_stats,
+    )
+
+    g = encode_wav_g711(bytes([0xFF, 0x00]), 8000, "ulaw")
+    pcm = encode_wav(np.array([1, 2, 3], dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(g)), (2, bytearray(pcm)), (3, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = g711_sample_stats(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["law"], r["n_samples"]) == (1, "ulaw", 2)
+    assert r["sum_linear"] == 0 + (-32124)
+    assert (r["min_linear"], r["max_linear"]) == (-32124, 0)
