@@ -259,11 +259,18 @@ def _hdr_bucket_exprs(value_col: str, sub_bits: int) -> tuple[str, str]:
 def hdr_partials(
     df: DataFrame, keys: Sequence[str], value_col: str,
     sub_bits: int = HDR_SUB_BITS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Grouped mergeable quantile-sketch rows ``(keys..., e, sub,
     cnt)`` over a non-negative integer column (scale decimals to
     integer units — cents, micros — first; NULL and negative rows are
     dropped, mirrored by the SQL oracle).
+
+    ``weight_col`` (non-negative INTEGER weights) turns the sketch into
+    a WEIGHTED quantile sketch: a row counts ``weight`` times, so the
+    rank walk answers e.g. token-weighted length percentiles — the
+    quantile of the value an average TOKEN sits at, not an average
+    document. Exact-integer weights keep the sketch hash-exact.
 
     One map-side-combined hash aggregation; at most
     ``64 * 2^sub_bits`` buckets per group survive regardless of input
@@ -271,15 +278,25 @@ def hdr_partials(
     partial sketches from different batches/partitions/days combine
     exactly (the streaming store's contract)."""
     e, sub = _hdr_bucket_exprs(value_col, sub_bits)
+    staged = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    )
+    if weight_col is None:
+        agg = F.count("*")
+    else:
+        staged = staged.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0)
+        )
+        agg = F.sum(weight_col)
     return (
-        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
-        .select(
+        staged.select(
             *keys,
             F.expr(e).alias("e"),
             F.expr(sub).alias("sub"),
+            *([] if weight_col is None else [F.col(weight_col)]),
         )
         .groupBy(*keys, "e", "sub")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(agg.cast("long").alias("cnt"))
     )
 
 
@@ -345,23 +362,30 @@ def hdr_sql(
     value_expr: str,
     qs: Sequence[float],
     sub_bits: int = HDR_SUB_BITS,
+    weight_expr: str | None = None,
 ) -> str:
     """DuckDB mirror of hdr_partials + hdr_quantiles — identical
     integer bucket math and rank walk, so lo/hi/est hash-match
-    bit-for-bit."""
+    bit-for-bit. ``weight_expr`` mirrors the weighted variant."""
     ks = ", ".join(keys)
     e = "length(bin(v))"
     shift = f"greatest({e} - {sub_bits + 1}, 0)"
     qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    if weight_expr is None:
+        w_sel, w_filter, agg = "", "", "COUNT(*)"
+    else:
+        w_sel = f", {weight_expr} AS wt"
+        w_filter = f" AND {weight_expr} IS NOT NULL AND {weight_expr} >= 0"
+        agg = "SUM(wt)"
     return f"""
 WITH vals AS (
-  SELECT {ks}, {value_expr} AS v FROM {table}
-  WHERE {value_expr} IS NOT NULL AND {value_expr} >= 0
+  SELECT {ks}, {value_expr} AS v{w_sel} FROM {table}
+  WHERE {value_expr} IS NOT NULL AND {value_expr} >= 0{w_filter}
 ),
 buckets AS (
   SELECT {ks}, {e} AS e, (v >> CAST({shift} AS INTEGER)) AS sub,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM vals GROUP BY ALL
+         CAST({agg} AS BIGINT) AS cnt
+  FROM vals GROUP BY {ks}{',' if keys else ''} e, sub
 ),
 walked AS (
   SELECT {ks}, e, sub, cnt,

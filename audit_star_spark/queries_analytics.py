@@ -3251,6 +3251,114 @@ FROM dec GROUP BY doc_id
 """
 
 
+def q_weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED HDR quantile sketch through the gate: per returnflag,
+    the quantity-weighted p50/p90 of unit price cents — the price an
+    average UNIT ships at, not an average line item (the token-weighted
+    percentile shape every corpus report needs). Containment of the
+    exact weighted order statistic is checked in both engines; all
+    math stays integer."""
+    from pyspark.sql import Window
+
+    from audit_star_spark.analytics.sketch import hdr_partials, hdr_quantiles
+
+    qs = [0.5, 0.9]
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("cents"),
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+    )
+    sk = hdr_quantiles(
+        hdr_partials(staged, ["l_returnflag"], "cents", weight_col="qty"),
+        ["l_returnflag"],
+        qs,
+    )
+    # ROWS frame explicitly: the default RANGE frame would pool tied
+    # cents rows into one cumw step and break the unit-containment
+    # filter (the oracle is ROWS too)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    exact = (
+        staged.withColumn("cumw", F.sum("qty").over(w))
+        .withColumn("tw", F.sum("qty").over(wall))
+        .withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+        )
+        .withColumn(
+            "rnk",
+            F.greatest(
+                F.lit(1).cast("long"), F.expr("cast(ceil(q * tw) as bigint)")
+            ),
+        )
+        .filter(
+            (F.col("cumw") >= F.col("rnk"))
+            & (F.col("cumw") - F.col("qty") < F.col("rnk"))
+        )
+        .select("l_returnflag", "q", F.col("cents").alias("exact_cents"))
+    )
+    return sk.join(exact, ["l_returnflag", "q"]).select(
+        "l_returnflag",
+        "q",
+        "n",
+        "lo",
+        "hi",
+        "est",
+        "exact_cents",
+        (
+            (F.col("lo") <= F.col("exact_cents"))
+            & (F.col("exact_cents") <= F.col("hi"))
+        ).alias("contained"),
+    )
+
+
+def _weighted_price_quantiles_sql() -> str:
+    from audit_star_spark.analytics.sketch import hdr_sql
+
+    qs = [0.5, 0.9]
+    inner = hdr_sql(
+        "lineitem",
+        ["l_returnflag"],
+        "cast(round(l_extendedprice * 100) as bigint)",
+        qs,
+        weight_expr="cast(l_quantity as bigint)",
+    )
+    qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+WITH sk AS ({inner}),
+staged AS (
+  SELECT l_returnflag,
+         cast(round(l_extendedprice * 100) as bigint) AS cents,
+         cast(l_quantity as bigint) AS qty
+  FROM lineitem
+),
+walked AS (
+  SELECT l_returnflag, cents, qty,
+         SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumw,
+         SUM(qty) OVER (PARTITION BY l_returnflag) AS tw
+  FROM staged
+),
+exact AS (
+  SELECT l_returnflag, q, cents AS exact_cents
+  FROM walked CROSS JOIN (SELECT UNNEST([{qlist}]) AS q) qq
+  WHERE cumw >= GREATEST(1, CAST(ceil(q * tw) AS BIGINT))
+    AND cumw - qty < GREATEST(1, CAST(ceil(q * tw) AS BIGINT))
+)
+SELECT sk.l_returnflag, sk.q, sk.n, sk.lo, sk.hi, sk.est,
+       exact.exact_cents,
+       (sk.lo <= exact.exact_cents AND exact.exact_cents <= sk.hi)
+         AS contained
+FROM sk JOIN exact
+  ON sk.l_returnflag = exact.l_returnflag AND sk.q = exact.q
+"""
+
+
 # ----------------------------------------------- end-to-end pipeline report
 def q_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full cleaning pipeline as ONE DAG: quality-gate every document
@@ -5181,6 +5289,7 @@ EXTRA_QUERIES = {
     "ivfpq_probe_recall": q_ivfpq_probe_recall,
     "join_size_estimate": q_join_size_estimate,
     "g711_census": q_g711_census,
+    "weighted_price_quantiles": q_weighted_price_quantiles,
     "weighted_sample_docs": q_weighted_sample,
     "heavy_hitters_approx": q_heavy_hitters_approx,
     "zorder_keys": q_zorder_keys,
@@ -5248,6 +5357,7 @@ EXTRA_ORACLES = {
     "ivfpq_probe_recall": _ivfpq_recall_sql(),
     "join_size_estimate": _join_size_sql(),
     "g711_census": SQL_G711_CENSUS,
+    "weighted_price_quantiles": _weighted_price_quantiles_sql(),
     "weighted_sample_docs": SQL_WEIGHTED_SAMPLE,
     "heavy_hitters_approx": SQL_HEAVY_HITTERS_APPROX,
     "zorder_keys": _zorder_sql(),
