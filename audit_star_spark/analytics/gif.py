@@ -243,6 +243,17 @@ def encode_gif(
 
 
 def parse_gif_frames(payload: bytes) -> list[dict]:
+    """Full animated-GIF compositing: every frame's TRUE canvas pixels
+    (see ``_parse_gif_frames``). Raises ValueError on truncated/corrupt
+    streams — including truncation points that surface as IndexError in
+    the block parser — honoring the poison-payload contract."""
+    try:
+        return _parse_gif_frames(payload)
+    except IndexError as exc:
+        raise ValueError(f"truncated GIF stream: {exc}") from exc
+
+
+def _parse_gif_frames(payload: bytes) -> list[dict]:
     """Full animated-GIF compositing: every frame's TRUE canvas pixels,
     honoring Graphic Control Extension disposal methods, frame
     offsets/sizes, and transparency — the animation analog of

@@ -69,8 +69,11 @@ def bm25_topk(
         return F.size(F.filter(arr, lambda x: x == F.lit(term)))
 
     tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    # size > 0 (not just isNotNull): a caller-supplied tokens_expr may
+    # yield an empty array; the explode-based oracle drops such docs
+    # from `lengths`, so they must not inflate N/avgdl here either.
     slim = (
-        docs.filter(arr.isNotNull())
+        docs.filter(arr.isNotNull() & (F.size(arr) > 0))
         .select("doc_id", F.size(arr).alias("dl"), *tf_cols)
         .localCheckpoint(eager=False)
     )

@@ -113,30 +113,33 @@ def hll_sql(
     table: str, keys: Sequence[str], value_col: str
 ) -> str:
     """DuckDB mirror: identical register construction and sorted-fold
-    estimator — the oracle reproduces the estimate bit-for-bit."""
+    estimator — the oracle reproduces the estimate bit-for-bit.
+    ``keys`` may be empty (ungrouped), matching hll_partials(keys=[])."""
     ks = ", ".join(keys)
+    kc = f"{ks}, " if keys else ""  # "k1, k2, " or "" — empty-keys guard
+    gb = f" GROUP BY {ks}" if keys else ""
     h = (
         f"('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT"
     )
     m = float(HLL_M)
     return f"""
 WITH hashed AS (
-  SELECT {ks}, {h} % {HLL_M} AS idx,
+  SELECT {kc}{h} % {HLL_M} AS idx,
          CASE WHEN {h} // {HLL_M} = 0 THEN 53
               ELSE 53 - length(bin({h} // {HLL_M})) END AS rho
   FROM {table} WHERE {value_col} IS NOT NULL
 ),
 regs AS (
-  SELECT {ks}, idx, MAX(rho) AS rho_max FROM hashed GROUP BY {ks}, idx
+  SELECT {kc}idx, MAX(rho) AS rho_max FROM hashed GROUP BY {kc}idx
 ),
 folded AS (
-  SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_hit,
+  SELECT {kc}CAST(COUNT(*) AS BIGINT) AS n_hit,
          list_reduce(
            list_concat([CAST(0.0 AS DOUBLE)], list_sort(list(rho_max))),
            (s, r) -> s + pow(2.0, -r)) AS hit_mass
-  FROM regs GROUP BY {ks}
+  FROM regs{gb}
 )
-SELECT {ks},
+SELECT {kc}
        round(CASE WHEN CAST({HLL_ALPHA * m * m!r} AS DOUBLE)
                          / ((CAST({m!r} AS DOUBLE) - n_hit) + hit_mass)
                        <= CAST({2.5 * m!r} AS DOUBLE)
@@ -222,15 +225,19 @@ def kmv_intersection_expr(a: str, b: str, k: int = KMV_K) -> F.Column:
 def kmv_sql_partials(
     table: str, keys: Sequence[str], value_col: str, k: int = KMV_K
 ) -> str:
-    """DuckDB mirror of kmv_partials (bit-identical arrays)."""
+    """DuckDB mirror of kmv_partials (bit-identical arrays). ``keys``
+    may be empty (ungrouped), matching kmv_partials(keys=[])."""
     ks = ", ".join(keys)
+    kc = f"{ks}, " if keys else ""  # empty-keys guard
+    pb = f"PARTITION BY {ks} " if keys else ""
+    gb = f" GROUP BY {ks}" if keys else ""
     h = f"('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT"
     return f"""
-SELECT {ks}, list_sort(list(h)) AS hs FROM (
-  SELECT {ks}, h, row_number() OVER (PARTITION BY {ks} ORDER BY h) AS rn
-  FROM (SELECT DISTINCT {ks}, {h} AS h FROM {table}
+SELECT {kc}list_sort(list(h)) AS hs FROM (
+  SELECT {kc}h, row_number() OVER ({pb}ORDER BY h) AS rn
+  FROM (SELECT DISTINCT {kc}{h} AS h FROM {table}
         WHERE {value_col} IS NOT NULL)
-) WHERE rn <= {k} GROUP BY {ks}
+) WHERE rn <= {k}{gb}
 """
 
 
@@ -368,6 +375,8 @@ def hdr_sql(
     integer bucket math and rank walk, so lo/hi/est hash-match
     bit-for-bit. ``weight_expr`` mirrors the weighted variant."""
     ks = ", ".join(keys)
+    kc = f"{ks}, " if keys else ""  # empty-keys guard (ungrouped)
+    pb = f"PARTITION BY {ks} " if keys else ""
     e = "length(bin(v))"
     shift = f"greatest({e} - {sub_bits + 1}, 0)"
     qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
@@ -379,18 +388,18 @@ def hdr_sql(
         agg = "SUM(wt)"
     return f"""
 WITH vals AS (
-  SELECT {ks}, {value_expr} AS v{w_sel} FROM {table}
+  SELECT {kc}{value_expr} AS v{w_sel} FROM {table}
   WHERE {value_expr} IS NOT NULL AND {value_expr} >= 0{w_filter}
 ),
 buckets AS (
-  SELECT {ks}, {e} AS e, (v >> CAST({shift} AS INTEGER)) AS sub,
+  SELECT {kc}{e} AS e, (v >> CAST({shift} AS INTEGER)) AS sub,
          CAST({agg} AS BIGINT) AS cnt
-  FROM vals GROUP BY {ks}{',' if keys else ''} e, sub
+  FROM vals GROUP BY {kc}e, sub
 ),
 walked AS (
-  SELECT {ks}, e, sub, cnt,
-         SUM(cnt) OVER (PARTITION BY {ks} ORDER BY e, sub) AS cum,
-         CAST(SUM(cnt) OVER (PARTITION BY {ks}) AS BIGINT) AS n
+  SELECT {kc}e, sub, cnt,
+         SUM(cnt) OVER ({pb}ORDER BY e, sub) AS cum,
+         CAST(SUM(cnt) OVER ({pb.strip() or ''}) AS BIGINT) AS n
   FROM buckets
 ),
 picked AS (
@@ -398,7 +407,7 @@ picked AS (
          GREATEST(1, CAST(ceil(q.q * w.n) AS BIGINT)) AS rnk
   FROM walked w CROSS JOIN (SELECT UNNEST([{qlist}]) AS q) q
 )
-SELECT {ks}, q, n,
+SELECT {kc}q, n,
        (sub << CAST(GREATEST(e - {sub_bits + 1}, 0) AS INTEGER)) AS lo,
        ((sub + 1) << CAST(GREATEST(e - {sub_bits + 1}, 0) AS INTEGER)) - 1 AS hi,
        round(((sub << CAST(GREATEST(e - {sub_bits + 1}, 0) AS INTEGER))
@@ -568,14 +577,32 @@ def cms_join_size_estimate(
     This is the scale use of CMS: decide whether a join output will
     explode BEFORE running it, from two sketch tables of at most
     ``d * w`` rows each per group. Returns (keys..., est_join_size).
-    The inner products fold over sorted per-row products (bit-stable)."""
+
+    A hash row with NO colliding (i, j) cells has inner product 0 and
+    must bound the min (disjoint inputs estimate 0, not "no row"), so
+    the products are re-attached to a generated (group, i) spine with
+    ``coalesce(ip, 0)`` — groups present in either sketch get a row."""
+    spark = partials_a.sparkSession
     a = partials_a.select(*keys, "i", "j", F.col("cnt").alias("cnt_a"))
     b = partials_b.select(*keys, "i", "j", F.col("cnt").alias("cnt_b"))
     prods = a.join(b, [*keys, "i", "j"]).select(
         *keys, "i", (F.col("cnt_a") * F.col("cnt_b")).alias("p")
     )
-    per_row = prods.groupBy(*keys, "i").agg(
+    hits = prods.groupBy(*keys, "i").agg(
         F.sum("p").cast("long").alias("ip")
+    )
+    ivals = spark.range(d).select(F.col("id").cast("int").alias("i"))
+    if keys:
+        groups = (
+            partials_a.select(*keys)
+            .unionByName(partials_b.select(*keys))
+            .distinct()
+        )
+        spine = groups.crossJoin(ivals)  # |groups| * d rows — tiny
+    else:
+        spine = ivals
+    per_row = spine.join(hits, [*keys, "i"], "left").select(
+        *keys, "i", F.coalesce(F.col("ip"), F.lit(0)).cast("long").alias("ip")
     )
     return per_row.groupBy(*keys).agg(
         F.min("ip").cast("long").alias("est_join_size")
@@ -608,10 +635,13 @@ def cms_join_size_sql(
     return f"""
 WITH ca AS ({cells(table_a, key_a)}),
 cb AS ({cells(table_b, key_b)}),
+spine AS (SELECT UNNEST(range({d})) AS i),
 per_row AS (
-  SELECT ca.i, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
-  FROM ca JOIN cb ON ca.i = cb.i AND ca.j = cb.j
-  GROUP BY ca.i
+  SELECT s.i, CAST(COALESCE(SUM(ca.cnt * cb.cnt), 0) AS BIGINT) AS ip
+  FROM spine s
+  LEFT JOIN ca ON ca.i = s.i
+  LEFT JOIN cb ON cb.i = ca.i AND cb.j = ca.j
+  GROUP BY s.i
 )
 SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM per_row
 """

@@ -453,6 +453,12 @@ def to_warc_shards(
 
     staged = docs.select(
         F.col(id_col), F.col(text_col),
-        (F.col(id_col) / docs_per_shard).cast("long").alias("__shard"),
+        # Exact integer floor division (id // docs_per_shard): double `/`
+        # loses precision past 2^53 and truncates (not floors) negatives.
+        # `id - pmod(id, n)` is exactly divisible by n, so `div` is exact.
+        F.expr(
+            f"(cast({id_col} as bigint) - pmod(cast({id_col} as bigint), "
+            f"{int(docs_per_shard)})) div {int(docs_per_shard)}"
+        ).alias("__shard"),
     )
     return staged.groupBy("__shard").applyInPandas(build, schema)

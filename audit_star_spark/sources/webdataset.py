@@ -218,8 +218,11 @@ def to_webdataset_shards(
         )
 
     staged = docs.select(
-        F.col(id_col), F.col(text_col), (F.col(id_col) / samples_per_shard)
-        .cast("long")
-        .alias("__shard"),
+        F.col(id_col), F.col(text_col),
+        # Exact integer floor division — see to_warc_shards.
+        F.expr(
+            f"(cast({id_col} as bigint) - pmod(cast({id_col} as bigint), "
+            f"{int(samples_per_shard)})) div {int(samples_per_shard)}"
+        ).alias("__shard"),
     )
     return staged.groupBy("__shard").applyInPandas(build, schema)

@@ -279,3 +279,25 @@ def test_gif_frame_means_spark_surface(spark):
     # narrow plan: no shuffle
     plan = gif_frame_means(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_parse_gif_frames_truncation_always_valueerror():
+    """ADVICE r8: parse_gif_frames documents ValueError on truncated
+    streams — truncation points that used to surface as IndexError
+    (mid image descriptor, mid color table, mid min-code byte) must be
+    re-raised as ValueError."""
+    from audit_star_spark.analytics.gif import (
+        encode_gif_animation,
+        parse_gif_frames,
+    )
+
+    img = RNG.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = encode_gif_animation([{"img": img}], (4, 4))
+    frames = parse_gif_frames(good)
+    assert len(frames) == 1
+    # every truncation point from just-past-header to just-before-end
+    for cut in range(14, len(good) - 1):
+        try:
+            parse_gif_frames(good[:cut])
+        except ValueError:
+            pass  # the documented contract — never IndexError

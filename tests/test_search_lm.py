@@ -173,3 +173,29 @@ def test_bm25_single_scan_plan_lock(spark):
     plan = t._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan and "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_bm25_empty_token_docs_excluded_from_corpus_stats(spark):
+    """ADVICE r8: a caller-supplied tokens_expr that yields an empty
+    array must not inflate N/avgdl — the explode-based oracle drops
+    such docs from `lengths`, so scores must equal the corpus with the
+    empty doc absent."""
+    from audit_star_spark.analytics.search import bm25_topk
+
+    expr = "filter(split(lower(text), ' '), x -> x != '')"
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple apple"), (3, "")],
+        "doc_id long, text string",
+    )
+    with_empty = sorted(
+        map(tuple, bm25_topk(docs, ["apple"], k=5, tokens_expr=expr).collect())
+    )
+    without = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                docs.filter("doc_id != 3"), ["apple"], k=5, tokens_expr=expr
+            ).collect(),
+        )
+    )
+    assert with_empty == without and len(with_empty) == 2

@@ -657,3 +657,109 @@ def test_streaming_cms_equals_batch_across_batches(spark, tmp_path):
     assert sorted(map(tuple, s.read(spark, probes, "user_id").collect())) == want3
     parts = {p for p in os.listdir(s.store_path) if p.startswith("ingest_")}
     assert parts == {"ingest_batch_id=-1", "ingest_batch_id=2"}
+
+
+def test_ungrouped_sql_builders_match_spark(spark):
+    """ADVICE r8: hll_sql / kmv_sql_partials / hdr_sql with keys=[] must
+    generate valid SQL mirroring the ungrouped Spark partials — the
+    asymmetry cms_sql already guarded."""
+    from audit_star_spark.analytics.sketch import (
+        hdr_partials,
+        hdr_quantiles,
+        hdr_sql,
+        kmv_partials,
+        kmv_sql_partials,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.sql(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    got = sorted(map(tuple, hll_distinct(docs, [], "doc_id").collect()))
+    want = sorted(tuple(r) for r in con.sql(hll_sql("documents", [], "doc_id")).fetchall())
+    assert got == want and got
+
+    got = sorted(map(tuple, kmv_partials(docs, [], "doc_id", k=16).collect()))
+    want = sorted(
+        tuple(tuple(x) if isinstance(x, list) else x for x in r)
+        for r in con.sql(kmv_sql_partials("documents", [], "doc_id", k=16)).fetchall()
+    )
+    got = [tuple(tuple(x) if isinstance(x, list) else x for x in r) for r in got]
+    assert got == want and got
+
+    cents = orders.select(
+        (F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    got = sorted(
+        map(
+            tuple,
+            hdr_quantiles(
+                hdr_partials(cents, [], "cents"), [], [0.5, 0.99]
+            ).collect(),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            hdr_sql(
+                "orders", [], "CAST(o_totalprice * 100 AS BIGINT)", [0.5, 0.99]
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 2
+    con.close()
+
+
+def test_cms_join_size_disjoint_inputs_estimate_zero(spark):
+    """ADVICE r8: fully disjoint inputs (true join size 0) must return
+    one row with est 0 in BOTH engines, not an empty frame — a hash row
+    with no colliding cells contributes 0 to the min."""
+    from audit_star_spark.analytics.sketch import (
+        cms_join_size_estimate,
+        cms_join_size_sql,
+        cms_partials,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 1050)], "k long")
+    w = 1 << 14  # wide enough that disjoint keys do not collide
+    pa = cms_partials(a, [], "k", w, 3)
+    pb = cms_partials(b, [], "k", w, 3)
+    rows = cms_join_size_estimate(pa, pb, [], w, 3).collect()
+    assert len(rows) == 1 and rows[0]["est_join_size"] == 0
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW ta AS SELECT UNNEST(range(50)) AS k")
+    con.sql("CREATE VIEW tb AS SELECT UNNEST(range(1000, 1050)) AS k")
+    [o] = con.sql(cms_join_size_sql("ta", "k", "tb", "k", w, 3)).fetchall()
+    assert o[0] == 0
+    con.close()
+
+
+def test_cms_join_size_grouped_one_sided_group_zero(spark):
+    """A group present in only one sketch joins to nothing: est 0."""
+    from audit_star_spark.analytics.sketch import (
+        cms_join_size_estimate,
+        cms_partials,
+    )
+
+    a = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g2", 7)], "g string, k long"
+    )
+    b = spark.createDataFrame([("g1", 1), ("g1", 1)], "g string, k long")
+    pa = cms_partials(a, ["g"], "k", 64, 3)
+    pb = cms_partials(b, ["g"], "k", 64, 3)
+    got = {
+        r["g"]: r["est_join_size"]
+        for r in cms_join_size_estimate(pa, pb, ["g"], 64, 3).collect()
+    }
+    assert got["g2"] == 0
+    assert got["g1"] >= 2  # true join size: key 1 matches twice

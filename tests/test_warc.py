@@ -480,3 +480,22 @@ def test_to_warc_shards_roundtrip_and_determinism(spark):
     }
     for r in shards:
         assert again[r["shard_id"]] == bytes(r["payload"])
+
+
+def test_shard_id_integer_floor_division(spark):
+    """ADVICE r8: shard = id // docs_per_shard must be exact integer
+    floor division — double division loses precision past 2^53 and
+    truncates (not floors) negative ids."""
+    from audit_star_spark.sources.warc import to_warc_shards
+
+    big = (1 << 53) + 1  # 2^53 + 1: double rounds this to 2^53
+    docs = spark.createDataFrame(
+        [(big, "a"), (big + 1, "b"), (-5, "c"), (-1, "d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["shard_id"]: r["n_records"]
+        for r in to_warc_shards(docs, docs_per_shard=2).collect()
+    }
+    # floor semantics: (2^53+1)//2 != 2^53//2, -5//2 = -3, -1//2 = -1
+    assert got == {big // 2: 1, (big + 1) // 2: 1, -3: 1, -1: 1}
