@@ -5445,6 +5445,68 @@ for _name in _R6_ROTATE_OUT:
 for _name in _R6_ROTATE_IN:
     ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
     ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+del _name
+
+# Round-9 rotation: the 20 gate-ready round-7/8 queries (IVF-PQ + IVF
+# index, mergeable sketches, FLAC/Y4M/G.711/GIF-animation codecs, WARC
+# HTTP envelope + crawl pipeline + re-sharding, vision prep, Bloom
+# prefilter, FastSS linkage, triangle counting) move from EXTRA into the
+# gate so they earn hard CORRECTNESS_r09 rows; 20 double-green entries
+# (driver-green in >=2 prior rounds, and the no-oracle compression_ratio
+# slot, which can never hash-check) retire to EXTRA where
+# tests/test_oracle_parity.py keeps them oracle-locked every pytest run.
+_R9_ROTATE_IN = [
+    "hll_event_users",
+    "kmv_audience_overlap",
+    "cms_event_counts",
+    "join_size_estimate",
+    "price_quantiles_hdr",
+    "weighted_price_quantiles",
+    "bloom_prefilter_stats",
+    "customer_fuzzy_links",
+    "doc_triangles",
+    "ivf_index_probe",
+    "pq_topk_recall",
+    "ivfpq_probe_recall",
+    "flac_meta",
+    "gif_anim_census",
+    "y4m_census",
+    "g711_census",
+    "warc_http_census",
+    "crawl_pipeline_report",
+    "warc_reshard_census",
+    "vision_prep_census",
+]
+_R9_ROTATE_OUT = [
+    "compression_ratio",  # no SQL oracle by design — burns a hash slot
+    "jpeg_meta",
+    "bpe_merges",
+    "retention_cohorts",
+    "rate_anomalies",
+    "video_meta",
+    "video_frame_means",
+    "scd2_users",
+    "source_weighted_sample",
+    "embedding_projection",
+    "weighted_sample_docs",
+    "heavy_hitters_approx",
+    "zorder_keys",
+    "audio_resampled",
+    "webdataset_census",
+    "image_patches",
+    "embedding_outliers",
+    "title_near_pairs",
+    "projected_knn_recall",
+    "gif_meta",
+]
+for _name in _R9_ROTATE_OUT:
+    EXTRA_QUERIES[_name] = ANALYTICS_QUERIES.pop(_name)
+    if _name in ANALYTICS_ORACLES:  # compression_ratio has no oracle
+        EXTRA_ORACLES[_name] = ANALYTICS_ORACLES.pop(_name)
+for _name in _R9_ROTATE_IN:
+    ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+
 if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
     raise RuntimeError(
         "ANALYTICS_QUERIES must stay exactly 42 entries so the driver's "
