@@ -258,15 +258,24 @@ def add_pq_codes(
     emb: DataFrame,
     m_sub: int = 4,
     k_codes: int = 16,
+    by_residual: bool = True,
+    iters: int = 1,
 ) -> None:
     """Extend a built IVF index with product-quantization artifacts
-    (the FAISS IVF-PQ layout, raw-vector variant — by_residual=False,
-    which FAISS also ships; residual encoding would thread the coarse
-    centroid through pq_train's seeding and is left out deliberately):
+    (the FAISS IVF-PQ layout):
 
         <index_dir>/pq_codebook/   (sub_id, cell_id, n_members, centroid)
         <index_dir>/pq_codes/      (vec_id, codes array<int>)
             cell_id=0/ ...          <- partitioned by the COARSE cell
+
+    ``by_residual=True`` (default — standard IVFADC, Jégou et al. 2011
+    §IV) quantizes ``x - coarse_centroid(cell(x))``: the residual
+    distribution each codebook must cover is concentrated around zero,
+    which materially raises recall at the same code budget.
+    ``by_residual=False`` (FAISS also ships it) quantizes the raw
+    vectors; its codes are cell-independent, so a single global
+    ADC table ranks them (pq_adc_topk parity). The flag is persisted
+    in the PQ meta and drives probe_pq's table construction.
 
     Codes live under the same hive partitioning as the assignments, so
     a probe prunes code files exactly like vector files — but reads
@@ -275,12 +284,32 @@ def add_pq_codes(
     from audit_star_spark.analytics.pq import pq_encode, pq_train
 
     spark = emb.sparkSession
-    codebook = pq_train(emb, m_sub=m_sub, k=k_codes, iters=1)
+    if by_residual:
+        # residuals from the PERSISTED assignments + centroids (the
+        # trained artifacts — not a retrain): one broadcast join, no
+        # extra shuffle. The residual frame re-uses the `embedding`
+        # column name so pq_train/pq_encode's VEC_EXPR cast is a no-op.
+        cents = index.centroids(spark).select(
+            "cell_id", F.col("centroid").alias("cvec")
+        )
+        pq_input = (
+            index.assignments(spark)
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "vec_id",
+                F.expr("zip_with(vec, cvec, (x, y) -> x - y)").alias(
+                    "embedding"
+                ),
+            )
+        )
+    else:
+        pq_input = emb
+    codebook = pq_train(pq_input, m_sub=m_sub, k=k_codes, iters=iters)
     codebook.write.mode("overwrite").parquet(
         os.path.join(index.index_dir, "pq_codebook")
     )
     saved_cb = spark.read.parquet(os.path.join(index.index_dir, "pq_codebook"))
-    codes = pq_encode(emb, saved_cb, m_sub=m_sub)
+    codes = pq_encode(pq_input, saved_cb, m_sub=m_sub)
     cells = index.assignments(spark).select("vec_id", "cell_id")
     (
         codes.join(cells, "vec_id")
@@ -289,7 +318,15 @@ def add_pq_codes(
         .parquet(os.path.join(index.index_dir, "pq_codes"))
     )
     with open(os.path.join(index.index_dir, PQ_META), "w") as f:
-        json.dump({"m_sub": int(m_sub), "k_codes": int(k_codes)}, f)
+        json.dump(
+            {
+                "m_sub": int(m_sub),
+                "k_codes": int(k_codes),
+                "by_residual": bool(by_residual),
+                "iters": int(iters),
+            },
+            f,
+        )
 
 
 def probe_pq(
@@ -301,14 +338,22 @@ def probe_pq(
     """IVF-PQ probe: coarse cells prune the scan (static partition
     filter, as in IVFIndex.probe), then candidates are ranked by
     ASYMMETRIC distance — the query's exact subvectors against each
-    candidate's m_sub codes via the broadcast per-query distance table.
-    The corpus' float vectors are never read on this path; only the
-    int-code files of the probed cells. Returns
-    (query_id, rank, vec_id, adc); ADC sums fold over sorted partials
-    (bit-stable), ties break to the smaller vec_id."""
+    candidate's m_sub codes via the broadcast distance table. The
+    corpus' float vectors are never read on this path; only the
+    int-code files of the probed cells.
+
+    Residual indexes (PQ meta ``by_residual``, the default) tabulate
+    per (query, PROBED CELL): the query residual ``q - centroid(cell)``
+    against the codewords — the standard IVFADC per-cell lookup table,
+    still only ``n_queries * n_probe * m_sub * k_codes`` rows, built
+    from broadcast-sized inputs. Raw indexes use one per-query table.
+
+    Returns (query_id, rank, vec_id, adc); ADC sums fold over sorted
+    partials (bit-stable), ties break to the smaller vec_id."""
     with open(os.path.join(index.index_dir, PQ_META)) as f:
         pq_meta = json.load(f)
     m_sub = pq_meta["m_sub"]
+    by_residual = pq_meta.get("by_residual", False)
     dim = index.meta()["dim"]
     w_sub = dim // m_sub
     spark = queries.sparkSession
@@ -339,25 +384,46 @@ def probe_pq(
     codebook = spark.read.parquet(
         os.path.join(index.index_dir, "pq_codebook")
     ).select("sub_id", "cell_id", "centroid")
-    qsub = q.select(
-        "query_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {m_sub - 1}), "
-                f"s -> named_struct('sub_id', s, "
-                f"'qsvec', slice(qvec, s * {w_sub} + 1, {w_sub})))"
-            )
-        ).alias("__s"),
-    ).select("query_id", F.col("__s.sub_id").alias("sub_id"), F.col("__s.qsvec").alias("qsvec"))
-    table = qsub.join(codebook, "sub_id").select(
-        "query_id",
-        "sub_id",
-        F.col("cell_id").alias("code"),
-        F.expr(
-            "aggregate(zip_with(qsvec, centroid, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-        ).alias("pd"),
+
+    def _slices(df: DataFrame, vec_col: str, extra: list[str]) -> DataFrame:
+        return df.select(
+            *extra,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m_sub - 1}), "
+                    f"s -> named_struct('sub_id', s, "
+                    f"'qsvec', slice({vec_col}, s * {w_sub} + 1, {w_sub})))"
+                )
+            ).alias("__s"),
+        ).select(
+            *extra,
+            F.col("__s.sub_id").alias("sub_id"),
+            F.col("__s.qsvec").alias("qsvec"),
+        )
+
+    pd_expr = F.expr(
+        "aggregate(zip_with(qsvec, centroid, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
     )
+    if by_residual:
+        qres = probes.join(
+            F.broadcast(cents.select("cell_id", "cvec")), "cell_id"
+        ).select(
+            "query_id",
+            "cell_id",
+            F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias("rq"),
+        )
+        qsub = _slices(qres, "rq", ["query_id", "cell_id"])
+        table = qsub.join(codebook.withColumnRenamed("cell_id", "code"), "sub_id").select(
+            "query_id", "cell_id", "sub_id", "code", pd_expr.alias("pd")
+        )
+        table_keys = ["query_id", "cell_id", "sub_id", "code"]
+    else:
+        qsub = _slices(q, "qvec", ["query_id"])
+        table = qsub.join(codebook.withColumnRenamed("cell_id", "code"), "sub_id").select(
+            "query_id", "sub_id", "code", pd_expr.alias("pd")
+        )
+        table_keys = ["query_id", "sub_id", "code"]
 
     cand = (
         spark.read.parquet(os.path.join(index.index_dir, "pq_codes"))
@@ -365,9 +431,14 @@ def probe_pq(
         .join(
             F.broadcast(probes.select("query_id", "cell_id")), "cell_id"
         )
-        .select("query_id", "vec_id", F.posexplode("codes").alias("sub_id", "code"))
+        .select(
+            "query_id",
+            "cell_id",
+            "vec_id",
+            F.posexplode("codes").alias("sub_id", "code"),
+        )
     )
-    adc = cand.join(F.broadcast(table), ["query_id", "sub_id", "code"]).groupBy(
+    adc = cand.join(F.broadcast(table), table_keys).groupBy(
         "query_id", "vec_id"
     ).agg(
         F.expr(

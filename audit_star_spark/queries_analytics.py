@@ -2823,16 +2823,19 @@ def _d2(a: str, b: str) -> str:
     )
 
 
-def _pq_codebook_ctes(m_sub: int, k: int, dim: int) -> str:
-    """The shared PQ oracle block (assumes a ``base(vec_id, vec)`` CTE
-    is already in scope): subvector explode, seeded one-round Lloyd per
+def _pq_codebook_ctes(
+    m_sub: int, k: int, dim: int, base_cte: str = "base"
+) -> str:
+    """The shared PQ oracle block (assumes a ``base_cte(vec_id, vec)``
+    CTE is already in scope — raw vectors, or coarse residuals for the
+    IVFADC replay): subvector explode, seeded one-round Lloyd per
     subspace, and the final code assignment — CTEs ``sub .. enc``."""
     w = dim // m_sub
     d2 = _d2
     return f"""sub AS (
   SELECT vec_id, s.sub_id,
          list_slice(vec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS svec
-  FROM base CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+  FROM {base_cte} CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
 ),
 seeds AS (
   SELECT sub_id, vec_id AS cell_id, svec AS centroid
@@ -2944,13 +2947,15 @@ FROM queries q LEFT JOIN hits h USING (query_id)
 
 def q_ivfpq_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL persisted IVF-PQ path through the gate
-    (analytics/ivf_index.py add_pq_codes + probe_pq): coarse cells
-    prune the scan via static partition filters, then candidates rank
-    by asymmetric distance over their 4 int codes — the corpus' float
-    vectors are never read at probe time. Scored against the exact L2
-    top-5; the oracle replays coarse k-means, cell probing, PQ
-    codebooks, encoding and the ADC ranking with identical folds and
-    tie-breaks."""
+    (analytics/ivf_index.py add_pq_codes + probe_pq, RESIDUAL encoding
+    — standard IVFADC, Jégou et al. 2011 §IV): coarse cells prune the
+    scan via static partition filters, PQ codebooks are trained on
+    x - coarse_centroid(cell(x)), and candidates rank by asymmetric
+    distance of the per-cell query residual over their 4 int codes —
+    the corpus' float vectors are never read at probe time. Scored
+    against the exact L2 top-5; the oracle replays coarse k-means,
+    cell probing, residual codebooks, encoding and the per-cell ADC
+    ranking with identical folds and tie-breaks."""
     import os
     import tempfile
 
@@ -3011,11 +3016,81 @@ def _ivfpq_recall_sql(
     k_nn: int = 5,
     n_probe: int = 4,
     dim: int = 64,
+    by_residual: bool = True,
 ) -> str:
+    """DuckDB replay of the full IVF-PQ gate. ``by_residual=True``
+    (the add_pq_codes default — standard IVFADC) trains/encodes on
+    ``x - coarse_centroid(cell(x))`` (CTE ``rbase``) and tabulates the
+    per-(query, probed cell) residual against the codewords, keyed by
+    cell; ``False`` replays the raw-vector layout with one global
+    per-query table."""
     w = dim // m_sub
     sorted_sum = d_fold(
         "list_sort(list(pd))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
     )
+    if by_residual:
+        pq_block = f"""rbase AS (
+  SELECT b.vec_id,
+         list_transform(list_zip(b.vec, t.cvec), x -> x[1] - x[2]) AS vec
+  FROM base b
+  JOIN coarse co ON co.vec_id = b.vec_id
+  JOIN tcents t ON t.cell_id = co.cell_id
+),
+{_pq_codebook_ctes(m_sub, k_codes, dim, base_cte="rbase")},
+qres AS (
+  SELECT p.query_id, p.cell_id,
+         list_transform(list_zip(q.qvec, t.cvec), x -> x[1] - x[2]) AS rq
+  FROM probes p
+  JOIN queries q ON q.query_id = p.query_id
+  JOIN tcents t ON t.cell_id = p.cell_id
+),
+qsub AS (
+  SELECT query_id, cell_id, s.sub_id,
+         list_slice(rq, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS qsvec
+  FROM qres CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+),
+tbl AS (
+  SELECT q.query_id, q.cell_id, q.sub_id, c.cell_id AS code,
+         {_d2('q.qsvec', 'c.centroid')} AS pd
+  FROM qsub q JOIN codebook c ON c.sub_id = q.sub_id
+),
+cand AS (
+  SELECT p.query_id, p.cell_id, e.vec_id, e.sub_id, e.cell_id AS code
+  FROM enc e
+  JOIN coarse co ON co.vec_id = e.vec_id
+  JOIN probes p ON p.cell_id = co.cell_id
+),
+adc AS (
+  SELECT c.query_id, c.vec_id, {sorted_sum} AS adc
+  FROM cand c JOIN tbl t
+    ON t.query_id = c.query_id AND t.cell_id = c.cell_id
+   AND t.sub_id = c.sub_id AND t.code = c.code
+  GROUP BY 1, 2
+)"""
+    else:
+        pq_block = f"""{_pq_codebook_ctes(m_sub, k_codes, dim)},
+qsub AS (
+  SELECT query_id, s.sub_id,
+         list_slice(qvec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS qsvec
+  FROM queries CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+),
+tbl AS (
+  SELECT q.query_id, q.sub_id, c.cell_id AS code,
+         {_d2('q.qsvec', 'c.centroid')} AS pd
+  FROM qsub q JOIN codebook c USING (sub_id)
+),
+cand AS (
+  SELECT p.query_id, e.vec_id, e.sub_id, e.cell_id AS code
+  FROM enc e
+  JOIN coarse co ON co.vec_id = e.vec_id
+  JOIN probes p ON p.cell_id = co.cell_id
+),
+adc AS (
+  SELECT c.query_id, c.vec_id, {sorted_sum} AS adc
+  FROM cand c JOIN tbl t
+    ON t.query_id = c.query_id AND t.sub_id = c.sub_id AND t.code = c.code
+  GROUP BY 1, 2
+)"""
     return f"""
 WITH km AS ({_kmeans_core_sql(n_cells)}),
 tcents AS (
@@ -3054,29 +3129,7 @@ probes AS (
     FROM queries q CROSS JOIN tcents c
   ) WHERE crank <= {n_probe}
 ),
-{_pq_codebook_ctes(m_sub, k_codes, dim)},
-qsub AS (
-  SELECT query_id, s.sub_id,
-         list_slice(qvec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS qsvec
-  FROM queries CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
-),
-tbl AS (
-  SELECT q.query_id, q.sub_id, c.cell_id AS code,
-         {_d2('q.qsvec', 'c.centroid')} AS pd
-  FROM qsub q JOIN codebook c USING (sub_id)
-),
-cand AS (
-  SELECT p.query_id, e.vec_id, e.sub_id, e.cell_id AS code
-  FROM enc e
-  JOIN coarse co ON co.vec_id = e.vec_id
-  JOIN probes p ON p.cell_id = co.cell_id
-),
-adc AS (
-  SELECT c.query_id, c.vec_id, {sorted_sum} AS adc
-  FROM cand c JOIN tbl t
-    ON t.query_id = c.query_id AND t.sub_id = c.sub_id AND t.code = c.code
-  GROUP BY 1, 2
-),
+{pq_block},
 atop AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
