@@ -624,6 +624,112 @@ def span_dedup_stats(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
     )
 
 
+def substring_dedup_rewrite(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Exact-substring deduplication WITH REMOVAL — the suffix-array
+    granularity of published training-data recipes (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    duplicated run of >= k tokens is cut out of all but one occurrence,
+    and the document is REWRITTEN, not just scored. span_dedup_stats
+    only reports on non-overlapping fixed spans; this operator matches
+    OVERLAPPING k-token windows (so duplicated runs are caught at any
+    alignment), merges adjacent duplicated windows into maximal spans
+    in-row, and emits the cleaned text.
+
+    Semantics (each step restated in the DuckDB oracle):
+    - tokenize (TOKENS_EXPR), hash every overlapping k-token window
+      (md5-prefix bigint, the engine-portable idiom);
+    - a window OCCURRENCE (doc_id, pos) is removed iff it is not the
+      globally-first occurrence of its hash (first = min (doc_id, pos)
+      — keep-one, like dedup_keep_canonical, but per substring);
+    - per doc, removed windows [pos, pos+k) merge into spans where
+      consecutive positions are <= k apart (equal-length intervals, so
+      a lag test is exact interval merging);
+    - tokens inside any span are dropped; the rewrite is an in-row
+      higher-order filter over (token, index) — no per-token rows ever
+      materialize for the rewrite itself.
+
+    Known artifact (documented, deterministic, shared by the oracle):
+    inside periodic text ("a a a a ..."), every window after the first
+    period duplicates an earlier one, so a self-repeating run collapses
+    to its first PERIOD (one token for "a a a ...") rather than one
+    full copy of the repeated unit — the same aggressive behavior as
+    window-level ExactSubstr implementations.
+
+    Scale shape: one corpus scan; windows explode narrowly (O(tokens)
+    rows of 3 longs); ONE wide shuffle on window hash for the global
+    first-occurrence rank; the surviving removed-occurrence stream
+    (small for mostly-unique corpora) shuffles on doc_id for the span
+    merge; the span list joins back on doc_id (AQE broadcasts when
+    small). Never all-pairs, never a driver-side loop."""
+    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    win_expr = (
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> named_struct('pos', i, 'h', "
+        f"CAST(conv(substring(md5(array_join(slice(toks, i + 1, {k}), ' ')), "
+        f"1, 15), 16, 10) AS BIGINT)))"
+    )
+    wins = (
+        base.filter(F.size("toks") >= k)
+        .select("doc_id", F.explode(F.expr(win_expr)).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
+    removed = (
+        wins.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        removed.withColumn("prev", F.lag("pos").over(w_d))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") > F.col("prev") + k)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w_d.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_tokens"),
+        F.collect_list(F.struct("s", "e")).alias("spans"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            F.expr(
+                "CASE WHEN spans IS NULL THEN toks ELSE "
+                "filter(toks, (t, i) -> "
+                "NOT exists(spans, sp -> i >= sp.s AND i < sp.e)) END"
+            ).alias("clean"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "n_removed_tokens",
+            F.round(F.col("n_removed_tokens") / F.col("n_tokens"), 6).alias(
+                "removed_fraction"
+            ),
+            F.md5(F.array_join("clean", " ")).alias("clean_md5"),
+        )
+    )
+
+
 def dedup_keep_canonical(docs: DataFrame) -> DataFrame:
     """End-to-end dedup pipeline report: near-dup pairs (n-gram Jaccard)
     -> connected components -> keep ONE canonical document per cluster

@@ -5566,3 +5566,189 @@ if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
         f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
     )
 del _name
+
+
+# ------------------------------------------------ round-9 additions (EXTRA)
+def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup WITH REMOVAL through the gate
+    (analytics/dedup.py substring_dedup_rewrite): overlapping 8-token
+    window hashes, global keep-first occurrence rank, in-row span merge
+    and text rewrite. The oracle restates window hashing, the
+    first-occurrence rank, the lag-based interval merge and the indexed
+    list_filter rewrite in SQL; clean_md5 locks the rewritten TEXT
+    byte-for-byte, not just the counts."""
+    return dedup.substring_dedup_rewrite(
+        load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
+def _substring_dedup_sql(k: int = 8) -> str:
+    h = (
+        f"('0x' || substr(md5(array_to_string("
+        f"list_slice(toks, pos + 1, pos + {k}), ' ')), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {D_TOKENS} AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - {k})) AS pos, toks
+  FROM base WHERE len(toks) >= {k}
+),
+hashed AS (
+  SELECT doc_id, pos, {h} AS h FROM wins
+),
+removed AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM hashed
+  ) WHERE rn > 1
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS new_span
+  FROM removed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {k} AS e
+  FROM sp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS n_removed_tokens,
+         list(struct_pack(s := s, e := e)) AS spans
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+       round(COALESCE(p.n_removed_tokens, 0) / CAST(len(b.toks) AS DOUBLE), 6)
+         AS removed_fraction,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+       -- array_join(empty) is '' — a fully-removed doc must hash ''
+       md5(COALESCE(array_to_string(
+         CASE WHEN p.spans IS NULL THEN b.toks
+              ELSE list_filter(b.toks, (t, i) -> len(list_filter(p.spans,
+                     sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0) END,
+         ' '), '')) AS clean_md5
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["substring_dedup_rewrite"] = q_substring_dedup_rewrite
+EXTRA_ORACLES["substring_dedup_rewrite"] = _substring_dedup_sql()
+
+
+def _synth_audio_441(spark_df):
+    """doc_id-keyed 44.1 kHz WAV synthesis (mapInPandas, same plumbing
+    as multimodal.synth_audio): ±8000 square wave, half-period
+    10 + d%7, length 800 + (d%5)*160 samples — but at the real-world
+    44100 Hz rate whose 16 kHz conversion is rational 160:441."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        from audit_star_spark.analytics.multimodal import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                half = 10 + d % 7
+                n = 800 + (d % 5) * 160
+                i = np.arange(n)
+                s = 8000 * (1 - 2 * ((i // half) % 2))
+                payloads.append(encode_wav(s.astype("<i2"), 44100))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df.select("doc_id")).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_audio_resampled_rational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL rational-factor resampling through the gate
+    (multimodal.audio_resample_rational, 44.1 kHz -> 16 kHz = 160:441,
+    THE most common audio-pipeline conversion): boxcar prefilter of
+    width down//up = 2, then linear interpolation at exact rational
+    positions. The oracle replays the ENTIRE arithmetic per sample in
+    SQL — square-wave synth, prefilter, integer-index/frac split,
+    interpolation, half-away-from-zero rounding, RMS — exactly: every
+    float step is either exact in f64 (±8000 halves, integer squares
+    < 2^53, order-free sums) or a deterministic single-expression op."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = multimodal.audio_resample_rational(
+        _synth_audio_441(docs), up=160, down=441
+    )
+    return r.select(
+        "doc_id", "sample_rate", "n_samples", F.round("rms", 6).alias("rms")
+    )
+
+
+SQL_AUDIO_RESAMPLED_RATIONAL = """
+WITH params AS (
+  SELECT doc_id, 10 + doc_id % 7 AS half,
+         CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n
+  FROM documents
+),
+-- f[j] = (s[j] + s[j+1]) / 2 for j in 0..n-2 (boxcar w = 441//160 = 2)
+fv AS (
+  SELECT doc_id, n, j,
+         (8000.0 * (1 - 2 * ((j // half) % 2))
+          + 8000.0 * (1 - 2 * (((j + 1) // half) % 2))) / 2.0 AS f
+  FROM (SELECT doc_id, half, n, unnest(generate_series(0, n - 2)) AS j
+        FROM params)
+),
+-- n_out = (len_f - 1) * up // down + 1 with len_f = n - 1
+outidx AS (
+  SELECT doc_id, n, unnest(generate_series(0, ((n - 2) * 160) // 441)) AS m
+  FROM params
+),
+interp AS (
+  SELECT o.doc_id, o.m, fl.f AS flo, fh.f AS fhi,
+         CAST((o.m * 441) % 160 AS DOUBLE) / 160.0 AS frac
+  FROM outidx o
+  JOIN fv fl ON fl.doc_id = o.doc_id AND fl.j = (o.m * 441) // 160
+  JOIN fv fh ON fh.doc_id = o.doc_id
+            AND fh.j = LEAST((o.m * 441) // 160 + 1, o.n - 2)
+),
+rounded AS (
+  SELECT doc_id,
+         CASE WHEN v >= 0 THEN floor(v + 0.5)
+              ELSE -floor(-v + 0.5) END AS o
+  FROM (SELECT doc_id, flo * (1.0 - frac) + fhi * frac AS v FROM interp)
+)
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       round(sqrt(AVG(o * o)), 6) AS rms
+FROM rounded GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES["audio_resampled_rational"] = q_audio_resampled_rational
+EXTRA_ORACLES["audio_resampled_rational"] = SQL_AUDIO_RESAMPLED_RATIONAL
