@@ -145,3 +145,306 @@ def encode_mp3_frames(
         size = (144 * kbps * 1000) // sample_rate
         out += h.to_bytes(4, "big") + bytes(size - 4)
     return bytes(out)
+
+
+# ------------------------------------------------- Layer II subband decode
+#
+# MPEG-1 Layer II (ISO/IEC 11172-3 §2.4.1.6, §2.4.3.3) IS decodable here:
+# unlike Layer III there is no Huffman coding and no IMDCT hybrid — a
+# frame is a fixed bit layout (allocation, scfsi, scalefactors, grouped /
+# ungrouped codes) plus closed-form requantization:
+#
+#     s''' = code * 2^(1-nb) - 1          (two's-complement fraction)
+#     s''  = C * (s''' + D)               (table B.4: C = 2^nb/n)
+#     s'   = scalefactor * s''            (B.1: sf = 2^(1 - idx/3))
+#
+# which this module decodes BIT-EXACTLY to the 32-subband sample domain.
+# The final polyphase synthesis to PCM needs the 512-coefficient
+# tabulated prototype window (table B.3 / annex C) — a constant table
+# with no closed form that cannot be responsibly reproduced from memory,
+# so PCM synthesis raises NotImplementedError (the repo's honest-boundary
+# contract; same class as JPEG arithmetic coding). Subband-domain energy
+# is still the census signal: the filterbank is near-orthonormal, so
+# subband RMS tracks time-domain RMS.
+#
+# Scope: 44.1 kHz mono with bit-allocation table B.2a (sblimit 27) — the
+# standard-bitrate mode. Other rates/modes/tables raise ValueError.
+
+_B2A_STEPS = (
+    # (first_subband, last_subband, nbal, quant step sizes by alloc-1)
+    (0, 2, 4, (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+               16383, 32767, 65535)),
+    (3, 10, 4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                8191, 65535)),
+    (11, 22, 3, (3, 5, 7, 9, 15, 31, 63, 65535)),
+    (23, 26, 2, (3, 5, 65535)),
+)
+SBLIMIT_B2A = 27
+
+# nlevels -> (nb fraction bits, grouped?, stored bits per sample-or-triplet)
+_QCLASS = {
+    3: (2, True, 5), 5: (3, True, 7), 7: (3, False, 3), 9: (4, True, 10),
+    15: (4, False, 4), 31: (5, False, 5), 63: (6, False, 6),
+    127: (7, False, 7), 255: (8, False, 8), 511: (9, False, 9),
+    1023: (10, False, 10), 2047: (11, False, 11), 4095: (12, False, 12),
+    8191: (13, False, 13), 16383: (14, False, 14), 32767: (15, False, 15),
+    65535: (16, False, 16),
+}
+
+
+def _b2a_row(sb: int) -> tuple[int, tuple[int, ...]]:
+    for lo, hi, nbal, steps in _B2A_STEPS:
+        if lo <= sb <= hi:
+            return nbal, steps
+    raise ValueError(f"subband {sb} beyond sblimit {SBLIMIT_B2A}")
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("bitstream truncated")
+        v = 0
+        pos = self.pos
+        while n:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _sf_parts(scfsi: int, sfs: list[int]) -> tuple[int, int, int]:
+    """Transmitted scalefactor indices -> the (part0, part1, part2)
+    triple per scfsi (§2.4.3.3.2): 0 = three transmitted, 1 = first
+    covers parts 0+1, 2 = one covers all, 3 = second covers parts 1+2."""
+    if scfsi == 0:
+        return sfs[0], sfs[1], sfs[2]
+    if scfsi == 1:
+        return sfs[0], sfs[0], sfs[1]
+    if scfsi == 2:
+        return sfs[0], sfs[0], sfs[0]
+    return sfs[0], sfs[1], sfs[1]
+
+
+def _sf_count(scfsi: int) -> int:
+    return {0: 3, 1: 2, 2: 1, 3: 2}[scfsi]
+
+
+def decode_mp3_layer2(payload: bytes) -> dict:
+    """MPEG-1 Layer II bytes -> bit-exact subband-domain decode:
+
+    ``{"n_frames", "sample_rate", "n_active_subbands", "n_samples",
+    "subband_rms"}``
+
+    where ``n_samples`` counts decoded subband samples (36 per active
+    subband per frame) and ``subband_rms`` is the RMS of the requantized,
+    rescaled s' values across all frames. 44.1 kHz mono table-B.2a
+    streams only; anything else raises ValueError. PCM synthesis is NOT
+    performed (see module header)."""
+    data = bytes(payload)
+    pos = _skip_id3v2(data)
+    n_frames = 0
+    n_active_total = 0
+    sum_sq = 0.0
+    n_samples = 0
+    rate = None
+    while pos + 4 <= len(data):
+        h = int.from_bytes(data[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        version = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if version != 0b11 or layer != 0b10:  # MPEG-1 Layer II
+            if n_frames == 0:
+                raise ValueError(
+                    "only MPEG-1 Layer II decodes here (version/layer "
+                    f"bits {version:02b}/{layer:02b})"
+                )
+            break
+        protection = (h >> 16) & 0x1
+        brx = (h >> 12) & 0xF
+        srx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        kbps = _BITRATES_L2[brx]
+        if kbps is None or _RATES[srx] is None:
+            raise ValueError("free/bad bitrate or reserved sample rate")
+        if _RATES[srx] != 44100 or mode != 0b11:
+            raise ValueError("only 44.1 kHz mono table-B.2a mode decodes")
+        if not 56 <= kbps <= 192:
+            raise ValueError(f"bitrate {kbps} kbps is outside table B.2a")
+        rate = _RATES[srx]
+        size = (144 * kbps * 1000) // rate + padding
+        if pos + size > len(data):
+            break  # truncated tail frame
+        br = _BitReader(data[pos : pos + size], 32 + (0 if protection else 16))
+        alloc = []
+        for sb in range(SBLIMIT_B2A):
+            nbal, steps = _b2a_row(sb)
+            idx = br.read(nbal)
+            if idx > len(steps):
+                raise ValueError(f"allocation index {idx} invalid for sb {sb}")
+            alloc.append(steps[idx - 1] if idx else 0)
+        scfsi = [br.read(2) if alloc[sb] else None for sb in range(SBLIMIT_B2A)]
+        sf = {}
+        for sb in range(SBLIMIT_B2A):
+            if alloc[sb]:
+                sfs = [br.read(6) for _ in range(_sf_count(scfsi[sb]))]
+                sf[sb] = _sf_parts(scfsi[sb], sfs)
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(SBLIMIT_B2A):
+                n = alloc[sb]
+                if not n:
+                    continue
+                nb, grouped, bits = _QCLASS[n]
+                if grouped:
+                    c = br.read(bits)
+                    codes = (c % n, (c // n) % n, (c // (n * n)) % n)
+                else:
+                    codes = tuple(br.read(bits) for _ in range(3))
+                # B.4 constants in closed form: C = 2^nb / n, and
+                # D = 1 - (n-1)*2^(-nb) — the offset that makes the
+                # n-level quantizer symmetric (0.5 for grouped 3/5/9,
+                # 2^(1-nb) for the 2^k-1 ungrouped classes)
+                c_const = float(1 << nb) / n
+                d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
+                factor = 2.0 ** (1.0 - sf[sb][part] / 3.0)
+                for code in codes:
+                    if code >= n:
+                        raise ValueError(f"code {code} >= {n} levels")
+                    s3 = code * 2.0 ** (1 - nb) - 1.0
+                    sp = factor * c_const * (s3 + d_const)
+                    sum_sq += sp * sp
+                    n_samples += 1
+        n_active_total += sum(1 for a in alloc if a)
+        n_frames += 1
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MPEG-1 Layer II frames found")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "n_active_subbands": n_active_total,
+        "n_samples": n_samples,
+        "subband_rms": (sum_sq / n_samples) ** 0.5 if n_samples else 0.0,
+    }
+
+
+def synthesize_mp3_pcm(payload: bytes):
+    """Polyphase synthesis to PCM needs the 512-coefficient prototype
+    window (ISO 11172-3 table B.3) — tabulated, no closed form, not
+    reproducible from memory without risking silent wrongness."""
+    raise NotImplementedError(
+        "Layer II PCM synthesis requires the tabulated 512-tap window "
+        "(ISO 11172-3 B.3); decode_mp3_layer2 provides the bit-exact "
+        "subband domain instead"
+    )
+
+
+# Layer II bitrate table differs from Layer III (index 1..14)
+_BITRATES_L2 = [
+    None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+    None,
+]
+
+
+def encode_mp3_layer2(
+    frames: list[dict],
+    kbps: int = 192,
+) -> bytes:
+    """Deterministic Layer II test-vector encoder (the FLAC-style
+    closed-form differential: every bit this writes, decode_mp3_layer2
+    must read back into the exact same s' values). Each frame dict:
+
+    ``{"alloc": {sb: alloc_index}, "scfsi": {sb: 0..3},
+      "sf": {sb: [transmitted 6-bit indices]},
+      "codes": {sb: [12 granules x (grouped combined code | 3 codes)]}}``
+
+    44.1 kHz mono, table B.2a, no CRC, no padding. Raises ValueError if
+    the payload overflows the frame size for ``kbps``."""
+    try:
+        brx = _BITRATES_L2.index(kbps)
+    except ValueError:
+        raise ValueError(f"kbps must be one of {_BITRATES_L2[1:15]}")
+    size = (144 * kbps * 1000) // 44100
+    out = bytearray()
+    for fr in frames:
+        h = (
+            (0x7FF << 21)
+            | (0b11 << 19)   # MPEG-1
+            | (0b10 << 17)   # Layer II
+            | (1 << 16)      # no CRC
+            | (brx << 12)
+            | (0 << 10)      # 44.1 kHz
+            | (0 << 9)       # no padding
+            | (0b11 << 6)    # mono
+        )
+        bw = _BitWriter()
+        alloc_levels = {}
+        for sb in range(SBLIMIT_B2A):
+            nbal, steps = _b2a_row(sb)
+            idx = fr["alloc"].get(sb, 0)
+            if not 0 <= idx <= len(steps):
+                raise ValueError(f"alloc index {idx} out of range for sb {sb}")
+            bw.write(idx, nbal)
+            if idx:
+                alloc_levels[sb] = steps[idx - 1]
+        for sb in sorted(alloc_levels):
+            bw.write(fr["scfsi"][sb], 2)
+        for sb in sorted(alloc_levels):
+            sfs = fr["sf"][sb]
+            if len(sfs) != _sf_count(fr["scfsi"][sb]):
+                raise ValueError(f"sb {sb}: wrong scalefactor count")
+            for s in sfs:
+                if not 0 <= s <= 62:
+                    raise ValueError(f"scalefactor index {s} out of range")
+                bw.write(s, 6)
+        for gr in range(12):
+            for sb in sorted(alloc_levels):
+                n = alloc_levels[sb]
+                nb, grouped, bits = _QCLASS[n]
+                entry = fr["codes"][sb][gr]
+                if grouped:
+                    if not 0 <= entry < n * n * n:
+                        raise ValueError("grouped code out of range")
+                    bw.write(entry, bits)
+                else:
+                    for code in entry:
+                        if not 0 <= code < n:
+                            raise ValueError("code out of range")
+                        bw.write(code, bits)
+        body = bw.tobytes()
+        if 4 + len(body) > size:
+            raise ValueError(
+                f"frame payload {4 + len(body)}B exceeds {size}B at {kbps} kbps"
+            )
+        out += h.to_bytes(4, "big") + body + bytes(size - 4 - len(body))
+    return bytes(out)

@@ -1739,3 +1739,61 @@ def g711_sample_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=G711_STATS_SCHEMA)
+
+
+MP3_L2_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_active_subbands", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("subband_rms", T.DoubleType()),
+    ]
+)
+
+
+def mp3_layer2_census(media: DataFrame) -> DataFrame:
+    """MPEG-1 Layer II subband-domain decode census (analytics/mp3.py
+    decode_mp3_layer2 — bit-exact requantization; PCM synthesis is the
+    documented honest raise). Narrow Arrow-batched mapInPandas over
+    (doc_id, payload); poison payloads degrade to NULL metrics, the
+    repo-wide decoder contract."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import decode_mp3_layer2
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    info = decode_mp3_layer2(bytes(payload))
+                    rows.append(
+                        (
+                            int(doc_id),
+                            info["n_frames"],
+                            info["sample_rate"],
+                            info["n_active_subbands"],
+                            info["n_samples"],
+                            info["subband_rms"],
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — poison degrade
+                    rows.append((int(doc_id), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sample_rate",
+                    "n_active_subbands", "n_samples", "subband_rms",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_frames": "Int32",
+                    "sample_rate": "Int32", "n_active_subbands": "Int64",
+                    "n_samples": "Int64", "subband_rms": "float64",
+                }
+            )
+
+    return media.mapInPandas(run, schema=MP3_L2_SCHEMA)

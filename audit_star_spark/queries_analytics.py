@@ -5752,3 +5752,158 @@ FROM rounded GROUP BY doc_id
 
 EXTRA_QUERIES["audio_resampled_rational"] = q_audio_resampled_rational
 EXTRA_ORACLES["audio_resampled_rational"] = SQL_AUDIO_RESAMPLED_RATIONAL
+
+
+def _synth_mp3_l2(spark_df):
+    """doc_id-keyed MPEG-1 Layer II synthesis (mapInPandas, via the
+    bit-level encoder in analytics/mp3.py): 1 + d%3 identical 192 kbps
+    44.1 kHz mono frames; 9 active subbands (sb % 3 == d % 3), levels
+    3/5/7/15 by row class, all four scfsi modes, doc-keyed scalefactors
+    and codes — every value a closed form in (doc_id, sb, gr, i) so the
+    oracle can replay the requantization in SQL."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import (
+            _b2a_row,
+            _QCLASS,
+            encode_mp3_layer2,
+        )
+
+        def frame(d):
+            fr = {"alloc": {}, "scfsi": {}, "sf": {}, "codes": {}}
+            for sb in range(27):
+                if sb % 3 != d % 3:
+                    continue
+                _, steps = _b2a_row(sb)
+                idx = 1 + ((sb + d) % (3 if sb < 23 else 2))
+                n = steps[idx - 1]
+                _, grouped, _ = _QCLASS[n]
+                scfsi = (sb + d) % 4
+                count = {0: 3, 1: 2, 2: 1, 3: 2}[scfsi]
+                fr["alloc"][sb] = idx
+                fr["scfsi"][sb] = scfsi
+                fr["sf"][sb] = [
+                    (2 * sb + 3 * d + 11 * j) % 63 for j in range(count)
+                ]
+                if grouped:
+                    fr["codes"][sb] = [
+                        (d + 13 * gr + 31 * sb) % (n * n * n)
+                        for gr in range(12)
+                    ]
+                else:
+                    fr["codes"][sb] = [
+                        tuple(
+                            (d + 13 * gr + 31 * sb + 17 * i) % n
+                            for i in range(3)
+                        )
+                        for gr in range(12)
+                    ]
+            return fr
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp3_layer2([frame(d)] * (1 + d % 3), kbps=192)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df.select("doc_id")).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_mp3_l2_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer II decode through the gate (analytics/mp3.py
+    decode_mp3_layer2): the synthesized frames round-trip the actual
+    bitstream — allocation/scfsi/scalefactor/grouped-code packing by
+    encode_mp3_layer2, bit-exact requantization on the way back — and
+    the oracle replays s' = 2^(1-sf/3) * (2^nb/n) * (code*2^(1-nb) - 1
+    + D) per (sb, granule, i) in SQL. A single mispacked bit anywhere
+    scrambles every later code in the frame, so subband_rms is a
+    whole-bitstream checksum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    r = multimodal.mp3_layer2_census(_synth_mp3_l2(docs))
+    return r.select(
+        "doc_id",
+        "n_frames",
+        "sample_rate",
+        "n_active_subbands",
+        "n_samples",
+        F.round("subband_rms", 6).alias("subband_rms"),
+    )
+
+
+SQL_MP3_L2_CENSUS = """
+WITH sbs AS (
+  SELECT doc_id, sb
+  FROM documents CROSS JOIN (SELECT unnest(range(27)) AS sb)
+  WHERE sb % 3 = doc_id % 3
+),
+lvl AS (
+  SELECT doc_id, sb,
+    CASE WHEN sb < 3 THEN
+           (CASE (sb + doc_id) % 3 WHEN 0 THEN 3 WHEN 1 THEN 7 ELSE 15 END)
+         WHEN sb < 23 THEN
+           (CASE (sb + doc_id) % 3 WHEN 0 THEN 3 WHEN 1 THEN 5 ELSE 7 END)
+         ELSE (CASE (sb + doc_id) % 2 WHEN 0 THEN 3 ELSE 5 END) END AS n,
+    (sb + doc_id) % 4 AS scfsi
+  FROM sbs
+),
+samp AS (
+  SELECT l.*, g.gr, i.i, g.gr // 4 AS part,
+         CASE l.n WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 7 THEN 3 ELSE 4 END AS nb
+  FROM lvl l
+  CROSS JOIN (SELECT unnest(range(12)) AS gr) g
+  CROSS JOIN (SELECT unnest(range(3)) AS i) i
+),
+coded AS (
+  SELECT doc_id, n, nb,
+    (2 * sb + 3 * doc_id + 11 *
+      (CASE WHEN scfsi = 0 THEN part
+            WHEN scfsi = 1 THEN (CASE WHEN part <= 1 THEN 0 ELSE 1 END)
+            WHEN scfsi = 2 THEN 0
+            ELSE (CASE WHEN part = 0 THEN 0 ELSE 1 END) END)) % 63 AS sfidx,
+    CASE WHEN n IN (3, 5) THEN
+      (((doc_id + 13 * gr + 31 * sb) % (n * n * n))
+        // (CASE i WHEN 0 THEN 1 WHEN 1 THEN n ELSE n * n END)) % n
+    ELSE (doc_id + 13 * gr + 31 * sb + 17 * i) % n END AS code
+  FROM samp
+),
+vals AS (
+  SELECT doc_id,
+    power(2.0, 1.0 - sfidx / 3.0)
+      * (power(2.0, nb) / n)
+      * (code * power(2.0, CAST(1 - nb AS DOUBLE)) - 1.0
+         + (1.0 - (n - 1) * power(2.0, CAST(-nb AS DOUBLE)))) AS sp
+  FROM coded
+)
+SELECT doc_id,
+  CAST(1 + doc_id % 3 AS INT) AS n_frames,
+  CAST(44100 AS INT) AS sample_rate,
+  CAST(9 * (1 + doc_id % 3) AS BIGINT) AS n_active_subbands,
+  CAST(COUNT(*) * (1 + doc_id % 3) AS BIGINT) AS n_samples,
+  round(sqrt(AVG(sp * sp)), 6) AS subband_rms
+FROM vals GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES["mp3_l2_census"] = q_mp3_l2_census
+EXTRA_ORACLES["mp3_l2_census"] = SQL_MP3_L2_CENSUS

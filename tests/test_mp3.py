@@ -73,3 +73,140 @@ def test_audio_meta_mp3_census_through_spark(spark):
     assert got[1]["rms"] is None and got[1]["zero_crossings"] is None
     assert got[2]["format"] == "wav"
     assert got[3]["format"] == "unknown"
+
+
+# --------------------------------------------- Layer II subband decode
+from audit_star_spark.analytics.mp3 import (  # noqa: E402
+    _b2a_row,
+    _QCLASS,
+    decode_mp3_layer2,
+    encode_mp3_layer2,
+    synthesize_mp3_pcm,
+    SBLIMIT_B2A,
+)
+
+
+def _model_sprime(fr: dict) -> list[float]:
+    """Independent requantization model straight off the frame SPEC dict
+    (never touches the bitstream): the encode->decode differential's
+    other side."""
+    out = []
+    for gr in range(12):
+        part = gr // 4
+        for sb in sorted(fr["alloc"]):
+            idx = fr["alloc"][sb]
+            if not idx:
+                continue
+            _, steps = _b2a_row(sb)
+            n = steps[idx - 1]
+            nb, grouped, _ = _QCLASS[n]
+            scfsi, sfs = fr["scfsi"][sb], fr["sf"][sb]
+            parts = {
+                0: (sfs[0], sfs[1], sfs[2]) if scfsi == 0 else None,
+                1: (sfs[0], sfs[0], sfs[1]) if scfsi == 1 else None,
+                2: (sfs[0], sfs[0], sfs[0]) if scfsi == 2 else None,
+                3: (sfs[0], sfs[1], sfs[1]) if scfsi == 3 else None,
+            }[scfsi]
+            sfidx = parts[part]
+            entry = fr["codes"][sb][gr]
+            codes = (
+                (entry % n, (entry // n) % n, (entry // (n * n)) % n)
+                if grouped
+                else tuple(entry)
+            )
+            c_const = float(1 << nb) / n
+            d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
+            factor = 2.0 ** (1.0 - sfidx / 3.0)
+            for code in codes:
+                out.append(factor * c_const * (code * 2.0 ** (1 - nb) - 1.0 + d_const))
+    return out
+
+
+def _make_frame(seed: int) -> dict:
+    """Deterministic frame spec exercising grouped 3/5/9, ungrouped
+    7/15/63, every scfsi mode and varied scalefactors."""
+    fr = {"alloc": {}, "scfsi": {}, "sf": {}, "codes": {}}
+    for sb in range(SBLIMIT_B2A):
+        if (sb + seed) % 3:
+            continue
+        nbal, steps = _b2a_row(sb)
+        m = min(len(steps), 6)
+        idx = 1 + (((sb + seed) // 3) % m)
+        n = steps[idx - 1]
+        if n == 65535:  # keep synthetic frames inside the 192 kbps budget
+            idx, n = 1, steps[0]
+        nb, grouped, _ = _QCLASS[n]
+        scfsi = (sb + seed) % 4
+        count = {0: 3, 1: 2, 2: 1, 3: 2}[scfsi]
+        fr["alloc"][sb] = idx
+        fr["scfsi"][sb] = scfsi
+        fr["sf"][sb] = [(2 * sb + 3 * seed + 11 * j) % 63 for j in range(count)]
+        if grouped:
+            fr["codes"][sb] = [
+                (seed + 13 * gr + 31 * sb) % (n * n * n) for gr in range(12)
+            ]
+        else:
+            fr["codes"][sb] = [
+                tuple((seed + 13 * gr + 31 * sb + 17 * i) % n for i in range(3))
+                for gr in range(12)
+            ]
+    return fr
+
+
+def test_layer2_roundtrip_matches_spec_model():
+    for seed in range(6):
+        fr = _make_frame(seed)
+        payload = encode_mp3_layer2([fr], kbps=192)
+        got = decode_mp3_layer2(payload)
+        want = _model_sprime(fr)
+        assert got["n_frames"] == 1
+        assert got["sample_rate"] == 44100
+        assert got["n_active_subbands"] == len(fr["alloc"])
+        assert got["n_samples"] == len(want)
+        # sequential left-fold sum, exactly the decoder's accumulator
+        rms = (sum(v * v for v in want) / len(want)) ** 0.5
+        assert got["subband_rms"] == rms
+
+
+def test_layer2_multiframe_concatenates():
+    frs = [_make_frame(0), _make_frame(1), _make_frame(2)]
+    got = decode_mp3_layer2(encode_mp3_layer2(frs, kbps=192))
+    want = [v for s in range(3) for v in _model_sprime(_make_frame(s))]
+    assert got["n_frames"] == 3
+    assert got["n_samples"] == len(want)
+    rms = (sum(v * v for v in want) / len(want)) ** 0.5
+    assert got["subband_rms"] == rms
+
+
+def test_layer2_requant_is_symmetric():
+    """Quantizer outputs must be symmetric around 0 for every class —
+    the property the closed-form C/D constants exist to guarantee."""
+    for n, (nb, _, _) in _QCLASS.items():
+        c = float(1 << nb) / n
+        d = 1.0 - (n - 1) * 2.0 ** (-nb)
+        vals = [c * (code * 2.0 ** (1 - nb) - 1.0 + d) for code in range(n)]
+        assert vals == sorted(vals)
+        for lo, hi in zip(vals, reversed(vals)):
+            assert lo == pytest.approx(-hi, abs=1e-12)
+        assert abs(vals[n // 2]) < 1e-12 or n % 2 == 0
+
+
+def test_layer2_poison_contracts():
+    fr = _make_frame(0)
+    good = encode_mp3_layer2([fr], kbps=192)
+    with pytest.raises(ValueError):
+        decode_mp3_layer2(good[:30])  # truncated mid-frame -> no frames
+    with pytest.raises(ValueError):
+        decode_mp3_layer2(b"\x00" * 64)
+    # a Layer III stream must be rejected, not misparsed
+    with pytest.raises(ValueError):
+        decode_mp3_layer2(encode_mp3_frames([128], sample_rate=44100))
+    with pytest.raises(NotImplementedError):
+        synthesize_mp3_pcm(good)
+
+
+def test_layer2_census_rejects_layer2_stream():
+    """And the Layer III census must reject Layer II (no silent cross-
+    layer misparse in either direction)."""
+    with pytest.raises(ValueError):
+        parse_mp3(encode_mp3_layer2([_make_frame(0)], kbps=192))
