@@ -164,3 +164,76 @@ FROM scored
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher 2009 — the standard way to combine a lexical and a dense
+    ranking without score calibration):
+
+        rrf(d) = sum over lists L of 1 / (rrf_k + rank_L(d))
+
+    List 1 is BM25 over ``query_terms`` (bm25_topk, one corpus scan);
+    list 2 is the exact cosine top-``pool`` for ``query_vec_id``'s
+    embedding (broadcast query against one scan of the vectors). A
+    document missing from a list contributes 0 for it — the standard
+    truncated-list convention. Returns (rank, doc_id, rrf, r_lex,
+    r_sem) for the fused top-k; ranks tie-break on doc_id.
+
+    Cross-engine determinism: BM25 scores end in ``ln`` whose last ulp
+    differs between engines, so the lexical rank is taken over the
+    score ROUNDED to 6 decimals (the same stabilization bm25_search
+    uses); cosine is fold/sqrt/divide only — bit-identical — and the
+    rrf sum is two fixed-order terms of exact-input divisions.
+
+    100 TB shape: both branches are one-scan rankings with broadcast
+    query sides; the fusion itself joins two <= pool-row frames — the
+    whole post-retrieval stage is driver-trivial no matter the corpus
+    size."""
+    from pyspark.sql import Window
+
+    from audit_star_spark.analytics.similarity import _dot, _prepared
+
+    if pool < k:
+        raise ValueError(f"pool {pool} must be >= k {k}")
+    lex = bm25_topk(docs, query_terms, k=pool)
+    wl = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+
+    base = _prepared(emb)
+    q = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    sem = (
+        base.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .limit(pool)
+    )
+    ws = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    sem_r = sem.select("doc_id", F.row_number().over(ws).alias("r_sem"))
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("r_sem")), F.lit(0.0)
+    )
+    fused = lex_r.join(sem_r, "doc_id", "full_outer").select(
+        "doc_id", "r_lex", "r_sem", rrf.alias("rrf")
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", F.round("rrf", 9).alias("rrf"), "r_lex", "r_sem")
+    )

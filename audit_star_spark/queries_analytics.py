@@ -5907,3 +5907,80 @@ FROM vals GROUP BY doc_id
 
 EXTRA_QUERIES["mp3_l2_census"] = q_mp3_l2_census
 EXTRA_ORACLES["mp3_l2_census"] = SQL_MP3_L2_CENSUS
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval through the gate
+    (analytics/search.py hybrid_rrf_topk): BM25 over the corpus fused
+    with the exact cosine top-pool for doc 0's embedding by reciprocal
+    rank — the score-calibration-free fusion every retrieval-augmented
+    curation sweep runs. The oracle replays both rankings (BM25 from
+    the shared SQL generator, cosine from the d_dot idiom) and the
+    1/(60+rank) fusion arithmetic."""
+    from audit_star_spark.analytics.search import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        BM25_QUERY_TERMS,
+        query_vec_id=0,
+        k=10,
+        pool=20,
+    )
+
+
+def _hybrid_rrf_sql(
+    k: int = 10, pool: int = 20, rrf_k: int = 60, query_vec_id: int = 0
+) -> str:
+    from audit_star_spark.analytics.search import bm25_sql
+
+    bm = bm25_sql("documents", "text", BM25_QUERY_TERMS, k=pool)
+    return f"""
+WITH bm AS ({bm}),
+lexr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r_lex
+  FROM bm
+),
+base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+qv AS (
+  SELECT vec AS qvec, norm AS qnorm FROM normed
+  WHERE vec_id = {query_vec_id}
+),
+sem AS (
+  SELECT n.vec_id AS doc_id,
+         {d_dot('q.qvec', 'n.vec')} / (q.qnorm * n.norm) AS cosine
+  FROM normed n CROSS JOIN qv q
+  WHERE n.vec_id <> {query_vec_id}
+  ORDER BY cosine DESC, n.vec_id
+  LIMIT {pool}
+),
+semr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_sem
+  FROM sem
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.r_lex AS r_lex, s.r_sem AS r_sem,
+         COALESCE(1.0 / ({rrf_k}.0 + l.r_lex), 0.0)
+           + COALESCE(1.0 / ({rrf_k}.0 + s.r_sem), 0.0) AS rrf
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, round(rrf, 9) AS rrf,
+       CAST(r_lex AS INT) AS r_lex, CAST(r_sem AS INT) AS r_sem
+FROM (
+  SELECT doc_id, r_lex, r_sem, rrf,
+         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+EXTRA_QUERIES["hybrid_rrf_search"] = q_hybrid_rrf_search
+EXTRA_ORACLES["hybrid_rrf_search"] = _hybrid_rrf_sql()

@@ -199,3 +199,51 @@ def test_bm25_empty_token_docs_excluded_from_corpus_stats(spark):
         )
     )
     assert with_empty == without and len(with_empty) == 2
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """RRF semantics on a planted corpus: a doc in both lists scores
+    1/(60+r_lex) + 1/(60+r_sem); single-list docs score one term; the
+    fused order follows those sums with doc_id tie-breaks."""
+    from audit_star_spark.analytics.search import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query anchor row"),          # vec query id 0
+            (1, "spark spark spark spark"),   # lexical hit, strong
+            (2, "spark window"),              # lexical hit, weaker
+            (3, "nothing relevant here"),     # semantic-only candidate
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, "a", [0.0, 1.0]),    # orthogonal to query
+            (2, "a", [0.9, 0.1]),    # close
+            (3, "a", [1.0, 0.05]),   # closest
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in hybrid_rrf_topk(
+            docs, emb, ["spark", "window"], query_vec_id=0, k=4, pool=4
+        ).collect()
+    }
+    # lexical ranks: doc 2 matches both terms (higher bm25), doc 1 one
+    # term repeated; semantic ranks by cosine: 3, 2, 1
+    assert got[3]["r_lex"] is None and got[3]["r_sem"] == 1
+    assert got[1]["r_sem"] == 3
+    for d, row in got.items():
+        want = 0.0
+        if row["r_lex"] is not None:
+            want += 1.0 / (60 + row["r_lex"])
+        if row["r_sem"] is not None:
+            want += 1.0 / (60 + row["r_sem"])
+        assert abs(row["rrf"] - round(want, 9)) < 1e-12, d
+    # three candidate docs fuse (doc 0 is the query: no term match, and
+    # the semantic list excludes self); ranking follows the sums
+    assert set(got) == {1, 2, 3}
+    order = sorted(got.values(), key=lambda r: (-r["rrf"], r["doc_id"]))
+    assert [r["rank"] for r in order] == [1, 2, 3]

@@ -529,6 +529,60 @@ def _gen_theta_self_join(rng: random.Random) -> str:
     )
 
 
+def _gen_conditional_pivot(rng: random.Random) -> str:
+    """Pivot-by-CASE conditional aggregation — one output column per
+    status value, integer sums only (the manual-pivot shape reports are
+    built from; engine-exact because every branch is integer)."""
+    k = rng.randint(2, 9)
+    groups = rng.choice(["o_orderpriority", f"o_custkey % {k}"])
+    cols = ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{s.lower()}"
+        for s in ("O", "F", "P")
+    )
+    return (
+        f"SELECT {groups} AS g, {cols}, "
+        f"CAST(SUM(CASE WHEN o_totalprice > {rng.randint(1000, 300000)} "
+        f"THEN o_orderkey ELSE 0 END) AS BIGINT) AS s_big "
+        f"FROM orders{_where(rng)} GROUP BY 1"
+    )
+
+
+def _gen_full_outer_coalesce(rng: random.Random) -> str:
+    """FULL OUTER JOIN of two aggregates with COALESCE'd keys — the
+    reconciliation shape (rows exclusive to either side must surface
+    with NULL-filled counterparts identically in both engines)."""
+    ka, kb = rng.randint(2, 9), rng.randint(2, 9)
+    return (
+        f"SELECT COALESCE(a.g, b.g) AS g, "
+        f"CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders, "
+        f"CAST(COALESCE(b.n, 0) AS BIGINT) AS n_cust "
+        f"FROM (SELECT o_custkey % {ka} AS g, COUNT(*) AS n FROM orders "
+        f"WHERE o_custkey % {rng.randint(2, 5)} = 0 GROUP BY 1) a "
+        f"FULL OUTER JOIN "
+        f"(SELECT c_custkey % {kb} AS g, COUNT(*) AS n FROM customer "
+        f"WHERE c_custkey % {rng.randint(2, 5)} = 1 GROUP BY 1) b "
+        f"ON a.g = b.g"
+    )
+
+
+def _gen_window_over_aggregate(rng: random.Random) -> str:
+    """Two-level analytics: GROUP BY aggregate, then RANK/share-of-total
+    windows OVER the aggregate rows — deterministic because ranking ties
+    break on the unique group key and shares stay integer-ratio-free."""
+    k = rng.randint(3, 12)
+    return (
+        f"SELECT g, n, "
+        f"CAST(RANK() OVER (ORDER BY n DESC, g) AS BIGINT) AS rnk, "
+        f"CAST(SUM(n) OVER () AS BIGINT) AS total, "
+        f"CAST(SUM(n) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND CURRENT ROW) AS BIGINT) AS cum "
+        f"FROM (SELECT o_custkey % {k} AS g, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM orders{_where(rng)} "
+        f"GROUP BY 1) t"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -555,6 +609,9 @@ def _corpus() -> list[str]:
         + [_gen_not_in_null(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_rows_frame(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_theta_self_join(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_conditional_pivot(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_full_outer_coalesce(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_window_over_aggregate(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
