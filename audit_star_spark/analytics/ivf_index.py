@@ -334,6 +334,7 @@ def probe_pq(
     queries: DataFrame,
     k: int = 10,
     n_probe: int = N_PROBE,
+    extra_codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ probe: coarse cells prune the scan (static partition
     filter, as in IVFIndex.probe), then candidates are ranked by
@@ -341,6 +342,11 @@ def probe_pq(
     candidate's m_sub codes via the broadcast distance table. The
     corpus' float vectors are never read on this path; only the
     int-code files of the probed cells.
+
+    ``extra_codes`` (vec_id, codes, cell_id) unions additional
+    candidates in — the streaming side store's not-yet-merged codes
+    (streaming/ivf.py); the static cell filter pushes through the
+    union, so both sources stay partition-pruned.
 
     Residual indexes (PQ meta ``by_residual``, the default) tabulate
     per (query, PROBED CELL): the query residual ``q - centroid(cell)``
@@ -425,8 +431,15 @@ def probe_pq(
         )
         table_keys = ["query_id", "sub_id", "code"]
 
+    codes_src = spark.read.parquet(
+        os.path.join(index.index_dir, "pq_codes")
+    ).select("vec_id", "codes", "cell_id")
+    if extra_codes is not None:
+        codes_src = codes_src.unionByName(
+            extra_codes.select("vec_id", "codes", "cell_id")
+        )
     cand = (
-        spark.read.parquet(os.path.join(index.index_dir, "pq_codes"))
+        codes_src
         .filter(F.col("cell_id").isin(probed_cells))
         .join(
             F.broadcast(probes.select("query_id", "cell_id")), "cell_id"

@@ -5984,3 +5984,74 @@ FROM (
 
 EXTRA_QUERIES["hybrid_rrf_search"] = q_hybrid_rrf_search
 EXTRA_ORACLES["hybrid_rrf_search"] = _hybrid_rrf_sql()
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot versioning through the gate
+    (analytics/snapshot.py): documents vs a deterministically-evolved
+    copy — doc_id % 7 == 0 dropped (removals), % 5 == 0 gets an
+    appended token (changes), and % 11 == 0 re-lands under a shifted id
+    (additions). The oracle restates the evolution and the full-outer
+    hash diff in SQL; counts are integer-exact."""
+    from audit_star_spark.analytics.snapshot import snapshot_diff
+
+    old = load_table(spark, sf_dir, "documents")
+    survivors = old.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat_ws(" ", "text", F.lit("v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    added = old.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    new = survivors.unionByName(added)
+    return snapshot_diff(old, new)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+         )), '\\s+', ' ', 'g')) AS h,
+         source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         source
+  FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+  SELECT COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.h IS NULL THEN 'added'
+              WHEN n.h IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'changed'
+              ELSE 'unchanged' END AS state,
+         o.h IS NOT NULL AS in_old,
+         n.h IS NOT NULL AS in_new
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source,
+  CAST(SUM(CASE WHEN state = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN state = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN state = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN state = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged,
+  CAST(SUM(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+  CAST(SUM(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+FROM j GROUP BY source
+"""
+
+
+EXTRA_QUERIES["snapshot_diff"] = q_snapshot_diff
+EXTRA_ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF

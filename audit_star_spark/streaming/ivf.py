@@ -54,6 +54,21 @@ class StreamingIVFIngest:
     def __init__(self, index_dir: str, store_dir: str):
         self.index = IVFIndex(index_dir)
         self.store_dir = store_dir
+        # PQ codes for not-yet-merged batches live in a SIBLING store
+        # (a subdir would read as a phantom partition of the assignment
+        # store); only populated when the index carries PQ artifacts
+        self.pq_store_dir = store_dir + "_pq"
+
+    def _pq_meta(self) -> dict | None:
+        import json
+
+        from audit_star_spark.analytics.ivf_index import PQ_META
+
+        p = os.path.join(self.index.index_dir, PQ_META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     # ------------------------------------------------------------ ingest
 
@@ -90,6 +105,41 @@ class StreamingIVFIngest:
             .partitionBy("ingest_batch_id", "cell_id")
             .parquet(self.store_dir)
         )
+        # if the index carries PQ artifacts, streamed vectors must also
+        # earn codes or probe_pq would silently miss them: encode with
+        # the PERSISTED codebook (frozen, like the centroids) — residual
+        # or raw per the index's own meta — into the sibling PQ store
+        # with the same idempotent partition layout
+        meta = self._pq_meta()
+        if meta is not None:
+            from audit_star_spark.analytics.pq import pq_encode
+
+            recover_store(self.pq_store_dir)
+            cb = spark.read.parquet(
+                os.path.join(self.index.index_dir, "pq_codebook")
+            )
+            if meta.get("by_residual", False):
+                enc_in = assigned.join(
+                    F.broadcast(cents.select("cell_id", "cvec")), "cell_id"
+                ).select(
+                    "vec_id",
+                    F.expr("zip_with(vec, cvec, (x, y) -> x - y)").alias(
+                        "embedding"
+                    ),
+                )
+            else:
+                enc_in = assigned.select(
+                    "vec_id", F.col("vec").alias("embedding")
+                )
+            codes = pq_encode(enc_in, cb, m_sub=meta["m_sub"])
+            (
+                codes.join(assigned.select("vec_id", "cell_id"), "vec_id")
+                .withColumn("ingest_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch_id", "cell_id")
+                .parquet(self.pq_store_dir)
+            )
 
     def start(self, vec_stream: DataFrame, checkpoint: str, available_now: bool = True):
         # once merge_into_index has folded batch ids, the union is bound
@@ -164,6 +214,47 @@ class StreamingIVFIngest:
             return base
         return base.unionByName(side.select(*base.columns))
 
+    def _pq_codes_path(self) -> str:
+        return os.path.join(self.index.index_dir, "pq_codes")
+
+    def _pq_merged_through(self) -> int:
+        """Fold marker for the PQ side store — tracked on the index's
+        pq_codes dir independently of the assignment marker, so a crash
+        between the two merge swaps leaves each source pruning
+        correctly against its own fold level."""
+        recover_store(self._pq_codes_path())
+        return compacted_through(self._pq_codes_path())
+
+    def _store_pq_codes(self, spark) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        recover_store(self.pq_store_dir)
+        if not os.path.isdir(self.pq_store_dir):
+            return None
+        try:
+            df = spark.read.parquet(self.pq_store_dir)
+        except AnalysisException as ex:
+            cls = getattr(ex, "getErrorClass", lambda: None)() or ""
+            if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+                return None
+            raise
+        return visible(df, self._pq_merged_through()).drop("ingest_batch_id")
+
+    def probe_pq(
+        self, queries: DataFrame, k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """IVF-PQ probe against the LIVE corpus: the analytics probe
+        (per-cell residual ADC tables, static partition pruning, floats
+        never read) with the side store's not-yet-merged codes unioned
+        into the candidate scan."""
+        from audit_star_spark.analytics.ivf_index import probe_pq
+
+        spark = queries.sparkSession
+        side = self._store_pq_codes(spark)
+        return probe_pq(
+            self.index, queries, k=k, n_probe=n_probe, extra_codes=side
+        )
+
     def probe(self, queries: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
         """Top-k cosine against the live corpus; candidate scans of BOTH
         sources are partition-pruned to the probed cells."""
@@ -235,6 +326,36 @@ class StreamingIVFIngest:
             spark.read.parquet(self.store_dir), self._merged_through()
         )
         new_ct = max(self._merged_through(), max_live_batch(store_df))
+
+        # fold the PQ side store FIRST (each store prunes against its
+        # own marker, so either crash window leaves reads consistent:
+        # a folded-but-unmarked source is impossible, and a marked
+        # assignment fold with an unfolded PQ store keeps the PQ side
+        # rows visible through the union)
+        pq_side = self._store_pq_codes(spark)
+        if pq_side is not None:
+            recover_store(self.pq_store_dir)
+            pq_store_df = visible(
+                spark.read.parquet(self.pq_store_dir),
+                self._pq_merged_through(),
+            )
+            pq_ct = max(self._pq_merged_through(), max_live_batch(pq_store_df))
+            pq_base = spark.read.parquet(self._pq_codes_path()).withColumn(
+                "ingest_batch_id", F.lit(BASELINE_ID)
+            )
+            pq_merged = pq_base.unionByName(
+                pq_store_df.select(*pq_base.columns)
+            )
+            pq_dedup = pq_merged.groupBy("vec_id").agg(
+                F.expr("max_by(codes, ingest_batch_id)").alias("codes"),
+                F.expr("max_by(cell_id, ingest_batch_id)").alias("cell_id"),
+            )
+
+            def write_pq_tmp(tmp: str) -> None:
+                pq_dedup.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
+
+            atomic_swap(self._pq_codes_path(), write_pq_tmp, pq_ct)
+
         base = self.index.assignments(spark).withColumn(
             "ingest_batch_id", F.lit(BASELINE_ID)
         )

@@ -153,3 +153,72 @@ def test_streaming_ingest_end_to_end_with_lineage(spark, emb, tmp_path):
     # a fresh checkpoint is refused once merge has folded batch ids
     with pytest.raises(RuntimeError, match="silently pruned"):
         ing.start(stream, str(tmp_path / "ck2"))
+
+
+# ------------------------------------------------- PQ code maintenance
+def _setup_pq(spark, emb, tmp_path, cut=400):
+    """PQ-extended index over vec_id < cut; the rest streams in and
+    must earn codes from the FROZEN codebook."""
+    from audit_star_spark.analytics.ivf_index import add_pq_codes
+
+    idx = build_ivf_index(
+        emb.filter(F.col("vec_id") < cut),
+        str(tmp_path / "idx"),
+        n_cells=8,
+        iters=1,
+    )
+    add_pq_codes(idx, emb.filter(F.col("vec_id") < cut), m_sub=4, k_codes=16)
+    ing = StreamingIVFIngest(idx.index_dir, str(tmp_path / "side"))
+    rest = emb.filter(F.col("vec_id") >= cut)
+    ing.process_batch(rest.filter(F.col("vec_id") % 2 == 0), 0)
+    ing.process_batch(rest.filter(F.col("vec_id") % 2 == 1), 1)
+    return idx, ing
+
+
+def test_streamed_vectors_earn_pq_codes(spark, emb, tmp_path):
+    idx, ing = _setup_pq(spark, emb, tmp_path)
+    side = ing._store_pq_codes(spark)
+    n_new = emb.filter(F.col("vec_id") >= 400).count()
+    assert side.count() == n_new
+    # with all 8 cells probed and k >= corpus size, the candidate set
+    # per query is exactly the live corpus — baseline AND streamed
+    got = ing.probe_pq(_queries(emb, 2), k=1000, n_probe=8).collect()
+    all_ids = {int(r["vec_id"]) for r in emb.select("vec_id").collect()}
+    for qid in (0, 1):
+        assert {
+            int(r["vec_id"]) for r in got if r["query_id"] == qid
+        } == all_ids
+
+
+def test_streaming_probe_pq_equals_post_merge_probe(spark, emb, tmp_path):
+    """The load-bearing invariant: the union read (baseline codes ∪
+    side store) must rank EXACTLY like probing the merged index."""
+    from audit_star_spark.analytics.ivf_index import probe_pq
+
+    idx, ing = _setup_pq(spark, emb, tmp_path)
+    q = _queries(emb, 5)
+    before = sorted(map(tuple, ing.probe_pq(q, k=7, n_probe=4).collect()))
+    ing.merge_into_index(spark)
+    after = sorted(map(tuple, probe_pq(idx, q, k=7, n_probe=4).collect()))
+    assert before == after and before
+
+
+def test_pq_replay_after_merge_is_pruned(spark, emb, tmp_path):
+    idx, ing = _setup_pq(spark, emb, tmp_path)
+    q = _queries(emb, 3)
+    ing.merge_into_index(spark)
+    want = sorted(map(tuple, ing.probe_pq(q, k=5, n_probe=4).collect()))
+    # replay an already-folded batch: both stores must prune it
+    rest = emb.filter(F.col("vec_id") >= 400)
+    ing.process_batch(rest.filter(F.col("vec_id") % 2 == 0), 0)
+    got = sorted(map(tuple, ing.probe_pq(q, k=5, n_probe=4).collect()))
+    assert got == want
+    # and the candidate set contains no duplicate vec_ids
+    cand = ing.probe_pq(q, k=500, n_probe=8).groupBy("query_id", "vec_id").count()
+    assert cand.filter(F.col("count") > 1).count() == 0
+
+
+def test_index_without_pq_keeps_no_pq_store(spark, emb, tmp_path):
+    idx, ing = _setup(spark, emb, tmp_path)
+    assert not os.path.isdir(ing.pq_store_dir)
+    assert ing._store_pq_codes(spark) is None
