@@ -468,3 +468,46 @@ def probe_pq(
     out = out.localCheckpoint(eager=True)
     probes.unpersist()
     return out
+
+
+def probe_pq_rerank(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Two-stage ANN serving — the standard IVF-PQ production pattern
+    (FAISS's refine step): stage 1 ranks by compressed ADC over the
+    probed cells' int codes (probe_pq — floats never read); stage 2
+    re-scores ONLY the top-``rerank`` candidates per query with their
+    exact float vectors and exact cosine, recovering the accuracy PQ
+    gave up, at the cost of reading ``n_queries * rerank`` vectors
+    instead of the corpus.
+
+    Plan shape: the candidate set (<= n_queries * rerank rows of two
+    longs) broadcasts into the assignment scan — the big side never
+    shuffles; exact cosine is the bit-stable fold idiom, so the re-rank
+    hash-matches the oracle. Returns (query_id, rank, vec_id, cosine)."""
+    if rerank < k:
+        raise ValueError(f"rerank {rerank} must be >= k {k}")
+    spark = queries.sparkSession
+    cand = probe_pq(index, queries, k=rerank, n_probe=n_probe).select(
+        "query_id", "vec_id"
+    )
+    q = queries.select(
+        "query_id", "qvec", F.sqrt(_dot("qvec", "qvec")).alias("qnorm")
+    )
+    vecs = index.assignments(spark).select("vec_id", "vec", "norm")
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        vecs.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cosine", 9).alias("cosine"))
+    )

@@ -3008,22 +3008,24 @@ def q_ivfpq_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_recall_sql(
+def _ivfpq_adc_ctes(
     n_cells: int = 16,
     m_sub: int = 4,
     k_codes: int = 16,
     n_queries: int = 8,
-    k_nn: int = 5,
     n_probe: int = 4,
     dim: int = 64,
     by_residual: bool = True,
 ) -> str:
-    """DuckDB replay of the full IVF-PQ gate. ``by_residual=True``
-    (the add_pq_codes default — standard IVFADC) trains/encodes on
-    ``x - coarse_centroid(cell(x))`` (CTE ``rbase``) and tabulates the
-    per-(query, probed cell) residual against the codewords, keyed by
-    cell; ``False`` replays the raw-vector layout with one global
-    per-query table."""
+    """The shared IVF-PQ oracle pipeline — coarse k-means, assignment,
+    probing, PQ codebooks/codes, and the ADC ranking input — as one CTE
+    string ``WITH km .. adc`` (adc = (query_id, vec_id, adc)); the
+    recall and re-rank oracles append their own tails.
+    ``by_residual=True`` (the add_pq_codes default — standard IVFADC)
+    trains/encodes on ``x - coarse_centroid(cell(x))`` (CTE ``rbase``)
+    and tabulates the per-(query, probed cell) residual against the
+    codewords, keyed by cell; ``False`` replays the raw-vector layout
+    with one global per-query table."""
     w = dim // m_sub
     sorted_sum = d_fold(
         "list_sort(list(pd))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
@@ -3129,7 +3131,24 @@ probes AS (
     FROM queries q CROSS JOIN tcents c
   ) WHERE crank <= {n_probe}
 ),
-{pq_block},
+{pq_block}"""
+
+
+def _ivfpq_recall_sql(
+    n_cells: int = 16,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_queries: int = 8,
+    k_nn: int = 5,
+    n_probe: int = 4,
+    dim: int = 64,
+    by_residual: bool = True,
+) -> str:
+    ctes = _ivfpq_adc_ctes(
+        n_cells, m_sub, k_codes, n_queries, n_probe, dim, by_residual
+    )
+    return f"""
+{ctes},
 atop AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
@@ -6055,3 +6074,73 @@ FROM j GROUP BY source
 
 EXTRA_QUERIES["snapshot_diff"] = q_snapshot_diff
 EXTRA_ORACLES["snapshot_diff"] = SQL_SNAPSHOT_DIFF
+
+
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN through the gate (ivf_index.py probe_pq_rerank):
+    compressed ADC shortlist (floats never read), then exact-cosine
+    re-rank of ONLY the top-20 candidates per query — the FAISS refine
+    pattern, which is what a 100 TB serving path actually runs. The
+    oracle replays both stages (shared _ivfpq_adc_ctes pipeline + the
+    cosine re-score)."""
+    import os
+    import tempfile
+
+    from audit_star_spark.analytics.ivf_index import (
+        add_pq_codes,
+        build_ivf_index,
+        probe_pq_rerank,
+    )
+    from audit_star_spark.analytics.similarity import VEC_EXPR
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivfpq_rr_gate_")
+    idx = build_ivf_index(emb, os.path.join(d, "idx"), n_cells=16, iters=1)
+    add_pq_codes(idx, emb, m_sub=4, k_codes=16)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(VEC_EXPR).alias("qvec"),
+    )
+    return probe_pq_rerank(idx, queries, k=5, rerank=20, n_probe=4)
+
+
+def _ivfpq_rerank_sql(
+    n_cells: int = 16,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_queries: int = 8,
+    k_nn: int = 5,
+    rerank: int = 20,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    ctes = _ivfpq_adc_ctes(n_cells, m_sub, k_codes, n_queries, n_probe, dim)
+    return f"""
+{ctes},
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= {rerank}
+),
+rescored AS (
+  SELECT s.query_id, s.vec_id,
+         {d_dot('q.qvec', 'n.vec')} / (q.qnorm * n.norm) AS cosine
+  FROM shortlist s
+  JOIN normed2 n ON n.vec_id = s.vec_id
+  JOIN queries q ON q.query_id = s.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cosine, 9) AS cosine
+FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM rescored
+) WHERE rank <= {k_nn}
+"""
+
+
+EXTRA_QUERIES["ivfpq_rerank"] = q_ivfpq_rerank
+EXTRA_ORACLES["ivfpq_rerank"] = _ivfpq_rerank_sql()

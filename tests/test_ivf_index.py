@@ -389,3 +389,45 @@ def test_residual_recall_no_collapse(pq_index, pq_index_raw, spark, emb):
     raw = _recall_at5(spark, emb, pq_index_raw)
     assert res >= raw - 8, (res, raw)
     assert res >= 8  # sanity: far above chance for 8 queries x top-5
+
+
+def test_rerank_with_full_shortlist_equals_exact_topk(pq_index, spark, emb):
+    """With every cell probed and rerank >= corpus size, the two-stage
+    probe degenerates to exact cosine top-k — stage 2 must recover the
+    exact ranking regardless of how lossy stage 1's ADC was."""
+    from pyspark.sql import Window
+
+    from audit_star_spark.analytics.ivf_index import probe_pq_rerank
+    from audit_star_spark.analytics.similarity import VEC_EXPR, _dot
+
+    q = _self_queries(emb, 4)
+    got = sorted(
+        map(tuple, probe_pq_rerank(pq_index, q, k=5, rerank=1000, n_probe=8).collect())
+    )
+    base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec")).withColumn(
+        "norm", F.sqrt(_dot("vec", "vec"))
+    )
+    qq = q.withColumn("qnorm", F.sqrt(_dot("qvec", "qvec")))
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    want = sorted(
+        map(
+            tuple,
+            base.crossJoin(F.broadcast(qq))
+            .select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "vec_id", F.round("cosine", 9).alias("cosine"))
+            .collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_rerank_validates_params(pq_index, spark, emb):
+    import pytest as _pytest
+
+    from audit_star_spark.analytics.ivf_index import probe_pq_rerank
+
+    with _pytest.raises(ValueError):
+        probe_pq_rerank(pq_index, _self_queries(emb, 1), k=10, rerank=5)
