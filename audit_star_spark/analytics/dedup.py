@@ -662,23 +662,40 @@ def substring_dedup_rewrite(docs: DataFrame, k: int = 8) -> DataFrame:
     merge; the span list joins back on doc_id (AQE broadcasts when
     small). Never all-pairs, never a driver-side loop."""
     base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-    win_expr = (
-        f"transform(sequence(0, size(toks) - {k}), "
-        f"i -> named_struct('pos', i, 'h', "
-        f"CAST(conv(substring(md5(array_join(slice(toks, i + 1, {k}), ' ')), "
-        f"1, 15), 16, 10) AS BIGINT)))"
-    )
-    wins = (
-        base.filter(F.size("toks") >= k)
-        .select("doc_id", F.explode(F.expr(win_expr)).alias("w"))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    )
+    wins = substring_windows(base, k)
     w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
     removed = (
         wins.withColumn("rn", F.row_number().over(w_h))
         .filter(F.col("rn") > 1)
         .select("doc_id", "pos")
     )
+    return substring_rewrite_report(base, removed, k)
+
+
+def substring_windows(base: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h) for every overlapping k-token window of
+    ``base(doc_id, toks)`` — the md5-prefix bigint idiom; docs shorter
+    than k yield no rows. Shared by the batch operator and the
+    streaming store (one hashing code path, two execution modes)."""
+    win_expr = (
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> named_struct('pos', i, 'h', "
+        f"CAST(conv(substring(md5(array_join(slice(toks, i + 1, {k}), ' ')), "
+        f"1, 15), 16, 10) AS BIGINT)))"
+    )
+    return (
+        base.filter(F.size("toks") >= k)
+        .select("doc_id", F.explode(F.expr(win_expr)).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+
+
+def substring_rewrite_report(
+    base: DataFrame, removed: DataFrame, k: int
+) -> DataFrame:
+    """Span merge + rewrite + per-doc report from a removed-occurrence
+    stream (doc_id, pos) — the second half of substring_dedup_rewrite,
+    shared with the streaming store."""
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         removed.withColumn("prev", F.lag("pos").over(w_d))
