@@ -1,20 +1,21 @@
-"""MPEG-1 Layer III (MP3) frame-header parser — container census
-WITHOUT sample decode.
+"""MPEG-1 audio (ISO/IEC 11172-3): Layer III header census + Layer I/II
+bit-exact subband sample decode.
 
-Full MP3 sample decode (Huffman tables, requantization, IMDCT, synthesis
-filterbank) is out of scope in this codec-library-free environment and
-stays an honest ``NotImplementedError``. But a corpus census does not
-need samples: duration, bitrate profile, sample rate and channel mode
-all live in the 4-byte frame headers, which walk in constant space.
-This is what a 100 TB audio sweep actually runs first — filter/bucket by
-duration and bitrate BEFORE paying any decode.
+- ``parse_mp3``: Layer III (the common ".mp3") container census WITHOUT
+  sample decode — duration/bitrate/rate/mode from the 4-byte frame
+  headers in constant space; Layer III samples need Huffman tables +
+  the IMDCT hybrid and stay an honest ``NotImplementedError``
+  (what a 100 TB audio sweep runs first is the header census anyway).
+- ``decode_mp3_layer2`` / ``decode_mp3_layer1``: FULL sample decode to
+  the 32-subband domain for the subband-only layers — closed-form
+  requantization, every bit of the frame layout parsed. PCM synthesis
+  (the tabulated 512-tap window) is the remaining documented raise.
 
-Scope: MPEG-1 Layer III frames (the overwhelming majority of real
-".mp3" files). ID3v2 prefix tags are skipped (syncsafe length); ID3v1
-trailers and trailing garbage are tolerated (frame walk stops at the
-first non-sync position past the last whole frame). MPEG-2/2.5 and
-other layers raise ValueError — a mislabeled stream surfaces as a
-degrade, not a silent misparse.
+ID3v2 prefix tags are skipped (syncsafe length); ID3v1 trailers and
+trailing garbage are tolerated (the frame walk stops at the first
+non-sync position past the last whole frame). MPEG-2/2.5 and
+cross-layer streams raise ValueError — a mislabeled stream surfaces as
+a degrade, not a silent misparse.
 
 Frame arithmetic (public ISO/IEC 11172-3 layout):
 
@@ -441,6 +442,159 @@ def encode_mp3_layer2(
                         if not 0 <= code < n:
                             raise ValueError("code out of range")
                         bw.write(code, bits)
+        body = bw.tobytes()
+        if 4 + len(body) > size:
+            raise ValueError(
+                f"frame payload {4 + len(body)}B exceeds {size}B at {kbps} kbps"
+            )
+        out += h.to_bytes(4, "big") + body + bytes(size - 4 - len(body))
+    return bytes(out)
+
+
+# -------------------------------------------------- Layer I subband decode
+#
+# MPEG-1 Layer I (ISO/IEC 11172-3 §2.4.1.5, §2.4.3.2) is the simpler
+# sibling: 384 samples per frame (12 per subband x 32 subbands), one
+# 4-bit allocation per subband (alloc a in 1..14 -> nb = a + 1 fraction
+# bits, levels n = 2^nb - 1; a = 15 is forbidden), ONE 6-bit scalefactor
+# per active subband (no scfsi), no grouping — the same closed-form
+# requantization family as Layer II. Slot size is 4 bytes:
+#
+#     frame_bytes = (12 * bitrate / sample_rate) * 4 + padding * 4
+#
+# Same honest boundary as Layer II: decode stops at bit-exact subband
+# samples; PCM synthesis needs the tabulated 512-tap window.
+
+_BITRATES_L1 = [
+    None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416,
+    448, None,
+]
+SBLIMIT_L1 = 32
+
+
+def decode_mp3_layer1(payload: bytes) -> dict:
+    """MPEG-1 Layer I bytes -> bit-exact subband-domain decode (same
+    output shape as :func:`decode_mp3_layer2`). 44.1 kHz mono only."""
+    data = bytes(payload)
+    pos = _skip_id3v2(data)
+    n_frames = 0
+    n_active_total = 0
+    sum_sq = 0.0
+    n_samples = 0
+    rate = None
+    while pos + 4 <= len(data):
+        h = int.from_bytes(data[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        version = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if version != 0b11 or layer != 0b11:  # MPEG-1 Layer I
+            if n_frames == 0:
+                raise ValueError(
+                    "only MPEG-1 Layer I decodes here (version/layer "
+                    f"bits {version:02b}/{layer:02b})"
+                )
+            break
+        protection = (h >> 16) & 0x1
+        brx = (h >> 12) & 0xF
+        srx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        kbps = _BITRATES_L1[brx]
+        if kbps is None or _RATES[srx] is None:
+            raise ValueError("free/bad bitrate or reserved sample rate")
+        if _RATES[srx] != 44100 or mode != 0b11:
+            raise ValueError("only 44.1 kHz mono decodes")
+        rate = _RATES[srx]
+        size = ((12 * kbps * 1000) // rate + padding) * 4
+        if pos + size > len(data):
+            break
+        br = _BitReader(data[pos : pos + size], 32 + (0 if protection else 16))
+        alloc = []
+        for _sb in range(SBLIMIT_L1):
+            a = br.read(4)
+            if a == 15:
+                raise ValueError("forbidden Layer I allocation 15")
+            alloc.append(a)
+        sf = {}
+        for sb in range(SBLIMIT_L1):
+            if alloc[sb]:
+                sf[sb] = br.read(6)
+        for _gr in range(12):
+            for sb in range(SBLIMIT_L1):
+                a = alloc[sb]
+                if not a:
+                    continue
+                nb = a + 1
+                n = (1 << nb) - 1
+                code = br.read(nb)
+                if code >= n:
+                    raise ValueError(f"code {code} >= {n} levels")
+                c_const = float(1 << nb) / n
+                d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
+                factor = 2.0 ** (1.0 - sf[sb] / 3.0)
+                s3 = code * 2.0 ** (1 - nb) - 1.0
+                sp = factor * c_const * (s3 + d_const)
+                sum_sq += sp * sp
+                n_samples += 1
+        n_active_total += sum(1 for a in alloc if a)
+        n_frames += 1
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MPEG-1 Layer I frames found")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "n_active_subbands": n_active_total,
+        "n_samples": n_samples,
+        "subband_rms": (sum_sq / n_samples) ** 0.5 if n_samples else 0.0,
+    }
+
+
+def encode_mp3_layer1(frames: list[dict], kbps: int = 192) -> bytes:
+    """Deterministic Layer I test-vector encoder. Each frame dict:
+    ``{"alloc": {sb: 1..14}, "sf": {sb: 0..62},
+      "codes": {sb: [12 codes]}}``. 44.1 kHz mono, no CRC/padding."""
+    try:
+        brx = _BITRATES_L1.index(kbps)
+    except ValueError:
+        raise ValueError(f"kbps must be one of {_BITRATES_L1[1:15]}")
+    size = ((12 * kbps * 1000) // 44100) * 4
+    out = bytearray()
+    for fr in frames:
+        h = (
+            (0x7FF << 21)
+            | (0b11 << 19)   # MPEG-1
+            | (0b11 << 17)   # Layer I
+            | (1 << 16)      # no CRC
+            | (brx << 12)
+            | (0 << 10)      # 44.1 kHz
+            | (0 << 9)       # no padding
+            | (0b11 << 6)    # mono
+        )
+        bw = _BitWriter()
+        for sb in range(SBLIMIT_L1):
+            a = fr["alloc"].get(sb, 0)
+            if not 0 <= a <= 14:
+                raise ValueError(f"alloc {a} out of range for sb {sb}")
+            bw.write(a, 4)
+        for sb in range(SBLIMIT_L1):
+            if fr["alloc"].get(sb, 0):
+                s = fr["sf"][sb]
+                if not 0 <= s <= 62:
+                    raise ValueError(f"scalefactor index {s} out of range")
+                bw.write(s, 6)
+        for gr in range(12):
+            for sb in range(SBLIMIT_L1):
+                a = fr["alloc"].get(sb, 0)
+                if not a:
+                    continue
+                nb = a + 1
+                n = (1 << nb) - 1
+                code = fr["codes"][sb][gr]
+                if not 0 <= code < n:
+                    raise ValueError("code out of range")
+                bw.write(code, nb)
         body = bw.tobytes()
         if 4 + len(body) > size:
             raise ValueError(

@@ -6144,3 +6144,145 @@ FROM (
 
 EXTRA_QUERIES["ivfpq_rerank"] = q_ivfpq_rerank
 EXTRA_ORACLES["ivfpq_rerank"] = _ivfpq_rerank_sql()
+
+
+def _synth_mp3_l1(spark_df):
+    """doc_id-keyed MPEG-1 Layer I synthesis: 1 + d%2 identical 448 kbps
+    frames; 8 active subbands (sb % 4 == d % 4), allocation
+    1 + (sb + 3d) % 14 (levels 3..32767), sf (5sb + 7d) % 63, codes
+    (d + 11gr + 29sb) % n — closed forms in (doc_id, sb, gr)."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import encode_mp3_layer1
+
+        def frame(d):
+            fr = {"alloc": {}, "sf": {}, "codes": {}}
+            for sb in range(32):
+                if sb % 4 != d % 4:
+                    continue
+                a = 1 + ((sb + 3 * d) % 14)
+                n = (1 << (a + 1)) - 1
+                fr["alloc"][sb] = a
+                fr["sf"][sb] = (5 * sb + 7 * d) % 63
+                fr["codes"][sb] = [
+                    (d + 11 * gr + 29 * sb) % n for gr in range(12)
+                ]
+            return fr
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp3_layer1([frame(d)] * (1 + d % 2), kbps=448)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df.select("doc_id")).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_mp3_l1_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer I decode through the gate (analytics/mp3.py
+    decode_mp3_layer1 — the same bitstream-roundtrip design as the
+    Layer II gate, over the simpler 384-sample frame layout with
+    per-subband 4-bit allocations and no grouping)."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread  # noqa: F401 (synth import)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_mp3_l1(docs)
+
+    def run(batches):
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import decode_mp3_layer1
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    info = decode_mp3_layer1(bytes(payload))
+                    rows.append(
+                        (
+                            int(doc_id), info["n_frames"],
+                            info["sample_rate"], info["n_active_subbands"],
+                            info["n_samples"], info["subband_rms"],
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — poison degrade
+                    rows.append((int(doc_id), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sample_rate",
+                    "n_active_subbands", "n_samples", "subband_rms",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_frames": "Int32",
+                    "sample_rate": "Int32", "n_active_subbands": "Int64",
+                    "n_samples": "Int64", "subband_rms": "float64",
+                }
+            )
+
+    r = media.mapInPandas(run, schema=multimodal.MP3_L2_SCHEMA)
+    return r.select(
+        "doc_id", "n_frames", "sample_rate", "n_active_subbands",
+        "n_samples", F.round("subband_rms", 6).alias("subband_rms"),
+    )
+
+
+SQL_MP3_L1_CENSUS = """
+WITH sbs AS (
+  SELECT doc_id, sb,
+         1 + ((sb + 3 * doc_id) % 14) AS a
+  FROM documents CROSS JOIN (SELECT unnest(range(32)) AS sb)
+  WHERE sb % 4 = doc_id % 4
+),
+samp AS (
+  SELECT doc_id, sb, a + 1 AS nb,
+         CAST((1 << (a + 1)) - 1 AS BIGINT) AS n,
+         (5 * sb + 7 * doc_id) % 63 AS sfidx,
+         g.gr
+  FROM sbs CROSS JOIN (SELECT unnest(range(12)) AS gr) g
+),
+vals AS (
+  SELECT doc_id,
+    power(2.0, 1.0 - sfidx / 3.0)
+      * (power(2.0, nb) / n)
+      * (((doc_id + 11 * gr + 29 * sb) % n)
+           * power(2.0, CAST(1 - nb AS DOUBLE)) - 1.0
+         + (1.0 - (n - 1) * power(2.0, CAST(-nb AS DOUBLE)))) AS sp
+  FROM samp
+)
+SELECT doc_id,
+  CAST(1 + doc_id % 2 AS INT) AS n_frames,
+  CAST(44100 AS INT) AS sample_rate,
+  CAST(8 * (1 + doc_id % 2) AS BIGINT) AS n_active_subbands,
+  CAST(COUNT(*) * (1 + doc_id % 2) AS BIGINT) AS n_samples,
+  round(sqrt(AVG(sp * sp)), 6) AS subband_rms
+FROM vals GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES["mp3_l1_census"] = q_mp3_l1_census
+EXTRA_ORACLES["mp3_l1_census"] = SQL_MP3_L1_CENSUS

@@ -210,3 +210,66 @@ def test_layer2_census_rejects_layer2_stream():
     layer misparse in either direction)."""
     with pytest.raises(ValueError):
         parse_mp3(encode_mp3_layer2([_make_frame(0)], kbps=192))
+
+
+# --------------------------------------------- Layer I subband decode
+from audit_star_spark.analytics.mp3 import (  # noqa: E402
+    decode_mp3_layer1,
+    encode_mp3_layer1,
+    SBLIMIT_L1,
+)
+
+
+def _l1_model_sprime(fr: dict) -> list[float]:
+    out = []
+    for gr in range(12):
+        for sb in sorted(fr["alloc"]):
+            a = fr["alloc"][sb]
+            if not a:
+                continue
+            nb = a + 1
+            n = (1 << nb) - 1
+            code = fr["codes"][sb][gr]
+            c_const = float(1 << nb) / n
+            d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
+            factor = 2.0 ** (1.0 - fr["sf"][sb] / 3.0)
+            out.append(
+                factor * c_const * (code * 2.0 ** (1 - nb) - 1.0 + d_const)
+            )
+    return out
+
+
+def _l1_frame(seed: int) -> dict:
+    fr = {"alloc": {}, "sf": {}, "codes": {}}
+    for sb in range(SBLIMIT_L1):
+        if (sb + seed) % 4:
+            continue
+        a = 1 + ((sb + 3 * seed) % 14)
+        n = (1 << (a + 1)) - 1
+        fr["alloc"][sb] = a
+        fr["sf"][sb] = (5 * sb + 7 * seed) % 63
+        fr["codes"][sb] = [(seed + 11 * gr + 29 * sb) % n for gr in range(12)]
+    return fr
+
+
+def test_layer1_roundtrip_matches_spec_model():
+    for seed in range(5):
+        fr = _l1_frame(seed)
+        got = decode_mp3_layer1(encode_mp3_layer1([fr], kbps=448))
+        want = _l1_model_sprime(fr)
+        assert got["n_frames"] == 1
+        assert got["n_active_subbands"] == len(fr["alloc"])
+        assert got["n_samples"] == len(want)
+        rms = (sum(v * v for v in want) / len(want)) ** 0.5
+        assert got["subband_rms"] == rms
+
+
+def test_layer1_rejects_other_layers_and_truncation():
+    fr = _l1_frame(0)
+    good = encode_mp3_layer1([fr], kbps=448)
+    with pytest.raises(ValueError):
+        decode_mp3_layer1(good[:20])
+    with pytest.raises(ValueError):
+        decode_mp3_layer1(encode_mp3_layer2([_make_frame(0)], kbps=192))
+    with pytest.raises(ValueError):
+        decode_mp3_layer2(good)  # and the converse
