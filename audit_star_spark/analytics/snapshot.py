@@ -28,8 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from audit_star_spark.analytics.dedup import NORM_TEXT_EXPR
-
 
 def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     """Per-source change census between two corpus snapshots.
@@ -39,8 +37,17 @@ def snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     comes from the new snapshot, for a removed doc from the old one,
     for survivors from the new snapshot (a doc whose source column
     itself moved counts under its new home — and as ``changed`` only
-    if its text changed too; source is metadata, not content)."""
-    h = F.md5(F.expr(NORM_TEXT_EXPR))
+    if its text changed too; source is metadata, not content).
+
+    NULL text hashes like '' (COALESCE before normalizing): presence is
+    keyed on the ROW existing, never on the text being non-NULL — an
+    md5(NULL) would NULL-propagate and misclassify a NULL-text survivor
+    as added."""
+    h = F.md5(
+        F.regexp_replace(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+        )
+    )
     o = old_docs.select(
         "doc_id", F.col("source").alias("src_old"), h.alias("h_old")
     )

@@ -6018,7 +6018,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = old.filter(F.col("doc_id") % 7 != 0).select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 5 == 0, F.concat_ws(" ", "text", F.lit("v2"))
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
         )
         .otherwise(F.col("text"))
         .alias("text"),
@@ -6034,19 +6035,20 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SNAPSHOT_DIFF = """
 WITH old AS (
   SELECT doc_id, source,
-         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS h
   FROM documents
 ),
 new AS (
   SELECT doc_id,
          md5(regexp_replace(trim(lower(
-           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+           CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || ' v2'
+                ELSE COALESCE(text, '') END
          )), '\\s+', ' ', 'g')) AS h,
          source
   FROM documents WHERE doc_id % 7 <> 0
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id,
-         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         md5(regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')) AS h,
          source
   FROM documents WHERE doc_id % 11 = 0
 ),

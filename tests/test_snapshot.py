@@ -55,3 +55,23 @@ def test_snapshot_diff_source_move_counts_under_new_home(spark):
     # metadata-only move: unchanged, attributed to the NEW source
     assert set(rows) == {"books"}
     assert rows["books"]["n_unchanged"] == 1 and rows["books"]["n_changed"] == 0
+
+
+def test_null_text_doc_is_not_misclassified(spark):
+    """md5(NULL) must not NULL-propagate into presence: a NULL-text doc
+    in both snapshots is 'unchanged' (hashes like ''), and NULL -> text
+    counts as changed."""
+    from audit_star_spark.analytics.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "web"), (2, None, "web"), (3, "", "web")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "web"), (2, "now has text", "web"), (3, None, "web")],
+        "doc_id long, text string, source string",
+    )
+    row = snapshot_diff(old, new).collect()[0]
+    assert row["n_added"] == 0 and row["n_removed"] == 0
+    assert row["n_changed"] == 1      # doc 2: NULL -> text
+    assert row["n_unchanged"] == 2    # doc 1 (NULL==NULL), doc 3 (''==NULL)
