@@ -161,6 +161,9 @@ def index_main(argv: list[str]) -> int:
     pr.add_argument("--pq", action="store_true",
                     help="rank by asymmetric distance over PQ codes "
                          "(requires an index built with --pq)")
+    pr.add_argument("--rerank", type=int, default=0,
+                    help="two-stage serving: exact-cosine re-rank of the "
+                         "top-N ADC candidates (implies --pq)")
     for p in (bu, pr):
         p.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
@@ -188,7 +191,11 @@ def index_main(argv: list[str]) -> int:
         for k, v in idx.meta().items():
             print(f"{k:12s} {v}")
         return 0
-    from audit_star_spark.analytics.ivf_index import IVFIndex, probe_pq
+    from audit_star_spark.analytics.ivf_index import (
+        IVFIndex,
+        probe_pq,
+        probe_pq_rerank,
+    )
     from audit_star_spark.analytics.similarity import VEC_EXPR
 
     ids = [int(v) for v in args.queries.split(",") if v.strip()]
@@ -198,11 +205,14 @@ def index_main(argv: list[str]) -> int:
         .select(F.col("vec_id").alias("query_id"), F.expr(VEC_EXPR).alias("qvec"))
     )
     idx = IVFIndex(args.index_dir)
-    out = (
-        probe_pq(idx, q, k=args.k, n_probe=args.probes)
-        if args.pq
-        else idx.probe(q, k=args.k, n_probe=args.probes)
-    )
+    if args.rerank:
+        out = probe_pq_rerank(
+            idx, q, k=args.k, rerank=args.rerank, n_probe=args.probes
+        )
+    elif args.pq:
+        out = probe_pq(idx, q, k=args.k, n_probe=args.probes)
+    else:
+        out = idx.probe(q, k=args.k, n_probe=args.probes)
     out.orderBy("query_id", "rank").show(1000, truncate=False)
     return 0
 

@@ -166,3 +166,28 @@ def test_index_cli_build_and_probe(tmp_path, capsys, spark):
     out = capsys.readouterr().out
     # two queries x 3 ranked rows; rank-1 is the self-match (cosine 1)
     assert out.count("|1      ") >= 2 or "query_id" in out
+
+
+def test_index_cli_pq_rerank_probe(tmp_path, capsys, spark):
+    from audit_star_spark.__main__ import main
+    from tests.conftest import SF_DIR
+
+    emb = f"{SF_DIR}/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    assert main(
+        [
+            "index", "build", "--embeddings", emb, "--out", idx,
+            "--cells", "8", "--iters", "1", "--pq", "--master", "local[4]",
+        ]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        [
+            "index", "probe", "--index", idx, "--embeddings", emb,
+            "--queries", "0", "-k", "3", "--rerank", "10",
+            "--master", "local[4]",
+        ]
+    ) == 0
+    out = capsys.readouterr().out
+    # re-rank outputs exact cosine: the self-match leads at cosine 1.0
+    assert "cosine" in out and "1.0" in out
