@@ -495,10 +495,20 @@ def probe_pq_rerank(
     cand = probe_pq(index, queries, k=rerank, n_probe=n_probe).select(
         "query_id", "vec_id"
     )
+    vecs = index.assignments(spark).select("vec_id", "vec", "norm")
+    return _rerank_shortlist(cand, queries, vecs, k)
+
+
+def _rerank_shortlist(
+    cand: DataFrame, queries: DataFrame, vecs: DataFrame, k: int
+) -> DataFrame:
+    """Stage 2 of the two-stage probe: exact-cosine re-score of a
+    (query_id, vec_id) shortlist against ``vecs(vec_id, vec, norm)``
+    — the shortlist broadcasts into the vector scan, the big side never
+    shuffles. Shared by the batch index and the streaming union read."""
     q = queries.select(
         "query_id", "qvec", F.sqrt(_dot("qvec", "qvec")).alias("qnorm")
     )
-    vecs = index.assignments(spark).select("vec_id", "vec", "norm")
     cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")

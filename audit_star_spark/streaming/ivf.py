@@ -255,6 +255,29 @@ class StreamingIVFIngest:
             self.index, queries, k=k, n_probe=n_probe, extra_codes=side
         )
 
+    def probe_pq_rerank(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        rerank: int = 50,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """Two-stage serving against the LIVE corpus: the streaming
+        probe_pq shortlist, exact-cosine re-ranked against the union
+        read (baseline ∪ side-store vectors) — same refine semantics as
+        the batch probe_pq_rerank, with the side store's vectors
+        visible before any merge."""
+        from audit_star_spark.analytics.ivf_index import _rerank_shortlist
+
+        if rerank < k:
+            raise ValueError(f"rerank {rerank} must be >= k {k}")
+        spark = queries.sparkSession
+        cand = self.probe_pq(queries, k=rerank, n_probe=n_probe).select(
+            "query_id", "vec_id"
+        )
+        vecs = self.assignments(spark).select("vec_id", "vec", "norm")
+        return _rerank_shortlist(cand, queries, vecs, k)
+
     def probe(self, queries: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
         """Top-k cosine against the live corpus; candidate scans of BOTH
         sources are partition-pruned to the probed cells."""

@@ -222,3 +222,21 @@ def test_index_without_pq_keeps_no_pq_store(spark, emb, tmp_path):
     idx, ing = _setup(spark, emb, tmp_path)
     assert not os.path.isdir(ing.pq_store_dir)
     assert ing._store_pq_codes(spark) is None
+
+
+def test_streaming_rerank_equals_post_merge_rerank(spark, emb, tmp_path):
+    """Two-stage serving parity: the streaming rerank (union shortlist +
+    union vectors) must rank exactly like the batch rerank against the
+    merged index."""
+    from audit_star_spark.analytics.ivf_index import probe_pq_rerank
+
+    idx, ing = _setup_pq(spark, emb, tmp_path)
+    q = _queries(emb, 4)
+    before = sorted(
+        map(tuple, ing.probe_pq_rerank(q, k=5, rerank=20, n_probe=4).collect())
+    )
+    ing.merge_into_index(spark)
+    after = sorted(
+        map(tuple, probe_pq_rerank(idx, q, k=5, rerank=20, n_probe=4).collect())
+    )
+    assert before == after and before
