@@ -60,6 +60,11 @@ def corpus_main(argv: list[str]) -> int:
     ap.add_argument("--budget-tokens", type=int, default=256)
     ap.add_argument("--shards", type=int, default=None)
     ap.add_argument(
+        "--substring-dedup", type=int, default=0, metavar="K",
+        help="also cut duplicated >=K-token runs out of all but their "
+             "first occurrence (exact-substring removal) before layouts",
+    )
+    ap.add_argument(
         "--mix", action="append", default=[], metavar="SOURCE=WEIGHT",
         help="target mix weight for a source (repeatable; unlisted "
              "sources default to 1.0; downsample-only)",
@@ -90,6 +95,7 @@ def corpus_main(argv: list[str]) -> int:
         budget_tokens=args.budget_tokens,
         shards=args.shards,
         mix_weights=mix_weights or None,
+        substring_k=args.substring_dedup or None,
     )
     for k, v in stats.items():
         print(f"{k:22s} {v}")

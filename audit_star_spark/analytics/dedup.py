@@ -624,7 +624,9 @@ def span_dedup_stats(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
     )
 
 
-def substring_dedup_rewrite(docs: DataFrame, k: int = 8) -> DataFrame:
+def substring_dedup_rewrite(
+    docs: DataFrame, k: int = 8, emit_text: bool = False
+) -> DataFrame:
     """Exact-substring deduplication WITH REMOVAL — the suffix-array
     granularity of published training-data recipes (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -669,7 +671,7 @@ def substring_dedup_rewrite(docs: DataFrame, k: int = 8) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select("doc_id", "pos")
     )
-    return substring_rewrite_report(base, removed, k)
+    return substring_rewrite_report(base, removed, k, emit_text=emit_text)
 
 
 def substring_windows(base: DataFrame, k: int) -> DataFrame:
@@ -691,11 +693,13 @@ def substring_windows(base: DataFrame, k: int) -> DataFrame:
 
 
 def substring_rewrite_report(
-    base: DataFrame, removed: DataFrame, k: int
+    base: DataFrame, removed: DataFrame, k: int, emit_text: bool = False
 ) -> DataFrame:
     """Span merge + rewrite + per-doc report from a removed-occurrence
     stream (doc_id, pos) — the second half of substring_dedup_rewrite,
-    shared with the streaming store."""
+    shared with the streaming store. ``emit_text`` appends the REWRITTEN
+    text itself as ``clean_text`` (the pipeline consumer; the gate keeps
+    only the bounded md5)."""
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         removed.withColumn("prev", F.lag("pos").over(w_d))
@@ -743,6 +747,11 @@ def substring_rewrite_report(
                 "removed_fraction"
             ),
             F.md5(F.array_join("clean", " ")).alias("clean_md5"),
+            *(
+                [F.array_join("clean", " ").alias("clean_text")]
+                if emit_text
+                else []
+            ),
         )
     )
 

@@ -34,6 +34,7 @@ def run_corpus_pipeline(
     budget_tokens: int = 256,
     shards: int | None = None,
     mix_weights: dict[str, float] | None = None,
+    substring_k: int | None = None,
 ) -> dict:
     """Run the full cleaning pipeline over a documents parquet
     (``doc_id``, ``text``, extra columns carried through). Writes
@@ -83,7 +84,35 @@ def run_corpus_pipeline(
     stats["n_after_near_dedup"] = clean.count()
     exact.unpersist()
 
-    # 3b. optional source mixing: downsample-only toward the target
+    # 3b. optional exact-substring removal (Lee et al. 2022 granularity):
+    # duplicated >= substring_k-token runs are cut out of all but their
+    # first occurrence and the TEXT itself is rewritten before layouts —
+    # paragraph-level boilerplate the document-level stages cannot touch
+    if substring_k:
+        from audit_star_spark.analytics.dedup import substring_dedup_rewrite
+
+        rewritten = substring_dedup_rewrite(
+            clean, k=substring_k, emit_text=True
+        )
+        sub = (
+            clean.drop("text")
+            .join(
+                rewritten.select(
+                    "doc_id",
+                    F.col("clean_text").alias("text"),
+                    "n_removed_tokens",
+                ),
+                "doc_id",
+            )
+            .persist()
+        )
+        stats["n_substring_removed_tokens"] = int(
+            sub.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0
+        )
+        clean.unpersist()
+        clean = sub.drop("n_removed_tokens")
+
+    # 3c. optional source mixing: downsample-only toward the target
     # proportions (deterministic hash keep, binding source keeps 100%)
     if mix_weights:
         from audit_star_spark.analytics.text import apply_mix

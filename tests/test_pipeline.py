@@ -96,3 +96,40 @@ def test_pipeline_optional_mixing_stage(spark, tmp_path):
     assert 0 < stats["n_after_mixing"] <= stats["n_after_near_dedup"]
     with open(os.path.join(out, "stats.json")) as f:
         assert json.load(f)["n_after_mixing"] == stats["n_after_mixing"]
+
+
+def test_pipeline_optional_substring_stage(spark, tmp_path):
+    """--substring-dedup: duplicated >=K-token runs come OUT of the
+    exported text (all but the first occurrence), and the removed-token
+    stat matches the standalone operator over the same survivor set."""
+    from audit_star_spark.pipeline import run_corpus_pipeline
+
+    boiler = "all rights reserved contact us for details today"  # 8 toks
+    rows = [
+        # long enough to pass the quality gate, unique enough to
+        # survive both document-level dedups
+        (i, f"document number {i} body " + " ".join(
+            f"w{i}x{j}" for j in range(40)) + f" {boiler}", "web")
+        for i in range(6)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    stats = run_corpus_pipeline(spark, src, out, substring_k=8, shards=1)
+    assert stats["n_after_near_dedup"] == 6
+    # 5 of 6 copies of the 8-token boilerplate removed
+    assert stats["n_substring_removed_tokens"] >= 5 * 8
+    import glob
+    import gzip
+    import json as _json
+
+    texts = []
+    for f in glob.glob(os.path.join(out, "clean_jsonl", "*")):
+        op = gzip.open if f.endswith(".gz") else open
+        with op(f, "rt") as fh:
+            for line in fh:
+                texts.append(_json.loads(line)["text"])
+    assert len(texts) == 6
+    assert sum(1 for t in texts if boiler in t) == 1  # only the canonical
