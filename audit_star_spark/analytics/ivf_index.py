@@ -486,16 +486,47 @@ def probe_pq_rerank(
     instead of the corpus.
 
     Plan shape: the candidate set (<= n_queries * rerank rows of two
-    longs) broadcasts into the assignment scan — the big side never
-    shuffles; exact cosine is the bit-stable fold idiom, so the re-rank
-    hash-matches the oracle. Returns (query_id, rank, vec_id, cosine)."""
+    longs) broadcasts into the assignment scan, and the scan itself is
+    partition-pruned to the PROBED cells (every shortlist member lives
+    in one — re-derived from the broadcast centroid table, no index
+    read) — so stage 2 opens n_probe/n_cells of the vector files and
+    never shuffles the big side; exact cosine is the bit-stable fold
+    idiom, so the re-rank hash-matches the oracle. Returns
+    (query_id, rank, vec_id, cosine)."""
     if rerank < k:
         raise ValueError(f"rerank {rerank} must be >= k {k}")
     spark = queries.sparkSession
     cand = probe_pq(index, queries, k=rerank, n_probe=n_probe).select(
         "query_id", "vec_id"
     )
-    vecs = index.assignments(spark).select("vec_id", "vec", "norm")
+    # probed-cell list, identically derived to probe_pq's (same rank
+    # expression over the same broadcast centroids): a bounded driver
+    # control decision -> STATIC partition filter on the vector scan
+    q = queries.select(
+        "query_id", "qvec", F.sqrt(_dot("qvec", "qvec")).alias("qnorm")
+    )
+    cents = index.centroids(spark).select(
+        "cell_id", F.col("centroid").alias("cvec"), "cnorm"
+    )
+    ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell_id")
+    )
+    probed = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "cell_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_probe)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    cells = sorted(int(r["cell_id"]) for r in probed)
+    vecs = (
+        index.assignments(spark)
+        .filter(F.col("cell_id").isin(cells))
+        .select("vec_id", "vec", "norm")
+    )
     return _rerank_shortlist(cand, queries, vecs, k)
 
 

@@ -267,6 +267,8 @@ class StreamingIVFIngest:
         read (baseline ∪ side-store vectors) — same refine semantics as
         the batch probe_pq_rerank, with the side store's vectors
         visible before any merge."""
+        from pyspark.sql import Window
+
         from audit_star_spark.analytics.ivf_index import _rerank_shortlist
 
         if rerank < k:
@@ -275,7 +277,33 @@ class StreamingIVFIngest:
         cand = self.probe_pq(queries, k=rerank, n_probe=n_probe).select(
             "query_id", "vec_id"
         )
-        vecs = self.assignments(spark).select("vec_id", "vec", "norm")
+        # probed-cell static filter pushes through the union, pruning
+        # BOTH the baseline and the side store's vector files
+        q = queries.select(
+            "query_id", "qvec", F.sqrt(_dot("qvec", "qvec")).alias("qnorm")
+        )
+        cents = self.index.centroids(spark).select(
+            "cell_id", F.col("centroid").alias("cvec"), "cnorm"
+        )
+        ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("ccos").desc(), F.col("cell_id")
+        )
+        cells = sorted(
+            int(r["cell_id"])
+            for r in q.join(F.broadcast(cents))
+            .select("query_id", "cell_id", ccos.alias("ccos"))
+            .withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= n_probe)
+            .select("cell_id")
+            .distinct()
+            .collect()
+        )
+        vecs = (
+            self.assignments(spark)
+            .filter(F.col("cell_id").isin(cells))
+            .select("vec_id", "vec", "norm")
+        )
         return _rerank_shortlist(cand, queries, vecs, k)
 
     def probe(self, queries: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
