@@ -6288,3 +6288,103 @@ FROM vals GROUP BY doc_id
 
 EXTRA_QUERIES["mp3_l1_census"] = q_mp3_l1_census
 EXTRA_ORACLES["mp3_l1_census"] = SQL_MP3_L1_CENSUS
+
+
+def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL robots.txt evaluation through the gate (analytics/robots.py
+    — RFC 9309 group selection, wildcard/anchor matching, longest-rule
+    precedence): 16 synthesized per-domain robots files (comments,
+    an ignored specific-agent group on odd domains, crawl-delay junk)
+    are PARSED by the operator, while the oracle constructs the same
+    rules directly from the generating formulas — a parser differential:
+    any mis-tokenized line or mis-translated pattern flips verdicts."""
+    from audit_star_spark.analytics.robots import robots_verdicts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id") % 16
+    robots = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("d"))
+        .select(
+            F.concat(F.lit("d"), F.col("d"), F.lit(".test")).alias("domain"),
+            F.concat(
+                F.when(
+                    F.col("d") % 2 == 1,
+                    F.lit("User-agent: auditbot\nDisallow: /\n\n"),
+                ).otherwise(F.lit("")),
+                F.lit("# synthetic\nUser-agent: *\n"),
+                F.lit("Disallow: /private"), F.col("d"), F.lit("/*\n"),
+                F.lit("Allow: /private"), F.col("d"), F.lit("/open\n"),
+                F.lit("Disallow: /exact"), F.col("d"), F.lit("$\n"),
+                F.lit("Crawl-delay: 3\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("d"), d, F.lit(".test")).alias("domain"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private"), d, F.lit("/page")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private"), d, F.lit("/open")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/exact"), d))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/exact"), d, F.lit("more")))
+        .otherwise(F.lit("/other"))
+        .alias("path"),
+    )
+    return robots_verdicts(urls, robots).select(
+        "url_id", "domain", "path", "allowed", "rule_pattern"
+    )
+
+
+SQL_ROBOTS_VERDICTS = """
+WITH doms AS (SELECT unnest(range(16)) AS d),
+rules AS (
+  SELECT 'd' || d || '.test' AS domain,
+         FALSE AS allow, '/private' || d || '/*' AS pattern,
+         length('/private' || d || '/*') AS plen,
+         '^/private' || d || '/.*' AS rx
+  FROM doms
+  UNION ALL
+  SELECT 'd' || d || '.test', TRUE, '/private' || d || '/open',
+         length('/private' || d || '/open'),
+         '^/private' || d || '/open'
+  FROM doms
+  UNION ALL
+  SELECT 'd' || d || '.test', FALSE, '/exact' || d || '$',
+         length('/exact' || d || '$'),
+         '^/exact' || d || '$'
+  FROM doms
+),
+urls AS (
+  SELECT doc_id AS url_id,
+         'd' || (doc_id % 16) || '.test' AS domain,
+         CASE doc_id % 5
+           WHEN 0 THEN '/private' || (doc_id % 16) || '/page'
+           WHEN 1 THEN '/private' || (doc_id % 16) || '/open'
+           WHEN 2 THEN '/exact' || (doc_id % 16)
+           WHEN 3 THEN '/exact' || (doc_id % 16) || 'more'
+           ELSE '/other' END AS path
+  FROM documents
+),
+matched AS (
+  SELECT u.url_id, u.domain, u.path, r.allow, r.pattern,
+         COALESCE(r.plen, -1) AS plen
+  FROM urls u LEFT JOIN rules r
+    ON r.domain = u.domain AND regexp_matches(u.path, r.rx)
+),
+best AS (
+  SELECT url_id, domain, path, allow, pattern FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY url_id
+      ORDER BY plen DESC, allow DESC, pattern) AS rn
+    FROM matched
+  ) WHERE rn = 1
+)
+SELECT url_id, domain, path,
+       COALESCE(allow, TRUE) AS allowed,
+       pattern AS rule_pattern
+FROM best
+"""
+
+
+EXTRA_QUERIES["robots_verdicts"] = q_robots_verdicts
+EXTRA_ORACLES["robots_verdicts"] = SQL_ROBOTS_VERDICTS

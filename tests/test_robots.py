@@ -1,0 +1,118 @@
+"""robots.txt evaluation (analytics/robots.py): RFC 9309 parsing, group
+selection, longest-match precedence, wildcard/anchor semantics, and the
+Spark verdict operator."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from audit_star_spark.analytics.robots import (
+    parse_robots_rules,
+    robots_pattern_to_regex,
+    robots_verdicts,
+)
+
+ROBOTS = """\
+# test file
+User-agent: auditbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/*
+Allow: /private/open
+Disallow: /exact$
+Crawl-delay: 3
+Sitemap: https://x.test/sitemap.xml
+"""
+
+
+def test_group_selection_exact_vs_star():
+    star = parse_robots_rules(ROBOTS, agent="*")
+    assert (False, "/private/*") in star and (True, "/private/open") in star
+    assert (False, "/") not in star
+    bot = parse_robots_rules(ROBOTS, agent="AuditBot")
+    assert bot == [(False, "/")]
+
+
+def test_groups_merge_and_rules_restart_group():
+    txt = (
+        "User-agent: a\nDisallow: /x\n"
+        "User-agent: a\nAllow: /y\n"        # second group, same token
+        "User-agent: b\nDisallow: /z\n"
+    )
+    assert parse_robots_rules(txt, "a") == [(False, "/x"), (True, "/y")]
+    assert parse_robots_rules(txt, "b") == [(False, "/z")]
+
+
+def test_empty_disallow_means_allow_everything():
+    txt = "User-agent: *\nDisallow:\n"
+    assert parse_robots_rules(txt) == []
+
+
+def test_pattern_regex_translation():
+    assert robots_pattern_to_regex("/a/*") == "^/a/.*"
+    assert robots_pattern_to_regex("/a$") == "^/a$"
+    assert robots_pattern_to_regex("/p$q") == r"^/p\$q"
+    assert robots_pattern_to_regex("/a.b+c") == r"^/a\.b\+c"
+    import re
+
+    assert re.search(robots_pattern_to_regex("/a/*"), "/a/b/c")
+    assert re.search(robots_pattern_to_regex("/a$"), "/a")
+    assert not re.search(robots_pattern_to_regex("/a$"), "/ab")
+
+
+def test_verdicts_longest_match_and_defaults(spark):
+    robots = spark.createDataFrame(
+        [
+            ("d1", ROBOTS),
+            ("d2", "User-agent: *\nDisallow: /\nAllow: /pub\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "d1", "/private/secret"),   # disallow /private/*
+            (2, "d1", "/private/open"),     # allow beats shorter disallow
+            (3, "d1", "/exact"),            # anchored disallow
+            (4, "d1", "/exactmore"),        # anchor does NOT match
+            (5, "d1", "/other"),            # no rule -> default allow
+            (6, "d2", "/anything"),         # disallow /
+            (7, "d2", "/pub/x"),            # allow /pub (longer)
+            (8, "d3", "/no/robots"),        # no robots.txt at all
+        ],
+        "url_id long, domain string, path string",
+    )
+    got = {
+        r["url_id"]: (r["allowed"], r["rule_pattern"])
+        for r in robots_verdicts(urls, robots).collect()
+    }
+    assert got[1] == (False, "/private/*")
+    assert got[2] == (True, "/private/open")
+    assert got[3] == (False, "/exact$")
+    assert got[4] == (True, None)
+    assert got[5] == (True, None)
+    assert got[6] == (False, "/")
+    assert got[7] == (True, "/pub")
+    assert got[8] == (True, None)
+
+
+def test_tie_between_allow_and_disallow_goes_to_allow(spark):
+    robots = spark.createDataFrame(
+        [("d", "User-agent: *\nDisallow: /ab\nAllow: /ab\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "d", "/abc")], "url_id long, domain string, path string"
+    )
+    row = robots_verdicts(urls, robots).collect()[0]
+    assert row["allowed"] is True and row["rule_pattern"] == "/ab"
+
+
+def test_poison_robots_degrades_to_allow(spark):
+    robots = spark.createDataFrame(
+        [("d", None)], "domain string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [(1, "d", "/x")], "url_id long, domain string, path string"
+    )
+    row = robots_verdicts(urls, robots).collect()[0]
+    assert row["allowed"] is True
