@@ -261,14 +261,16 @@ def _sf_count(scfsi: int) -> int:
 def decode_mp3_layer2(payload: bytes) -> dict:
     """MPEG-1 Layer II bytes -> bit-exact subband-domain decode:
 
-    ``{"n_frames", "sample_rate", "n_active_subbands", "n_samples",
-    "subband_rms"}``
+    ``{"n_frames", "sample_rate", "channels", "n_active_subbands",
+    "n_samples", "subband_rms"}``
 
     where ``n_samples`` counts decoded subband samples (36 per active
-    subband per frame) and ``subband_rms`` is the RMS of the requantized,
-    rescaled s' values across all frames. 44.1 kHz mono table-B.2a
-    streams only; anything else raises ValueError. PCM synthesis is NOT
-    performed (see module header)."""
+    (channel, subband) per frame) and ``subband_rms`` is the RMS of the
+    requantized, rescaled s' values across all frames and channels.
+    44.1 kHz table-B.2a streams in mono, (non-joint) stereo or
+    dual-channel mode; joint (intensity/MS) stereo and per-channel
+    bitrates outside 56..192 kbps (the B.2b/c/d table range) raise —
+    documented boundaries, like PCM synthesis (see module header)."""
     data = bytes(payload)
     pos = _skip_id3v2(data)
     n_frames = 0
@@ -276,6 +278,7 @@ def decode_mp3_layer2(payload: bytes) -> dict:
     sum_sq = 0.0
     n_samples = 0
     rate = None
+    channels = None
     while pos + 4 <= len(data):
         h = int.from_bytes(data[pos : pos + 4], "big")
         if (h >> 21) & 0x7FF != 0x7FF:
@@ -297,55 +300,80 @@ def decode_mp3_layer2(payload: bytes) -> dict:
         kbps = _BITRATES_L2[brx]
         if kbps is None or _RATES[srx] is None:
             raise ValueError("free/bad bitrate or reserved sample rate")
-        if _RATES[srx] != 44100 or mode != 0b11:
-            raise ValueError("only 44.1 kHz mono table-B.2a mode decodes")
-        if not 56 <= kbps <= 192:
-            raise ValueError(f"bitrate {kbps} kbps is outside table B.2a")
+        if mode == 0b01:
+            raise ValueError(
+                "joint (intensity/MS) stereo is a documented raise — "
+                "stereo/dual/mono decode here"
+            )
+        nch = 1 if mode == 0b11 else 2
+        if _RATES[srx] != 44100:
+            raise ValueError("only 44.1 kHz table-B.2a streams decode")
+        if not 56 <= kbps // nch <= 192:
+            raise ValueError(
+                f"{kbps} kbps / {nch} ch is outside the B.2a range "
+                "(56..192 kbps per channel; other rates select the "
+                "B.2b/c/d tables — a documented raise)"
+            )
         rate = _RATES[srx]
         size = (144 * kbps * 1000) // rate + padding
         if pos + size > len(data):
             break  # truncated tail frame
         br = _BitReader(data[pos : pos + size], 32 + (0 if protection else 16))
-        alloc = []
+        # §2.4.1.6 non-joint layout: every per-subband field iterates
+        # channels INSIDE the subband loop
+        alloc = {}
         for sb in range(SBLIMIT_B2A):
             nbal, steps = _b2a_row(sb)
-            idx = br.read(nbal)
-            if idx > len(steps):
-                raise ValueError(f"allocation index {idx} invalid for sb {sb}")
-            alloc.append(steps[idx - 1] if idx else 0)
-        scfsi = [br.read(2) if alloc[sb] else None for sb in range(SBLIMIT_B2A)]
+            for ch in range(nch):
+                idx = br.read(nbal)
+                if idx > len(steps):
+                    raise ValueError(
+                        f"allocation index {idx} invalid for sb {sb}"
+                    )
+                alloc[ch, sb] = steps[idx - 1] if idx else 0
+        scfsi = {}
+        for sb in range(SBLIMIT_B2A):
+            for ch in range(nch):
+                if alloc[ch, sb]:
+                    scfsi[ch, sb] = br.read(2)
         sf = {}
         for sb in range(SBLIMIT_B2A):
-            if alloc[sb]:
-                sfs = [br.read(6) for _ in range(_sf_count(scfsi[sb]))]
-                sf[sb] = _sf_parts(scfsi[sb], sfs)
+            for ch in range(nch):
+                if alloc[ch, sb]:
+                    sfs = [
+                        br.read(6)
+                        for _ in range(_sf_count(scfsi[ch, sb]))
+                    ]
+                    sf[ch, sb] = _sf_parts(scfsi[ch, sb], sfs)
         for gr in range(12):
             part = gr // 4
             for sb in range(SBLIMIT_B2A):
-                n = alloc[sb]
-                if not n:
-                    continue
-                nb, grouped, bits = _QCLASS[n]
-                if grouped:
-                    c = br.read(bits)
-                    codes = (c % n, (c // n) % n, (c // (n * n)) % n)
-                else:
-                    codes = tuple(br.read(bits) for _ in range(3))
-                # B.4 constants in closed form: C = 2^nb / n, and
-                # D = 1 - (n-1)*2^(-nb) — the offset that makes the
-                # n-level quantizer symmetric (0.5 for grouped 3/5/9,
-                # 2^(1-nb) for the 2^k-1 ungrouped classes)
-                c_const = float(1 << nb) / n
-                d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
-                factor = 2.0 ** (1.0 - sf[sb][part] / 3.0)
-                for code in codes:
-                    if code >= n:
-                        raise ValueError(f"code {code} >= {n} levels")
-                    s3 = code * 2.0 ** (1 - nb) - 1.0
-                    sp = factor * c_const * (s3 + d_const)
-                    sum_sq += sp * sp
-                    n_samples += 1
-        n_active_total += sum(1 for a in alloc if a)
+                for ch in range(nch):
+                    n = alloc[ch, sb]
+                    if not n:
+                        continue
+                    nb, grouped, bits = _QCLASS[n]
+                    if grouped:
+                        c = br.read(bits)
+                        codes = (c % n, (c // n) % n, (c // (n * n)) % n)
+                    else:
+                        codes = tuple(br.read(bits) for _ in range(3))
+                    # B.4 constants in closed form: C = 2^nb / n, and
+                    # D = 1 - (n-1)*2^(-nb) — the offset that makes the
+                    # n-level quantizer symmetric (0.5 for grouped
+                    # 3/5/9, 2^(1-nb) for the 2^k-1 ungrouped classes)
+                    c_const = float(1 << nb) / n
+                    d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
+                    factor = 2.0 ** (1.0 - sf[ch, sb][part] / 3.0)
+                    for code in codes:
+                        if code >= n:
+                            raise ValueError(f"code {code} >= {n} levels")
+                        s3 = code * 2.0 ** (1 - nb) - 1.0
+                        sp = factor * c_const * (s3 + d_const)
+                        sum_sq += sp * sp
+                        n_samples += 1
+        channels = nch
+        n_active_total += sum(1 for a in alloc.values() if a)
         n_frames += 1
         pos += size
     if n_frames == 0:
@@ -353,6 +381,7 @@ def decode_mp3_layer2(payload: bytes) -> dict:
     return {
         "n_frames": n_frames,
         "sample_rate": rate,
+        "channels": channels,
         "n_active_subbands": n_active_total,
         "n_samples": n_samples,
         "subband_rms": (sum_sq / n_samples) ** 0.5 if n_samples else 0.0,
@@ -380,21 +409,27 @@ _BITRATES_L2 = [
 def encode_mp3_layer2(
     frames: list[dict],
     kbps: int = 192,
+    channels: int = 1,
 ) -> bytes:
     """Deterministic Layer II test-vector encoder (the FLAC-style
     closed-form differential: every bit this writes, decode_mp3_layer2
     must read back into the exact same s' values). Each frame dict:
 
-    ``{"alloc": {sb: alloc_index}, "scfsi": {sb: 0..3},
-      "sf": {sb: [transmitted 6-bit indices]},
-      "codes": {sb: [12 granules x (grouped combined code | 3 codes)]}}``
+    ``{"alloc": {key: alloc_index}, "scfsi": {key: 0..3},
+      "sf": {key: [transmitted 6-bit indices]},
+      "codes": {key: [12 granules x (grouped combined code | 3 codes)]}}``
 
-    44.1 kHz mono, table B.2a, no CRC, no padding. Raises ValueError if
-    the payload overflows the frame size for ``kbps``."""
+    where ``key`` is the subband id for mono frames and a ``(ch, sb)``
+    tuple for ``channels=2`` (non-joint stereo, header mode 00).
+
+    44.1 kHz, table B.2a, no CRC, no padding. Raises ValueError if the
+    payload overflows the frame size for ``kbps``."""
     try:
         brx = _BITRATES_L2.index(kbps)
     except ValueError:
         raise ValueError(f"kbps must be one of {_BITRATES_L2[1:15]}")
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
     size = (144 * kbps * 1000) // 44100
     out = bytearray()
     for fr in frames:
@@ -406,42 +441,59 @@ def encode_mp3_layer2(
             | (brx << 12)
             | (0 << 10)      # 44.1 kHz
             | (0 << 9)       # no padding
-            | (0b11 << 6)    # mono
+            | ((0b11 if channels == 1 else 0b00) << 6)
         )
+
+        def key(ch: int, sb: int):
+            return sb if channels == 1 else (ch, sb)
+
         bw = _BitWriter()
         alloc_levels = {}
         for sb in range(SBLIMIT_B2A):
             nbal, steps = _b2a_row(sb)
-            idx = fr["alloc"].get(sb, 0)
-            if not 0 <= idx <= len(steps):
-                raise ValueError(f"alloc index {idx} out of range for sb {sb}")
-            bw.write(idx, nbal)
-            if idx:
-                alloc_levels[sb] = steps[idx - 1]
-        for sb in sorted(alloc_levels):
-            bw.write(fr["scfsi"][sb], 2)
-        for sb in sorted(alloc_levels):
-            sfs = fr["sf"][sb]
-            if len(sfs) != _sf_count(fr["scfsi"][sb]):
-                raise ValueError(f"sb {sb}: wrong scalefactor count")
-            for s in sfs:
-                if not 0 <= s <= 62:
-                    raise ValueError(f"scalefactor index {s} out of range")
-                bw.write(s, 6)
+            for ch in range(channels):
+                idx = fr["alloc"].get(key(ch, sb), 0)
+                if not 0 <= idx <= len(steps):
+                    raise ValueError(
+                        f"alloc index {idx} out of range for sb {sb}"
+                    )
+                bw.write(idx, nbal)
+                if idx:
+                    alloc_levels[ch, sb] = steps[idx - 1]
+        for sb in range(SBLIMIT_B2A):
+            for ch in range(channels):
+                if (ch, sb) in alloc_levels:
+                    bw.write(fr["scfsi"][key(ch, sb)], 2)
+        for sb in range(SBLIMIT_B2A):
+            for ch in range(channels):
+                if (ch, sb) not in alloc_levels:
+                    continue
+                sfs = fr["sf"][key(ch, sb)]
+                if len(sfs) != _sf_count(fr["scfsi"][key(ch, sb)]):
+                    raise ValueError(f"sb {sb}: wrong scalefactor count")
+                for s in sfs:
+                    if not 0 <= s <= 62:
+                        raise ValueError(
+                            f"scalefactor index {s} out of range"
+                        )
+                    bw.write(s, 6)
         for gr in range(12):
-            for sb in sorted(alloc_levels):
-                n = alloc_levels[sb]
-                nb, grouped, bits = _QCLASS[n]
-                entry = fr["codes"][sb][gr]
-                if grouped:
-                    if not 0 <= entry < n * n * n:
-                        raise ValueError("grouped code out of range")
-                    bw.write(entry, bits)
-                else:
-                    for code in entry:
-                        if not 0 <= code < n:
-                            raise ValueError("code out of range")
-                        bw.write(code, bits)
+            for sb in range(SBLIMIT_B2A):
+                for ch in range(channels):
+                    if (ch, sb) not in alloc_levels:
+                        continue
+                    n = alloc_levels[ch, sb]
+                    nb, grouped, bits = _QCLASS[n]
+                    entry = fr["codes"][key(ch, sb)][gr]
+                    if grouped:
+                        if not 0 <= entry < n * n * n:
+                            raise ValueError("grouped code out of range")
+                        bw.write(entry, bits)
+                    else:
+                        for code in entry:
+                            if not 0 <= code < n:
+                                raise ValueError("code out of range")
+                            bw.write(code, bits)
         body = bw.tobytes()
         if 4 + len(body) > size:
             raise ValueError(

@@ -273,3 +273,114 @@ def test_layer1_rejects_other_layers_and_truncation():
         decode_mp3_layer1(encode_mp3_layer2([_make_frame(0)], kbps=192))
     with pytest.raises(ValueError):
         decode_mp3_layer2(good)  # and the converse
+
+
+def _make_stereo_frame(seed: int) -> dict:
+    """Two channels with DIFFERENT allocations/scalefactors/codes per
+    subband — any cross-channel bit slip scrambles the rms."""
+    fr = {"alloc": {}, "scfsi": {}, "sf": {}, "codes": {}}
+    for sb in range(SBLIMIT_B2A):
+        if (sb + seed) % 3:
+            continue
+        _, steps = _b2a_row(sb)
+        for ch in range(2):
+            idx = 1 + ((sb + seed + 2 * ch) % (3 if sb < 23 else 2))
+            n = steps[idx - 1]
+            if n == 65535:
+                idx, n = 1, steps[0]
+            _, grouped, _ = _QCLASS[n]
+            scfsi = (sb + seed + ch) % 4
+            count = {0: 3, 1: 2, 2: 1, 3: 2}[scfsi]
+            k = (ch, sb)
+            fr["alloc"][k] = idx
+            fr["scfsi"][k] = scfsi
+            fr["sf"][k] = [
+                (2 * sb + 3 * seed + 5 * ch + 11 * j) % 63 for j in range(count)
+            ]
+            if grouped:
+                fr["codes"][k] = [
+                    (seed + 13 * gr + 31 * sb + 7 * ch) % (n * n * n)
+                    for gr in range(12)
+                ]
+            else:
+                fr["codes"][k] = [
+                    tuple(
+                        (seed + 13 * gr + 31 * sb + 7 * ch + 17 * i) % n
+                        for i in range(3)
+                    )
+                    for gr in range(12)
+                ]
+    return fr
+
+
+def _stereo_model_sprime(fr: dict) -> list[float]:
+    out = []
+    for gr in range(12):
+        part = gr // 4
+        for sb in range(SBLIMIT_B2A):
+            for ch in range(2):
+                k = (ch, sb)
+                if k not in fr["alloc"]:
+                    continue
+                _, steps = _b2a_row(sb)
+                n = steps[fr["alloc"][k] - 1]
+                nb, grouped, _ = _QCLASS[n]
+                scfsi, sfs = fr["scfsi"][k], fr["sf"][k]
+                parts = {
+                    0: lambda s: (s[0], s[1], s[2]),
+                    1: lambda s: (s[0], s[0], s[1]),
+                    2: lambda s: (s[0], s[0], s[0]),
+                    3: lambda s: (s[0], s[1], s[1]),
+                }[scfsi](sfs)
+                entry = fr["codes"][k][gr]
+                codes = (
+                    (entry % n, (entry // n) % n, (entry // (n * n)) % n)
+                    if grouped
+                    else tuple(entry)
+                )
+                c_const = float(1 << nb) / n
+                d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
+                factor = 2.0 ** (1.0 - parts[part] / 3.0)
+                for code in codes:
+                    out.append(
+                        factor * c_const
+                        * (code * 2.0 ** (1 - nb) - 1.0 + d_const)
+                    )
+    return out
+
+
+def test_layer2_stereo_roundtrip_matches_spec_model():
+    for seed in range(4):
+        fr = _make_stereo_frame(seed)
+        payload = encode_mp3_layer2([fr], kbps=256, channels=2)
+        got = decode_mp3_layer2(payload)
+        want = _stereo_model_sprime(fr)
+        assert got["channels"] == 2
+        assert got["n_active_subbands"] == len(fr["alloc"])
+        assert got["n_samples"] == len(want)
+        rms = (sum(v * v for v in want) / len(want)) ** 0.5
+        assert got["subband_rms"] == rms
+
+
+def test_layer2_mono_still_bit_identical():
+    """The stereo generalization must not move a single mono bit."""
+    fr = _make_frame(0)
+    assert encode_mp3_layer2([fr], kbps=192) == encode_mp3_layer2(
+        [fr], kbps=192, channels=1
+    )
+    got = decode_mp3_layer2(encode_mp3_layer2([fr], kbps=192))
+    assert got["channels"] == 1
+    want = _model_sprime(fr)
+    assert got["subband_rms"] == (sum(v * v for v in want) / len(want)) ** 0.5
+
+
+def test_layer2_rejects_joint_stereo_and_low_per_channel_rate():
+    fr = _make_stereo_frame(0)
+    good = bytearray(encode_mp3_layer2([fr], kbps=256, channels=2))
+    # flip mode bits to joint stereo (01)
+    good[3] = (good[3] & 0b00111111) | (0b01 << 6)
+    with pytest.raises(ValueError, match="joint"):
+        decode_mp3_layer2(bytes(good))
+    # 96 kbps stereo = 48 kbps/ch -> outside B.2a
+    with pytest.raises(ValueError, match="B.2a"):
+        decode_mp3_layer2(encode_mp3_layer2([fr], kbps=96, channels=2))
