@@ -658,20 +658,38 @@ def substring_dedup_rewrite(
     window-level ExactSubstr implementations.
 
     Scale shape: one corpus scan; windows explode narrowly (O(tokens)
-    rows of 3 longs); ONE wide shuffle on window hash for the global
-    first-occurrence rank; the surviving removed-occurrence stream
-    (small for mostly-unique corpora) shuffles on doc_id for the span
-    merge; the span list joins back on doc_id (AQE broadcasts when
-    small). Never all-pairs, never a driver-side loop."""
+    rows of 3 longs); the global first occurrence per hash is a
+    GROUPBY-MIN (partial-aggregated map-side, so a viral boilerplate
+    window collapses to one row per map task instead of melting a
+    single window-sort task — the skew reason this is NOT a
+    row_number window) followed by a hash-keyed join that AQE
+    skew-splits; the surviving removed-occurrence stream (small for
+    mostly-unique corpora) shuffles on doc_id for the span merge; the
+    span list joins back on doc_id (AQE broadcasts when small). Never
+    all-pairs, never a driver-side loop."""
     base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
     wins = substring_windows(base, k)
-    w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
-    removed = (
-        wins.withColumn("rn", F.row_number().over(w_h))
-        .filter(F.col("rn") > 1)
+    removed = substring_removed_occurrences(wins)
+    return substring_rewrite_report(base, removed, k, emit_text=emit_text)
+
+
+def substring_removed_occurrences(wins: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every window occurrence that is NOT the global
+    first (min (doc_id, pos)) of its hash. groupBy-min + join, not a
+    window rank: the aggregate partial-combines map-side and the join
+    gets AQE skew handling, so a window hash shared by millions of
+    documents cannot serialize onto one task."""
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    return (
+        wins.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("o.doc_id"))
+            | (F.col("pos") != F.col("o.pos"))
+        )
         .select("doc_id", "pos")
     )
-    return substring_rewrite_report(base, removed, k, emit_text=emit_text)
 
 
 def substring_windows(base: DataFrame, k: int) -> DataFrame:

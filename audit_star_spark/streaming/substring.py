@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.dedup import (
@@ -106,10 +106,24 @@ class StreamingSubstringDedup:
             prev = prev.join(
                 F.broadcast(base.select("doc_id")), "doc_id", "left_anti"
             )
-        w_h = Window.partitionBy("h").orderBy("doc_id", "pos")
-        ranked = wins.withColumn("rn", F.row_number().over(w_h))
-        removed_in_batch = ranked.filter(F.col("rn") > 1).select("doc_id", "pos")
-        firsts = ranked.filter(F.col("rn") == 1).select("h", "doc_id", "pos")
+        # groupBy-min + join, same skew-robust shape as the batch
+        # operator (substring_removed_occurrences)
+        firsts_o = wins.groupBy("h").agg(
+            F.min(F.struct("doc_id", "pos")).alias("o")
+        )
+        removed_in_batch = (
+            wins.join(firsts_o, "h")
+            .filter(
+                (F.col("doc_id") != F.col("o.doc_id"))
+                | (F.col("pos") != F.col("o.pos"))
+            )
+            .select("doc_id", "pos")
+        )
+        firsts = firsts_o.select(
+            "h",
+            F.col("o.doc_id").alias("doc_id"),
+            F.col("o.pos").alias("pos"),
+        )
         if prev is None:
             removed = removed_in_batch
             new_hashes = firsts
