@@ -592,9 +592,36 @@ def audio_meta(media: DataFrame) -> DataFrame:
                 try:
                     rate, channels, s, fmt = _parse_audio(bytes(payload))
                 except Exception:  # noqa: BLE001
-                    # MP3: header census without sample decode — rate,
-                    # channels, duration from the frame walk; the
-                    # sample-derived metrics stay NULL (analytics/mp3.py)
+                    # MP2 (Layer II): FULL subband decode — rms comes
+                    # from the requantized subband samples (the
+                    # filterbank is near-orthonormal); zcr would need
+                    # PCM synthesis (the documented 512-tap raise)
+                    try:
+                        from audit_star_spark.analytics.mp3 import (
+                            SAMPLES_PER_FRAME,
+                            decode_mp3_layer2,
+                        )
+
+                        info = decode_mp3_layer2(bytes(payload))
+                        cols["format"].append("mp2")
+                        cols["sample_rate"].append(info["sample_rate"])
+                        cols["n_channels"].append(info["channels"])
+                        cols["n_samples"].append(
+                            info["n_frames"] * SAMPLES_PER_FRAME
+                        )
+                        cols["duration_s"].append(
+                            info["n_frames"]
+                            * SAMPLES_PER_FRAME
+                            / info["sample_rate"]
+                        )
+                        cols["rms"].append(info["subband_rms"])
+                        cols["zero_crossings"].append(None)
+                        continue
+                    except Exception:  # noqa: BLE001 — fall through
+                        pass
+                    # MP3 (Layer III): header census without sample
+                    # decode — rate, channels, duration from the frame
+                    # walk; sample metrics stay NULL (analytics/mp3.py)
                     try:
                         from audit_star_spark.analytics.mp3 import (
                             SAMPLES_PER_FRAME,

@@ -384,3 +384,26 @@ def test_layer2_rejects_joint_stereo_and_low_per_channel_rate():
     # 96 kbps stereo = 48 kbps/ch -> outside B.2a
     with pytest.raises(ValueError, match="B.2a"):
         decode_mp3_layer2(encode_mp3_layer2([fr], kbps=96, channels=2))
+
+
+def test_audio_meta_mp2_full_decode_through_spark(spark):
+    """audio_meta dispatches Layer II to the FULL subband decode (rms
+    populated from the requantized samples), Layer III to the header
+    census (rms NULL), with both magics distinguished correctly."""
+    from audit_star_spark.analytics.multimodal import audio_meta
+
+    fr = _make_frame(1)
+    rows = [
+        (1, bytearray(encode_mp3_layer2([fr, fr], kbps=192))),
+        (2, bytearray(encode_mp3_frames([128] * 4, sample_rate=44100))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_meta(df).collect()}
+    assert got[1]["format"] == "mp2"
+    assert got[1]["n_channels"] == 1
+    assert got[1]["n_samples"] == 2 * SAMPLES_PER_FRAME
+    want = _model_sprime(fr) * 2
+    rms = (sum(v * v for v in want) / len(want)) ** 0.5
+    assert got[1]["rms"] == pytest.approx(rms, rel=1e-12)
+    assert got[1]["zero_crossings"] is None
+    assert got[2]["format"] == "mp3" and got[2]["rms"] is None
