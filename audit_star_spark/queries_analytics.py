@@ -6290,19 +6290,12 @@ EXTRA_QUERIES["mp3_l1_census"] = q_mp3_l1_census
 EXTRA_ORACLES["mp3_l1_census"] = SQL_MP3_L1_CENSUS
 
 
-def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL robots.txt evaluation through the gate (analytics/robots.py
-    — RFC 9309 group selection, wildcard/anchor matching, longest-rule
-    precedence): 16 synthesized per-domain robots files (comments,
-    an ignored specific-agent group on odd domains, crawl-delay junk)
-    are PARSED by the operator, while the oracle constructs the same
-    rules directly from the generating formulas — a parser differential:
-    any mis-tokenized line or mis-translated pattern flips verdicts."""
-    from audit_star_spark.analytics.robots import robots_verdicts
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = F.col("doc_id") % 16
-    robots = (
+def _synth_policy_robots(spark: SparkSession) -> DataFrame:
+    """The 16-domain robots.txt dimension shared by the robots gate and
+    the composed crawl-policy report: comments, an ignored specific-
+    agent group on odd domains, crawl-delay junk — every rule a closed
+    form in the domain id so the oracle can restate it."""
+    return (
         spark.range(16)
         .select(F.col("id").cast("int").alias("d"))
         .select(
@@ -6320,6 +6313,21 @@ def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robots_txt"),
         )
     )
+
+
+def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL robots.txt evaluation through the gate (analytics/robots.py
+    — RFC 9309 group selection, wildcard/anchor matching, longest-rule
+    precedence): 16 synthesized per-domain robots files (comments,
+    an ignored specific-agent group on odd domains, crawl-delay junk)
+    are PARSED by the operator, while the oracle constructs the same
+    rules directly from the generating formulas — a parser differential:
+    any mis-tokenized line or mis-translated pattern flips verdicts."""
+    from audit_star_spark.analytics.robots import robots_verdicts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id") % 16
+    robots = _synth_policy_robots(spark)
     urls = docs.select(
         F.col("doc_id").alias("url_id"),
         F.concat(F.lit("d"), d, F.lit(".test")).alias("domain"),
@@ -6388,3 +6396,142 @@ FROM best
 
 EXTRA_QUERIES["robots_verdicts"] = q_robots_verdicts
 EXTRA_ORACLES["robots_verdicts"] = SQL_ROBOTS_VERDICTS
+
+
+def _synth_policy_crawl(spark_df):
+    """doc_id-keyed WARC synthesis for the policy report: one archive
+    per doc holding a single response record whose WARC-Target-URI is
+    http://d{d%16}.test{path}, path per the robots-gate formulas; odd
+    doc_ids member-gzip the archive. The URI travels through the REAL
+    WARC writer and parser — a mangled byte anywhere flips verdicts."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        from audit_star_spark.sources.warc import encode_warc
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                dd = did % 16
+                path = {
+                    0: f"/private{dd}/page",
+                    1: f"/private{dd}/open",
+                    2: f"/exact{dd}",
+                    3: f"/exact{dd}more",
+                    4: "/other",
+                }[did % 5]
+                rec = {
+                    "warc_type": "response",
+                    "target_uri": f"http://d{dd}.test{path}",
+                    "content_type": "application/http; msgtype=response",
+                    "payload": b"HTTP/1.1 200 OK\r\n\r\n",
+                }
+                payloads.append(encode_warc([rec], gzip_members=did % 2 == 1))
+            yield pd.DataFrame(
+                {
+                    "archive_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df.select("doc_id")).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("archive_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_crawl_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl COMPLIANCE as one DAG through the gate: WARC archives ->
+    record parse (real reader) -> target-URI split -> RFC 9309 robots
+    verdicts (real parser over synthesized robots.txt) -> per-domain
+    allowed/blocked census. This is the sweep a pipeline runs to prove
+    which fetched URLs its policy permitted; the oracle restates URIs
+    and rules from the shared formulas, so any WARC or robots parsing
+    slip flips integer counts."""
+    from audit_star_spark.analytics.robots import robots_verdicts
+    from audit_star_spark.sources.warc import warc_records
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    recs = warc_records(_synth_policy_crawl(docs)).filter(
+        F.col("warc_type") == "response"
+    )
+    urls = recs.select(
+        F.col("archive_id").alias("url_id"),
+        F.regexp_extract("target_uri", r"^http://([^/]+)", 1).alias("domain"),
+        F.regexp_extract("target_uri", r"^http://[^/]+(/.*)$", 1).alias("path"),
+    )
+    v = robots_verdicts(urls, _synth_policy_robots(spark))
+    return v.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.col("allowed").cast("int")).cast("long").alias("n_allowed"),
+        F.sum((~F.col("allowed")).cast("int")).cast("long").alias("n_blocked"),
+        F.sum(F.col("rule_pattern").isNull().cast("int"))
+        .cast("long")
+        .alias("n_default"),
+    )
+
+
+SQL_CRAWL_POLICY_REPORT = """
+WITH doms AS (SELECT unnest(range(16)) AS d),
+rules AS (
+  SELECT 'd' || d || '.test' AS domain,
+         FALSE AS allow, length('/private' || d || '/*') AS plen,
+         '^/private' || d || '/.*' AS rx
+  FROM doms
+  UNION ALL
+  SELECT 'd' || d || '.test', TRUE, length('/private' || d || '/open'),
+         '^/private' || d || '/open'
+  FROM doms
+  UNION ALL
+  SELECT 'd' || d || '.test', FALSE, length('/exact' || d || '$'),
+         '^/exact' || d || '$'
+  FROM doms
+),
+urls AS (
+  SELECT doc_id AS url_id,
+         'd' || (doc_id % 16) || '.test' AS domain,
+         CASE doc_id % 5
+           WHEN 0 THEN '/private' || (doc_id % 16) || '/page'
+           WHEN 1 THEN '/private' || (doc_id % 16) || '/open'
+           WHEN 2 THEN '/exact' || (doc_id % 16)
+           WHEN 3 THEN '/exact' || (doc_id % 16) || 'more'
+           ELSE '/other' END AS path
+  FROM documents
+),
+matched AS (
+  SELECT u.url_id, u.domain, r.allow, r.rx,
+         COALESCE(r.plen, -1) AS plen
+  FROM urls u LEFT JOIN rules r
+    ON r.domain = u.domain AND regexp_matches(u.path, r.rx)
+),
+best AS (
+  SELECT url_id, domain, allow, rx FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY url_id ORDER BY plen DESC, allow DESC, rx) AS rn
+    FROM matched
+  ) WHERE rn = 1
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN COALESCE(allow, TRUE) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(SUM(CASE WHEN COALESCE(allow, TRUE) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_blocked,
+       CAST(SUM(CASE WHEN rx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_default
+FROM best GROUP BY domain
+"""
+
+
+EXTRA_QUERIES["crawl_policy_report"] = q_crawl_policy_report
+EXTRA_ORACLES["crawl_policy_report"] = SQL_CRAWL_POLICY_REPORT
