@@ -526,7 +526,8 @@ SBLIMIT_L1 = 32
 
 def decode_mp3_layer1(payload: bytes) -> dict:
     """MPEG-1 Layer I bytes -> bit-exact subband-domain decode (same
-    output shape as :func:`decode_mp3_layer2`). 44.1 kHz mono only."""
+    output shape as :func:`decode_mp3_layer2`). 44.1 kHz mono, stereo
+    (non-joint) or dual-channel; intensity stereo raises."""
     data = bytes(payload)
     pos = _skip_id3v2(data)
     n_frames = 0
@@ -534,6 +535,7 @@ def decode_mp3_layer1(payload: bytes) -> dict:
     sum_sq = 0.0
     n_samples = 0
     rate = None
+    channels = None
     while pos + 4 <= len(data):
         h = int.from_bytes(data[pos : pos + 4], "big")
         if (h >> 21) & 0x7FF != 0x7FF:
@@ -555,41 +557,48 @@ def decode_mp3_layer1(payload: bytes) -> dict:
         kbps = _BITRATES_L1[brx]
         if kbps is None or _RATES[srx] is None:
             raise ValueError("free/bad bitrate or reserved sample rate")
-        if _RATES[srx] != 44100 or mode != 0b11:
-            raise ValueError("only 44.1 kHz mono decodes")
+        if mode == 0b01:
+            raise ValueError("joint (intensity) stereo is a documented raise")
+        nch = 1 if mode == 0b11 else 2
+        if _RATES[srx] != 44100:
+            raise ValueError("only 44.1 kHz streams decode")
         rate = _RATES[srx]
         size = ((12 * kbps * 1000) // rate + padding) * 4
         if pos + size > len(data):
             break
         br = _BitReader(data[pos : pos + size], 32 + (0 if protection else 16))
-        alloc = []
-        for _sb in range(SBLIMIT_L1):
-            a = br.read(4)
-            if a == 15:
-                raise ValueError("forbidden Layer I allocation 15")
-            alloc.append(a)
+        alloc = {}
+        for sb in range(SBLIMIT_L1):
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise ValueError("forbidden Layer I allocation 15")
+                alloc[ch, sb] = a
         sf = {}
         for sb in range(SBLIMIT_L1):
-            if alloc[sb]:
-                sf[sb] = br.read(6)
+            for ch in range(nch):
+                if alloc[ch, sb]:
+                    sf[ch, sb] = br.read(6)
         for _gr in range(12):
             for sb in range(SBLIMIT_L1):
-                a = alloc[sb]
-                if not a:
-                    continue
-                nb = a + 1
-                n = (1 << nb) - 1
-                code = br.read(nb)
-                if code >= n:
-                    raise ValueError(f"code {code} >= {n} levels")
-                c_const = float(1 << nb) / n
-                d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
-                factor = 2.0 ** (1.0 - sf[sb] / 3.0)
-                s3 = code * 2.0 ** (1 - nb) - 1.0
-                sp = factor * c_const * (s3 + d_const)
-                sum_sq += sp * sp
-                n_samples += 1
-        n_active_total += sum(1 for a in alloc if a)
+                for ch in range(nch):
+                    a = alloc[ch, sb]
+                    if not a:
+                        continue
+                    nb = a + 1
+                    n = (1 << nb) - 1
+                    code = br.read(nb)
+                    if code >= n:
+                        raise ValueError(f"code {code} >= {n} levels")
+                    c_const = float(1 << nb) / n
+                    d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
+                    factor = 2.0 ** (1.0 - sf[ch, sb] / 3.0)
+                    s3 = code * 2.0 ** (1 - nb) - 1.0
+                    sp = factor * c_const * (s3 + d_const)
+                    sum_sq += sp * sp
+                    n_samples += 1
+        channels = nch
+        n_active_total += sum(1 for a in alloc.values() if a)
         n_frames += 1
         pos += size
     if n_frames == 0:
@@ -597,20 +606,27 @@ def decode_mp3_layer1(payload: bytes) -> dict:
     return {
         "n_frames": n_frames,
         "sample_rate": rate,
+        "channels": channels,
         "n_active_subbands": n_active_total,
         "n_samples": n_samples,
         "subband_rms": (sum_sq / n_samples) ** 0.5 if n_samples else 0.0,
     }
 
 
-def encode_mp3_layer1(frames: list[dict], kbps: int = 192) -> bytes:
+def encode_mp3_layer1(
+    frames: list[dict], kbps: int = 192, channels: int = 1
+) -> bytes:
     """Deterministic Layer I test-vector encoder. Each frame dict:
-    ``{"alloc": {sb: 1..14}, "sf": {sb: 0..62},
-      "codes": {sb: [12 codes]}}``. 44.1 kHz mono, no CRC/padding."""
+    ``{"alloc": {key: 1..14}, "sf": {key: 0..62},
+      "codes": {key: [12 codes]}}`` where ``key`` is the subband id for
+    mono and a ``(ch, sb)`` tuple for ``channels=2`` (non-joint stereo).
+    44.1 kHz, no CRC/padding."""
     try:
         brx = _BITRATES_L1.index(kbps)
     except ValueError:
         raise ValueError(f"kbps must be one of {_BITRATES_L1[1:15]}")
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
     size = ((12 * kbps * 1000) // 44100) * 4
     out = bytearray()
     for fr in frames:
@@ -622,31 +638,40 @@ def encode_mp3_layer1(frames: list[dict], kbps: int = 192) -> bytes:
             | (brx << 12)
             | (0 << 10)      # 44.1 kHz
             | (0 << 9)       # no padding
-            | (0b11 << 6)    # mono
+            | ((0b11 if channels == 1 else 0b00) << 6)
         )
+
+        def key(ch: int, sb: int):
+            return sb if channels == 1 else (ch, sb)
+
         bw = _BitWriter()
         for sb in range(SBLIMIT_L1):
-            a = fr["alloc"].get(sb, 0)
-            if not 0 <= a <= 14:
-                raise ValueError(f"alloc {a} out of range for sb {sb}")
-            bw.write(a, 4)
+            for ch in range(channels):
+                a = fr["alloc"].get(key(ch, sb), 0)
+                if not 0 <= a <= 14:
+                    raise ValueError(f"alloc {a} out of range for sb {sb}")
+                bw.write(a, 4)
         for sb in range(SBLIMIT_L1):
-            if fr["alloc"].get(sb, 0):
-                s = fr["sf"][sb]
-                if not 0 <= s <= 62:
-                    raise ValueError(f"scalefactor index {s} out of range")
-                bw.write(s, 6)
+            for ch in range(channels):
+                if fr["alloc"].get(key(ch, sb), 0):
+                    s = fr["sf"][key(ch, sb)]
+                    if not 0 <= s <= 62:
+                        raise ValueError(
+                            f"scalefactor index {s} out of range"
+                        )
+                    bw.write(s, 6)
         for gr in range(12):
             for sb in range(SBLIMIT_L1):
-                a = fr["alloc"].get(sb, 0)
-                if not a:
-                    continue
-                nb = a + 1
-                n = (1 << nb) - 1
-                code = fr["codes"][sb][gr]
-                if not 0 <= code < n:
-                    raise ValueError("code out of range")
-                bw.write(code, nb)
+                for ch in range(channels):
+                    a = fr["alloc"].get(key(ch, sb), 0)
+                    if not a:
+                        continue
+                    nb = a + 1
+                    n = (1 << nb) - 1
+                    code = fr["codes"][key(ch, sb)][gr]
+                    if not 0 <= code < n:
+                        raise ValueError("code out of range")
+                    bw.write(code, nb)
         body = bw.tobytes()
         if 4 + len(body) > size:
             raise ValueError(

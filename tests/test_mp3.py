@@ -407,3 +407,40 @@ def test_audio_meta_mp2_full_decode_through_spark(spark):
     assert got[1]["rms"] == pytest.approx(rms, rel=1e-12)
     assert got[1]["zero_crossings"] is None
     assert got[2]["format"] == "mp3" and got[2]["rms"] is None
+
+
+def test_layer1_stereo_roundtrip():
+    fr = {"alloc": {}, "sf": {}, "codes": {}}
+    want = []
+    for sb in range(0, SBLIMIT_L1, 5):
+        for ch in range(2):
+            a = 1 + ((sb + 5 * ch) % 14)
+            n = (1 << (a + 1)) - 1
+            fr["alloc"][(ch, sb)] = a
+            fr["sf"][(ch, sb)] = (3 * sb + 7 * ch) % 63
+            fr["codes"][(ch, sb)] = [(sb + 11 * gr + ch) % n for gr in range(12)]
+    for gr in range(12):
+        for sb in range(0, SBLIMIT_L1, 5):
+            for ch in range(2):
+                a = fr["alloc"][(ch, sb)]
+                nb = a + 1
+                n = (1 << nb) - 1
+                code = fr["codes"][(ch, sb)][gr]
+                c = float(1 << nb) / n
+                d = 1.0 - (n - 1) * 2.0 ** (-nb)
+                f = 2.0 ** (1.0 - fr["sf"][(ch, sb)] / 3.0)
+                want.append(f * c * (code * 2.0 ** (1 - nb) - 1.0 + d))
+    got = decode_mp3_layer1(encode_mp3_layer1([fr], kbps=448, channels=2))
+    assert got["channels"] == 2
+    assert got["n_active_subbands"] == len(fr["alloc"])
+    assert got["n_samples"] == len(want)
+    assert got["subband_rms"] == (sum(v * v for v in want) / len(want)) ** 0.5
+
+
+def test_layer1_mono_still_bit_identical():
+    fr = _l1_frame(2)
+    assert encode_mp3_layer1([fr], kbps=448) == encode_mp3_layer1(
+        [fr], kbps=448, channels=1
+    )
+    got = decode_mp3_layer1(encode_mp3_layer1([fr], kbps=448))
+    assert got["channels"] == 1

@@ -583,6 +583,53 @@ def _gen_window_over_aggregate(rng: random.Random) -> str:
     )
 
 
+def _gen_exists_with_agg(rng: random.Random) -> str:
+    """EXISTS whose correlated subquery carries its own aggregate
+    HAVING — the anti/semi-join-with-threshold shape."""
+    th = rng.randint(2, 8)
+    op = rng.choice(["EXISTS", "NOT EXISTS"])
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders o WHERE {op} ("
+        f"SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        f"GROUP BY l.l_orderkey HAVING COUNT(*) >= {th}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
+def _gen_union_in_from(rng: random.Random) -> str:
+    """UNION ALL inside a derived table, re-aggregated above — the
+    multi-source fact-union shape."""
+    ka = rng.randint(2, 7)
+    return (
+        f"SELECT g, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(v) AS BIGINT) AS s FROM ("
+        f"SELECT o_custkey % {ka} AS g, o_orderkey AS v FROM orders "
+        f"WHERE o_orderstatus = '{rng.choice(['O', 'F'])}' "
+        f"UNION ALL "
+        f"SELECT c_custkey % {ka} AS g, c_custkey AS v FROM customer "
+        f"WHERE c_custkey % {rng.randint(2, 5)} = 0) t GROUP BY g"
+    )
+
+
+def _gen_window_in_cte_filtered(rng: random.Random) -> str:
+    """Window computed in a CTE, filtered and re-joined outside — the
+    top-k-then-enrich shape (window result used as a join input)."""
+    topk = rng.randint(2, 6)
+    return (
+        f"WITH ranked AS ("
+        f"SELECT o_custkey, o_orderkey, o_totalprice, "
+        f"ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        f"ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) "
+        f"SELECT r.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_top, "
+        f"MIN(r.o_totalprice) AS min_top, "
+        f"CAST(MAX(c.c_custkey) AS BIGINT) AS ck "
+        f"FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey "
+        f"WHERE r.rk <= {topk} AND r.o_custkey % {rng.randint(2, 6)} = 0 "
+        f"GROUP BY r.o_custkey"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -612,6 +659,9 @@ def _corpus() -> list[str]:
         + [_gen_conditional_pivot(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_full_outer_coalesce(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_window_over_aggregate(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_exists_with_agg(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_union_in_from(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_window_in_cte_filtered(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
