@@ -984,3 +984,34 @@ def string_subst_pairs(
         .filter(F.col("distance") <= max_subs)
         .select("id_a", "id_b", "distance")
     )
+
+
+def decontaminate_rewrite(
+    docs: DataFrame, probes: DataFrame, k: int = 8, emit_text: bool = False
+) -> DataFrame:
+    """Benchmark-span SCRUBBING — the removal counterpart of
+    decontam.contamination (which only flags): every corpus occurrence
+    of a k-token window that appears ANYWHERE in the probe (benchmark)
+    set is cut out and the document rewritten — the GPT-3-style n-gram
+    decontamination applied as surgery instead of document drops, via
+    the exact-substring span machinery (windows -> span merge ->
+    indexed rewrite).
+
+    Unlike substring_dedup_rewrite there is no keep-first: EVERY
+    matching corpus occurrence is removed (the benchmark copy is the
+    canonical one by definition). Probe windows are typically a tiny
+    fraction of the corpus: the membership test is one hash-keyed
+    left-semi join (AQE broadcasts the probe side when it fits).
+
+    Returns the substring_rewrite_report schema over ``docs``."""
+    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    probe_base = probes.select(
+        F.col("probe_id").alias("doc_id"), F.expr(TOKENS_EXPR).alias("toks")
+    )
+    probe_h = substring_windows(probe_base, k).select("h").distinct()
+    removed = (
+        substring_windows(base, k)
+        .join(probe_h, "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    return substring_rewrite_report(base, removed, k, emit_text=emit_text)

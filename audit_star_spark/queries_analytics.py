@@ -6535,3 +6535,81 @@ FROM best GROUP BY domain
 
 EXTRA_QUERIES["crawl_policy_report"] = q_crawl_policy_report
 EXTRA_ORACLES["crawl_policy_report"] = SQL_CRAWL_POLICY_REPORT
+
+
+def q_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-span scrubbing through the gate
+    (analytics/dedup.py decontaminate_rewrite): every corpus occurrence
+    of an 8-token window appearing in the probe set (doc_id % 97 == 0 —
+    the contamination gate's eval-set stand-in) is removed and the text
+    rewritten; probe docs themselves scrub to empty (don't train on the
+    benchmark). clean_md5 locks the rewritten bytes; the oracle restates
+    windows, membership and the span/rewrite pipeline in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return dedup.decontaminate_rewrite(docs, probes, k=8)
+
+
+def _decontaminate_sql(k: int = 8) -> str:
+    h = (
+        f"('0x' || substr(md5(array_to_string("
+        f"list_slice(toks, pos + 1, pos + {k}), ' ')), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {D_TOKENS} AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - {k})) AS pos, toks
+  FROM base WHERE len(toks) >= {k}
+),
+hashed AS (
+  SELECT doc_id, pos, {h} AS h FROM wins
+),
+probe_h AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0
+),
+removed AS (
+  SELECT w.doc_id, w.pos FROM hashed w JOIN probe_h USING (h)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS new_span
+  FROM removed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {k} AS e
+  FROM sp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS n_removed_tokens,
+         list(struct_pack(s := s, e := e)) AS spans
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+       round(COALESCE(p.n_removed_tokens, 0) / CAST(len(b.toks) AS DOUBLE), 6)
+         AS removed_fraction,
+       md5(COALESCE(array_to_string(
+         CASE WHEN p.spans IS NULL THEN b.toks
+              ELSE list_filter(b.toks, (t, i) -> len(list_filter(p.spans,
+                     sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0) END,
+         ' '), '')) AS clean_md5
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["decontaminate_rewrite"] = q_decontaminate_rewrite
+EXTRA_ORACLES["decontaminate_rewrite"] = _decontaminate_sql()

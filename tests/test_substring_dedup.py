@@ -140,3 +140,30 @@ def test_matches_pure_python_model(spark, texts):
         assert got[i]["n_dup_spans"] == want[i]["n_dup_spans"], i
         assert got[i]["n_removed_tokens"] == want[i]["n_removed_tokens"], i
         assert got[i]["clean_md5"] == _md5(want[i]["clean"]), i
+
+
+def test_decontaminate_rewrite_scrubs_probe_spans(spark):
+    """Every corpus occurrence of a probe window is removed (no
+    keep-first); the probe doc itself scrubs to empty."""
+    from audit_star_spark.analytics.dedup import decontaminate_rewrite
+
+    bench = "what is the capital of france answer paris"  # 8 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {bench} outro words here"),
+            (2, "completely unrelated content of similar length here"),
+            (3, bench),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, bench)], "probe_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate_rewrite(docs, probes, k=8, emit_text=True).collect()
+    }
+    assert got[1]["n_removed_tokens"] == 8
+    assert got[1]["clean_text"] == "intro words here outro words here"
+    assert got[2]["n_removed_tokens"] == 0
+    assert got[3]["n_removed_tokens"] == 8 and got[3]["clean_text"] == ""
