@@ -109,3 +109,36 @@ def test_streaming_pq_side_store_partition_layout(spark, emb, tmp_path):
     assert any(p.startswith("ingest_batch_id=") for p in batches)
     inner = os.listdir(os.path.join(ing.pq_store_dir, "ingest_batch_id=0"))
     assert any(p.startswith("cell_id=") for p in inner)
+
+
+def test_decontaminate_rewrite_is_semi_join_shaped(spark, docs):
+    from audit_star_spark.analytics.dedup import decontaminate_rewrite
+
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    plan = _plan(decontaminate_rewrite(docs, probes, k=8))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # membership, never a fan-out join
+
+
+def test_robots_matching_broadcasts_the_rule_side(spark, docs):
+    # domain must be a real per-row column: a literal would fold the
+    # equi key away and degrade the plan to a nested-loop artifact
+    from audit_star_spark.analytics.robots import robots_verdicts
+
+    robots = spark.createDataFrame(
+        [(f"d{i}.test", "User-agent: *\nDisallow: /x\n") for i in range(4)],
+        "domain string, robots_txt string",
+    )
+    urls = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat(F.lit("d"), F.col("doc_id") % 4, F.lit(".test")).alias(
+            "domain"
+        ),
+        F.concat(F.lit("/p"), F.col("doc_id")).alias("path"),
+    )
+    plan = _plan(robots_verdicts(urls, robots))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # rules broadcast into the URL scan
