@@ -601,3 +601,53 @@ def resample_to_mix(docs: DataFrame, weights: dict[str, float] | None = None) ->
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def length_bucketed_batches(
+    docs: DataFrame, batch_size: int = 8, tokens_expr: str = TOKENS_EXPR
+) -> DataFrame:
+    """Length-bucketed batching layout — the data-loader trick that cuts
+    padding waste: sort documents by token length (doc_id tie-break),
+    cut the sorted order into fixed-size batches, and pad every batch
+    member to ITS batch's max length instead of the corpus max. Returns
+    one row per batch:
+
+        (batch_id, n_docs, batch_max_tokens, batch_tokens,
+         padded_tokens, padding_frac)
+
+    where padding_frac = 1 - batch_tokens / (n_docs * batch_max) — the
+    fraction of compute a static-shape trainer would burn on pad tokens
+    for that batch (the corpus-level average is what the layout
+    optimizes; compare against a single global bucket to see the win).
+
+    Scale shape: ONE global sort (row_number over the length order —
+    Spark executes a range-partitioned sort, the same cost class as any
+    total ordering a loader manifest needs) and one batch-keyed
+    aggregate. Deterministic across engines: lengths are exact ints and
+    the (length, doc_id) order has no ties."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    lens = docs.select(
+        "doc_id", F.size(F.expr(tokens_expr)).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    batched = lens.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    agg = batched.groupBy("batch_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("n_tokens").alias("batch_max_tokens"),
+        F.sum("n_tokens").alias("batch_tokens"),
+    )
+    padded = (F.col("n_docs") * F.col("batch_max_tokens")).cast("long")
+    return agg.select(
+        "batch_id",
+        "n_docs",
+        "batch_max_tokens",
+        "batch_tokens",
+        (padded - F.col("batch_tokens")).alias("padded_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("batch_tokens") / padded.cast("double"), 9
+        ).alias("padding_frac"),
+    )

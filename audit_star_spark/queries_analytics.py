@@ -6613,3 +6613,43 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 
 EXTRA_QUERIES["decontaminate_rewrite"] = q_decontaminate_rewrite
 EXTRA_ORACLES["decontaminate_rewrite"] = _decontaminate_sql()
+
+
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching layout through the gate
+    (analytics/text.py length_bucketed_batches): the padding-waste
+    report a static-shape trainer's loader optimizes. Exact integer
+    lengths, deterministic (length, doc_id) order — counts and
+    fractions hash-match the oracle."""
+    return text.length_bucketed_batches(
+        load_table(spark, sf_dir, "documents"), batch_size=8
+    )
+
+
+SQL_LENGTH_BUCKETED_BATCHES = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({D_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+),
+batched AS (
+  SELECT doc_id, n_tokens,
+         CAST((ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // 8
+              AS BIGINT) AS batch_id
+  FROM lens
+),
+agg AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MAX(n_tokens) AS batch_max_tokens,
+         CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+  FROM batched GROUP BY batch_id
+)
+SELECT batch_id, n_docs, batch_max_tokens, batch_tokens,
+       n_docs * batch_max_tokens - batch_tokens AS padded_tokens,
+       round(1.0 - batch_tokens /
+             CAST(n_docs * batch_max_tokens AS DOUBLE), 9) AS padding_frac
+FROM agg
+"""
+
+
+EXTRA_QUERIES["length_bucketed_batches"] = q_length_bucketed_batches
+EXTRA_ORACLES["length_bucketed_batches"] = SQL_LENGTH_BUCKETED_BATCHES

@@ -88,3 +88,24 @@ def test_resample_to_mix_rates_and_binding_source(spark):
     # deterministic: same run, same kept counts
     again = {r["source"]: r["n_kept"] for r in resample_to_mix(docs, {"src0": 3.0}).collect()}
     assert again == {k: v["n_kept"] for k, v in got.items()}
+
+
+def test_length_bucketed_batches_semantics(spark):
+    """Sorted-by-length batching: batch members are length-contiguous,
+    padding accounted against each batch's own max."""
+    from audit_star_spark.analytics.text import length_bucketed_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([5, 3, 9, 3, 7, 1, 9, 2])],
+        "doc_id long, text string",
+    )
+    rows = {r["batch_id"]: r for r in
+            length_bucketed_batches(docs, batch_size=4).collect()}
+    # sorted lengths: 1,2,3,3 | 5,7,9,9
+    assert rows[0]["batch_max_tokens"] == 3 and rows[0]["batch_tokens"] == 9
+    assert rows[0]["padded_tokens"] == 3
+    assert rows[1]["batch_max_tokens"] == 9 and rows[1]["batch_tokens"] == 30
+    assert rows[1]["padded_tokens"] == 6
+    # bucketing beats one global batch: total pad 9 < 8*9 - 39 = 33
+    assert sum(r["padded_tokens"] for r in rows.values()) < 33
