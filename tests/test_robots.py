@@ -116,3 +116,49 @@ def test_poison_robots_degrades_to_allow(spark):
     )
     row = robots_verdicts(urls, robots).collect()[0]
     assert row["allowed"] is True
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+PATH_CHARS = st.sampled_from(list("/abc123.*$+?x"))
+PATTERN = st.text(alphabet=PATH_CHARS, min_size=1, max_size=12)
+PATH = st.text(alphabet=PATH_CHARS, min_size=0, max_size=16).map(
+    lambda s: "/" + s
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(PATTERN, PATH)
+def test_regex_translation_matches_reference_matcher(pattern, path):
+    """The regex translation must agree with a direct RFC 9309 matcher
+    (greedy * = any sequence, trailing $ = end anchor, all else
+    literal) on arbitrary pattern/path pairs — including patterns full
+    of regex metacharacters."""
+    import re
+
+    def ref_match(pat: str, p: str) -> bool:
+        anchored = pat.endswith("$")
+        body = pat[:-1] if anchored else pat
+        parts = body.split("*")
+
+        # prefix must match at 0
+        if not p.startswith(parts[0]):
+            return False
+        i = len(parts[0])
+        for seg in parts[1:-1] if len(parts) > 1 else []:
+            j = p.find(seg, i)
+            if j < 0:
+                return False
+            i = j + len(seg)
+        if len(parts) > 1:
+            last = parts[-1]
+            if anchored:
+                return p.endswith(last) and len(p) - len(last) >= i
+            j = p.find(last, i)
+            return j >= 0
+        return p == body if anchored else True
+
+    from audit_star_spark.analytics.robots import robots_pattern_to_regex
+
+    got = re.search(robots_pattern_to_regex(pattern), path) is not None
+    assert got == ref_match(pattern, path), (pattern, path)
