@@ -651,3 +651,63 @@ def length_bucketed_batches(
             F.lit(1.0) - F.col("batch_tokens") / padded.cast("double"), 9
         ).alias("padding_frac"),
     )
+
+
+def alpha_mix_report(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature / alpha-sampling report (Conneau & Lample 2019 — the
+    multilingual-pretraining rebalance): target proportions
+    p_s ∝ share_s^alpha, alpha in (0, 1] boosting low-resource sources
+    toward uniform, applied with the SAME downsample-only deterministic
+    hash filter as :func:`apply_mix` (the binding source keeps 100%).
+    alpha = 1 is the identity mix (every rate 1.0).
+
+    Returns per source: n_docs, share (9 dp), rate (9 dp), n_kept. The
+    rate chain runs as two windows over the |sources|-sized counts
+    frame — no driver collect, no shuffle of the corpus; the keep
+    filter broadcasts the rate table."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    t = counts.select(
+        "source",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())
+        ).alias("share"),
+    ).select(
+        "source", "n", "share", F.pow("share", F.lit(alpha)).alias("w")
+    )
+    r0 = t.select(
+        "source",
+        "n",
+        "share",
+        (
+            (F.col("w") / F.sum("w").over(Window.partitionBy()))
+            / F.col("share")
+        ).alias("raw_rate"),
+    )
+    rates = r0.select(
+        "source",
+        "n",
+        "share",
+        (
+            F.col("raw_rate") / F.max("raw_rate").over(Window.partitionBy())
+        ).alias("rate"),
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            F.expr(_MIX_BUCKET_SQL)
+            < F.round(F.col("rate") * 1_000_000).cast("long")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("share", 9).alias("share"),
+        F.round("rate", 9).alias("rate"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

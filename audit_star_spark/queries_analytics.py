@@ -6653,3 +6653,56 @@ FROM agg
 
 EXTRA_QUERIES["length_bucketed_batches"] = q_length_bucketed_batches
 EXTRA_ORACLES["length_bucketed_batches"] = SQL_LENGTH_BUCKETED_BATCHES
+
+
+def q_alpha_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature/alpha-sampling through the gate (analytics/text.py
+    alpha_mix_report, alpha = 0.5): p_s ∝ share_s^0.5 rebalancing with
+    the deterministic downsample-only hash filter — the multilingual
+    low-resource boost. Rates, shares and kept counts hash-match the
+    oracle (same pow/normalize chain, same md5-bucket filter)."""
+    return text.alpha_mix_report(
+        load_table(spark, sf_dir, "documents"), alpha=0.5
+    )
+
+
+SQL_ALPHA_MIX_REPORT = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+shares AS (
+  SELECT source, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+  FROM counts
+),
+wts AS (
+  SELECT source, n, share, power(share, 0.5) AS w FROM shares
+),
+raw AS (
+  SELECT source, n, share,
+         (w / SUM(w) OVER ()) / share AS raw_rate
+  FROM wts
+),
+rates AS (
+  SELECT source, n, share,
+         raw_rate / MAX(raw_rate) OVER () AS rate
+  FROM raw
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN rates r ON r.source = d.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000
+        < CAST(round(r.rate * 1000000) AS BIGINT)
+  GROUP BY d.source
+)
+SELECT r.source, r.n AS n_docs,
+       round(r.share, 9) AS share,
+       round(r.rate, 9) AS rate,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON k.source = r.source
+"""
+
+
+EXTRA_QUERIES["alpha_mix_report"] = q_alpha_mix_report
+EXTRA_ORACLES["alpha_mix_report"] = SQL_ALPHA_MIX_REPORT

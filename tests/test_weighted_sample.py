@@ -77,3 +77,29 @@ def test_plan_is_takeordered_no_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_alpha_mix_boosts_low_resource_sources(spark):
+    """p ∝ share^alpha with alpha < 1 downsamples the BIG source: its
+    raw_rate is the minimum, so after max-normalization the small
+    source binds at rate 1.0 and the big one keeps proportionally
+    less — closed-form checkable at alpha = 0.5."""
+    from audit_star_spark.analytics.text import alpha_mix_report
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    rows = {r["source"]: r for r in alpha_mix_report(docs, alpha=0.5).collect()}
+    assert rows["small"]["rate"] == 1.0          # low-resource binds
+    assert 0 < rows["big"]["rate"] < 1.0         # big source downsampled
+    # alpha=0.5 math: rate_big = (sqrt(.9)/sqrt(.1)) / (.9/.1) = 1/3
+    assert abs(rows["big"]["rate"] - (0.9 ** 0.5 / 0.1 ** 0.5) / 9) < 1e-9
+    assert rows["big"]["n_kept"] < 900 and rows["small"]["n_kept"] == 100
+    # alpha=1 is the identity mix
+    ident = {r["source"]: r for r in alpha_mix_report(docs, alpha=1.0).collect()}
+    assert all(r["rate"] == 1.0 for r in ident.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        alpha_mix_report(docs, alpha=0.0)
