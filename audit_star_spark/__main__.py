@@ -223,6 +223,26 @@ def index_main(argv: list[str]) -> int:
     return 0
 
 
+def diff_main(argv: list[str]) -> int:
+    """``python -m audit_star_spark diff`` — per-source corpus snapshot
+    diff (added/removed/changed/unchanged by normalized-text md5)."""
+    ap = argparse.ArgumentParser(prog="audit_star_spark diff")
+    ap.add_argument("old", help="old snapshot parquet (doc_id, text, source)")
+    ap.add_argument("new", help="new snapshot parquet")
+    ap.add_argument("--master", default="local[*]")
+    args = ap.parse_args(argv)
+
+    from audit_star_spark.analytics.snapshot import snapshot_diff
+    from audit_star_spark.session import get_spark
+
+    spark = get_spark(app_name="audit_star_spark-diff", master=args.master)
+    out = snapshot_diff(
+        spark.read.parquet(args.old), spark.read.parquet(args.new)
+    ).orderBy("source")
+    out.show(1000, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -232,6 +252,8 @@ def main(argv: list[str] | None = None) -> int:
         return layout_main(argv[1:])
     if argv and argv[0] == "index":
         return index_main(argv[1:])
+    if argv and argv[0] == "diff":
+        return diff_main(argv[1:])
     # flag names mirror the reference CLI (audit.go:46–47)
     ap = argparse.ArgumentParser(prog="audit_star_spark")
     ap.add_argument("-cfg", default="audit.yml", help="path to YAML config")

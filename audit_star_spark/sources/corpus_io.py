@@ -13,6 +13,7 @@ always pass the catalog schema in a pipeline).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -38,3 +39,25 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Release manifest for a sharded corpus export: one row per data
+    shard with byte size and md5 — the checksum file a reproducible
+    corpus release ships (a re-run of the byte-deterministic writers
+    must reproduce it bit-for-bit, which is what makes snapshot
+    releases auditable).
+
+    Built from ``binaryFile`` (shard bytes never leave the executor
+    that reads them; md5 computed JVM-side per file, one narrow pass —
+    no driver collection of content)."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .filter(~F.col("path").rlike(r"_SUCCESS$|\.crc$"))
+    )
+    return files.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("shard"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("md5"),
+    )

@@ -191,3 +191,21 @@ def test_index_cli_pq_rerank_probe(tmp_path, capsys, spark):
     out = capsys.readouterr().out
     # re-rank outputs exact cosine: the self-match leads at cosine 1.0
     assert "cosine" in out and "1.0" in out
+
+
+def test_diff_cli_smoke(tmp_path, capsys, spark):
+    from audit_star_spark.__main__ import main
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(1, "a b", "web"), (2, "c d", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(1, "a b", "web"), (3, "e f", "web")],
+        "doc_id long, text string, source string",
+    ).write.parquet(new)
+    assert main(["diff", old, new, "--master", "local[4]"]) == 0
+    out = capsys.readouterr().out
+    assert "n_added" in out and "web" in out

@@ -50,3 +50,31 @@ def test_kmeans_train_iterates_and_converges_structurally(spark):
     a = {r["cell_id"]: (r["n_members"], tuple(r["centroid"])) for r in one.collect()}
     b = {r["cell_id"]: (r["n_members"], tuple(r["centroid"])) for r in single.collect()}
     assert a == b
+
+
+def test_shard_manifest_is_reproducible(spark, tmp_path):
+    """Byte-deterministic export => identical manifest on re-export
+    (the auditable-release property); manifest covers every data shard
+    with its real md5."""
+    import hashlib
+    import os
+
+    from audit_star_spark.sources.corpus_io import export_jsonl, shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    ).orderBy("doc_id")
+    out = str(tmp_path / "rel")
+    export_jsonl(df.repartition(1).sortWithinPartitions("doc_id"), out, shards=None)
+    m1 = sorted(map(tuple, shard_manifest(spark, out).collect()))
+    assert len(m1) >= 1 and all(len(r[2]) == 32 for r in m1)
+    # md5 matches a direct file hash
+    shard, n_bytes, md5 = m1[0]
+    fp = os.path.join(out, shard)
+    raw = open(fp, "rb").read()
+    assert len(raw) == n_bytes and hashlib.md5(raw).hexdigest() == md5
+    # re-export reproduces the manifest bit-for-bit
+    out2 = str(tmp_path / "rel2")
+    export_jsonl(df.repartition(1).sortWithinPartitions("doc_id"), out2, shards=None)
+    m2 = sorted(map(tuple, shard_manifest(spark, out2).collect()))
+    assert [r[1:] for r in m1] == [r[1:] for r in m2]
