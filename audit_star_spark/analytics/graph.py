@@ -292,3 +292,135 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT w2 FROM tri
 ) GROUP BY node
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: restart mass goes to the SEED set instead
+    of uniformly everywhere — rank becomes proximity to the seeds, the
+    standard crawl-frontier / related-content prioritizer (seed pages
+    you trust; PPR scores what they endorse transitively).
+
+        rank'(v) = (1-d)·s(v) + d·(Σ_in contrib + dangling·s(v))
+
+    with s(v) = 1/|seeds| on seeds, else 0 (dangling mass restarts to
+    the seeds too — the convention that keeps ranks a probability
+    distribution). Start vector = s. Nodes = graph nodes ∪ seeds.
+
+    Same execution shape as :func:`pagerank` (src-keyed edge layout
+    reused per round, broadcast 1-row dangling probe, eager per-round
+    materialization with the reliable-checkpoint opt-in)."""
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    if not seeds:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    spark = edges.sparkSession
+    sw = 1.0 / len(set(seeds))
+    seed_df = spark.createDataFrame(
+        [(int(s), sw) for s in sorted(set(seeds))], "node long, swt double"
+    )
+
+    nodes = iter_materialize(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(seed_df.select("node"))
+        .distinct(),
+        checkpoint_dir,
+        eager=False,
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
+    e = iter_materialize(
+        edges.join(out_deg, "src").repartition("src"),
+        checkpoint_dir,
+        eager=False,
+    )
+    has_out = out_deg.select(F.col("src").alias("node"))
+    swt = F.coalesce(F.col("swt"), F.lit(0.0))
+    based = nodes.join(F.broadcast(seed_df), "node", "left").select(
+        "node", swt.alias("swt")
+    )
+    ranks = based.select("node", F.col("swt").alias("rank"))
+
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out")).alias("contrib"))
+        )
+        dangling = ranks.join(
+            F.broadcast(has_out), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            based.join(contribs, based["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) * F.col("swt")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") * F.col("swt")
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks = iter_materialize(ranks, checkpoint_dir, eager=True)
+    return ranks
+
+
+def ppr_sql_iterations(
+    edges_cte: str, seeds: list[int], n_iter: int, damping: float = 0.85
+) -> str:
+    """DuckDB mirror of :func:`personalized_pagerank` — the identical
+    iteration unrolled as MATERIALIZED CTEs (see pagerank_sql_iterations
+    for why MATERIALIZED)."""
+    d = damping
+    sw = 1.0 / len(set(seeds))
+    seed_rows = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    parts = [
+        f"WITH {edges_cte}",
+        f"""seeds(node) AS (VALUES {seed_rows}),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    UNION SELECT node FROM seeds)
+),
+based AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NULL THEN 0.0 ELSE {sw!r} END AS swt
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+),
+outdeg AS (SELECT src, count(*) AS out FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, swt AS rank FROM based)""",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT e.dst, sum(r.rank / o.out) AS contrib
+  FROM edges e JOIN outdeg o USING (src) JOIN r{i} r ON r.node = e.src
+  GROUP BY e.dst
+),
+dg{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS dmass
+  FROM r{i} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT b.node,
+         (1.0 - {d}) * b.swt
+           + {d} * (coalesce(c.contrib, 0.0) + dg{i}.dmass * b.swt) AS rank
+  FROM based b
+  LEFT JOIN c{i} c ON b.node = c.dst
+  CROSS JOIN dg{i}
+)"""
+        )
+    body = ",\n".join(parts[1:])
+    return f"{parts[0]},\n{body}\nSELECT node, rank FROM r{n_iter}"

@@ -6706,3 +6706,48 @@ FROM rates r LEFT JOIN kept k ON k.source = r.source
 
 EXTRA_QUERIES["alpha_mix_report"] = q_alpha_mix_report
 EXTRA_ORACLES["alpha_mix_report"] = SQL_ALPHA_MIX_REPORT
+
+
+def q_doc_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank through the gate (analytics/graph.py) over
+    the doc_pagerank link graph with seeds {1, 2, 3}: rank = transitive
+    proximity to the seed docs (the crawl-frontier prioritizer). The
+    oracle unrolls the identical seeded iteration."""
+    from audit_star_spark.analytics.graph import personalized_pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nd = docs.agg(F.count("*").alias("n"))
+    linkers = docs.filter(F.col("doc_id") % 17 != 0).crossJoin(F.broadcast(nd))
+    edges = linkers.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % F.col("n")).alias("dst"),
+    ).unionByName(
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % F.col("n")).alias("dst"),
+        )
+    )
+    r = personalized_pagerank(edges, seeds=[1, 2, 3], n_iter=PAGERANK_ITERS)
+    return r.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
+    )
+
+
+def _ppr_sql() -> str:
+    from audit_star_spark.analytics.graph import ppr_sql_iterations
+
+    edges_cte = """nn0 AS (SELECT count(*) AS n FROM documents),
+linkers AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 13 + 3) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+)"""
+    inner = ppr_sql_iterations(edges_cte, seeds=[1, 2, 3], n_iter=PAGERANK_ITERS)
+    return f"""
+SELECT node AS doc_id, round(rank, 9) AS rank FROM ({inner})
+"""
+
+
+EXTRA_QUERIES["doc_ppr"] = q_doc_ppr
+EXTRA_ORACLES["doc_ppr"] = _ppr_sql()

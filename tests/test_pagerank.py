@@ -211,3 +211,41 @@ def test_triangle_count_matches_duckdb_on_random_graph(spark):
     got = sorted(map(tuple, triangle_count(_edges(spark, pairs)).collect()))
     want = sorted(tuple(r) for r in duckdb.sql(triangle_sql(cte)).fetchall())
     assert got == want and got
+
+
+def test_ppr_restarts_to_seeds_and_sums_to_one(spark):
+    """PPR invariants on a small closed-form graph: ranks are a
+    probability distribution; an unreachable component scores 0; seeds
+    dominate their own neighborhoods."""
+    from audit_star_spark.analytics.graph import personalized_pagerank
+
+    # 0 -> 1 -> 2 (chain), 3 <-> 4 disconnected island
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    r = {
+        int(x["node"]): float(x["rank"])
+        for x in personalized_pagerank(edges, seeds=[0], n_iter=20).collect()
+    }
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert r[3] == 0.0 and r[4] == 0.0          # unreachable from seed
+    assert r[0] > r[1] > r[2] > 0               # proximity ordering
+    # a seed outside the edge set still holds its restart mass
+    r2 = {
+        int(x["node"]): float(x["rank"])
+        for x in personalized_pagerank(
+            edges, seeds=[99], n_iter=5
+        ).collect()
+    }
+    assert abs(sum(r2.values()) - 1.0) < 1e-9
+    assert r2[99] == 1.0  # dangling seed: all mass restarts home
+
+
+def test_ppr_validates_params(spark):
+    import pytest as _pytest
+
+    from audit_star_spark.analytics.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edges, seeds=[])
