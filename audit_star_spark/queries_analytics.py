@@ -6206,10 +6206,6 @@ def q_mp3_l1_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_mp3_layer1 — the same bitstream-roundtrip design as the
     Layer II gate, over the simpler 384-sample frame layout with
     per-subband 4-bit allocations and no grouping)."""
-    from pyspark.sql import types as T
-
-    from audit_star_spark.util import spread  # noqa: F401 (synth import)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = _synth_mp3_l1(docs)
 
