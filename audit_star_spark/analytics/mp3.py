@@ -301,10 +301,13 @@ def decode_mp3_layer2(payload: bytes) -> dict:
         if kbps is None or _RATES[srx] is None:
             raise ValueError("free/bad bitrate or reserved sample rate")
         if mode == 0b01:
-            raise ValueError(
-                "joint (intensity/MS) stereo is a documented raise — "
-                "stereo/dual/mono decode here"
-            )
+            # Layer II joint stereo IS intensity stereo (§2.4.1.6):
+            # subbands >= bound share ONE set of samples, scaled by
+            # each channel's own scalefactor
+            ext = (h >> 4) & 0x3
+            bound = 4 + 4 * ext
+        else:
+            bound = SBLIMIT_B2A
         nch = 1 if mode == 0b11 else 2
         if _RATES[srx] != 44100:
             raise ValueError("only 44.1 kHz table-B.2a streams decode")
@@ -324,13 +327,15 @@ def decode_mp3_layer2(payload: bytes) -> dict:
         alloc = {}
         for sb in range(SBLIMIT_B2A):
             nbal, steps = _b2a_row(sb)
-            for ch in range(nch):
+            for ch in range(nch if sb < bound else 1):
                 idx = br.read(nbal)
                 if idx > len(steps):
                     raise ValueError(
                         f"allocation index {idx} invalid for sb {sb}"
                     )
                 alloc[ch, sb] = steps[idx - 1] if idx else 0
+            if nch == 2 and sb >= bound:
+                alloc[1, sb] = alloc[0, sb]  # intensity: shared level
         scfsi = {}
         for sb in range(SBLIMIT_B2A):
             for ch in range(nch):
@@ -348,7 +353,8 @@ def decode_mp3_layer2(payload: bytes) -> dict:
         for gr in range(12):
             part = gr // 4
             for sb in range(SBLIMIT_B2A):
-                for ch in range(nch):
+                shared = nch == 2 and sb >= bound
+                for ch in range(1 if shared else nch):
                     n = alloc[ch, sb]
                     if not n:
                         continue
@@ -364,14 +370,19 @@ def decode_mp3_layer2(payload: bytes) -> dict:
                     # 3/5/9, 2^(1-nb) for the 2^k-1 ungrouped classes)
                     c_const = float(1 << nb) / n
                     d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
-                    factor = 2.0 ** (1.0 - sf[ch, sb][part] / 3.0)
-                    for code in codes:
-                        if code >= n:
-                            raise ValueError(f"code {code} >= {n} levels")
-                        s3 = code * 2.0 ** (1 - nb) - 1.0
-                        sp = factor * c_const * (s3 + d_const)
-                        sum_sq += sp * sp
-                        n_samples += 1
+                    # intensity subbands requantize the SAME codes once
+                    # per channel with that channel's own scalefactor
+                    for tch in (0, 1) if shared else (ch,):
+                        factor = 2.0 ** (1.0 - sf[tch, sb][part] / 3.0)
+                        for code in codes:
+                            if code >= n:
+                                raise ValueError(
+                                    f"code {code} >= {n} levels"
+                                )
+                            s3 = code * 2.0 ** (1 - nb) - 1.0
+                            sp = factor * c_const * (s3 + d_const)
+                            sum_sq += sp * sp
+                            n_samples += 1
         channels = nch
         n_active_total += sum(1 for a in alloc.values() if a)
         n_frames += 1
@@ -410,6 +421,7 @@ def encode_mp3_layer2(
     frames: list[dict],
     kbps: int = 192,
     channels: int = 1,
+    joint_bound: int | None = None,
 ) -> bytes:
     """Deterministic Layer II test-vector encoder (the FLAC-style
     closed-form differential: every bit this writes, decode_mp3_layer2
@@ -422,6 +434,11 @@ def encode_mp3_layer2(
     where ``key`` is the subband id for mono frames and a ``(ch, sb)``
     tuple for ``channels=2`` (non-joint stereo, header mode 00).
 
+    ``joint_bound`` (4/8/12/16, channels=2 only) writes INTENSITY
+    stereo (header mode 01): subbands >= bound carry ONE allocation and
+    ONE set of sample codes — keyed ``(0, sb)`` in the frame dict —
+    while scfsi/scalefactors stay per channel.
+
     44.1 kHz, table B.2a, no CRC, no padding. Raises ValueError if the
     payload overflows the frame size for ``kbps``."""
     try:
@@ -430,6 +447,12 @@ def encode_mp3_layer2(
         raise ValueError(f"kbps must be one of {_BITRATES_L2[1:15]}")
     if channels not in (1, 2):
         raise ValueError(f"channels must be 1 or 2, got {channels}")
+    if joint_bound is not None:
+        if channels != 2:
+            raise ValueError("joint_bound requires channels=2")
+        if joint_bound not in (4, 8, 12, 16):
+            raise ValueError(f"joint_bound must be 4/8/12/16, got {joint_bound}")
+    bound = SBLIMIT_B2A if joint_bound is None else joint_bound
     size = (144 * kbps * 1000) // 44100
     out = bytearray()
     for fr in frames:
@@ -441,7 +464,15 @@ def encode_mp3_layer2(
             | (brx << 12)
             | (0 << 10)      # 44.1 kHz
             | (0 << 9)       # no padding
-            | ((0b11 if channels == 1 else 0b00) << 6)
+            | (
+                (
+                    0b11
+                    if channels == 1
+                    else (0b00 if joint_bound is None else 0b01)
+                )
+                << 6
+            )
+            | ((0 if joint_bound is None else (joint_bound - 4) // 4) << 4)
         )
 
         def key(ch: int, sb: int):
@@ -451,7 +482,7 @@ def encode_mp3_layer2(
         alloc_levels = {}
         for sb in range(SBLIMIT_B2A):
             nbal, steps = _b2a_row(sb)
-            for ch in range(channels):
+            for ch in range(channels if sb < bound else 1):
                 idx = fr["alloc"].get(key(ch, sb), 0)
                 if not 0 <= idx <= len(steps):
                     raise ValueError(
@@ -460,6 +491,8 @@ def encode_mp3_layer2(
                 bw.write(idx, nbal)
                 if idx:
                     alloc_levels[ch, sb] = steps[idx - 1]
+            if channels == 2 and sb >= bound and (0, sb) in alloc_levels:
+                alloc_levels[1, sb] = alloc_levels[0, sb]
         for sb in range(SBLIMIT_B2A):
             for ch in range(channels):
                 if (ch, sb) in alloc_levels:
@@ -479,7 +512,7 @@ def encode_mp3_layer2(
                     bw.write(s, 6)
         for gr in range(12):
             for sb in range(SBLIMIT_B2A):
-                for ch in range(channels):
+                for ch in range(channels if sb < bound else 1):
                     if (ch, sb) not in alloc_levels:
                         continue
                     n = alloc_levels[ch, sb]

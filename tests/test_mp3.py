@@ -374,16 +374,100 @@ def test_layer2_mono_still_bit_identical():
     assert got["subband_rms"] == (sum(v * v for v in want) / len(want)) ** 0.5
 
 
-def test_layer2_rejects_joint_stereo_and_low_per_channel_rate():
+def test_layer2_rejects_low_per_channel_rate():
     fr = _make_stereo_frame(0)
-    good = bytearray(encode_mp3_layer2([fr], kbps=256, channels=2))
-    # flip mode bits to joint stereo (01)
-    good[3] = (good[3] & 0b00111111) | (0b01 << 6)
-    with pytest.raises(ValueError, match="joint"):
-        decode_mp3_layer2(bytes(good))
     # 96 kbps stereo = 48 kbps/ch -> outside B.2a
     with pytest.raises(ValueError, match="B.2a"):
         decode_mp3_layer2(encode_mp3_layer2([fr], kbps=96, channels=2))
+
+
+def _make_intensity_frame(seed: int, bound: int) -> dict:
+    """Below bound: per-channel stereo fields; at/above bound: ONE
+    allocation + codes (keyed (0, sb)) with per-channel scalefactors."""
+    fr = {"alloc": {}, "scfsi": {}, "sf": {}, "codes": {}}
+    for sb in range(SBLIMIT_B2A):
+        if (sb + seed) % 3:
+            continue
+        _, steps = _b2a_row(sb)
+        idx = 1 + ((sb + seed) % (3 if sb < 23 else 2))
+        n = steps[idx - 1]
+        if n == 65535:
+            idx, n = 1, steps[0]
+        _, grouped, _ = _QCLASS[n]
+        readers = range(2) if sb < bound else (0,)
+        for ch in readers:
+            k = (ch, sb)
+            fr["alloc"][k] = idx
+            if grouped:
+                fr["codes"][k] = [
+                    (seed + 13 * gr + 31 * sb + 7 * ch) % (n * n * n)
+                    for gr in range(12)
+                ]
+            else:
+                fr["codes"][k] = [
+                    tuple(
+                        (seed + 13 * gr + 31 * sb + 7 * ch + 17 * i) % n
+                        for i in range(3)
+                    )
+                    for gr in range(12)
+                ]
+        for ch in range(2):  # scfsi/sf always per channel
+            k = (ch, sb)
+            scfsi = (sb + seed + ch) % 4
+            fr["scfsi"][k] = scfsi
+            fr["sf"][k] = [
+                (2 * sb + 3 * seed + 5 * ch + 11 * j) % 63
+                for j in range({0: 3, 1: 2, 2: 1, 3: 2}[scfsi])
+            ]
+    return fr
+
+
+def test_layer2_intensity_stereo_roundtrip():
+    """Intensity subbands: shared codes requantized once per channel
+    with that channel's own scalefactor."""
+    for bound in (4, 12):
+        fr = _make_intensity_frame(1, bound)
+        payload = encode_mp3_layer2(
+            [fr], kbps=256, channels=2, joint_bound=bound
+        )
+        got = decode_mp3_layer2(payload)
+        want = []
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(SBLIMIT_B2A):
+                shared = sb >= bound
+                for ch in (0,) if shared else range(2):
+                    k = (ch, sb)
+                    if k not in fr["alloc"]:
+                        continue
+                    _, steps = _b2a_row(sb)
+                    n = steps[fr["alloc"][k] - 1]
+                    nb, grouped, _ = _QCLASS[n]
+                    entry = fr["codes"][k][gr]
+                    codes = (
+                        (entry % n, (entry // n) % n, (entry // (n * n)) % n)
+                        if grouped
+                        else tuple(entry)
+                    )
+                    c = float(1 << nb) / n
+                    d = 1.0 - (n - 1) * 2.0 ** (-nb)
+                    for tch in (0, 1) if shared else (ch,):
+                        scfsi, sfs = fr["scfsi"][(tch, sb)], fr["sf"][(tch, sb)]
+                        parts = {
+                            0: lambda s: (s[0], s[1], s[2]),
+                            1: lambda s: (s[0], s[0], s[1]),
+                            2: lambda s: (s[0], s[0], s[0]),
+                            3: lambda s: (s[0], s[1], s[1]),
+                        }[scfsi](sfs)
+                        f = 2.0 ** (1.0 - parts[part] / 3.0)
+                        for code in codes:
+                            want.append(
+                                f * c * (code * 2.0 ** (1 - nb) - 1.0 + d)
+                            )
+        assert got["channels"] == 2
+        assert got["n_samples"] == len(want)
+        rms = (sum(v * v for v in want) / len(want)) ** 0.5
+        assert got["subband_rms"] == rms, bound
 
 
 def test_audio_meta_mp2_full_decode_through_spark(spark):
