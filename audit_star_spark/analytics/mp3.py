@@ -591,7 +591,10 @@ def decode_mp3_layer1(payload: bytes) -> dict:
         if kbps is None or _RATES[srx] is None:
             raise ValueError("free/bad bitrate or reserved sample rate")
         if mode == 0b01:
-            raise ValueError("joint (intensity) stereo is a documented raise")
+            ext = (h >> 4) & 0x3
+            bound = 4 + 4 * ext  # §2.4.1.5: intensity above the bound
+        else:
+            bound = SBLIMIT_L1
         nch = 1 if mode == 0b11 else 2
         if _RATES[srx] != 44100:
             raise ValueError("only 44.1 kHz streams decode")
@@ -602,11 +605,13 @@ def decode_mp3_layer1(payload: bytes) -> dict:
         br = _BitReader(data[pos : pos + size], 32 + (0 if protection else 16))
         alloc = {}
         for sb in range(SBLIMIT_L1):
-            for ch in range(nch):
+            for ch in range(nch if sb < bound else 1):
                 a = br.read(4)
                 if a == 15:
                     raise ValueError("forbidden Layer I allocation 15")
                 alloc[ch, sb] = a
+            if nch == 2 and sb >= bound:
+                alloc[1, sb] = alloc[0, sb]  # intensity: shared level
         sf = {}
         for sb in range(SBLIMIT_L1):
             for ch in range(nch):
@@ -614,7 +619,8 @@ def decode_mp3_layer1(payload: bytes) -> dict:
                     sf[ch, sb] = br.read(6)
         for _gr in range(12):
             for sb in range(SBLIMIT_L1):
-                for ch in range(nch):
+                shared = nch == 2 and sb >= bound
+                for ch in range(1 if shared else nch):
                     a = alloc[ch, sb]
                     if not a:
                         continue
@@ -625,11 +631,12 @@ def decode_mp3_layer1(payload: bytes) -> dict:
                         raise ValueError(f"code {code} >= {n} levels")
                     c_const = float(1 << nb) / n
                     d_const = 1.0 - (n - 1) * 2.0 ** (-nb)
-                    factor = 2.0 ** (1.0 - sf[ch, sb] / 3.0)
                     s3 = code * 2.0 ** (1 - nb) - 1.0
-                    sp = factor * c_const * (s3 + d_const)
-                    sum_sq += sp * sp
-                    n_samples += 1
+                    for tch in (0, 1) if shared else (ch,):
+                        factor = 2.0 ** (1.0 - sf[tch, sb] / 3.0)
+                        sp = factor * c_const * (s3 + d_const)
+                        sum_sq += sp * sp
+                        n_samples += 1
         channels = nch
         n_active_total += sum(1 for a in alloc.values() if a)
         n_frames += 1
@@ -647,19 +654,28 @@ def decode_mp3_layer1(payload: bytes) -> dict:
 
 
 def encode_mp3_layer1(
-    frames: list[dict], kbps: int = 192, channels: int = 1
+    frames: list[dict], kbps: int = 192, channels: int = 1,
+    joint_bound: int | None = None,
 ) -> bytes:
     """Deterministic Layer I test-vector encoder. Each frame dict:
     ``{"alloc": {key: 1..14}, "sf": {key: 0..62},
       "codes": {key: [12 codes]}}`` where ``key`` is the subband id for
     mono and a ``(ch, sb)`` tuple for ``channels=2`` (non-joint stereo).
-    44.1 kHz, no CRC/padding."""
+    ``joint_bound`` (4/8/12/16) writes intensity stereo: subbands >=
+    bound carry one allocation + one code stream keyed ``(0, sb)`` with
+    per-channel scalefactors. 44.1 kHz, no CRC/padding."""
     try:
         brx = _BITRATES_L1.index(kbps)
     except ValueError:
         raise ValueError(f"kbps must be one of {_BITRATES_L1[1:15]}")
     if channels not in (1, 2):
         raise ValueError(f"channels must be 1 or 2, got {channels}")
+    if joint_bound is not None:
+        if channels != 2:
+            raise ValueError("joint_bound requires channels=2")
+        if joint_bound not in (4, 8, 12, 16):
+            raise ValueError(f"joint_bound must be 4/8/12/16, got {joint_bound}")
+    bound = SBLIMIT_L1 if joint_bound is None else joint_bound
     size = ((12 * kbps * 1000) // 44100) * 4
     out = bytearray()
     for fr in frames:
@@ -671,22 +687,35 @@ def encode_mp3_layer1(
             | (brx << 12)
             | (0 << 10)      # 44.1 kHz
             | (0 << 9)       # no padding
-            | ((0b11 if channels == 1 else 0b00) << 6)
+            | (
+                (
+                    0b11
+                    if channels == 1
+                    else (0b00 if joint_bound is None else 0b01)
+                )
+                << 6
+            )
+            | ((0 if joint_bound is None else (joint_bound - 4) // 4) << 4)
         )
 
         def key(ch: int, sb: int):
             return sb if channels == 1 else (ch, sb)
 
         bw = _BitWriter()
+        active = set()
         for sb in range(SBLIMIT_L1):
-            for ch in range(channels):
+            for ch in range(channels if sb < bound else 1):
                 a = fr["alloc"].get(key(ch, sb), 0)
                 if not 0 <= a <= 14:
                     raise ValueError(f"alloc {a} out of range for sb {sb}")
                 bw.write(a, 4)
+                if a:
+                    active.add((ch, sb))
+            if channels == 2 and sb >= bound and (0, sb) in active:
+                active.add((1, sb))  # intensity: both channels carry sf
         for sb in range(SBLIMIT_L1):
             for ch in range(channels):
-                if fr["alloc"].get(key(ch, sb), 0):
+                if (ch, sb) in active:
                     s = fr["sf"][key(ch, sb)]
                     if not 0 <= s <= 62:
                         raise ValueError(
@@ -695,7 +724,7 @@ def encode_mp3_layer1(
                     bw.write(s, 6)
         for gr in range(12):
             for sb in range(SBLIMIT_L1):
-                for ch in range(channels):
+                for ch in range(channels if sb < bound else 1):
                     a = fr["alloc"].get(key(ch, sb), 0)
                     if not a:
                         continue

@@ -528,3 +528,38 @@ def test_layer1_mono_still_bit_identical():
     )
     got = decode_mp3_layer1(encode_mp3_layer1([fr], kbps=448))
     assert got["channels"] == 1
+
+
+def test_layer1_intensity_stereo_roundtrip():
+    bound = 8
+    fr = {"alloc": {}, "sf": {}, "codes": {}}
+    want = []
+    for sb in range(0, SBLIMIT_L1, 4):
+        readers = range(2) if sb < bound else (0,)
+        a = 1 + (sb % 14)
+        n = (1 << (a + 1)) - 1
+        for ch in readers:
+            fr["alloc"][(ch, sb)] = a
+            fr["codes"][(ch, sb)] = [(sb + 11 * gr + ch) % n for gr in range(12)]
+        for ch in range(2):
+            fr["sf"][(ch, sb)] = (3 * sb + 7 * ch) % 63
+    for gr in range(12):
+        for sb in range(0, SBLIMIT_L1, 4):
+            shared = sb >= bound
+            a = fr["alloc"][(0, sb)]
+            nb = a + 1
+            n = (1 << nb) - 1
+            for ch in (0,) if shared else range(2):
+                code = fr["codes"][(ch, sb)][gr]
+                c = float(1 << nb) / n
+                d = 1.0 - (n - 1) * 2.0 ** (-nb)
+                s3 = code * 2.0 ** (1 - nb) - 1.0
+                for tch in (0, 1) if shared else (ch,):
+                    f = 2.0 ** (1.0 - fr["sf"][(tch, sb)] / 3.0)
+                    want.append(f * c * (s3 + d))
+    got = decode_mp3_layer1(
+        encode_mp3_layer1([fr], kbps=448, channels=2, joint_bound=bound)
+    )
+    assert got["channels"] == 2
+    assert got["n_samples"] == len(want)
+    assert got["subband_rms"] == (sum(v * v for v in want) / len(want)) ** 0.5
