@@ -630,6 +630,51 @@ def _gen_window_in_cte_filtered(rng: random.Random) -> str:
     )
 
 
+def _gen_timestamp_proximity_join(rng: random.Random) -> str:
+    """Self-join on a timestamp band (events within N minutes of a
+    same-user event) — the temporal-dedup / burst-detection shape."""
+    mins = rng.randint(5, 120)
+    return (
+        f"SELECT a.event_type AS t_a, b.event_type AS t_b, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        f"FROM events a JOIN events b "
+        f"ON a.user_id = b.user_id AND a.event_id < b.event_id "
+        f"AND b.ts <= a.ts + INTERVAL {mins} MINUTE "
+        f"AND b.ts >= a.ts "
+        f"WHERE a.user_id % {rng.randint(3, 9)} = 0 "
+        f"GROUP BY a.event_type, b.event_type"
+    )
+
+
+def _gen_where_scalar_avg(rng: random.Random) -> str:
+    """WHERE against an uncorrelated scalar aggregate subquery — the
+    above-average filter (exact-decimal avg comparison)."""
+    frac = rng.choice(["1.0", "1.5", "0.5", "2.0"])
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"MIN(o_totalprice) AS m "
+        f"FROM orders WHERE o_totalprice > {frac} * "
+        f"(SELECT AVG(o_totalprice) FROM orders "
+        f"WHERE o_custkey % {rng.randint(2, 6)} = 0) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
+def _gen_groupwise_max_joinback(rng: random.Random) -> str:
+    """Row-of-the-max per group via aggregate + join-back, orderkey
+    tie-break — the argmax shape without window functions."""
+    k = rng.randint(3, 10)
+    return (
+        f"WITH mx AS (SELECT o_custkey % {k} AS g, "
+        f"MAX(o_totalprice) AS mp FROM orders GROUP BY 1) "
+        f"SELECT m.g, m.mp, "
+        f"CAST(MIN(o.o_orderkey) AS BIGINT) AS first_orderkey "
+        f"FROM mx m JOIN orders o "
+        f"ON o.o_custkey % {k} = m.g AND o.o_totalprice = m.mp "
+        f"GROUP BY m.g, m.mp"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -662,6 +707,9 @@ def _corpus() -> list[str]:
         + [_gen_exists_with_agg(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_union_in_from(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_window_in_cte_filtered(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_timestamp_proximity_join(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_where_scalar_avg(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_groupwise_max_joinback(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
