@@ -62,7 +62,10 @@ def corpus_main(argv: list[str]) -> int:
     ap.add_argument(
         "--substring-dedup", type=int, default=0, metavar="K",
         help="also cut duplicated >=K-token runs out of all but their "
-             "first occurrence (exact-substring removal) before layouts",
+             "first occurrence (exact-substring removal) before layouts. "
+             "Matching is case-insensitive; surviving text keeps its "
+             "original case but is trimmed and whitespace-collapsed "
+             "(token-level rewrite)",
     )
     ap.add_argument(
         "--mix", action="append", default=[], metavar="SOURCE=WEIGHT",

@@ -625,7 +625,10 @@ def span_dedup_stats(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
 
 
 def substring_dedup_rewrite(
-    docs: DataFrame, k: int = 8, emit_text: bool = False
+    docs: DataFrame,
+    k: int = 8,
+    emit_text: bool = False,
+    preserve_case: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication WITH REMOVAL — the suffix-array
     granularity of published training-data recipes (Lee et al. 2022,
@@ -666,11 +669,30 @@ def substring_dedup_rewrite(
     skew-splits; the surviving removed-occurrence stream (small for
     mostly-unique corpora) shuffles on doc_id for the span merge; the
     span list joins back on doc_id (AQE broadcasts when small). Never
-    all-pairs, never a driver-side loop."""
-    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
-    wins = substring_windows(base, k)
+    all-pairs, never a driver-side loop.
+
+    ``preserve_case=True`` (the pipeline's rewrite path): windows are
+    still MATCHED on the canonical tokens (lowercased, whitespace
+    collapsed — case-insensitive duplicate detection), but the rewrite
+    filters the ORIGINAL-case token stream, so surviving text keeps its
+    casing. ``lower()`` never creates or removes whitespace, so the two
+    token streams are index-aligned by construction. Whitespace is
+    still trimmed and collapsed to single spaces by the token-level
+    rejoin — the one normalization the token granularity inherently
+    applies (documented in the pipeline CLI help)."""
+    cols = ["doc_id", F.expr(TOKENS_EXPR).alias("toks")]
+    if preserve_case:
+        cols.append(F.expr(ORIG_TOKENS_EXPR).alias("orig"))
+    base = docs.select(*cols)
+    wins = substring_windows(base.select("doc_id", "toks"), k)
     removed = substring_removed_occurrences(wins)
     return substring_rewrite_report(base, removed, k, emit_text=emit_text)
+
+
+# Case-preserving sibling of text.TOKENS_EXPR: identical trim/collapse/
+# split, no lower() — index-aligned with the canonical stream because
+# lowercasing is a per-character map that never touches whitespace.
+ORIG_TOKENS_EXPR = "split(regexp_replace(trim(text), '\\\\s+', ' '), ' ')"
 
 
 def substring_removed_occurrences(wins: DataFrame) -> DataFrame:
@@ -717,7 +739,11 @@ def substring_rewrite_report(
     stream (doc_id, pos) — the second half of substring_dedup_rewrite,
     shared with the streaming store. ``emit_text`` appends the REWRITTEN
     text itself as ``clean_text`` (the pipeline consumer; the gate keeps
-    only the bounded md5)."""
+    only the bounded md5). If ``base`` carries an ``orig`` column
+    (case-preserved tokens, index-aligned with ``toks``), the rewrite —
+    and clean_md5/clean_text — filter THAT stream instead, so matching
+    stays canonical while output keeps original casing."""
+    rewrite_col = "orig" if "orig" in base.columns else "toks"
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         removed.withColumn("prev", F.lag("pos").over(w_d))
@@ -751,8 +777,8 @@ def substring_rewrite_report(
             .cast("long")
             .alias("n_removed_tokens"),
             F.expr(
-                "CASE WHEN spans IS NULL THEN toks ELSE "
-                "filter(toks, (t, i) -> "
+                f"CASE WHEN spans IS NULL THEN {rewrite_col} ELSE "
+                f"filter({rewrite_col}, (t, i) -> "
                 "NOT exists(spans, sp -> i >= sp.s AND i < sp.e)) END"
             ).alias("clean"),
         )

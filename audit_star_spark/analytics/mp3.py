@@ -177,10 +177,21 @@ _B2A_STEPS = (
                16383, 32767, 65535)),
     (3, 10, 4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
                 8191, 65535)),
-    (11, 22, 3, (3, 5, 7, 9, 15, 31, 63, 65535)),
+    (11, 22, 3, (3, 5, 7, 9, 15, 31, 65535)),
     (23, 26, 2, (3, 5, 65535)),
 )
 SBLIMIT_B2A = 27
+
+# Every B.2a row carries exactly 2^nbal - 1 quant classes (alloc index 0
+# means "no allocation"), so every nbal-bit allocation index is valid by
+# construction — a malformed row would silently mis-size later fields
+# (e.g. reading 6 bits where 16 were written desyncs the whole frame).
+for _lo, _hi, _nbal, _steps in _B2A_STEPS:
+    if len(_steps) != (1 << _nbal) - 1:
+        raise AssertionError(
+            f"B.2a row sb {_lo}-{_hi}: {len(_steps)} classes != 2^{_nbal}-1"
+        )
+del _lo, _hi, _nbal, _steps
 
 # nlevels -> (nb fraction bits, grouped?, stored bits per sample-or-triplet)
 _QCLASS = {
@@ -328,11 +339,9 @@ def decode_mp3_layer2(payload: bytes) -> dict:
         for sb in range(SBLIMIT_B2A):
             nbal, steps = _b2a_row(sb)
             for ch in range(nch if sb < bound else 1):
+                # every nbal-bit index is valid: len(steps) == 2^nbal - 1
+                # (asserted at table definition), so no range check here
                 idx = br.read(nbal)
-                if idx > len(steps):
-                    raise ValueError(
-                        f"allocation index {idx} invalid for sb {sb}"
-                    )
                 alloc[ch, sb] = steps[idx - 1] if idx else 0
             if nch == 2 and sb >= bound:
                 alloc[1, sb] = alloc[0, sb]  # intensity: shared level
@@ -560,7 +569,9 @@ SBLIMIT_L1 = 32
 def decode_mp3_layer1(payload: bytes) -> dict:
     """MPEG-1 Layer I bytes -> bit-exact subband-domain decode (same
     output shape as :func:`decode_mp3_layer2`). 44.1 kHz mono, stereo
-    (non-joint) or dual-channel; intensity stereo raises."""
+    (non-joint), dual-channel, AND joint (intensity) stereo — mode 0b01
+    shares allocation/codes above the §2.4.1.5 bound, per-channel
+    scalefactors below it."""
     data = bytes(payload)
     pos = _skip_id3v2(data)
     n_frames = 0

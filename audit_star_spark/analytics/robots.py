@@ -125,7 +125,10 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
                             domain,
                             allow,
                             pattern,
-                            len(pattern),
+                            # RFC 9309 most-specific = longest in OCTETS,
+                            # not characters: a multi-byte pattern must
+                            # out-rank a same-char-count ASCII one
+                            len(pattern.encode("utf-8")),
                             robots_pattern_to_regex(pattern),
                         )
                     )
@@ -150,44 +153,40 @@ def robots_verdicts(
     Returns (url_id, domain, path, allowed, rule_pattern) where
     rule_pattern is the winning rule (NULL = crawl-by-default).
 
-    Scale shape: rules are a per-domain dimension (broadcast); the URL
-    side never shuffles — match + longest-rule pick is one broadcast
-    join and one url-keyed window over the few matching rules."""
+    Scale shape: ONE scan of the URL side — non-matching rule rows are
+    kept and FLAGGED (not filtered then restored with a second
+    corpus-sized anti join, the r9 shape), so the crawl-by-default
+    verdict falls out of the same url-keyed window that picks the
+    winning rule. Rules are a per-domain dimension (broadcast); the URL
+    side never shuffles except the url_id window over its few rule
+    rows. Most-specific = longest pattern in OCTETS (RFC 9309), ties
+    break to allow, then pattern text for determinism."""
     rules = robots_rules(robots, agent=agent)
-    j = urls.join(F.broadcast(rules), "domain", "left")
-    matched = j.filter(
-        F.col("rx").isNull() | F.expr("path RLIKE rx")
-    ).select(
+    scored = urls.join(F.broadcast(rules), "domain", "left").select(
         "url_id",
         "domain",
         "path",
         "allow",
         "pattern",
+        (F.col("rx").isNotNull() & F.expr("path RLIKE rx")).alias("is_match"),
         F.coalesce("pattern_len", F.lit(-1)).alias("plen"),
     )
     w = Window.partitionBy("url_id").orderBy(
+        F.col("is_match").desc(),  # any matching rule beats no-match rows
         F.col("plen").desc(),
         F.col("allow").desc_nulls_last(),
         F.col("pattern"),  # same-length same-verdict tie: deterministic
     )
-    best = (
-        matched.withColumn("__rn", F.row_number().over(w))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             "url_id",
             "domain",
             "path",
-            F.coalesce("allow", F.lit(True)).alias("allowed"),
-            F.col("pattern").alias("rule_pattern"),
+            F.when(F.col("is_match"), F.col("allow"))
+            .otherwise(F.lit(True))
+            .alias("allowed"),
+            F.when(F.col("is_match"), F.col("pattern")).alias("rule_pattern"),
         )
     )
-    # URLs whose domain has rules but none matched were dropped by the
-    # filter; restore them as allowed-by-default
-    missing = urls.join(best.select("url_id"), "url_id", "left_anti").select(
-        "url_id",
-        "domain",
-        "path",
-        F.lit(True).alias("allowed"),
-        F.lit(None).cast("string").alias("rule_pattern"),
-    )
-    return best.unionByName(missing)

@@ -620,21 +620,28 @@ def length_bucketed_batches(
     for that batch (the corpus-level average is what the layout
     optimizes; compare against a single global bucket to see the win).
 
-    Scale shape: ONE global sort (row_number over the length order —
-    Spark executes a range-partitioned sort, the same cost class as any
-    total ordering a loader manifest needs) and one batch-keyed
-    aggregate. Deterministic across engines: lengths are exact ints and
-    the (length, doc_id) order has no ties."""
+    Scale shape: the global rank comes from :func:`~audit_star_spark.
+    operators.ids.gapless_ids` — a range-partitioned sort on
+    (n_tokens, doc_id), per-partition local indexes, and a broadcast
+    cumulative-offset join (a bounded num_partitions-row collect). No
+    partition-less ``row_number`` window, so no Exchange
+    SinglePartition: every stage stays as parallel as the sort.
+    Deterministic across engines and cluster sizes: lengths are exact
+    ints and the (n_tokens, doc_id) order is total, so the ranks equal
+    ``row_number() over (order by n_tokens, doc_id)`` exactly."""
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    from audit_star_spark.operators.ids import gapless_ids
+
     lens = docs.select(
         "doc_id", F.size(F.expr(tokens_expr)).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
-    batched = lens.withColumn(
-        "batch_id",
-        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    ranked = gapless_ids(
+        lens, ["n_tokens", "doc_id"], id_col="__rank", start=0
     )
+    batched = ranked.withColumn(
+        "batch_id", (F.col("__rank") / batch_size).cast("long")
+    ).drop("__rank")
     agg = batched.groupBy("batch_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.max("n_tokens").alias("batch_max_tokens"),

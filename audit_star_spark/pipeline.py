@@ -87,12 +87,16 @@ def run_corpus_pipeline(
     # 3b. optional exact-substring removal (Lee et al. 2022 granularity):
     # duplicated >= substring_k-token runs are cut out of all but their
     # first occurrence and the TEXT itself is rewritten before layouts —
-    # paragraph-level boilerplate the document-level stages cannot touch
+    # paragraph-level boilerplate the document-level stages cannot touch.
+    # preserve_case: duplicates are MATCHED case-insensitively (canonical
+    # tokens) but the rewrite filters the original-case token stream, so
+    # the surviving corpus keeps its casing; the only normalization the
+    # stage applies is trim + whitespace-collapse (token granularity)
     if substring_k:
         from audit_star_spark.analytics.dedup import substring_dedup_rewrite
 
         rewritten = substring_dedup_rewrite(
-            clean, k=substring_k, emit_text=True
+            clean, k=substring_k, emit_text=True, preserve_case=True
         )
         sub = (
             clean.drop("text")

@@ -6344,17 +6344,17 @@ WITH doms AS (SELECT unnest(range(16)) AS d),
 rules AS (
   SELECT 'd' || d || '.test' AS domain,
          FALSE AS allow, '/private' || d || '/*' AS pattern,
-         length('/private' || d || '/*') AS plen,
+         strlen('/private' || d || '/*') AS plen,
          '^/private' || d || '/.*' AS rx
   FROM doms
   UNION ALL
   SELECT 'd' || d || '.test', TRUE, '/private' || d || '/open',
-         length('/private' || d || '/open'),
+         strlen('/private' || d || '/open'),
          '^/private' || d || '/open'
   FROM doms
   UNION ALL
   SELECT 'd' || d || '.test', FALSE, '/exact' || d || '$',
-         length('/exact' || d || '$'),
+         strlen('/exact' || d || '$'),
          '^/exact' || d || '$'
   FROM doms
 ),
@@ -6481,15 +6481,15 @@ SQL_CRAWL_POLICY_REPORT = """
 WITH doms AS (SELECT unnest(range(16)) AS d),
 rules AS (
   SELECT 'd' || d || '.test' AS domain,
-         FALSE AS allow, length('/private' || d || '/*') AS plen,
+         FALSE AS allow, strlen('/private' || d || '/*') AS plen,
          '^/private' || d || '/.*' AS rx
   FROM doms
   UNION ALL
-  SELECT 'd' || d || '.test', TRUE, length('/private' || d || '/open'),
+  SELECT 'd' || d || '.test', TRUE, strlen('/private' || d || '/open'),
          '^/private' || d || '/open'
   FROM doms
   UNION ALL
-  SELECT 'd' || d || '.test', FALSE, length('/exact' || d || '$'),
+  SELECT 'd' || d || '.test', FALSE, strlen('/exact' || d || '$'),
          '^/exact' || d || '$'
   FROM doms
 ),

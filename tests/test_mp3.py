@@ -212,6 +212,78 @@ def test_layer2_census_rejects_layer2_stream():
         parse_mp3(encode_mp3_layer2([_make_frame(0)], kbps=192))
 
 
+def test_layer2_b2a_rows_are_complete():
+    """Every B.2a row must carry exactly 2^nbal - 1 quant classes, and
+    the sb 11-22 row is ISO table B.2a's SEVEN classes ending 31, 65535
+    (NOT eight with a 63) — alloc index 7 there is the 16-bit class; a
+    63-level 6-bit misread would desync every later field in the frame."""
+    from audit_star_spark.analytics.mp3 import _B2A_STEPS
+
+    for lo, hi, nbal, steps in _B2A_STEPS:
+        assert len(steps) == (1 << nbal) - 1, (lo, hi)
+    assert _b2a_row(11)[1] == (3, 5, 7, 9, 15, 31, 65535)
+    assert _b2a_row(22)[1] == (3, 5, 7, 9, 15, 31, 65535)
+
+
+def test_layer2_alloc7_sb12_is_16bit_class_hand_rolled_bitstream():
+    """Decode a frame built BY HAND (no encoder involved — the encoder
+    shares the table, so a roundtrip can't catch a table bug): mono
+    192 kbps, only subband 12 active at alloc index 7, which per B.2a is
+    the 65535-level ungrouped 16-bit class. A 63-level 6-bit misread
+    would consume 216 sample bits instead of 576 and produce different
+    values AND different n_samples accounting."""
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def write(self, v, n):
+            self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+        def bytes_(self):
+            out = bytearray()
+            bits = self.bits + [0] * (-len(self.bits) % 8)
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i : i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+            return bytes(out)
+
+    header = (
+        (0x7FF << 21) | (0b11 << 19) | (0b10 << 17) | (1 << 16)
+        | (10 << 12) | (0 << 10) | (0 << 9) | (0b11 << 6)
+    )  # MPEG-1, Layer II, no CRC, 192 kbps, 44.1 kHz, mono
+    bw = BW()
+    bw.write(header, 32)
+    for sb in range(SBLIMIT_B2A):  # allocation: only sb 12, index 7
+        nbal, _ = _b2a_row(sb)
+        bw.write(7 if sb == 12 else 0, nbal)
+    bw.write(2, 2)  # scfsi=2: one scalefactor for all three parts
+    bw.write(3, 6)  # sf index 3 -> factor 2^(1 - 3/3) = 1.0
+    codes = [(7 * g) % 65535 for g in range(36)]  # 12 granules x 3
+    for c in codes:
+        bw.write(c, 16)
+    body = bw.bytes_()
+    size = (144 * 192 * 1000) // 44100
+    payload = body + bytes(size - len(body))
+
+    got = decode_mp3_layer2(payload)
+    assert got["n_frames"] == 1
+    assert got["channels"] == 1
+    assert got["n_active_subbands"] == 1
+    assert got["n_samples"] == 36
+    # hand-computed s' = 1.0 * (2^16/65535) * (c*2^-15 - 1 + D),
+    # D = 1 - 65534 * 2^-16  (the 16-bit ungrouped class constants)
+    c_const = 65536.0 / 65535.0
+    d_const = 1.0 - 65534.0 * 2.0 ** -16
+    sum_sq = 0.0
+    for c in codes:
+        sp = c_const * (c * 2.0 ** -15 - 1.0 + d_const)
+        sum_sq += sp * sp
+    assert got["subband_rms"] == (sum_sq / 36) ** 0.5
+
+
 # --------------------------------------------- Layer I subband decode
 from audit_star_spark.analytics.mp3 import (  # noqa: E402
     decode_mp3_layer1,

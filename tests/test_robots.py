@@ -107,6 +107,51 @@ def test_tie_between_allow_and_disallow_goes_to_allow(spark):
     assert row["allowed"] is True and row["rule_pattern"] == "/ab"
 
 
+def test_precedence_is_octet_length_not_characters(spark):
+    """RFC 9309 most-specific = longest in OCTETS. Two wildcard rules
+    match the same path: Allow '/p*テス' is 5 characters but 9 UTF-8
+    octets; Disallow '/p*ab/a' is 7 characters and 7 octets. Octet
+    precedence picks Allow (9 > 7); character precedence would wrongly
+    pick Disallow (7 > 5)."""
+    robots = spark.createDataFrame(
+        [("d", "User-agent: *\nAllow: /p*テス\nDisallow: /p*ab/a\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "d", "/pab/aテス")],
+        "url_id long, domain string, path string",
+    )
+    row = robots_verdicts(urls, robots).collect()[0]
+    assert row["allowed"] is True
+    assert row["rule_pattern"] == "/p*テス"
+
+
+def test_verdicts_single_url_scan_no_anti_join(spark):
+    """The crawl-by-default restore must NOT rescan the URL side: one
+    left broadcast join + one url-keyed window, no second join back
+    (the r9 anti-join shape). Locked via the executed plan: exactly one
+    scan of the urls source and no BroadcastHashJoin LeftAnti."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, "d" if i % 2 else "nodomain", "/x") for i in range(10)],
+            "url_id long, domain string, path string",
+        ).write.mode("overwrite").parquet(f"{td}/urls")
+        urls = spark.read.parquet(f"{td}/urls")
+        robots = spark.createDataFrame(
+            [("d", "User-agent: *\nDisallow: /x\n")],
+            "domain string, robots_txt string",
+        )
+        out = robots_verdicts(urls, robots)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count(f"{td}/urls") <= 1 or plan.lower().count("scan parquet") <= 1
+        assert "LeftAnti" not in plan
+        got = {r["url_id"]: r["allowed"] for r in out.collect()}
+        assert all(got[i] is True for i in range(0, 10, 2))  # no rules
+        assert all(got[i] is False for i in range(1, 10, 2))  # disallowed
+
+
 def test_poison_robots_degrades_to_allow(spark):
     robots = spark.createDataFrame(
         [("d", None)], "domain string, robots_txt string"

@@ -124,6 +124,35 @@ def test_periodic_text_artifact_is_the_documented_one(spark):
     assert got[1]["clean_md5"] == _md5("spam")
 
 
+def test_preserve_case_rewrite_keeps_original_casing(spark):
+    """The pipeline path (preserve_case=True): duplicates are matched
+    case-insensitively, but the rewritten text keeps the survivors'
+    ORIGINAL case — only trim + whitespace-collapse is applied (the
+    documented token-granularity normalization)."""
+    from audit_star_spark.analytics.dedup import substring_dedup_rewrite
+
+    boiler = "All Rights Reserved Contact Us For More Details"  # 8 toks
+    docs = {
+        1: f"Alpha Beta GAMMA delta {boiler.lower()}",
+        2: f"Unique OPENING Words here   {boiler} and a Distinct tail too",
+    }
+    df = spark.createDataFrame(sorted(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in substring_dedup_rewrite(
+            df, k=8, emit_text=True, preserve_case=True
+        ).collect()
+    }
+    # doc 1 canonical: untouched, original casing kept, whitespace normal
+    assert got[1]["clean_text"] == f"Alpha Beta GAMMA delta {boiler.lower()}"
+    # doc 2: the boilerplate matched despite the case difference (the
+    # canonical-token hash), and the survivors keep THEIR casing
+    assert got[2]["n_removed_tokens"] == 8
+    assert got[2]["clean_text"] == "Unique OPENING Words here and a Distinct tail too"
+    # clean_md5 is over the same case-preserved rewrite in this mode
+    assert got[2]["clean_md5"] == _md5(got[2]["clean_text"])
+
+
 WORD = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
 DOC = st.lists(WORD, min_size=0, max_size=30).map(" ".join)
 
