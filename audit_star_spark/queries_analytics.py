@@ -6747,3 +6747,55 @@ SELECT node AS doc_id, round(rank, 9) AS rank FROM ({inner})
 
 EXTRA_QUERIES["doc_ppr"] = q_doc_ppr
 EXTRA_ORACLES["doc_ppr"] = _ppr_sql()
+
+
+# ----------------------------------------------------- round-10 rotation
+# The 13 round-9 queries (gate-sim + pytest-oracle-locked but never
+# driver-certified) move into the 50-slot window to earn hard
+# CORRECTNESS_r10 rows; 13 double-green entries (driver-green in both
+# r8 and r9) retire to EXTRA, where tests/test_oracle_parity.py keeps
+# them oracle-locked on every pytest run. Window stays 8 audit + 42
+# analytics.
+_R10_ROTATE_IN = [
+    "ivfpq_rerank",
+    "substring_dedup_rewrite",
+    "decontaminate_rewrite",
+    "doc_ppr",
+    "crawl_policy_report",
+    "robots_verdicts",
+    "mp3_l1_census",
+    "mp3_l2_census",
+    "hybrid_rrf_search",
+    "snapshot_diff",
+    "audio_resampled_rational",
+    "alpha_mix_report",
+    "length_bucketed_batches",
+]
+_R10_ROTATE_OUT = [
+    "bm25_search",
+    "capped_user_sessions",
+    "corpus_clean_stats",
+    "cross_corpus_near_dups",
+    "dedup_clusters",
+    "doc_perplexity",
+    "embedding_near_pairs",
+    "knn_ivf",
+    "orders_profile_approx",
+    "purchase_value_attribution",
+    "quantized_knn_recall",
+    "resample_to_mix",
+    "simhash_near_pairs",
+]
+for _name in _R10_ROTATE_OUT:
+    EXTRA_QUERIES[_name] = ANALYTICS_QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ANALYTICS_ORACLES.pop(_name)
+for _name in _R10_ROTATE_IN:
+    ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+
+if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
+    raise RuntimeError(
+        "ANALYTICS_QUERIES must stay exactly 42 entries so the driver's "
+        f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
+    )
+del _name
