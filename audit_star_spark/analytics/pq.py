@@ -105,37 +105,47 @@ def pq_train(
         "sub_id", F.col("vec_id").alias("cell_id"), F.col("svec").alias("centroid")
     )
     for _ in range(iters):
-        assigned = _assign(sub, codebook)
-        sums = (
-            assigned.select(
-                "sub_id", "cell_id", F.posexplode("svec").alias("pos", "x")
-            )
-            .groupBy("sub_id", "cell_id", "pos")
-            .agg(
-                F.expr(
-                    "aggregate(array_sort(collect_list(x)), "
-                    "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-                ).alias("s"),
-                F.count("*").alias("n"),
-            )
-        )
-        codebook = (
-            sums.select(
-                "sub_id",
-                "cell_id",
-                "pos",
-                (F.col("s") / F.col("n")).alias("m"),
-                "n",
-            )
-            .groupBy("sub_id", "cell_id")
-            .agg(
-                F.max("n").cast("long").alias("n_members"),
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
-                ).alias("centroid"),
-            )
-        )
+        codebook = _lloyd_round(sub, codebook)
     return codebook
+
+
+def _lloyd_round(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """One distributed Lloyd round per subspace: broadcast-argmin
+    assignment against ``codebook``, then centroids re-mean from the
+    assignments (sorted (sub, cell, dim) folds for bit-stable means).
+    Empty cells vanish — the kmeans_update semantics, per subspace.
+    Monotone: for a FIXED assignment the mean minimizes within-cell
+    SSE, so quantization error never rises across a round."""
+    assigned = _assign(sub, codebook.select("sub_id", "cell_id", "centroid"))
+    sums = (
+        assigned.select(
+            "sub_id", "cell_id", F.posexplode("svec").alias("pos", "x")
+        )
+        .groupBy("sub_id", "cell_id", "pos")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(x)), "
+                "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        sums.select(
+            "sub_id",
+            "cell_id",
+            "pos",
+            (F.col("s") / F.col("n")).alias("m"),
+            "n",
+        )
+        .groupBy("sub_id", "cell_id")
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("centroid"),
+        )
+    )
 
 
 def pq_encode(
@@ -233,6 +243,260 @@ def pq_recall(
     w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
     exact = (
         exact_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select("query_id", "vec_id")
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k_nn)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------- OPQ
+# Optimized Product Quantization (Ge, He, Ke & Sun 2013, "Optimized
+# Product Quantization for Approximate Nearest Neighbor Search"): learn
+# an ORTHOGONAL rotation R so that R·x splits into subspaces that PQ
+# quantizes with less error — same code budget, higher recall. The
+# paper's non-parametric step solves a full DxD orthogonal Procrustes
+# via SVD; SVD is neither SQL-replayable nor bit-portable across
+# engines, so this implementation restricts R to a product of DISJOINT
+# GIVENS ROTATIONS over a fixed cross-subspace pairing (dim p with
+# dim p + D/2 — every pair spans two different PQ subspaces, which is
+# where rotation helps: it trades variance BETWEEN subspaces). Each
+# 2x2 Procrustes has the closed form
+#
+#     maximize tr(G·M) over G = [[c, -s], [s, c]], c^2 + s^2 = 1
+#     =>  (c, s) = (M11 + M22, M12 - M21) / sqrt(T^2 + W^2)
+#
+# using only +, -, *, / and sqrt — all IEEE-754 correctly-rounded in
+# both the JVM and DuckDB, so the rotation (and everything downstream)
+# hash-matches the oracle exactly, which trig or SVD never could.
+#
+# The alternation is arranged so quantization error is MONOTONE
+# non-increasing by construction (the property the OPQ paper proves for
+# its alternation, kept provable here step by step):
+#   1. train a PQ codebook on x (pq_train);
+#   2. reconstruct y = codeword(encode(x)); pick R minimizing
+#      sum ||R x - y||^2 over the Givens family (identity is feasible,
+#      so the rotated error <= the unrotated error);
+#   3. re-encode R x against the SAME codebook (argmin can only lower
+#      each vector's error vs keeping the old code);
+#   4. one Lloyd re-mean of that assignment (means minimize SSE).
+# Queries rotate with the same R at search time; exact L2 is invariant
+# under orthogonal R, so ground truth is computed on the originals.
+
+
+def opq_rotation(
+    base: DataFrame, codebook: DataFrame, dim: int, m_sub: int
+) -> DataFrame:
+    """Learn the disjoint-Givens rotation from one PQ reconstruction:
+    returns (p, c, s) for each pair (p, p + dim/2), p in [0, dim/2).
+
+    Scale shape: the reconstruction join is the PQ encode plan
+    (broadcast codebook, no corpus shuffle); pair statistics are one
+    narrow O(N·D/2)-row projection partial-aggregated into D/2 rows.
+    The per-pair sums fold over sorted collected values — the repo's
+    bit-determinism convention for gate-checked float reductions (a
+    production run would use plain sum())."""
+    h = dim // 2
+    if dim % 2 != 0:
+        raise ValueError(f"dim {dim} must be even for the half pairing")
+    w = dim // m_sub
+    sub = _subvecs(base, dim, m_sub)
+    rec = _assign(sub, codebook.select("sub_id", "cell_id", "centroid")).join(
+        F.broadcast(codebook.select("sub_id", "cell_id", "centroid")),
+        ["sub_id", "cell_id"],
+    )
+    dims = rec.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("svec", "centroid")).alias("pos", "xy"),
+        F.col("sub_id"),
+    ).select(
+        "vec_id",
+        (F.col("sub_id") * w + F.col("pos")).alias("gpos"),
+        F.col("xy.svec").alias("x"),
+        F.col("xy.centroid").alias("y"),
+    )
+    lo = dims.filter(F.col("gpos") < h).select(
+        "vec_id",
+        F.col("gpos").alias("p"),
+        F.col("x").alias("xp"),
+        F.col("y").alias("yp"),
+    )
+    hi = dims.filter(F.col("gpos") >= h).select(
+        "vec_id",
+        (F.col("gpos") - h).alias("p"),
+        F.col("x").alias("xq"),
+        F.col("y").alias("yq"),
+    )
+    per_vec = lo.join(hi, ["vec_id", "p"]).select(
+        "p",
+        (F.col("xp") * F.col("yp") + F.col("xq") * F.col("yq")).alias("t"),
+        (F.col("xp") * F.col("yq") - F.col("xq") * F.col("yp")).alias("v"),
+    )
+    stats = per_vec.groupBy("p").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(t)), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        ).alias("tt"),
+        F.expr(
+            "aggregate(array_sort(collect_list(v)), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        ).alias("ww"),
+    )
+    r = F.sqrt(F.col("tt") * F.col("tt") + F.col("ww") * F.col("ww"))
+    return stats.select(
+        "p",
+        F.when(r == 0.0, F.lit(1.0)).otherwise(F.col("tt") / r).alias("c"),
+        F.when(r == 0.0, F.lit(0.0)).otherwise(F.col("ww") / r).alias("s"),
+    )
+
+
+def _rot_lists(rot: DataFrame) -> DataFrame:
+    """One-row frame (cl, sl): the (c, s) coefficients as arrays indexed
+    by pair id — the broadcastable form of the rotation."""
+    return rot.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(p, c))), x -> x.c)"
+        ).alias("cl"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(p, s))), x -> x.s)"
+        ).alias("sl"),
+    )
+
+
+def opq_rotate(
+    df: DataFrame, rot: DataFrame, dim: int, vec_col: str = "vec"
+) -> DataFrame:
+    """Apply the learned rotation in-row: for pair (p, q = p + dim/2),
+    x'_p = c·x_p - s·x_q and x'_q = s·x_p + c·x_q. One broadcast of the
+    D/2-pair coefficient row, zero shuffle of the vector side."""
+    h = dim // 2
+    # element_at is 1-based like DuckDB's list[i] — Spark's arr[i]
+    # subscript is 0-based and would silently shift every dimension
+    v = f"element_at({vec_col}, %s)"
+    c_ = "element_at(cl, %s)"
+    s_ = "element_at(sl, %s)"
+    rx = (
+        f"transform(sequence(1, {dim}), i -> CASE "
+        f"WHEN i <= {h} THEN {c_ % 'i'} * {v % 'i'} "
+        f"- {s_ % 'i'} * {v % f'i + {h}'} "
+        f"ELSE {s_ % f'i - {h}'} * {v % f'i - {h}'} "
+        f"+ {c_ % f'i - {h}'} * {v % 'i'} "
+        f"END)"
+    )
+    out_cols = [c for c in df.columns if c != vec_col]
+    return (
+        df.crossJoin(F.broadcast(_rot_lists(rot)))
+        .select(*out_cols, F.expr(rx).alias(vec_col))
+    )
+
+
+def _encode_base(
+    base: DataFrame, codebook: DataFrame, dim: int, m_sub: int
+) -> DataFrame:
+    """pq_encode over a prepared (vec_id, vec) frame."""
+    sub = _subvecs(base, dim, m_sub)
+    return (
+        _assign(sub, codebook.select("sub_id", "cell_id", "centroid"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub_id, cell_id))), "
+                "x -> CAST(x.cell_id AS INT))"
+            ).alias("codes")
+        )
+    )
+
+
+def opq_train(
+    emb: DataFrame, m_sub: int = PQ_M_SUB, k: int = PQ_K
+) -> tuple[DataFrame, DataFrame]:
+    """One OPQ alternation: (rotation (p, c, s), codebook trained on the
+    rotated vectors). Quantization error of (rotate -> encode) is <= the
+    plain pq_train error at the same m_sub/k budget, by the monotone
+    construction in the module header."""
+    base = _base(emb)
+    dim = _vec_dim(emb)
+    cb0 = pq_train(emb, m_sub, k, iters=1)
+    rot = opq_rotation(base, cb0, dim, m_sub)
+    rbase = opq_rotate(base, rot, dim)
+    rsub = _subvecs(rbase, dim, m_sub)
+    cb1 = _lloyd_round(rsub, cb0)  # re-encode vs cb0 + re-mean, one step
+    return rot, cb1
+
+
+def opq_recall(
+    emb: DataFrame,
+    m_sub: int = PQ_M_SUB,
+    k: int = PQ_K,
+    n_queries: int = 8,
+    k_nn: int = 5,
+) -> DataFrame:
+    """End to end OPQ: train rotation + rotated codebook -> encode the
+    rotated corpus -> rotate each query and rank by asymmetric distance
+    -> score against the exact L2 top-k on the ORIGINAL vectors
+    (orthogonal rotation preserves L2, so the ground truth is the same
+    frame pq_recall uses). Output (query_id, n_hits, recall) —
+    hash-checkable like pq_recall."""
+    base = _base(emb)
+    dim = _vec_dim(emb)
+    rot, cb1 = opq_train(emb, m_sub, k)
+    rbase = opq_rotate(base, rot, dim)
+    codes = _encode_base(rbase, cb1, dim, m_sub)
+
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    rqueries = opq_rotate(queries, rot, dim, vec_col="qvec")
+    qsub = _subvecs(
+        rqueries.select("query_id", F.col("qvec").alias("vec")), dim, m_sub
+    ).select("query_id", "sub_id", F.col("svec").alias("qsvec"))
+    table = qsub.join(
+        cb1.select("sub_id", "cell_id", "centroid"), "sub_id"
+    ).select(
+        "query_id",
+        "sub_id",
+        "cell_id",
+        F.expr(_D2.format(a="qsvec", b="centroid")).alias("pd"),
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub_id", "cell_id")
+    )
+    adc = (
+        exploded.join(F.broadcast(table), ["sub_id", "cell_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(pd)), "
+                "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    approx = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select("query_id", "vec_id")
+    )
+    exact_scored = base.join(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.expr(_D2.format(a="vec", b="qvec")).alias("d2"),
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        exact_scored.withColumn("rank", F.row_number().over(we))
         .filter(F.col("rank") <= k_nn)
         .select("query_id", "vec_id")
     )

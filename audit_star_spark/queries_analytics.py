@@ -6799,3 +6799,187 @@ if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
         f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
     )
 del _name
+
+
+# ------------------------------------------------ round-10 additions (EXTRA)
+def q_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized Product Quantization through the gate (analytics/pq.py
+    opq_* — Ge et al. 2013 restricted to closed-form cross-subspace
+    Givens rotations so the learned rotation is BIT-REPLAYABLE: the 2x2
+    Procrustes solution uses only +,-,*,/ and sqrt, all IEEE-754
+    correctly rounded in both engines, where the paper's SVD is not).
+    One monotone alternation — PQ train, reconstruct, rotate, re-encode
+    against the same codebook, one Lloyd re-mean — then ADC top-5 of
+    rotated queries against rotated codes, scored against the exact L2
+    top-5 on the ORIGINAL vectors (orthogonal rotation preserves L2).
+    The oracle replays codebook training, the reconstruction, the pair
+    statistics, the rotation coefficients, the rotated encode and both
+    rankings with identical folds and tie-breaks."""
+    from audit_star_spark.analytics.pq import opq_recall
+
+    return opq_recall(
+        load_table(spark, sf_dir, "embeddings"),
+        m_sub=4,
+        k=16,
+        n_queries=8,
+        k_nn=5,
+    )
+
+
+def _opq_recall_sql(
+    m_sub: int = 4, k: int = 16, n_queries: int = 8, k_nn: int = 5, dim: int = 64
+) -> str:
+    w = dim // m_sub
+    h = dim // 2
+    d2 = _d2
+    sfold = lambda col: d_fold(  # noqa: E731
+        f"list_sort(list({col}))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+{_pq_codebook_ctes(m_sub, k, dim)},
+yrec AS (
+  SELECT e.vec_id, e.sub_id, b.svec, c.centroid
+  FROM enc e
+  JOIN sub b ON e.vec_id = b.vec_id AND e.sub_id = b.sub_id
+  JOIN codebook c ON e.sub_id = c.sub_id AND e.cell_id = c.cell_id
+),
+ydims AS (
+  SELECT vec_id, sub_id * {w} + i - 1 AS gpos, svec[i] AS x, centroid[i] AS y
+  FROM (SELECT vec_id, sub_id, svec, centroid,
+               unnest(generate_series(1, len(svec))) AS i
+        FROM yrec)
+),
+pv AS (
+  SELECT l.vec_id, l.gpos AS p,
+         l.x * l.y + r.x * r.y AS t,
+         l.x * r.y - r.x * l.y AS v
+  FROM ydims l JOIN ydims r
+    ON l.vec_id = r.vec_id AND r.gpos = l.gpos + {h}
+  WHERE l.gpos < {h}
+),
+rot AS (
+  SELECT p,
+         CASE WHEN r = 0 THEN 1.0 ELSE tt / r END AS c,
+         CASE WHEN r = 0 THEN 0.0 ELSE ww / r END AS s
+  FROM (SELECT p, tt, ww, sqrt(tt * tt + ww * ww) AS r
+        FROM (SELECT p, {sfold('t')} AS tt, {sfold('v')} AS ww
+              FROM pv GROUP BY p))
+),
+rotl AS (
+  SELECT list_transform(list_sort(list(struct_pack(p := p, c := c))),
+                        x -> x.c) AS cl,
+         list_transform(list_sort(list(struct_pack(p := p, s := s))),
+                        x -> x.s) AS sl
+  FROM rot
+),
+rbase AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}), i ->
+           CASE WHEN i <= {h}
+                THEN cl[i] * vec[i] - sl[i] * vec[i + {h}]
+                ELSE sl[i - {h}] * vec[i - {h}] + cl[i - {h}] * vec[i]
+           END) AS rvec
+  FROM base CROSS JOIN rotl
+),
+rsub AS (
+  SELECT vec_id, s.sub_id,
+         list_slice(rvec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS svec
+  FROM rbase CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+),
+rassigned AS (
+  SELECT vec_id, sub_id, svec, cell_id FROM (
+    SELECT b.vec_id, b.sub_id, b.svec, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub_id
+                              ORDER BY {d2('b.svec', 'c.centroid')},
+                                       c.cell_id) AS rn
+    FROM rsub b JOIN codebook c USING (sub_id)
+  ) WHERE rn = 1
+),
+rdims AS (
+  SELECT sub_id, cell_id, i - 1 AS pos, svec[i] AS x FROM (
+    SELECT sub_id, cell_id, svec,
+           unnest(generate_series(1, len(svec))) AS i
+    FROM rassigned
+  )
+),
+rsums AS (
+  SELECT sub_id, cell_id, pos, {sfold('x')} AS s, COUNT(*) AS n
+  FROM rdims GROUP BY 1, 2, 3
+),
+cb1 AS (
+  SELECT sub_id, cell_id,
+         list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
+                        x -> x.m) AS centroid
+  FROM (SELECT sub_id, cell_id, pos, s / n AS m FROM rsums)
+  GROUP BY 1, 2
+),
+enc1 AS (
+  SELECT vec_id, sub_id, cell_id FROM (
+    SELECT b.vec_id, b.sub_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.sub_id
+                              ORDER BY {d2('b.svec', 'c.centroid')},
+                                       c.cell_id) AS rn
+    FROM rsub b JOIN cb1 c USING (sub_id)
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, vec AS qvec FROM base WHERE vec_id < {n_queries}
+),
+rq AS (
+  SELECT query_id,
+         list_transform(generate_series(1, {dim}), i ->
+           CASE WHEN i <= {h}
+                THEN cl[i] * qvec[i] - sl[i] * qvec[i + {h}]
+                ELSE sl[i - {h}] * qvec[i - {h}] + cl[i - {h}] * qvec[i]
+           END) AS rqvec
+  FROM queries CROSS JOIN rotl
+),
+qsub AS (
+  SELECT query_id, s.sub_id,
+         list_slice(rqvec, s.sub_id * {w} + 1, s.sub_id * {w} + {w}) AS qsvec
+  FROM rq CROSS JOIN (SELECT UNNEST(range({m_sub})) AS sub_id) s
+),
+tbl AS (
+  SELECT q.query_id, q.sub_id, c.cell_id,
+         {d2('q.qsvec', 'c.centroid')} AS pd
+  FROM qsub q JOIN cb1 c USING (sub_id)
+),
+adc AS (
+  SELECT t.query_id, e.vec_id, {sfold('pd')} AS adc
+  FROM enc1 e JOIN tbl t ON e.sub_id = t.sub_id AND e.cell_id = t.cell_id
+  GROUP BY 1, 2
+),
+atop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= {k_nn}
+),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2('b.vec', 'q.qvec')},
+                                       b.vec_id) AS rk
+    FROM base b CROSS JOIN queries q
+  ) WHERE rk <= {k_nn}
+),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM atop a JOIN ex USING (query_id, vec_id) GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / CAST({float(k_nn)!r} AS DOUBLE), 6)
+         AS recall
+FROM queries q LEFT JOIN hits h USING (query_id)
+"""
+
+
+EXTRA_QUERIES["opq_recall"] = q_opq_recall
+EXTRA_ORACLES["opq_recall"] = _opq_recall_sql()
