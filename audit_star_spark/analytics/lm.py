@@ -146,3 +146,213 @@ SELECT t.doc_id,
        exp(s.avg_nll) AS perplexity
 FROM {table} t LEFT JOIN scores s ON t.doc_id = s.doc_id
 """
+
+
+# --------------------------------------- interpolated Kneser-Ney trigram
+# The CCNet-grade filter (Chen & Goodman 1999 "An Empirical Study of
+# Smoothing Techniques for Language Modeling" §2.7, interpolated KN):
+# absolute discounting at the trigram level, CONTINUATION counts (type
+# counts, not token counts) at the bigram and unigram levels, and a
+# uniform 1/V backstop so OOV tokens score finitely. Every statistic is
+# a join/aggregation over the trigram TYPE table, so the whole model is
+# SQL-oracle-able:
+#
+#   P3(c|a,b) = max(c3(abc) - D, 0)/c12(ab) + D*N3f(ab)/c12(ab) * P2(c|b)
+#   P2(c|b)   = max(n1(bc) - D, 0)/m(b)     + D*f2(b)/m(b)      * P1(c)
+#   P1(c)     = max(n1c(c) - D, 0)/NB       + D*T1/NB           * 1/V
+#
+# where c3 = trigram token counts, c12 = its prefix sums, N3f(ab) =
+# distinct continuations of (a,b); n1(bc) = |{a : abc seen}| (the
+# continuation count), m(b) = sum_c n1(bc), f2(b) = distinct c with
+# n1(bc) > 0; n1c(c) = |{b : (b,c) a trigram-type suffix}|, NB = total
+# distinct (b,c) suffix types, T1 = distinct c among them, V = train
+# vocabulary. Unseen contexts back off cleanly (gamma = 1): c12 = 0 =>
+# P3 = P2; m = 0 => P2 = P1. Each level sums to 1 over the vocabulary.
+
+
+def _trigrams(docs: DataFrame, tokens_expr: str) -> DataFrame:
+    """(doc_id, w1, w2, w3) — in-row adjacent triples, zero shuffles."""
+    t = tokens_expr
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size({t}) >= 3 THEN "
+                f"transform(sequence(1, size({t}) - 2), i -> "
+                f"struct(element_at({t}, i) AS w1, "
+                f"element_at({t}, i + 1) AS w2, "
+                f"element_at({t}, i + 2) AS w3)) "
+                f"ELSE CAST(array() AS "
+                f"array<struct<w1:string,w2:string,w3:string>>) END"
+            ).alias("tris"),
+        )
+        .select("doc_id", F.explode("tris").alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+            F.col("g.w3").alias("w3"),
+        )
+    )
+
+
+def train_kn_trigram_lm(
+    docs: DataFrame, tokens_expr: str = TOKENS_EXPR
+) -> dict[str, DataFrame]:
+    """The count tables of the interpolated-KN trigram model. All type
+    statistics derive from one distinct over the trigram stream; every
+    aggregate is map-side-combinable. Returns a dict of DataFrames:
+    tri (w1,w2,w3,c3), ctx (w1,w2,c12,n3f), cont (w2,w3,n1),
+    mid (w2,m,f2), uni (w3,n1c), totals (nb,t1,v) — one row."""
+    tri_stream = _trigrams(docs, tokens_expr)
+    tri = tri_stream.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    ctx = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c12"), F.count("*").alias("n3f")
+    )
+    cont = tri.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("n1"))
+    mid = cont.groupBy("w2").agg(
+        F.sum("n1").alias("m"), F.count("*").cast("long").alias("f2")
+    )
+    uni = cont.groupBy("w3").agg(F.count("*").cast("long").alias("n1c"))
+    v = docs.select(F.explode(F.expr(tokens_expr)).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    totals = (
+        uni.agg(
+            F.sum("n1c").alias("nb"), F.count("*").cast("long").alias("t1")
+        )
+        .crossJoin(F.broadcast(v))
+    )
+    return {"tri": tri, "ctx": ctx, "cont": cont, "mid": mid, "uni": uni,
+            "totals": totals}
+
+
+def doc_perplexity_kn(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    tokens_expr: str = TOKENS_EXPR,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney TRIGRAM
+    LM trained on ``train_docs`` (default: ``docs`` itself). Returns
+    (doc_id, n_trigrams, avg_nll, perplexity); documents with fewer than
+    3 tokens keep NULL scores (their own quality class, like the bigram
+    filter).
+
+    100 TB shape: training is a handful of keyed aggregations over the
+    in-row trigram explode (each one shuffle with map-side combine);
+    scoring left-joins the candidate trigram stream against the count
+    tables on progressively shorter keys — the (w1,w2,w3) join dominates
+    and is an AQE-handled equi join proportional to corpus tokens, the
+    honest cost of exact counts. The totals row broadcasts."""
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    model = train_kn_trigram_lm(
+        train_docs if train_docs is not None else docs, tokens_expr
+    )
+    d = F.lit(float(discount))
+    tg = _trigrams(docs, tokens_expr)
+    j = (
+        tg.join(model["tri"], ["w1", "w2", "w3"], "left")
+        .join(model["ctx"], ["w1", "w2"], "left")
+        .join(model["cont"], ["w2", "w3"], "left")
+        .join(model["mid"], "w2", "left")
+        .join(model["uni"], "w3", "left")
+        .crossJoin(F.broadcast(model["totals"]))
+    )
+    p1 = (
+        F.greatest(F.coalesce(F.col("n1c"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("nb")
+        + d * F.col("t1") / F.col("nb") / F.col("v")
+    )
+    p2 = F.when(
+        F.coalesce(F.col("m"), F.lit(0)) > 0,
+        F.greatest(F.coalesce(F.col("n1"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("m")
+        + d * F.col("f2") / F.col("m") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.coalesce(F.col("c12"), F.lit(0)) > 0,
+        F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c12")
+        + d * F.col("n3f") / F.col("c12") * p2,
+    ).otherwise(p2)
+    scores = j.withColumn("nll", -F.log(p3)).groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.avg("nll").alias("avg_nll"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            "avg_nll",
+            F.exp("avg_nll").alias("perplexity"),
+        )
+    )
+
+
+def kn_perplexity_sql(
+    table: str, text_col: str, discount: float = 0.75
+) -> str:
+    """DuckDB mirror of :func:`doc_perplexity_kn` (self-trained),
+    generated from the same discount."""
+    tok = (
+        f"str_split(regexp_replace(trim(lower({text_col})), "
+        "'\\s+', ' ', 'g'), ' ')"
+    )
+    d = float(discount)
+    return f"""
+WITH tl AS (SELECT doc_id, {tok} AS toks FROM {table}),
+tg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM tl, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 3
+),
+tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, sum(c3) AS c12, count(*) AS n3f FROM tri GROUP BY 1, 2),
+cont AS (SELECT w2, w3, count(*) AS n1 FROM tri GROUP BY 1, 2),
+mid AS (SELECT w2, sum(n1) AS m, count(*) AS f2 FROM cont GROUP BY 1),
+uni AS (SELECT w3, count(*) AS n1c FROM cont GROUP BY 1),
+voc AS (SELECT count(DISTINCT w) AS v
+        FROM (SELECT unnest(toks) AS w FROM tl)),
+tot AS (SELECT sum(n1c) AS nb, count(*) AS t1, voc.v AS v
+        FROM uni CROSS JOIN voc GROUP BY voc.v),
+prob AS (
+  SELECT tg.doc_id,
+         -ln(CASE WHEN coalesce(ctx.c12, 0) > 0 THEN
+               greatest(coalesce(tri.c3, 0) - {d}, 0.0) / ctx.c12
+               + {d} * ctx.n3f / ctx.c12 *
+                 (CASE WHEN coalesce(mid.m, 0) > 0 THEN
+                    greatest(coalesce(cont.n1, 0) - {d}, 0.0) / mid.m
+                    + {d} * mid.f2 / mid.m *
+                      (greatest(coalesce(uni.n1c, 0) - {d}, 0.0) / tot.nb
+                       + {d} * tot.t1 / tot.nb / tot.v)
+                  ELSE greatest(coalesce(uni.n1c, 0) - {d}, 0.0) / tot.nb
+                       + {d} * tot.t1 / tot.nb / tot.v END)
+             WHEN coalesce(mid.m, 0) > 0 THEN
+               greatest(coalesce(cont.n1, 0) - {d}, 0.0) / mid.m
+               + {d} * mid.f2 / mid.m *
+                 (greatest(coalesce(uni.n1c, 0) - {d}, 0.0) / tot.nb
+                  + {d} * tot.t1 / tot.nb / tot.v)
+             ELSE greatest(coalesce(uni.n1c, 0) - {d}, 0.0) / tot.nb
+                  + {d} * tot.t1 / tot.nb / tot.v END) AS nll
+  FROM tg
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN ctx USING (w1, w2)
+  LEFT JOIN cont USING (w2, w3)
+  LEFT JOIN mid USING (w2)
+  LEFT JOIN uni USING (w3)
+  CROSS JOIN tot
+),
+scores AS (
+  SELECT doc_id, count(*) AS n_trigrams, avg(nll) AS avg_nll
+  FROM prob GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.n_trigrams, 0) AS n_trigrams,
+       s.avg_nll,
+       exp(s.avg_nll) AS perplexity
+FROM {table} t LEFT JOIN scores s ON t.doc_id = s.doc_id
+"""

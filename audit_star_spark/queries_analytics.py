@@ -6983,3 +6983,36 @@ FROM queries q LEFT JOIN hits h USING (query_id)
 
 EXTRA_QUERIES["opq_recall"] = q_opq_recall
 EXTRA_ORACLES["opq_recall"] = _opq_recall_sql()
+
+
+def q_doc_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained interpolated Kneser-Ney TRIGRAM perplexity per
+    document (analytics/lm.py doc_perplexity_kn — the CCNet-grade
+    quality filter: absolute discounting + continuation counts, uniform
+    1/V backstop). The oracle restates the trigram type tables, the
+    continuation statistics and the three-level interpolation; rounded
+    to 6 decimals for a stable cross-engine hash (ln/exp last-ulp)."""
+    from audit_star_spark.analytics.lm import doc_perplexity_kn
+
+    p = doc_perplexity_kn(load_table(spark, sf_dir, "documents"))
+    return p.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+def _kn_perplexity_oracle() -> str:
+    from audit_star_spark.analytics.lm import kn_perplexity_sql
+
+    inner = kn_perplexity_sql("documents", "text")
+    return f"""
+SELECT doc_id, n_trigrams, round(avg_nll, 6) AS avg_nll,
+       round(perplexity, 6) AS perplexity
+FROM ({inner})
+"""
+
+
+EXTRA_QUERIES["doc_perplexity_kn"] = q_doc_perplexity_kn
+EXTRA_ORACLES["doc_perplexity_kn"] = _kn_perplexity_oracle()
