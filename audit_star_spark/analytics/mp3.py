@@ -1,11 +1,15 @@
 """MPEG-1 audio (ISO/IEC 11172-3): Layer III header census + Layer I/II
 bit-exact subband sample decode.
 
-- ``parse_mp3``: Layer III (the common ".mp3") container census WITHOUT
-  sample decode — duration/bitrate/rate/mode from the 4-byte frame
-  headers in constant space; Layer III samples need Huffman tables +
-  the IMDCT hybrid and stay an honest ``NotImplementedError``
-  (what a 100 TB audio sweep runs first is the header census anyway).
+- ``parse_mp3``: Layer III (the common ".mp3") container census —
+  duration/bitrate/rate/mode from the 4-byte frame headers in constant
+  space (what a 100 TB audio sweep runs first).
+- ``decode_mp3_layer3_sideinfo``: bit-exact Layer III SIDE-INFORMATION
+  decode (§2.4.1.7 grammar + §2.4.2.7 scalefactor bit budgets, incl.
+  the bit reservoir pointer and scfsi reuse). The spectral samples
+  need the tabulated Huffman tables (B.7) and scalefactor bands (B.8)
+  and stay an honest ``NotImplementedError``
+  (``decode_mp3_layer3_samples`` names them).
 - ``decode_mp3_layer2`` / ``decode_mp3_layer1``: FULL sample decode to
   the 32-subband domain for the subband-only layers — closed-form
   requantization, every bit of the frame layout parsed. PCM synthesis
@@ -752,3 +756,280 @@ def encode_mp3_layer1(
             )
         out += h.to_bytes(4, "big") + body + bytes(size - 4 - len(body))
     return bytes(out)
+
+
+# ------------------------------------------- Layer III side information
+# What IS closed-form / pure bit-layout in MPEG-1 Layer III — and
+# therefore decoded here, bit-exactly: the frame walk, the complete
+# side-information grammar (ISO 11172-3 §2.4.1.7: the 9-bit
+# main_data_begin bit-reservoir pointer, scfsi, and per granule per
+# channel part2_3_length / big_values / global_gain / scalefac_compress
+# / the window-switching tree with block_type, mixed_block_flag,
+# table_select, subblock_gain / region counts / preflag /
+# scalefac_scale / count1table_select), and the §2.4.2.7 slen mapping
+# from scalefac_compress to the scalefactor bit budget (including the
+# scfsi granule-1 reuse rule over the four long-block band groups).
+#
+# What is NOT closed-form: the spectral samples. Decoding them needs
+# the 34 tabulated Huffman code tables (Table B.7: 32 big_values
+# tables + count1 tables A and B) and the per-sample-rate scalefactor
+# band partitions (Table B.8) — spec constants with no generating
+# formula that cannot be responsibly reproduced from memory. Same
+# honest boundary as the Layer I/II polyphase window (Table B.3) and
+# the JPEG QM-coder: decode_mp3_layer3_samples raises, naming them.
+
+_SLEN = [  # scalefac_compress -> (slen1, slen2), ISO 11172-3 §2.4.2.7
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+# scfsi band b -> (n sfb under slen1, n sfb under slen2) for LONG
+# blocks: bands 0-5 / 6-10 / 11-15 / 16-20 (slen1 covers sfb 0-10)
+_SCFSI_GROUPS = ((6, 0), (5, 0), (0, 5), (0, 5))
+_MAX_BIG_VALUES = 288  # big_values * 2 <= 576 spectral lines
+
+
+def _scf_bits(
+    gr: int, scfsi_bits: int, window_switching: int, block_type: int,
+    mixed: int, slen1: int, slen2: int,
+) -> int:
+    """Scalefactor bits (part2 length) of one granule-channel —
+    §2.4.2.7: short non-mixed 18/18 values, mixed 17/18, long 11/10
+    with the scfsi groups reused (not retransmitted) in granule 1."""
+    if window_switching and block_type == 2:
+        if mixed:
+            return 17 * slen1 + 18 * slen2
+        return 18 * slen1 + 18 * slen2
+    bits = 0
+    for b, (n1, n2) in enumerate(_SCFSI_GROUPS):
+        if gr == 1 and (scfsi_bits >> (3 - b)) & 1:
+            continue  # granule 0's scalefactors are reused
+        bits += n1 * slen1 + n2 * slen2
+    return bits
+
+
+def decode_mp3_layer3_sideinfo(payload: bytes) -> dict:
+    """MPEG-1 Layer III bytes -> bit-exact SIDE-INFORMATION decode:
+
+    ``{"n_frames", "sample_rate", "channels", "n_granules",
+    "sum_part2_3", "sum_big_values", "sum_global_gain",
+    "n_short_granules", "max_main_data_begin", "n_reservoir_frames",
+    "sum_scf_bits", "granules"}``
+
+    where granules is the per-(frame, granule, channel) raw field list
+    (the roundtrip differential's hook) and sum_scf_bits is the
+    §2.4.2.7 scalefactor bit budget summed over all granule-channels
+    (what a full decoder uses to locate the Huffman region inside
+    part2_3_length). Raises ValueError on non-Layer-III streams,
+    big_values > 288, or the spec-forbidden (window_switching,
+    block_type=0) combination. Spectral samples are NOT decoded — see
+    :func:`decode_mp3_layer3_samples`."""
+    data = bytes(payload)
+    pos = _skip_id3v2(data)
+    n_frames = 0
+    rate = None
+    channels = None
+    sum_part23 = sum_bv = sum_gg = 0
+    n_short = 0
+    max_mdb = 0
+    n_reservoir = 0
+    sum_scf = 0
+    granules: list[dict] = []
+    while pos + 4 <= len(data):
+        h = int.from_bytes(data[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        version = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if version != 0b11 or layer != 0b01:
+            if n_frames == 0:
+                raise ValueError(
+                    "only MPEG-1 Layer III side info decodes here "
+                    f"(version/layer bits {version:02b}/{layer:02b})"
+                )
+            break
+        protection = (h >> 16) & 0x1
+        brx = (h >> 12) & 0xF
+        srx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        if _BITRATES[brx] is None or _RATES[srx] is None:
+            raise ValueError("free/bad bitrate or reserved sample rate")
+        frame_rate = _RATES[srx]
+        if rate is None:
+            rate = frame_rate
+            channels = 1 if mode == 0b11 else 2
+        elif frame_rate != rate:
+            break  # rate change mid-stream: consistent prefix only
+        nch = 1 if mode == 0b11 else 2
+        size = (144 * _BITRATES[brx] * 1000) // frame_rate + padding
+        if pos + size > len(data):
+            break  # truncated tail frame
+        br = _BitReader(
+            data[pos : pos + size], 32 + (0 if protection else 16)
+        )
+        mdb = br.read(9)
+        br.read(5 if nch == 1 else 3)  # private_bits
+        scfsi = [br.read(4) for _ in range(nch)]
+        max_mdb = max(max_mdb, mdb)
+        if mdb:
+            n_reservoir += 1
+        for gr in range(2):
+            for ch in range(nch):
+                g = {
+                    "frame": n_frames, "gr": gr, "ch": ch,
+                    "part2_3_length": br.read(12),
+                    "big_values": br.read(9),
+                    "global_gain": br.read(8),
+                    "scalefac_compress": br.read(4),
+                    "window_switching": br.read(1),
+                }
+                if g["big_values"] > _MAX_BIG_VALUES:
+                    raise ValueError(
+                        f"big_values {g['big_values']} > {_MAX_BIG_VALUES}"
+                    )
+                if g["window_switching"]:
+                    g["block_type"] = br.read(2)
+                    g["mixed_block"] = br.read(1)
+                    g["table_select"] = [br.read(5) for _ in range(2)]
+                    g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                    # region counts are NOT transmitted when window
+                    # switching; their spec defaults partition the
+                    # Huffman region, which this layer does not decode
+                    g["region0_count"] = None
+                    g["region1_count"] = None
+                    if g["block_type"] == 0:
+                        raise ValueError(
+                            "block_type 0 with window_switching is "
+                            "forbidden (ISO 11172-3 §2.4.1.7)"
+                        )
+                else:
+                    g["block_type"] = 0
+                    g["mixed_block"] = 0
+                    g["table_select"] = [br.read(5) for _ in range(3)]
+                    g["region0_count"] = br.read(4)
+                    g["region1_count"] = br.read(3)
+                g["preflag"] = br.read(1)
+                g["scalefac_scale"] = br.read(1)
+                g["count1table_select"] = br.read(1)
+                slen1, slen2 = _SLEN[g["scalefac_compress"]]
+                g["scf_bits"] = _scf_bits(
+                    gr, scfsi[ch], g["window_switching"], g["block_type"],
+                    g["mixed_block"], slen1, slen2,
+                )
+                sum_part23 += g["part2_3_length"]
+                sum_bv += g["big_values"]
+                sum_gg += g["global_gain"]
+                sum_scf += g["scf_bits"]
+                if g["window_switching"] and g["block_type"] == 2:
+                    n_short += 1
+                granules.append(g)
+        n_frames += 1
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MPEG-1 Layer III frames found")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_granules": len(granules),
+        "sum_part2_3": sum_part23,
+        "sum_big_values": sum_bv,
+        "sum_global_gain": sum_gg,
+        "n_short_granules": n_short,
+        "max_main_data_begin": max_mdb,
+        "n_reservoir_frames": n_reservoir,
+        "sum_scf_bits": sum_scf,
+        "granules": granules,
+    }
+
+
+def encode_mp3_layer3_sideinfo(
+    frames: list[dict], kbps: int = 64, channels: int = 1
+) -> bytes:
+    """Deterministic Layer III side-info test-vector encoder (the
+    closed-form differential's other half: every bit this writes,
+    decode_mp3_layer3_sideinfo must read back). Each frame dict:
+
+    ``{"main_data_begin": 0..511, "scfsi": [per-ch 4-bit int],
+      "granules": [[per-ch granule dict] x 2]}``
+
+    with granule fields part2_3_length, big_values, global_gain,
+    scalefac_compress, window_switching, block_type, mixed_block,
+    table_select (2 or 3 values), subblock_gain (3, switching only),
+    region0_count/region1_count (non-switching only), preflag,
+    scalefac_scale, count1table_select. The main_data region is
+    zero-filled (no Huffman payload — the documented boundary).
+    44.1 kHz, no CRC, no padding."""
+    try:
+        brx = _BITRATES.index(kbps)
+    except ValueError:
+        raise ValueError(f"kbps must be one of {_BITRATES[1:15]}")
+    if channels not in (1, 2):
+        raise ValueError(f"channels must be 1 or 2, got {channels}")
+    mode = 0b11 if channels == 1 else 0b00
+    size = (144 * kbps * 1000) // 44100
+    out = bytearray()
+    for fr in frames:
+        h = (
+            (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+            | (brx << 12) | (0 << 10) | (0 << 9) | (mode << 6)
+        )
+        bw = _BitWriter()
+        bw.write(fr["main_data_begin"], 9)
+        bw.write(0, 5 if channels == 1 else 3)
+        for ch in range(channels):
+            bw.write(fr["scfsi"][ch], 4)
+        for gr in range(2):
+            for ch in range(channels):
+                g = fr["granules"][gr][ch]
+                bw.write(g["part2_3_length"], 12)
+                bw.write(g["big_values"], 9)
+                bw.write(g["global_gain"], 8)
+                bw.write(g["scalefac_compress"], 4)
+                bw.write(g["window_switching"], 1)
+                if g["window_switching"]:
+                    if g["block_type"] == 0:
+                        raise ValueError(
+                            "block_type 0 with window_switching is invalid"
+                        )
+                    bw.write(g["block_type"], 2)
+                    bw.write(g["mixed_block"], 1)
+                    for t in g["table_select"][:2]:
+                        bw.write(t, 5)
+                    for s in g["subblock_gain"]:
+                        bw.write(s, 3)
+                else:
+                    for t in g["table_select"][:3]:
+                        bw.write(t, 5)
+                    bw.write(g["region0_count"], 4)
+                    bw.write(g["region1_count"], 3)
+                bw.write(g["preflag"], 1)
+                bw.write(g["scalefac_scale"], 1)
+                bw.write(g["count1table_select"], 1)
+        body = bw.tobytes()
+        want = 17 if channels == 1 else 32
+        if len(body) != want:
+            raise AssertionError(f"side info {len(body)} bytes != {want}")
+        frame = h.to_bytes(4, "big") + body
+        if len(frame) > size:
+            raise ValueError(f"side info overflows {size}-byte frame")
+        out += frame + bytes(size - len(frame))
+    return bytes(out)
+
+
+def decode_mp3_layer3_samples(payload: bytes):
+    """Spectral-sample decode needs the tabulated Huffman code tables
+    (ISO 11172-3 Table B.7: 32 big_values tables plus count1 tables A
+    and B) and the per-sample-rate scalefactor band partitions (Table
+    B.8) — constants with no generating formula that cannot be
+    responsibly reproduced from memory without risking silent
+    wrongness. The side-information layer IS decoded bit-exactly
+    (:func:`decode_mp3_layer3_sideinfo`); this raise marks exactly
+    where the public-spec tables block the rest, like the Layer I/II
+    polyphase window (B.3) and the JPEG QM-coder."""
+    raise NotImplementedError(
+        "MPEG-1 Layer III sample decode requires ISO 11172-3 tables "
+        "B.7 (34 Huffman code tables) and B.8 (scalefactor bands); "
+        "decode_mp3_layer3_sideinfo provides the bit-exact side-"
+        "information layer instead"
+    )

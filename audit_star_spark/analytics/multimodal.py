@@ -1824,3 +1824,71 @@ def mp3_layer2_census(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=MP3_L2_SCHEMA)
+
+
+MP3_L3_SIDEINFO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_granules", T.LongType()),
+        T.StructField("sum_part2_3", T.LongType()),
+        T.StructField("sum_big_values", T.LongType()),
+        T.StructField("sum_global_gain", T.LongType()),
+        T.StructField("n_short_granules", T.LongType()),
+        T.StructField("max_main_data_begin", T.IntegerType()),
+        T.StructField("n_reservoir_frames", T.IntegerType()),
+        T.StructField("sum_scf_bits", T.LongType()),
+    ]
+)
+
+
+def mp3_layer3_sideinfo_census(media: DataFrame) -> DataFrame:
+    """MPEG-1 Layer III SIDE-INFORMATION census (analytics/mp3.py
+    decode_mp3_layer3_sideinfo — the closed-form layer of L3: frame
+    walk, §2.4.1.7 side-info grammar, bit-reservoir pointer, §2.4.2.7
+    scalefactor bit budgets; spectral samples are the documented
+    Table-B.7/B.8 raise). Narrow Arrow-batched mapInPandas over
+    (doc_id, payload); poison payloads degrade to NULL metrics."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import decode_mp3_layer3_sideinfo
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    i = decode_mp3_layer3_sideinfo(bytes(payload))
+                    rows.append(
+                        (
+                            int(doc_id), i["n_frames"], i["sample_rate"],
+                            i["n_granules"], i["sum_part2_3"],
+                            i["sum_big_values"], i["sum_global_gain"],
+                            i["n_short_granules"], i["max_main_data_begin"],
+                            i["n_reservoir_frames"], i["sum_scf_bits"],
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — poison degrade
+                    rows.append((int(doc_id),) + (None,) * 10)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sample_rate", "n_granules",
+                    "sum_part2_3", "sum_big_values", "sum_global_gain",
+                    "n_short_granules", "max_main_data_begin",
+                    "n_reservoir_frames", "sum_scf_bits",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_frames": "Int32",
+                    "sample_rate": "Int32", "n_granules": "Int64",
+                    "sum_part2_3": "Int64", "sum_big_values": "Int64",
+                    "sum_global_gain": "Int64", "n_short_granules": "Int64",
+                    "max_main_data_begin": "Int32",
+                    "n_reservoir_frames": "Int32", "sum_scf_bits": "Int64",
+                }
+            )
+
+    return media.mapInPandas(run, schema=MP3_L3_SIDEINFO_SCHEMA)

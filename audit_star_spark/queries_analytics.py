@@ -7016,3 +7016,182 @@ FROM ({inner})
 
 EXTRA_QUERIES["doc_perplexity_kn"] = q_doc_perplexity_kn
 EXTRA_ORACLES["doc_perplexity_kn"] = _kn_perplexity_oracle()
+
+
+def _synth_mp3_l3(spark_df):
+    """doc_id-keyed MPEG-1 Layer III side-info synthesis (mapInPandas,
+    via the bit-level encoder in analytics/mp3.py): 1 + d%3 frames of
+    64 kbps 44.1 kHz mono, two granules each, every side-info field a
+    closed form in (doc_id, frame, granule) — window-switching granules
+    every third (d+g+f), short blocks when (d+g)%3 == 1, doc-keyed
+    scfsi/bit-reservoir pointers — so the oracle can replay the whole
+    census (including the §2.4.2.7 scalefactor bit budgets) in SQL."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import encode_mp3_layer3_sideinfo
+
+        def granule(d, f, g):
+            ws = 1 if (d + g + f) % 3 == 0 else 0
+            gd = {
+                "part2_3_length": (d + 100 * f + 37 * g) % 4096,
+                "big_values": (3 * d + 17 * g + 5 * f) % 289,
+                "global_gain": (d + 29 * g + 3 * f) % 256,
+                "scalefac_compress": (d + g + f) % 16,
+                "window_switching": ws,
+                "preflag": (d + g) % 2,
+                "scalefac_scale": d % 2,
+                "count1table_select": (d + f) % 2,
+            }
+            if ws:
+                gd["block_type"] = 1 + ((d + g) % 3)
+                gd["mixed_block"] = (d + f) % 2
+                gd["table_select"] = [(5 * d + i) % 32 for i in range(2)]
+                gd["subblock_gain"] = [(d + g + i) % 8 for i in range(3)]
+            else:
+                gd["block_type"] = 0
+                gd["mixed_block"] = 0
+                gd["table_select"] = [(5 * d + i) % 32 for i in range(3)]
+                gd["region0_count"] = d % 16
+                gd["region1_count"] = (d + g) % 8
+            return gd
+
+        def frame(d, f):
+            return {
+                "main_data_begin": (7 * d + 13 * f) % 512,
+                "scfsi": [d % 16],
+                "granules": [[granule(d, f, g)] for g in range(2)],
+            }
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp3_layer3_sideinfo(
+                        [frame(d, f) for f in range(1 + d % 3)], kbps=64
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df.select("doc_id")).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_mp3_l3_sideinfo_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III side-information decode through the gate
+    (analytics/mp3.py decode_mp3_layer3_sideinfo): the synthesized
+    streams round-trip the actual bitstream — §2.4.1.7 grammar packed
+    by encode_mp3_layer3_sideinfo, read back bit-exactly including the
+    window-switching tree, the bit-reservoir pointer, and the §2.4.2.7
+    scalefactor bit budgets with scfsi granule-1 reuse. A single
+    misplaced bit desyncs every later field of the frame, so the summed
+    census columns are a whole-bitstream checksum. (Spectral samples
+    are the documented Table B.7/B.8 raise — see
+    decode_mp3_layer3_samples.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    r = multimodal.mp3_layer3_sideinfo_census(_synth_mp3_l3(docs))
+    return r.select(
+        "doc_id", "n_frames", "sample_rate", "n_granules",
+        "sum_part2_3", "sum_big_values", "sum_global_gain",
+        "n_short_granules", "max_main_data_begin",
+        "n_reservoir_frames", "sum_scf_bits",
+    )
+
+
+SQL_MP3_L3_SIDEINFO = """
+WITH gk AS (
+  SELECT doc_id, f, g
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(3)) AS f)
+  CROSS JOIN (SELECT unnest(range(2)) AS g)
+  WHERE f < 1 + doc_id % 3
+),
+fields AS (
+  SELECT doc_id, f, g,
+         (doc_id + 100 * f + 37 * g) % 4096 AS part23,
+         (3 * doc_id + 17 * g + 5 * f) % 289 AS bv,
+         (doc_id + 29 * g + 3 * f) % 256 AS gg,
+         (doc_id + g + f) % 16 AS sc,
+         CASE WHEN (doc_id + g + f) % 3 = 0 THEN 1 ELSE 0 END AS ws,
+         1 + (doc_id + g) % 3 AS bt,
+         (doc_id + f) % 2 AS mixed,
+         doc_id % 16 AS scfsi
+  FROM gk
+),
+slens AS (
+  SELECT *,
+    CASE sc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0 WHEN 3 THEN 0
+            WHEN 4 THEN 3 WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+            WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2 WHEN 11 THEN 3
+            WHEN 12 THEN 3 WHEN 13 THEN 3 ELSE 4 END AS s1,
+    CASE sc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3
+            WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 2 WHEN 7 THEN 3
+            WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3 WHEN 11 THEN 1
+            WHEN 12 THEN 2 WHEN 13 THEN 3 WHEN 14 THEN 2 ELSE 3 END AS s2
+  FROM fields
+),
+scf AS (
+  SELECT *,
+    CASE
+      WHEN ws = 1 AND bt = 2 AND mixed = 1 THEN 17 * s1 + 18 * s2
+      WHEN ws = 1 AND bt = 2 THEN 18 * s1 + 18 * s2
+      WHEN g = 0 THEN 11 * s1 + 10 * s2
+      ELSE (CASE WHEN (scfsi // 8) % 2 = 0 THEN 6 * s1 ELSE 0 END)
+         + (CASE WHEN (scfsi // 4) % 2 = 0 THEN 5 * s1 ELSE 0 END)
+         + (CASE WHEN (scfsi // 2) % 2 = 0 THEN 5 * s2 ELSE 0 END)
+         + (CASE WHEN scfsi % 2 = 0 THEN 5 * s2 ELSE 0 END)
+    END AS scf_bits
+  FROM slens
+),
+frames AS (
+  SELECT DISTINCT doc_id, f, (7 * doc_id + 13 * f) % 512 AS mdb
+  FROM gk
+),
+fagg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_frames,
+         CAST(max(mdb) AS INT) AS max_main_data_begin,
+         CAST(sum(CASE WHEN mdb > 0 THEN 1 ELSE 0 END) AS INT)
+           AS n_reservoir_frames
+  FROM frames GROUP BY doc_id
+),
+gagg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_granules,
+         CAST(sum(part23) AS BIGINT) AS sum_part2_3,
+         CAST(sum(bv) AS BIGINT) AS sum_big_values,
+         CAST(sum(gg) AS BIGINT) AS sum_global_gain,
+         CAST(sum(CASE WHEN ws = 1 AND bt = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_short_granules,
+         CAST(sum(scf_bits) AS BIGINT) AS sum_scf_bits
+  FROM scf GROUP BY doc_id
+)
+SELECT d.doc_id, fa.n_frames, CAST(44100 AS INT) AS sample_rate,
+       ga.n_granules, ga.sum_part2_3, ga.sum_big_values,
+       ga.sum_global_gain, ga.n_short_granules, fa.max_main_data_begin,
+       fa.n_reservoir_frames, ga.sum_scf_bits
+FROM documents d
+JOIN fagg fa USING (doc_id)
+JOIN gagg ga USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["mp3_l3_sideinfo_census"] = q_mp3_l3_sideinfo_census
+EXTRA_ORACLES["mp3_l3_sideinfo_census"] = SQL_MP3_L3_SIDEINFO

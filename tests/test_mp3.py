@@ -635,3 +635,183 @@ def test_layer1_intensity_stereo_roundtrip():
     assert got["channels"] == 2
     assert got["n_samples"] == len(want)
     assert got["subband_rms"] == (sum(v * v for v in want) / len(want)) ** 0.5
+
+
+# --------------------------------------- Layer III side information
+from audit_star_spark.analytics.mp3 import (  # noqa: E402
+    decode_mp3_layer3_samples,
+    decode_mp3_layer3_sideinfo,
+    encode_mp3_layer3_sideinfo,
+)
+
+
+def _l3_granule(seed: int, ws: bool) -> dict:
+    g = {
+        "part2_3_length": (seed * 97) % 4096,
+        "big_values": (seed * 31) % 289,
+        "global_gain": (seed * 7) % 256,
+        "scalefac_compress": seed % 16,
+        "window_switching": int(ws),
+        "preflag": seed % 2,
+        "scalefac_scale": (seed // 2) % 2,
+        "count1table_select": (seed // 4) % 2,
+    }
+    if ws:
+        g["block_type"] = 1 + seed % 3
+        g["mixed_block"] = (seed // 3) % 2
+        g["table_select"] = [(seed + i) % 32 for i in range(2)]
+        g["subblock_gain"] = [(seed + i) % 8 for i in range(3)]
+    else:
+        g["block_type"] = 0
+        g["mixed_block"] = 0
+        g["table_select"] = [(seed + i) % 32 for i in range(3)]
+        g["region0_count"] = seed % 16
+        g["region1_count"] = (seed + 1) % 8
+    return g
+
+
+def _l3_frame(seed: int, channels: int = 1) -> dict:
+    return {
+        "main_data_begin": (seed * 11) % 512,
+        "scfsi": [(seed + ch) % 16 for ch in range(channels)],
+        "granules": [
+            [_l3_granule(seed + 10 * gr + ch, ws=(seed + gr) % 3 == 0)
+             for ch in range(channels)]
+            for gr in range(2)
+        ],
+    }
+
+
+def test_layer3_sideinfo_roundtrip_mono_and_stereo():
+    for channels in (1, 2):
+        frames = [_l3_frame(s, channels) for s in range(4)]
+        payload = encode_mp3_layer3_sideinfo(
+            frames, kbps=128, channels=channels
+        )
+        got = decode_mp3_layer3_sideinfo(payload)
+        assert got["n_frames"] == 4
+        assert got["channels"] == channels
+        assert got["n_granules"] == 4 * 2 * channels
+        assert got["max_main_data_begin"] == max(
+            (s * 11) % 512 for s in range(4)
+        )
+        # every transmitted field reads back exactly
+        by_key = {
+            (g["frame"], g["gr"], g["ch"]): g for g in got["granules"]
+        }
+        for fi, fr in enumerate(frames):
+            for gr in range(2):
+                for ch in range(channels):
+                    want = fr["granules"][gr][ch]
+                    g = by_key[fi, gr, ch]
+                    for k, v in want.items():
+                        assert g[k] == v, (fi, gr, ch, k)
+
+
+def test_layer3_sideinfo_hand_rolled_bitstream():
+    """Decode a frame built BY HAND (no encoder): mono 64 kbps, both
+    granules long blocks with known field values — catches any layout
+    disagreement the encode/decode pair could share."""
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+
+        def write(self, v, n):
+            self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+        def bytes_(self):
+            out, bits = bytearray(), self.bits + [0] * (-len(self.bits) % 8)
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i : i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+            return bytes(out)
+
+    header = (
+        (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+        | (5 << 12) | (0 << 10) | (0 << 9) | (0b11 << 6)
+    )  # MPEG-1, Layer III, no CRC, 64 kbps, 44.1 kHz, mono
+    bw = BW()
+    bw.write(header, 32)
+    bw.write(300, 9)   # main_data_begin
+    bw.write(0, 5)     # private
+    bw.write(0b1010, 4)  # scfsi: bands 0 and 2 reused in granule 1
+    for gr, (p23, bv, gg, sc) in enumerate(
+        [(1234, 250, 200, 5), (2345, 100, 150, 14)]
+    ):
+        bw.write(p23, 12)
+        bw.write(bv, 9)
+        bw.write(gg, 8)
+        bw.write(sc, 4)
+        bw.write(0, 1)  # no window switching
+        for t in (3, 17, 30):
+            bw.write(t, 5)
+        bw.write(9, 4)  # region0
+        bw.write(5, 3)  # region1
+        bw.write(1, 1)  # preflag
+        bw.write(0, 1)  # scalefac_scale
+        bw.write(1, 1)  # count1table_select
+    body = bw.bytes_()
+    size = (144 * 64 * 1000) // 44100
+    got = decode_mp3_layer3_sideinfo(body + bytes(size - len(body)))
+    assert got["n_frames"] == 1 and got["channels"] == 1
+    assert got["sum_part2_3"] == 1234 + 2345
+    assert got["sum_big_values"] == 350
+    assert got["sum_global_gain"] == 350
+    assert got["max_main_data_begin"] == 300
+    assert got["n_reservoir_frames"] == 1
+    g0, g1 = got["granules"]
+    assert g0["table_select"] == [3, 17, 30]
+    assert g0["region0_count"] == 9 and g0["region1_count"] == 5
+    # scf bits: sc=5 -> slen (1,1): gr0 = 11 + 10 = 21;
+    # sc=14 -> (4,2): gr1 with scfsi 1010 skips bands 0 (6*s1) and 2
+    # (5*s2): (5*4) + (5*2) = 30
+    assert g0["scf_bits"] == 21
+    assert g1["scf_bits"] == 30
+    assert got["sum_scf_bits"] == 51
+
+
+def test_layer3_scf_bit_budgets_per_block_type():
+    """§2.4.2.7 budgets: long 11*s1+10*s2, short 18/18, mixed 17/18;
+    scfsi reuse applies only to granule-1 long blocks."""
+    from audit_star_spark.analytics.mp3 import _scf_bits
+
+    assert _scf_bits(0, 0, 0, 0, 0, 3, 2) == 11 * 3 + 10 * 2
+    assert _scf_bits(1, 0b1111, 0, 0, 0, 3, 2) == 0  # all reused
+    assert _scf_bits(1, 0b1111, 1, 2, 0, 3, 2) == 18 * 3 + 18 * 2  # short
+    assert _scf_bits(0, 0, 1, 2, 1, 3, 2) == 17 * 3 + 18 * 2  # mixed
+    assert _scf_bits(1, 0b1000, 0, 0, 0, 4, 1) == 5 * 4 + 5 * 1 + 5 * 1
+
+
+def test_layer3_sideinfo_poison_contracts():
+    frames = [_l3_frame(0)]
+    good = encode_mp3_layer3_sideinfo(frames, kbps=64)
+    with pytest.raises(ValueError):
+        decode_mp3_layer3_sideinfo(b"\x00" * 64)  # no sync
+    with pytest.raises(ValueError):  # Layer II stream must be rejected
+        decode_mp3_layer3_sideinfo(
+            encode_mp3_layer2([_make_frame(0)], kbps=192)
+        )
+    # big_values > 288 poison: patch the field in-place (bit 32+9+5+4+12)
+    bad = bytearray(good)
+    # big_values field starts at bit 62; set it to 511 (all ones)
+    for bit in range(62, 71):
+        bad[bit // 8] |= 0x80 >> (bit % 8)
+    with pytest.raises(ValueError):
+        decode_mp3_layer3_sideinfo(bytes(bad))
+    # the honest sample-decode boundary names the blocking tables
+    with pytest.raises(NotImplementedError) as ei:
+        decode_mp3_layer3_samples(good)
+    assert "B.7" in str(ei.value) and "B.8" in str(ei.value)
+
+
+def test_layer3_block_type_zero_with_switching_rejected():
+    fr = _l3_frame(0)
+    fr["granules"][0][0]["window_switching"] = 1
+    fr["granules"][0][0]["block_type"] = 0
+    fr["granules"][0][0]["table_select"] = [1, 2]
+    fr["granules"][0][0]["subblock_gain"] = [0, 0, 0]
+    with pytest.raises(ValueError):
+        encode_mp3_layer3_sideinfo([fr], kbps=64)
