@@ -675,6 +675,86 @@ def _gen_groupwise_max_joinback(rng: random.Random) -> str:
     )
 
 
+def _gen_window_over_distinct_agg(rng: random.Random) -> str:
+    """Window functions layered over COUNT(DISTINCT) group aggregates —
+    rank/share-of-partition analytics on deduplicated counts."""
+    k = rng.randint(3, 9)
+    col = rng.choice(["o_orderpriority", "o_custkey % 4"])
+    return (
+        f"WITH g AS (SELECT o_orderstatus AS st, o_custkey % {k} AS grp, "
+        f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS dc "
+        f"FROM orders{_where(rng)} GROUP BY 1, 2) "
+        f"SELECT st, grp, dc, "
+        f"CAST(RANK() OVER (PARTITION BY st ORDER BY dc DESC, grp) "
+        f"AS BIGINT) AS rk, "
+        f"CAST(SUM(dc) OVER (PARTITION BY st) AS BIGINT) AS tot FROM g"
+    )
+
+
+def _gen_exists_in_case(rng: random.Random) -> str:
+    """Correlated EXISTS inside a CASE inside an aggregate — the
+    conditional-count-by-probe shape."""
+    bal = rng.randint(0, 5000)
+    status = rng.choice(["'O'", "'F'", "'P'"])
+    return (
+        f"SELECT o_orderstatus, "
+        f"CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM customer c "
+        f"WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > {bal}) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders o WHERE o_orderstatus = {status} "
+        f"GROUP BY o_orderstatus"
+    )
+
+
+def _gen_chained_correlated_subquery(rng: random.Random) -> str:
+    """Two-deep nested correlation: the innermost IN-subquery
+    correlates to ITS outer (o2), which itself correlates to the
+    outermost (o). NOTE a true two-outer-level reference (innermost
+    touching o directly) is rejected by Spark's analyzer
+    (UNRESOLVED_COLUMN — correlation is single-level only), so that
+    variant is a documented dialect boundary, not a corpus shape."""
+    ln = rng.randint(1, 5)
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders o "
+        f"WHERE o.o_totalprice > ("
+        f"SELECT MIN(o2.o_totalprice) FROM orders o2 "
+        f"WHERE o2.o_custkey = o.o_custkey "
+        f"AND o2.o_orderkey IN (SELECT l.l_orderkey FROM lineitem l "
+        f"WHERE l.l_orderkey = o2.o_orderkey "
+        f"AND l.l_linenumber <= {ln})) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
+def _gen_case_bucket_distinct(rng: random.Random) -> str:
+    """GROUP BY a CASE bucket expression with COUNT DISTINCT — the
+    histogram-with-dedup shape."""
+    lo = rng.randint(20000, 80000)
+    hi = lo + rng.randint(50000, 150000)
+    return (
+        f"SELECT CASE WHEN o_totalprice < {lo} THEN 'lo' "
+        f"WHEN o_totalprice < {hi} THEN 'mid' ELSE 'hi' END AS bucket, "
+        f"CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nc, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders{_where(rng)} GROUP BY 1"
+    )
+
+
+def _gen_exists_not_exists_mix(rng: random.Random) -> str:
+    """Semi join AND anti join on the same probe table in one WHERE."""
+    status = rng.choice(["'O'", "'F'", "'P'"])
+    cap = rng.randint(150000, 400000)
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer c "
+        f"WHERE EXISTS (SELECT 1 FROM orders o "
+        f"WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = {status}) "
+        f"AND NOT EXISTS (SELECT 1 FROM orders o2 "
+        f"WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > {cap})"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -710,6 +790,11 @@ def _corpus() -> list[str]:
         + [_gen_timestamp_proximity_join(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_where_scalar_avg(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_groupwise_max_joinback(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_window_over_distinct_agg(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_exists_in_case(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_chained_correlated_subquery(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_case_bucket_distinct(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_exists_not_exists_mix(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
