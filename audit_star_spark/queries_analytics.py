@@ -7195,3 +7195,107 @@ JOIN gagg ga USING (doc_id)
 
 EXTRA_QUERIES["mp3_l3_sideinfo_census"] = q_mp3_l3_sideinfo_census
 EXTRA_ORACLES["mp3_l3_sideinfo_census"] = SQL_MP3_L3_SIDEINFO
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature quality classifier through the
+    gate (analytics/classifier.py — the CCNet/LLaMA linear filter):
+    hashing-trick term frequencies (512 features + bias), logistic
+    regression trained with TWO fixed full-batch GD steps from w = 0 on
+    closed-form weak labels (length >= 30 tokens), per-source report.
+    The oracle replays feature hashing, both gradient steps (sorted
+    folds), the sigmoid scores and the rounded-threshold decisions —
+    every weight bit-derived from the corpus."""
+    from audit_star_spark.analytics.classifier import (
+        quality_classifier_report,
+    )
+
+    return quality_classifier_report(
+        load_table(spark, sf_dir, "documents"),
+        n_features=512,
+        lr=1.0,
+        steps=2,
+        min_tokens=30,
+    ).orderBy("source")
+
+
+def _quality_classifier_sql(
+    n_features: int = 512, lr: float = 1.0, min_tokens: int = 30
+) -> str:
+    fold = lambda xs: d_fold(  # noqa: E731
+        f"list_sort(list({xs}))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    nf = n_features
+    return f"""
+WITH tl AS (
+  SELECT doc_id, source, {D_TOKENS} AS toks FROM documents
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {min_tokens} THEN 1 ELSE 0 END AS y
+  FROM tl
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM tl),
+feat0 AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % {nf} AS feat,
+         count(*) AS c
+  FROM tok GROUP BY 1, 2
+),
+dn AS (SELECT doc_id, sum(c) AS n FROM feat0 GROUP BY 1),
+feats AS (
+  SELECT doc_id, feat, CAST(c AS DOUBLE) / n AS x
+  FROM feat0 JOIN dn USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST({nf} AS BIGINT) AS feat, 1.0 AS x FROM tl
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+g1 AS (
+  SELECT feat, {fold('xr')} / any_value(nd.n) AS gm
+  FROM (SELECT f.doc_id, f.feat, f.x * (0.5 - l.y) AS xr
+        FROM feats f JOIN lab l USING (doc_id)) CROSS JOIN nd
+  GROUP BY feat
+),
+w1 AS (SELECT feat, -{float(lr)!r} * gm AS w FROM g1),
+s2 AS (
+  SELECT f.doc_id, {fold('f.x * w1.w')} AS s
+  FROM feats f JOIN w1 USING (feat) GROUP BY f.doc_id
+),
+r2 AS (
+  SELECT l.doc_id,
+         1.0 / (1.0 + exp(-COALESCE(s2.s, 0.0))) - l.y AS r
+  FROM lab l LEFT JOIN s2 USING (doc_id)
+),
+g2 AS (
+  SELECT feat, {fold('xr')} / any_value(nd.n) AS gm
+  FROM (SELECT f.doc_id, f.feat, f.x * r2.r AS xr
+        FROM feats f JOIN r2 USING (doc_id)) CROSS JOIN nd
+  GROUP BY feat
+),
+w2 AS (
+  SELECT feat,
+         COALESCE(w1.w, 0.0) + COALESCE(-{float(lr)!r} * g2.gm, 0.0) AS w
+  FROM w1 FULL OUTER JOIN g2 USING (feat)
+),
+score AS (
+  SELECT f.doc_id, {fold('f.x * w2.w')} AS s
+  FROM feats f JOIN w2 USING (feat) GROUP BY f.doc_id
+),
+prob AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-s)) AS p FROM score
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l.y) AS BIGINT) AS n_positive_label,
+       round(avg(p.p), 6) AS mean_prob,
+       CAST(sum(CASE WHEN round(p.p, 6) >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pred_positive
+FROM documents d
+JOIN lab l USING (doc_id)
+JOIN prob p USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+EXTRA_QUERIES["quality_classifier"] = q_quality_classifier
+EXTRA_ORACLES["quality_classifier"] = _quality_classifier_sql()
