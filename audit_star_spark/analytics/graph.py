@@ -424,3 +424,113 @@ r{i + 1} AS MATERIALIZED (
         )
     body = ",\n".join(parts[1:])
     return f"{parts[0]},\n{body}\nSELECT node, rank FROM r{n_iter}"
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) after ``n_iter``
+    mutual-reinforcement rounds: per round, authority(v) = sum of hub
+    scores over in-links, then hub(u) = sum of (new) authority scores
+    over out-links, each L1-normalized (sum-to-1 — the NetworkX-style
+    convention; L2 would drag a cross-engine sqrt into every round).
+    Duplicate edges count as parallel links, matching pagerank.
+
+    Returns (node, hub, authority) for every node appearing as src or
+    dst; a node with no in-links has authority 0, no out-links hub 0.
+
+    Scale shape — same class as :func:`pagerank`: the edge layout
+    materializes once; each round is two keyed aggregations joined
+    against the node-sized score frame (no broadcast of anything
+    corpus-sized; normalization is a 1-row broadcast aggregate); every
+    round re-materializes to cut lineage (``checkpoint_dir`` for
+    reliable checkpoints, the plans/iterate.py trade)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    nodes = iter_materialize(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+        eager=False,
+    )
+    e = iter_materialize(edges.repartition("src"), checkpoint_dir, eager=False)
+    hubs = nodes.select("node", F.lit(1.0).alias("h"))
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_tot = a_raw.agg(F.coalesce(F.sum("a"), F.lit(1.0)).alias("t"))
+        auths = iter_materialize(
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("t")).alias("a"),
+            ),
+            checkpoint_dir,
+        )
+        h_raw = (
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_tot = h_raw.agg(F.coalesce(F.sum("h"), F.lit(1.0)).alias("t"))
+        hubs = iter_materialize(
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce(F.col("h"), F.lit(0.0)) / F.col("t")).alias("h"),
+            ),
+            checkpoint_dir,
+        )
+    return (
+        hubs.join(auths, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )
+
+
+def hits_sql_iterations(edges_cte: str, n_iter: int) -> str:
+    """DuckDB mirror of :func:`hits`: the same rounds unrolled as
+    MATERIALIZED CTEs (see pagerank_sql_iterations for why)."""
+    parts = [
+        f"WITH {edges_cte}",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)""",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst, sum(h.h) AS a FROM edges e JOIN h{i} h ON h.node = e.src
+  GROUP BY e.dst
+),
+at{i} AS MATERIALIZED (SELECT coalesce(sum(a), 1.0) AS t FROM ar{i}),
+a{i + 1} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.a, 0.0) / at{i}.t AS a
+  FROM nodes n LEFT JOIN ar{i} r ON n.node = r.dst CROSS JOIN at{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src, sum(a.a) AS h FROM edges e JOIN a{i + 1} a ON a.node = e.dst
+  GROUP BY e.src
+),
+ht{i} AS MATERIALIZED (SELECT coalesce(sum(h), 1.0) AS t FROM hr{i}),
+h{i + 1} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.h, 0.0) / ht{i}.t AS h
+  FROM nodes n LEFT JOIN hr{i} r ON n.node = r.src CROSS JOIN ht{i}
+)"""
+        )
+    body = ",\n".join(parts[1:])
+    return (
+        f"{parts[0]},\n{body}\n"
+        f"SELECT h.node, h.h AS hub, a.a AS authority "
+        f"FROM h{n_iter} h JOIN a{n_iter} a USING (node)"
+    )

@@ -7299,3 +7299,54 @@ ORDER BY d.source
 
 EXTRA_QUERIES["quality_classifier"] = q_quality_classifier
 EXTRA_ORACLES["quality_classifier"] = _quality_classifier_sql()
+
+
+def q_doc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (analytics/graph.py hits) over the same
+    deterministic doc-level link graph as doc_pagerank — the other
+    classic link-analysis signal (page quality via mutual
+    reinforcement). Both engines generate the SAME closed-form edges;
+    the oracle unrolls the identical L1-normalized rounds as
+    MATERIALIZED CTEs. Scores rounded to 9 decimals (float sums
+    associate differently across engines)."""
+    from audit_star_spark.analytics.graph import hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    nd = docs.agg(F.count("*").alias("n"))
+    linkers = docs.filter(F.col("doc_id") % 17 != 0).crossJoin(F.broadcast(nd))
+    edges = linkers.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % F.col("n")).alias("dst"),
+    ).unionByName(
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % F.col("n")).alias("dst"),
+        )
+    )
+    r = hits(edges, n_iter=PAGERANK_ITERS)
+    return r.select(
+        F.col("node").alias("doc_id"),
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+
+
+def _hits_sql() -> str:
+    from audit_star_spark.analytics.graph import hits_sql_iterations
+
+    edges_cte = """nn0 AS (SELECT count(*) AS n FROM documents),
+linkers AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 13 + 3) % nn0.n AS dst FROM linkers CROSS JOIN nn0
+)"""
+    inner = hits_sql_iterations(edges_cte, n_iter=PAGERANK_ITERS)
+    return f"""
+SELECT node AS doc_id, round(hub, 9) AS hub, round(authority, 9) AS authority
+FROM ({inner})
+"""
+
+
+EXTRA_QUERIES["doc_hits"] = q_doc_hits
+EXTRA_ORACLES["doc_hits"] = _hits_sql()

@@ -249,3 +249,78 @@ def test_ppr_validates_params(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     with _pytest.raises(ValueError, match="seed"):
         personalized_pagerank(edges, seeds=[])
+
+
+# ------------------------------------------------- HITS hubs/authorities
+class TestHits:
+    def _run(self, spark, edges, n_iter=3):
+        from audit_star_spark.analytics.graph import hits
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: (r["hub"], r["authority"])
+            for r in hits(df, n_iter=n_iter).collect()
+        }
+
+    @staticmethod
+    def _model(edges, n_iter):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        h = {n: 1.0 for n in nodes}
+        a = {}
+        for _ in range(n_iter):
+            a = {n: 0.0 for n in nodes}
+            for u, v in edges:
+                a[v] += h[u]
+            t = sum(a.values()) or 1.0
+            a = {n: x / t for n, x in a.items()}
+            h = {n: 0.0 for n in nodes}
+            for u, v in edges:
+                h[u] += a[v]
+            t = sum(h.values()) or 1.0
+            h = {n: x / t for n, x in h.items()}
+        return {n: (h[n], a[n]) for n in nodes}
+
+    def test_matches_reference_model(self, spark):
+        edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5), (2, 5), (5, 1)]
+        got = self._run(spark, edges, n_iter=4)
+        want = self._model(edges, 4)
+        assert set(got) == set(want)
+        for n in want:
+            assert got[n][0] == pytest.approx(want[n][0], rel=1e-9), n
+            assert got[n][1] == pytest.approx(want[n][1], rel=1e-9), n
+
+    def test_hub_authority_separation(self, spark):
+        """A pure directory page (links out, never linked) must be all
+        hub and zero authority; a pure reference (linked, never links)
+        the reverse — the structure HITS exists to detect."""
+        edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)]
+        got = self._run(spark, edges, n_iter=3)
+        for src in (1, 2, 3):
+            assert got[src][1] == 0.0  # never linked -> no authority
+            assert got[src][0] > 0.0
+        for dst in (10, 11):
+            assert got[dst][0] == 0.0  # never links out -> no hub
+            assert got[dst][1] > 0.0
+        # 10 is cited by all three hubs, 11 by two: strictly more authority
+        assert got[10][1] > got[11][1]
+        # hubs 1 and 2 cite both top authorities, 3 only one
+        assert got[1][0] == pytest.approx(got[2][0], rel=1e-12)
+        assert got[1][0] > got[3][0]
+
+    def test_scores_normalize_to_one(self, spark):
+        edges = [(i, (i * 3 + 1) % 7) for i in range(7)]
+        got = self._run(spark, edges, n_iter=5)
+        assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+        assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_parallel_edges_count_twice(self, spark):
+        once = self._run(spark, [(1, 2), (3, 2), (3, 4)], n_iter=2)
+        twice = self._run(spark, [(1, 2), (1, 2), (3, 2), (3, 4)], n_iter=2)
+        assert twice[1][0] > once[1][0]  # duplicated link boosts the hub
+
+    def test_validation(self, spark):
+        from audit_star_spark.analytics.graph import hits
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            hits(df, n_iter=0)
