@@ -1,0 +1,163 @@
+"""PCA over the embedding corpus — top principal component by power
+iteration, as pure DataFrame algebra.
+
+The corpus-analysis questions this answers are standard embedding-ops
+fare: is there a dominant direction (anisotropy — common in LM
+embeddings, Mu & Viswanath 2018 "All-but-the-Top"), how much variance
+it explains, and each dimension's loading (the direction to subtract
+for whitening, or to keep for a 1-D diagnostic projection).
+
+Why power iteration and not eigh/SVD: a fixed number of matrix-vector
+products from a deterministic start uses only +,-,*,/ and sqrt — the
+same bit-portability argument as the OPQ Givens rotation — so the
+DuckDB oracle replays the whole computation, which no library
+eigensolver allows.
+
+Scale shape:
+- the covariance accumulates ONE D^2-row table: vectors explode in-row
+  to (i, j, x_i*x_j) triples that partial-aggregate map-side, so the
+  shuffle carries D^2 partials per task, never rows. (The gate path
+  folds sorted collected products per (i, j) for bit determinism — the
+  repo's convention; a production run would use plain sum() or a
+  per-partition numpy gram in mapInPandas.)
+- every power-iteration step is a join of the broadcast D-row vector
+  against the D^2-row covariance and one D-group aggregation —
+  driver never sees data, and the loop body is constant-size
+  regardless of corpus size.
+
+Sign convention: eigenvectors are sign-ambiguous; the loading of
+dimension 0 is forced non-negative (flip all if negative) so both
+engines agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from audit_star_spark.analytics.similarity import VEC_EXPR, _vec_dim
+from audit_star_spark.plans.iterate import iter_materialize
+
+_SORTED_SUM = (
+    "aggregate(array_sort(collect_list({0})), "
+    "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+)
+
+
+def covariance_table(emb: DataFrame, dim: int | None = None) -> DataFrame:
+    """(i, j, c): the (biased, /N) covariance of the embedding corpus —
+    centered with the per-dimension mean, both passes bit-deterministic
+    sorted folds."""
+    dim = dim or _vec_dim(emb)
+    base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+    n = base.count()
+    if n == 0:
+        raise ValueError("empty embedding corpus")
+    dims = base.select(F.posexplode("vec").alias("i", "x"))
+    mean = dims.groupBy("i").agg(
+        (F.expr(_SORTED_SUM.format("x")) / F.lit(float(n))).alias("m")
+    )
+    centered = base.crossJoin(
+        F.broadcast(
+            mean.agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), "
+                    "x -> x.m)"
+                ).alias("ml")
+            )
+        )
+    ).select(
+        "vec_id",
+        F.expr("zip_with(vec, ml, (x, m) -> x - m)").alias("cv"),
+    )
+    pairs = centered.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {dim - 1}), i -> "
+                f"transform(sequence(0, {dim - 1}), j -> "
+                f"named_struct('i', i, 'j', j, "
+                f"'v', element_at(cv, i + 1) * element_at(cv, j + 1)))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.v").alias("v"))
+    return pairs.groupBy("i", "j").agg(
+        (F.expr(_SORTED_SUM.format("v")) / F.lit(float(n))).alias("c")
+    )
+
+
+def pca_top_component(
+    emb: DataFrame, n_iter: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(loadings (dim, loading), stats (eigenvalue, trace, var_share) —
+    one row). ``n_iter`` power-iteration steps from the uniform start
+    1/sqrt(D); the final Rayleigh quotient v'Cv is the eigenvalue
+    estimate and var_share = eigenvalue / trace(C)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    dim = _vec_dim(emb)
+    # materialize once: the D^2-row covariance feeds every iteration
+    # (and each round's norm branch forks the DAG) — without truncated
+    # lineage Spark re-derives it exponentially, the same blowup the
+    # pagerank rounds guard against with iter_materialize
+    cov = iter_materialize(covariance_table(emb, dim))
+    spark = emb.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"),
+        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("val"),
+    )
+    for _ in range(n_iter):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .select("i", (F.col("c") * F.col("val")).alias("cv"))
+            .groupBy("i")
+            .agg(F.expr(_SORTED_SUM.format("cv")).alias("w"))
+        )
+        norm = w.agg(
+            F.sqrt(F.expr(_SORTED_SUM.format("w * w"))).alias("nrm")
+        )
+        # per-round truncation: w feeds both the norm and the next
+        # round's join — D-row frames, materialization is free
+        v = iter_materialize(
+            w.crossJoin(F.broadcast(norm))
+            .select(F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("val"))
+        )
+    # sign convention: dim 0's loading non-negative
+    sign = v.filter(F.col("j") == 0).select(
+        F.when(F.col("val") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sg")
+    )
+    loadings = v.crossJoin(F.broadcast(sign)).select(
+        F.col("j").alias("dim"), (F.col("val") * F.col("sg")).alias("loading")
+    )
+    cv = (
+        cov.join(F.broadcast(loadings.select(F.col("dim").alias("j"), "loading")), "j")
+        .select("i", (F.col("c") * F.col("loading")).alias("cv"))
+        .groupBy("i")
+        .agg(F.expr(_SORTED_SUM.format("cv")).alias("w"))
+    )
+    eig = (
+        cv.join(
+            F.broadcast(loadings.select(F.col("dim").alias("i"), "loading")), "i"
+        )
+        .agg(F.expr(_SORTED_SUM.format("w * loading")).alias("eigenvalue"))
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.expr(_SORTED_SUM.format("c")).alias("trace")
+    )
+    stats = eig.crossJoin(F.broadcast(trace)).select(
+        "eigenvalue",
+        "trace",
+        (F.col("eigenvalue") / F.col("trace")).alias("var_share"),
+    )
+    return loadings, stats
+
+
+def embedding_pca_report(emb: DataFrame, n_iter: int = 8) -> DataFrame:
+    """Per-dimension report: (dim, loading, var_share) with the top
+    component's explained-variance share repeated on every row (a
+    constant column keeps the result one hash-checkable frame)."""
+    loadings, stats = pca_top_component(emb, n_iter)
+    return loadings.crossJoin(F.broadcast(stats.select("var_share"))).select(
+        "dim",
+        F.round("loading", 9).alias("loading"),
+        F.round("var_share", 9).alias("var_share"),
+    )

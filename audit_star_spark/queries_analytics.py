@@ -7350,3 +7350,101 @@ FROM ({inner})
 
 EXTRA_QUERIES["doc_hits"] = q_doc_hits
 EXTRA_ORACLES["doc_hits"] = _hits_sql()
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus through the gate
+    (analytics/pca.py — 8 power-iteration steps from the uniform start;
+    +,-,*,/,sqrt only, so the oracle replays the WHOLE eigencomputation
+    including the covariance, every iteration, the sign convention and
+    the Rayleigh-quotient variance share — no library eigensolver on
+    either side). Anisotropy diagnostics and the whitening direction
+    for embedding pipelines (Mu & Viswanath 2018)."""
+    from audit_star_spark.analytics.pca import embedding_pca_report
+
+    return embedding_pca_report(
+        load_table(spark, sf_dir, "embeddings"), n_iter=8
+    )
+
+
+def _pca_sql(n_iter: int = 8, dim: int = 64) -> str:
+    fold = lambda xs: d_fold(  # noqa: E731
+        f"list_sort(list({xs}))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+dims AS (
+  SELECT k - 1 AS i, vec[k] AS x
+  FROM base, LATERAL (SELECT unnest(range(1, {dim + 1})) AS k)
+),
+mean AS (
+  SELECT i, {fold('x')} / any_value(nn.n) AS m FROM dims CROSS JOIN nn
+  GROUP BY i
+),
+ml AS (
+  SELECT list_transform(list_sort(list(struct_pack(i := i, m := m))),
+                        x -> x.m) AS ml
+  FROM mean
+),
+centered AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}),
+                        k -> vec[k] - ml[k]) AS cv
+  FROM base CROSS JOIN ml
+),
+pairs AS (
+  SELECT i.k - 1 AS i, j.k - 1 AS j, cv[i.k] * cv[j.k] AS v
+  FROM centered,
+       LATERAL (SELECT unnest(range(1, {dim + 1})) AS k) i,
+       LATERAL (SELECT unnest(range(1, {dim + 1})) AS k) j
+),
+cov AS MATERIALIZED (
+  SELECT i, j, {fold('v')} / any_value(nn.n) AS c
+  FROM pairs CROSS JOIN nn GROUP BY i, j
+),
+v0 AS (
+  SELECT unnest(range({dim})) AS j, 1.0 / sqrt(CAST({dim} AS DOUBLE)) AS val
+)"""
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT cov.i, {fold('cov.c * v.val')} AS w
+  FROM cov JOIN v{k} v ON v.j = cov.j GROUP BY cov.i
+),
+n{k} AS (SELECT sqrt({fold('w * w')}) AS nrm FROM w{k}),
+v{k + 1} AS MATERIALIZED (
+  SELECT i AS j, w / n{k}.nrm AS val FROM w{k} CROSS JOIN n{k}
+)"""
+        )
+    parts.append(
+        f"""sg AS (
+  SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM v{n_iter} WHERE j = 0
+),
+loadings AS (
+  SELECT j AS dim, val * sg.sg AS loading FROM v{n_iter} CROSS JOIN sg
+),
+cvf AS (
+  SELECT cov.i, {fold('cov.c * l.loading')} AS w
+  FROM cov JOIN loadings l ON l.dim = cov.j GROUP BY cov.i
+),
+eig AS (
+  SELECT {fold('c.w * l.loading')} AS eigenvalue
+  FROM cvf c JOIN loadings l ON l.dim = c.i
+),
+tr AS (SELECT {fold('c')} AS trace FROM cov WHERE i = j)"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT CAST(l.dim AS INT) AS dim, round(l.loading, 9) AS loading,
+       round(eig.eigenvalue / tr.trace, 9) AS var_share
+FROM loadings l CROSS JOIN eig CROSS JOIN tr
+"""
+
+
+EXTRA_QUERIES["embedding_pca"] = q_embedding_pca
+EXTRA_ORACLES["embedding_pca"] = _pca_sql()
