@@ -206,6 +206,21 @@ def train_kn_trigram_lm(
     mid (w2,m,f2), uni (w3,n1c), totals (nb,t1,v) — one row."""
     tri_stream = _trigrams(docs, tokens_expr)
     tri = tri_stream.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    vocab = (
+        docs.select(F.explode(F.expr(tokens_expr)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    return kn_tables_from_counts(tri, vocab)
+
+
+def kn_tables_from_counts(tri: DataFrame, vocab: DataFrame) -> dict[str, DataFrame]:
+    """Derive every KN statistic from the raw MERGEABLE count tables —
+    tri (w1, w2, w3, c3) trigram token counts and vocab (w, c) unigram
+    token counts. Both merge across shards/batches by summing c, so a
+    streaming store only ever persists these two; continuation (type)
+    counts are functions of WHICH keys exist, which the merged type
+    table preserves exactly."""
     ctx = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c12"), F.count("*").alias("n3f")
     )
@@ -214,9 +229,7 @@ def train_kn_trigram_lm(
         F.sum("n1").alias("m"), F.count("*").cast("long").alias("f2")
     )
     uni = cont.groupBy("w3").agg(F.count("*").cast("long").alias("n1c"))
-    v = docs.select(F.explode(F.expr(tokens_expr)).alias("w")).agg(
-        F.countDistinct("w").alias("v")
-    )
+    v = vocab.agg(F.count("*").alias("v"))
     totals = (
         uni.agg(
             F.sum("n1c").alias("nb"), F.count("*").cast("long").alias("t1")
@@ -250,6 +263,21 @@ def doc_perplexity_kn(
     model = train_kn_trigram_lm(
         train_docs if train_docs is not None else docs, tokens_expr
     )
+    return score_kn(docs, model, discount=discount, tokens_expr=tokens_expr)
+
+
+def score_kn(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    discount: float = 0.75,
+    tokens_expr: str = TOKENS_EXPR,
+) -> DataFrame:
+    """Score ``docs`` against a prebuilt KN model dict (the
+    train_kn_trigram_lm / kn_tables_from_counts shape) — the scoring
+    half of :func:`doc_perplexity_kn`, shared with the streaming count
+    store."""
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
     d = F.lit(float(discount))
     tg = _trigrams(docs, tokens_expr)
     j = (
