@@ -260,6 +260,7 @@ def add_pq_codes(
     k_codes: int = 16,
     by_residual: bool = True,
     iters: int = 1,
+    use_opq: bool = False,
 ) -> None:
     """Extend a built IVF index with product-quantization artifacts
     (the FAISS IVF-PQ layout):
@@ -280,7 +281,17 @@ def add_pq_codes(
     Codes live under the same hive partitioning as the assignments, so
     a probe prunes code files exactly like vector files — but reads
     m_sub ints per row instead of dim floats (16x smaller at
-    64-dim/4-sub)."""
+    64-dim/4-sub).
+
+    ``use_opq=True`` composes the learned OPQ rotation (analytics/pq.py
+    — Ge et al. 2013 via closed-form cross-subspace Givens pairs) with
+    whichever encoding is selected: the PQ INPUT (residuals under
+    IVFADC, raw vectors otherwise) is rotated before codebook training
+    and encoding, the rotation persists to <index_dir>/opq_rotation,
+    and probe_pq rotates each query('s residual) with the same
+    coefficients before tabulating — so the whole R·x quantization is
+    transparent to callers and raises recall at the identical code
+    budget (the monotone-error argument in pq.py)."""
     from audit_star_spark.analytics.pq import pq_encode, pq_train
 
     spark = emb.sparkSession
@@ -304,12 +315,45 @@ def add_pq_codes(
         )
     else:
         pq_input = emb
-    codebook = pq_train(pq_input, m_sub=m_sub, k=k_codes, iters=iters)
-    codebook.write.mode("overwrite").parquet(
-        os.path.join(index.index_dir, "pq_codebook")
-    )
-    saved_cb = spark.read.parquet(os.path.join(index.index_dir, "pq_codebook"))
-    codes = pq_encode(pq_input, saved_cb, m_sub=m_sub)
+    if use_opq:
+        from audit_star_spark.analytics.pq import (
+            _encode_base,
+            _lloyd_round,
+            _subvecs,
+            opq_rotate,
+            opq_rotation,
+        )
+        from audit_star_spark.analytics.similarity import VEC_EXPR
+
+        dim = index.meta()["dim"]
+        base = pq_input.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+        cb0 = pq_train(pq_input, m_sub=m_sub, k=k_codes, iters=iters)
+        opq_rotation(base, cb0, dim, m_sub).write.mode("overwrite").parquet(
+            os.path.join(index.index_dir, "opq_rotation")
+        )
+        rot = spark.read.parquet(
+            os.path.join(index.index_dir, "opq_rotation")
+        )  # encode with the PERSISTED coefficients, like the codebook
+        rotated = opq_rotate(base, rot, dim)
+        # re-encode against cb0 + one Lloyd re-mean: the monotone
+        # alternation (see pq.py module header)
+        codebook = _lloyd_round(_subvecs(rotated, dim, m_sub), cb0)
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(index.index_dir, "pq_codebook")
+        )
+        saved_cb = spark.read.parquet(
+            os.path.join(index.index_dir, "pq_codebook")
+        )
+        codes = _encode_base(rotated, saved_cb, dim, m_sub)
+    else:
+        codebook = pq_train(pq_input, m_sub=m_sub, k=k_codes, iters=iters)
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(index.index_dir, "pq_codebook")
+        )
+        saved_cb = spark.read.parquet(
+            os.path.join(index.index_dir, "pq_codebook")
+        )
+        codes = pq_encode(pq_input, saved_cb, m_sub=m_sub)
     cells = index.assignments(spark).select("vec_id", "cell_id")
     (
         codes.join(cells, "vec_id")
@@ -324,6 +368,7 @@ def add_pq_codes(
                 "k_codes": int(k_codes),
                 "by_residual": bool(by_residual),
                 "iters": int(iters),
+                "opq": bool(use_opq),
             },
             f,
         )
@@ -411,13 +456,30 @@ def probe_pq(
         "aggregate(zip_with(qsvec, centroid, (x, y) -> (x - y) * (x - y)), "
         "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
     )
+
+    def _maybe_rotate(df: DataFrame, vec_col: str) -> DataFrame:
+        # OPQ indexes: the codes live in rotated space, so the query
+        # (residual) must rotate with the persisted coefficients before
+        # the distance table is built — one broadcast of D/2 rows
+        if not pq_meta.get("opq", False):
+            return df
+        from audit_star_spark.analytics.pq import opq_rotate
+
+        rot = spark.read.parquet(
+            os.path.join(index.index_dir, "opq_rotation")
+        )
+        return opq_rotate(df, rot, dim, vec_col=vec_col)
+
     if by_residual:
-        qres = probes.join(
-            F.broadcast(cents.select("cell_id", "cvec")), "cell_id"
-        ).select(
-            "query_id",
-            "cell_id",
-            F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias("rq"),
+        qres = _maybe_rotate(
+            probes.join(
+                F.broadcast(cents.select("cell_id", "cvec")), "cell_id"
+            ).select(
+                "query_id",
+                "cell_id",
+                F.expr("zip_with(qvec, cvec, (x, y) -> x - y)").alias("rq"),
+            ),
+            "rq",
         )
         qsub = _slices(qres, "rq", ["query_id", "cell_id"])
         table = qsub.join(codebook.withColumnRenamed("cell_id", "code"), "sub_id").select(
@@ -425,7 +487,11 @@ def probe_pq(
         )
         table_keys = ["query_id", "cell_id", "sub_id", "code"]
     else:
-        qsub = _slices(q, "qvec", ["query_id"])
+        qsub = _slices(
+            _maybe_rotate(q.select("query_id", "qvec"), "qvec"),
+            "qvec",
+            ["query_id"],
+        )
         table = qsub.join(codebook.withColumnRenamed("cell_id", "code"), "sub_id").select(
             "query_id", "sub_id", "code", pd_expr.alias("pd")
         )

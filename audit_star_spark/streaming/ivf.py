@@ -131,6 +131,24 @@ class StreamingIVFIngest:
                 enc_in = assigned.select(
                     "vec_id", F.col("vec").alias("embedding")
                 )
+            if meta.get("opq", False):
+                # OPQ index: streamed vectors must rotate with the
+                # PERSISTED coefficients before encoding, or their
+                # codes would live in the wrong space
+                from audit_star_spark.analytics.pq import opq_rotate
+
+                rot = spark.read.parquet(
+                    os.path.join(self.index.index_dir, "opq_rotation")
+                )
+                dim = self.index.meta()["dim"]
+                enc_in = opq_rotate(
+                    enc_in.select(
+                        "vec_id", F.expr(VEC_EXPR).alias("embedding")
+                    ),
+                    rot,
+                    dim,
+                    vec_col="embedding",
+                )
             codes = pq_encode(enc_in, cb, m_sub=meta["m_sub"])
             (
                 codes.join(assigned.select("vec_id", "cell_id"), "vec_id")

@@ -202,7 +202,10 @@ def test_pq_layout_and_meta(pq_index, spark):
     assert any(p.startswith("cell_id=") for p in parts)
     with open(os.path.join(pq_index.index_dir, "_ivfpq_meta.json")) as f:
         m = _json.load(f)
-    assert m == {"m_sub": 4, "k_codes": 16, "by_residual": True, "iters": 1}
+    assert m == {
+        "m_sub": 4, "k_codes": 16, "by_residual": True, "iters": 1,
+        "opq": False,
+    }
     codes = spark.read.parquet(os.path.join(pq_index.index_dir, "pq_codes"))
     rows = codes.collect()
     assert len(rows) == pq_index.meta()["n_vectors"]
@@ -431,3 +434,153 @@ def test_rerank_validates_params(pq_index, spark, emb):
 
     with _pytest.raises(ValueError):
         probe_pq_rerank(pq_index, _self_queries(emb, 1), k=10, rerank=5)
+
+
+# -------------------------------------------------------- OPQ x IVFADC
+
+
+@pytest.fixture(scope="module")
+def pq_index_opq(spark, emb, tmp_path_factory):
+    """Residual IVF-PQ with the learned OPQ rotation composed in."""
+    from audit_star_spark.analytics.ivf_index import (
+        add_pq_codes,
+        build_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivfpq_opq") / "idx")
+    idx = build_ivf_index(emb, d, n_cells=8, iters=1)
+    add_pq_codes(idx, emb, m_sub=4, k_codes=16, use_opq=True)
+    return idx
+
+
+def test_opq_index_layout_meta_and_rotation(pq_index_opq, spark):
+    import json as _json
+
+    assert os.path.isdir(os.path.join(pq_index_opq.index_dir, "opq_rotation"))
+    with open(os.path.join(pq_index_opq.index_dir, "_ivfpq_meta.json")) as f:
+        assert _json.load(f)["opq"] is True
+    rot = spark.read.parquet(
+        os.path.join(pq_index_opq.index_dir, "opq_rotation")
+    )
+    rows = rot.collect()
+    assert len(rows) == 32  # D/2 pairs at dim 64
+    for r in rows:
+        assert abs(r["c"] ** 2 + r["s"] ** 2 - 1.0) < 1e-12
+
+
+def test_opq_residual_quantizes_tighter_than_plain_residual(
+    pq_index, pq_index_opq, spark, emb
+):
+    """The composition's point: rotating the residuals before PQ must
+    lower reconstruction error vs plain residual encoding at the same
+    m_sub/k budget (rotation is an isometry, so errors in rotated and
+    original space are directly comparable — the pq.py monotone
+    argument applied to residuals)."""
+    from audit_star_spark.analytics.pq import _D2, opq_rotate
+    from audit_star_spark.analytics.similarity import VEC_EXPR  # noqa: F401
+
+    def mse(idx, rotate):
+        cb = spark.read.parquet(os.path.join(idx.index_dir, "pq_codebook"))
+        codes = spark.read.parquet(os.path.join(idx.index_dir, "pq_codes"))
+        cents = idx.centroids(spark).select(
+            "cell_id", F.col("centroid").alias("cvec")
+        )
+        tgt = (
+            idx.assignments(spark)
+            .join(F.broadcast(cents), "cell_id")
+            .select(
+                "vec_id",
+                F.expr("zip_with(vec, cvec, (x, y) -> x - y)").alias("t"),
+            )
+        )
+        if rotate:
+            rot = spark.read.parquet(
+                os.path.join(idx.index_dir, "opq_rotation")
+            )
+            tgt = opq_rotate(tgt, rot, 64, vec_col="t")
+        w = 64 // 4
+        sub = tgt.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, 3), s -> named_struct("
+                    f"'sub_id', s, 'sv', slice(t, s * {w} + 1, {w})))"
+                )
+            ).alias("x"),
+        ).select(
+            "vec_id",
+            F.col("x.sub_id").alias("sub_id"),
+            F.col("x.sv").alias("sv"),
+        )
+        joined = (
+            sub.join(
+                codes.select(
+                    "vec_id", F.posexplode("codes").alias("sub_id", "code")
+                ),
+                ["vec_id", "sub_id"],
+            )
+            .join(
+                F.broadcast(
+                    cb.select(
+                        "sub_id", F.col("cell_id").alias("code"), "centroid"
+                    )
+                ),
+                ["sub_id", "code"],
+            )
+        )
+        return (
+            joined.select(F.expr(_D2.format(a="sv", b="centroid")).alias("e"))
+            .agg(F.avg("e"))
+            .collect()[0][0]
+        )
+
+    plain = mse(pq_index, rotate=False)
+    opq = mse(pq_index_opq, rotate=True)
+    assert opq <= plain
+    assert opq < plain * 0.9999  # actually learned, not degenerate
+
+
+def test_opq_probe_ranks_against_rotated_codes(pq_index_opq, spark, emb):
+    """probe_pq on an OPQ index must rotate the query residual before
+    tabulating — recall must clear the same no-collapse floor as the
+    plain residual index (exact self-match at rank 1 for every query
+    vector that lives in a probed cell)."""
+    from audit_star_spark.analytics.ivf_index import probe_pq
+    from audit_star_spark.analytics.similarity import VEC_EXPR
+
+    base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+    queries = base.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    out = probe_pq(pq_index_opq, queries, k=5, n_probe=8)  # all cells
+    rows = {(r["query_id"], r["rank"]): r["vec_id"] for r in out.collect()}
+    # with every cell probed, ADC of the query against ITS OWN code is
+    # the quantization floor; the self vector must appear in the top-5
+    tops = {q: [rows[q, r] for r in range(1, 6)] for q in range(6)}
+    assert all(q in tops[q] for q in range(6))
+
+
+def test_opq_streaming_codes_match_batch_encode(
+    pq_index_opq, spark, emb, tmp_path
+):
+    """Streamed vectors ingested against an OPQ index must earn the
+    SAME codes the batch path would give them (rotate-then-encode with
+    the persisted artifacts) — bit parity."""
+    from audit_star_spark.streaming.ivf import StreamingIVFIngest
+
+    s = StreamingIVFIngest(pq_index_opq.index_dir, str(tmp_path / "store"))
+    batch = emb.filter(F.col("vec_id") < 40)
+    s.process_batch(batch, 0)
+    streamed = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(s.pq_store_dir).collect()
+    }
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(
+            os.path.join(pq_index_opq.index_dir, "pq_codes")
+        )
+        .filter(F.col("vec_id") < 40)
+        .collect()
+    }
+    assert streamed == want
