@@ -70,37 +70,34 @@ def covariance_table(emb: DataFrame, dim: int | None = None) -> DataFrame:
         "vec_id",
         F.expr("zip_with(vec, ml, (x, m) -> x - m)").alias("cv"),
     )
+    # upper triangle only (i <= j), mirrored after aggregation: the
+    # product multisets of (i, j) and (j, i) are identical, so the
+    # mirror is BIT-identical to computing both — at half the explode
+    # and fold work (D(D+1)/2 instead of D^2 rows per vector)
     pairs = centered.select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(0, {dim - 1}), i -> "
-                f"transform(sequence(0, {dim - 1}), j -> "
+                f"transform(sequence(i, {dim - 1}), j -> "
                 f"named_struct('i', i, 'j', j, "
                 f"'v', element_at(cv, i + 1) * element_at(cv, j + 1)))))"
             )
         ).alias("p")
     ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.v").alias("v"))
-    return pairs.groupBy("i", "j").agg(
+    upper = pairs.groupBy("i", "j").agg(
         (F.expr(_SORTED_SUM.format("v")) / F.lit(float(n))).alias("c")
+    )
+    return upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
     )
 
 
-def pca_top_component(
-    emb: DataFrame, n_iter: int = 8
-) -> tuple[DataFrame, DataFrame]:
-    """(loadings (dim, loading), stats (eigenvalue, trace, var_share) —
-    one row). ``n_iter`` power-iteration steps from the uniform start
-    1/sqrt(D); the final Rayleigh quotient v'Cv is the eigenvalue
-    estimate and var_share = eigenvalue / trace(C)."""
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    dim = _vec_dim(emb)
-    # materialize once: the D^2-row covariance feeds every iteration
-    # (and each round's norm branch forks the DAG) — without truncated
-    # lineage Spark re-derives it exponentially, the same blowup the
-    # pagerank rounds guard against with iter_materialize
-    cov = iter_materialize(covariance_table(emb, dim))
-    spark = emb.sparkSession
+def _power_top(cov: DataFrame, dim: int, n_iter: int, spark) -> tuple[DataFrame, DataFrame]:
+    """One top-eigenpair extraction from a (i, j, c) matrix frame:
+    (loadings (dim, loading), eig (eigenvalue) — one row). Sign pinned
+    via dim 0 non-negative."""
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"),
         (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("val"),
@@ -140,6 +137,26 @@ def pca_top_component(
         )
         .agg(F.expr(_SORTED_SUM.format("w * loading")).alias("eigenvalue"))
     )
+    return loadings, eig
+
+
+def pca_top_component(
+    emb: DataFrame, n_iter: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(loadings (dim, loading), stats (eigenvalue, trace, var_share) —
+    one row). ``n_iter`` power-iteration steps from the uniform start
+    1/sqrt(D); the final Rayleigh quotient v'Cv is the eigenvalue
+    estimate and var_share = eigenvalue / trace(C)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    dim = _vec_dim(emb)
+    # materialize once: the D^2-row covariance feeds every iteration
+    # (and each round's norm branch forks the DAG) — without truncated
+    # lineage Spark re-derives it exponentially, the same blowup the
+    # pagerank rounds guard against with iter_materialize
+    cov = iter_materialize(covariance_table(emb, dim))
+    spark = emb.sparkSession
+    loadings, eig = _power_top(cov, dim, n_iter, spark)
     trace = cov.filter(F.col("i") == F.col("j")).agg(
         F.expr(_SORTED_SUM.format("c")).alias("trace")
     )
@@ -149,6 +166,68 @@ def pca_top_component(
         (F.col("eigenvalue") / F.col("trace")).alias("var_share"),
     )
     return loadings, stats
+
+
+def pca_components(
+    emb: DataFrame, k: int = 2, n_iter: int = 8
+) -> DataFrame:
+    """Top-``k`` principal components by HOTELLING DEFLATION — extract
+    the top eigenpair, subtract ``lambda * v v'`` from the matrix frame
+    (a D-row self-join, closed form), repeat. The "All-but-the-Top"
+    recipe (Mu & Viswanath 2018) removes exactly these components to
+    whiten LM embeddings; the per-component variance shares are the
+    anisotropy report. Returns (comp 1-based, dim, loading,
+    eigenvalue, var_share) — k*D rows.
+
+    Same scale/portability shape as the top component: constant-size
+    loop bodies over the materialized D^2 matrix frame, +,-,*,/,sqrt
+    only, so the oracle replays every component including the
+    deflation arithmetic."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    dim = _vec_dim(emb)
+    if k > dim:
+        raise ValueError(f"k {k} exceeds dim {dim}")
+    spark = emb.sparkSession
+    cov = iter_materialize(covariance_table(emb, dim))
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.expr(_SORTED_SUM.format("c")).alias("trace")
+    )
+    out = None
+    for comp in range(1, k + 1):
+        loadings, eig = _power_top(cov, dim, n_iter, spark)
+        loadings = iter_materialize(loadings)
+        part = (
+            loadings.crossJoin(F.broadcast(eig))
+            .crossJoin(F.broadcast(trace))
+            .select(
+                F.lit(comp).alias("comp"),
+                "dim",
+                "loading",
+                "eigenvalue",
+                (F.col("eigenvalue") / F.col("trace")).alias("var_share"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+        if comp < k:
+            li = loadings.select(F.col("dim").alias("i"), F.col("loading").alias("vi"))
+            lj = loadings.select(F.col("dim").alias("j"), F.col("loading").alias("vj"))
+            cov = iter_materialize(
+                cov.join(F.broadcast(li), "i")
+                .join(F.broadcast(lj), "j")
+                .crossJoin(F.broadcast(eig))
+                .select(
+                    "i",
+                    "j",
+                    (
+                        F.col("c")
+                        - F.col("eigenvalue") * F.col("vi") * F.col("vj")
+                    ).alias("c"),
+                )
+            )
+    return out
 
 
 def embedding_pca_report(emb: DataFrame, n_iter: int = 8) -> DataFrame:

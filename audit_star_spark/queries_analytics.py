@@ -7448,3 +7448,126 @@ FROM loadings l CROSS JOIN eig CROSS JOIN tr
 
 EXTRA_QUERIES["embedding_pca"] = q_embedding_pca
 EXTRA_ORACLES["embedding_pca"] = _pca_sql()
+
+
+def q_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components by Hotelling deflation through the
+    gate (analytics/pca.py pca_components — extract top eigenpair,
+    subtract lambda*v*v', repeat): the "All-but-the-Top" whitening
+    directions plus the anisotropy report (per-component variance
+    shares). The oracle replays BOTH eigenextractions and the deflation
+    arithmetic — still nothing beyond +,-,*,/,sqrt on either side."""
+    from audit_star_spark.analytics.pca import pca_components
+
+    r = pca_components(load_table(spark, sf_dir, "embeddings"), k=2, n_iter=8)
+    return r.select(
+        "comp",
+        "dim",
+        F.round("loading", 9).alias("loading"),
+        F.round("eigenvalue", 9).alias("eigenvalue"),
+        F.round("var_share", 9).alias("var_share"),
+    )
+
+
+def _pca_components_sql(k: int = 2, n_iter: int = 8, dim: int = 64) -> str:
+    fold = lambda xs: d_fold(  # noqa: E731
+        f"list_sort(list({xs}))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+dims AS (
+  SELECT kk - 1 AS i, vec[kk] AS x
+  FROM base, LATERAL (SELECT unnest(range(1, {dim + 1})) AS kk)
+),
+mean AS (
+  SELECT i, {fold('x')} / any_value(nn.n) AS m FROM dims CROSS JOIN nn
+  GROUP BY i
+),
+ml AS (
+  SELECT list_transform(list_sort(list(struct_pack(i := i, m := m))),
+                        x -> x.m) AS ml
+  FROM mean
+),
+centered AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {dim}),
+                        kk -> vec[kk] - ml[kk]) AS cv
+  FROM base CROSS JOIN ml
+),
+pairs AS (
+  SELECT i.kk - 1 AS i, j.kk - 1 AS j, cv[i.kk] * cv[j.kk] AS v
+  FROM centered,
+       LATERAL (SELECT unnest(range(1, {dim + 1})) AS kk) i,
+       LATERAL (SELECT unnest(range(1, {dim + 1})) AS kk) j
+),
+cov1 AS MATERIALIZED (
+  SELECT i, j, {fold('v')} / any_value(nn.n) AS c
+  FROM pairs CROSS JOIN nn GROUP BY i, j
+),
+tr AS (SELECT {fold('c')} AS trace FROM cov1 WHERE i = j)"""
+    ]
+    for comp in range(1, k + 1):
+        parts.append(
+            f"""v{comp}_0 AS (
+  SELECT unnest(range({dim})) AS j,
+         1.0 / sqrt(CAST({dim} AS DOUBLE)) AS val
+)"""
+        )
+        for it in range(n_iter):
+            parts.append(
+                f"""w{comp}_{it} AS MATERIALIZED (
+  SELECT cov.i, {fold('cov.c * v.val')} AS w
+  FROM cov{comp} cov JOIN v{comp}_{it} v ON v.j = cov.j GROUP BY cov.i
+),
+n{comp}_{it} AS (SELECT sqrt({fold('w * w')}) AS nrm FROM w{comp}_{it}),
+v{comp}_{it + 1} AS MATERIALIZED (
+  SELECT i AS j, w / n{comp}_{it}.nrm AS val
+  FROM w{comp}_{it} CROSS JOIN n{comp}_{it}
+)"""
+            )
+        parts.append(
+            f"""sg{comp} AS (
+  SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM v{comp}_{n_iter} WHERE j = 0
+),
+l{comp} AS MATERIALIZED (
+  SELECT j AS dim, val * sg{comp}.sg AS loading
+  FROM v{comp}_{n_iter} CROSS JOIN sg{comp}
+),
+cvf{comp} AS (
+  SELECT cov.i, {fold('cov.c * l.loading')} AS w
+  FROM cov{comp} cov JOIN l{comp} l ON l.dim = cov.j GROUP BY cov.i
+),
+e{comp} AS MATERIALIZED (
+  SELECT {fold('c.w * l.loading')} AS eigenvalue
+  FROM cvf{comp} c JOIN l{comp} l ON l.dim = c.i
+)"""
+        )
+        if comp < k:
+            parts.append(
+                f"""cov{comp + 1} AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+         cov.c - e{comp}.eigenvalue * li.loading * lj.loading AS c
+  FROM cov{comp} cov
+  JOIN l{comp} li ON li.dim = cov.i
+  JOIN l{comp} lj ON lj.dim = cov.j
+  CROSS JOIN e{comp}
+)"""
+            )
+    selects = [
+        f"""SELECT CAST({comp} AS INT) AS comp, CAST(l.dim AS INT) AS dim,
+       round(l.loading, 9) AS loading,
+       round(e{comp}.eigenvalue, 9) AS eigenvalue,
+       round(e{comp}.eigenvalue / tr.trace, 9) AS var_share
+FROM l{comp} l CROSS JOIN e{comp} CROSS JOIN tr"""
+        for comp in range(1, k + 1)
+    ]
+    body = ",\n".join(parts)
+    return f"{body}\n" + "\nUNION ALL\n".join(selects)
+
+
+EXTRA_QUERIES["pca_components"] = q_pca_components
+EXTRA_ORACLES["pca_components"] = _pca_components_sql()

@@ -97,3 +97,51 @@ def test_validation(spark, emb):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         covariance_table(empty, dim=8)
+
+
+def test_deflation_recovers_top_two_components(spark):
+    """Two planted high-variance axes: deflation must return them as
+    components 1 and 2 with near-orthogonal loadings and decreasing
+    eigenvalues; numpy eigh is the cross-check."""
+    from audit_star_spark.analytics.pca import pca_components
+
+    rows = []
+    for i in range(300):
+        base = [((i * 31 + d * 7) % 13 - 6) / 60.0 for d in range(8)]
+        base[3] += ((i % 11) - 5) * 3.0   # strongest axis
+        base[6] += ((i % 7) - 3) * 1.5    # second axis
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = pca_components(emb, k=2, n_iter=20)
+    comps = {}
+    for r in got.collect():
+        comps.setdefault(r["comp"], {})[r["dim"]] = (
+            r["loading"], r["eigenvalue"], r["var_share"]
+        )
+    l1 = [comps[1][d][0] for d in range(8)]
+    l2 = [comps[2][d][0] for d in range(8)]
+    assert abs(l1[3]) > 0.99 and abs(l2[6]) > 0.99
+    assert abs(sum(a * b for a, b in zip(l1, l2))) < 1e-6  # orthogonal
+    e1, e2 = comps[1][0][1], comps[2][0][1]
+    assert e1 > e2 > 0
+    # numpy cross-check on the eigenvalues
+    x = np.array([v for _, v in rows], dtype=np.float64)
+    vals = np.linalg.eigvalsh(np.cov(x, rowvar=False, bias=True))
+    assert e1 == pytest.approx(vals[-1], rel=1e-6)
+    assert e2 == pytest.approx(vals[-2], rel=1e-4)
+    shares = {comps[1][0][2], comps[2][0][2]}
+    assert all(0 < s < 1 for s in shares)
+
+
+def test_pca_components_validation(spark):
+    from audit_star_spark.analytics.pca import pca_components
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        pca_components(emb, k=0)
+    with pytest.raises(ValueError):
+        pca_components(emb, k=3)  # k > dim
+    with pytest.raises(ValueError):
+        pca_components(emb, k=1, n_iter=0)
