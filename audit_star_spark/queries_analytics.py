@@ -7571,3 +7571,71 @@ FROM l{comp} l CROSS JOIN e{comp} CROSS JOIN tr"""
 
 EXTRA_QUERIES["pca_components"] = q_pca_components
 EXTRA_ORACLES["pca_components"] = _pca_components_sql()
+
+
+def q_audio_spectral_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features through the gate
+    (multimodal.audio_spectral_stats): Hann-windowed 64-point DFT per
+    frame, band energies (thirds of bins 1..32) and spectral centroid
+    over the synthesized square waves. The oracle recomputes the WHOLE
+    transform — window, DFT real/imag sums, powers, band sums,
+    centroid — from the closed-form samples in SQL; rounded to 6
+    decimals (libm cos/sin differ in the last ulp between numpy and
+    DuckDB; the energies are smooth sums, so rounding absorbs it)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    r = multimodal.audio_spectral_stats(_synth_audio_441(docs), frame=64)
+    return r.select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        F.round("e_low", 6).alias("e_low"),
+        F.round("e_mid", 6).alias("e_mid"),
+        F.round("e_high", 6).alias("e_high"),
+        F.round("centroid", 6).alias("centroid"),
+    )
+
+
+SQL_AUDIO_SPECTRAL = """
+WITH params AS (
+  SELECT doc_id, 10 + doc_id % 7 AS half,
+         CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n
+  FROM documents
+),
+fk AS (
+  SELECT doc_id, half, n, f.f, k.k
+  FROM params,
+       LATERAL (SELECT unnest(generate_series(0, n // 64 - 1)) AS f) f,
+       LATERAL (SELECT unnest(range(1, 33)) AS k) k
+),
+spec AS (
+  SELECT doc_id, f, k,
+         SUM((0.5 - 0.5 * cos(2 * pi() * t / 64.0))
+             * ((8000.0 * (1 - 2 * (((f * 64 + t) // half) % 2))) / 32768.0)
+             * cos(2 * pi() * k * t / 64.0)) AS re,
+         SUM((0.5 - 0.5 * cos(2 * pi() * t / 64.0))
+             * ((8000.0 * (1 - 2 * (((f * 64 + t) // half) % 2))) / 32768.0)
+             * sin(2 * pi() * k * t / 64.0)) AS im
+  FROM fk, LATERAL (SELECT unnest(range(64)) AS t) t
+  GROUP BY doc_id, f, k
+),
+p AS (SELECT doc_id, f, k, re * re + im * im AS pw FROM spec),
+agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN k BETWEEN 1 AND 10 THEN pw ELSE 0 END) AS e_low,
+         SUM(CASE WHEN k BETWEEN 11 AND 20 THEN pw ELSE 0 END) AS e_mid,
+         SUM(CASE WHEN k BETWEEN 21 AND 32 THEN pw ELSE 0 END) AS e_high,
+         SUM(k * pw) / SUM(pw) AS centroid
+  FROM p GROUP BY doc_id
+)
+SELECT pr.doc_id, CAST(44100 AS INT) AS sample_rate,
+       CAST(pr.n // 64 AS INT) AS n_frames,
+       round(a.e_low, 6) AS e_low,
+       round(a.e_mid, 6) AS e_mid,
+       round(a.e_high, 6) AS e_high,
+       round(a.centroid, 6) AS centroid
+FROM params pr JOIN agg a USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["audio_spectral_census"] = q_audio_spectral_census
+EXTRA_ORACLES["audio_spectral_census"] = SQL_AUDIO_SPECTRAL
