@@ -240,3 +240,66 @@ def embedding_pca_report(emb: DataFrame, n_iter: int = 8) -> DataFrame:
         F.round("loading", 9).alias("loading"),
         F.round("var_share", 9).alias("var_share"),
     )
+
+
+def embedding_whiten(emb: DataFrame, k: int = 1, n_iter: int = 8) -> DataFrame:
+    """All-but-the-Top whitening APPLIED (Mu & Viswanath 2018): return
+    (vec_id, embedding) with the mean and the projections onto the top
+    ``k`` principal components removed —
+
+        x' = (x - m) - sum_i (v_i . (x - m)) v_i
+
+    the standard post-processing that makes LM embeddings usable for
+    cosine retrieval. The covariance of the output IS the k-times
+    deflated matrix, so its top component equals component k+1 of the
+    input (the identity pca_components' deflation tests pin).
+
+    Scale shape: the k loading vectors and the mean collapse into ONE
+    broadcast row of three small arrays; the rewrite is a single in-row
+    expression over the corpus — no shuffle, no per-vector joins."""
+    dim = _vec_dim(emb)
+    comps = pca_components(emb, k=k, n_iter=n_iter)
+    base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+    n = base.count()
+    mean = (
+        base.select(F.posexplode("vec").alias("i", "x"))
+        .groupBy("i")
+        .agg((F.expr(_SORTED_SUM.format("x")) / F.lit(float(n))).alias("m"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+            ).alias("ml")
+        )
+    )
+    # flatten the k loading vectors into one broadcastable array of
+    # k * dim doubles, component-major
+    lmat = comps.select("comp", "dim", "loading").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(comp, dim, loading))), "
+            "x -> x.loading)"
+        ).alias("ll")
+    )
+    # two in-row steps: center once, take the k projections once
+    # (O(k*D) per vector), then subtract — never O(k*D^2)
+    dots = (
+        f"transform(sequence(1, {k}), c -> "
+        f"aggregate(zip_with(cvec, slice(ll, (c - 1) * {dim} + 1, {dim}), "
+        f"(x, v) -> x * v), CAST(0.0 AS DOUBLE), (s, v) -> s + v))"
+    )
+    rewrite = (
+        f"transform(sequence(1, {dim}), d -> "
+        f"element_at(cvec, d) - "
+        f"aggregate(sequence(1, {k}), CAST(0.0 AS DOUBLE), (acc, c) -> "
+        f"acc + element_at(dots, c) * element_at(ll, (c - 1) * {dim} + d)))"
+    )
+    return (
+        base.crossJoin(F.broadcast(mean))
+        .crossJoin(F.broadcast(lmat))
+        .select(
+            "vec_id",
+            F.expr("zip_with(vec, ml, (x, m) -> x - m)").alias("cvec"),
+            F.col("ll").alias("ll"),
+        )
+        .select("vec_id", "cvec", "ll", F.expr(dots).alias("dots"))
+        .select("vec_id", F.expr(rewrite).alias("embedding"))
+    )

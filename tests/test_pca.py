@@ -145,3 +145,41 @@ def test_pca_components_validation(spark):
         pca_components(emb, k=3)  # k > dim
     with pytest.raises(ValueError):
         pca_components(emb, k=1, n_iter=0)
+
+
+def test_whitening_removes_components_and_matches_deflation(spark):
+    """embedding_whiten: projections of the whitened corpus onto the
+    removed components are ~0; its empirical top component equals
+    component k+1 of the original (the deflation identity); vectors are
+    exactly centered."""
+    from audit_star_spark.analytics.pca import (
+        embedding_whiten,
+        pca_components,
+    )
+
+    rows = []
+    for i in range(300):
+        base = [((i * 31 + d * 7) % 13 - 6) / 60.0 for d in range(8)]
+        base[3] += ((i % 11) - 5) * 3.0
+        base[6] += ((i % 7) - 3) * 1.5
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comps = pca_components(emb, k=2, n_iter=20)
+    l1 = {
+        r["dim"]: r["loading"] for r in comps.filter("comp = 1").collect()
+    }
+    wht = embedding_whiten(emb, k=1, n_iter=20)
+    wr = {r["vec_id"]: r["embedding"] for r in wht.collect()}
+    x = np.array([wr[i] for i in range(300)])
+    # exactly centered and orthogonal to the removed component
+    assert np.abs(x.mean(axis=0)).max() < 1e-9
+    v1 = np.array([l1[d] for d in range(8)])
+    assert np.abs(x @ v1).max() < 1e-9
+    # top component of the whitened corpus == component 2 of the input
+    w2 = pca_components(wht, k=1, n_iter=20)
+    got2 = {r["dim"]: r["loading"] for r in w2.collect()}
+    want2 = {
+        r["dim"]: r["loading"] for r in comps.filter("comp = 2").collect()
+    }
+    for d in range(8):
+        assert got2[d] == pytest.approx(want2[d], abs=1e-6), d
