@@ -7639,3 +7639,45 @@ FROM params pr JOIN agg a USING (doc_id)
 
 EXTRA_QUERIES["audio_spectral_census"] = q_audio_spectral_census
 EXTRA_ORACLES["audio_spectral_census"] = SQL_AUDIO_SPECTRAL
+
+
+# ----------------------------------------------------- round-11 rotation
+# The 8 round-10 queries (gate-sim + pytest-oracle-locked but never
+# driver-certified) move into the 50-slot window to earn hard
+# CORRECTNESS_r11 rows; 8 double-green entries (driver-green in BOTH
+# r9 and r10) retire to EXTRA, where tests/test_oracle_parity.py keeps
+# them oracle-locked on every pytest run. Window stays 8 audit + 42
+# analytics.
+_R11_ROTATE_IN = [
+    "opq_recall",
+    "doc_perplexity_kn",
+    "mp3_l3_sideinfo_census",
+    "quality_classifier",
+    "doc_hits",
+    "embedding_pca",
+    "pca_components",
+    "audio_spectral_census",
+]
+_R11_ROTATE_OUT = [
+    "dedup_minhash_pairs",
+    "quality_flags",
+    "pipeline_report",
+    "split_leakage",
+    "orders_profile",
+    "unicode_token_stats",
+    "doc_pagerank",
+    "warc_census",
+]
+for _name in _R11_ROTATE_OUT:
+    EXTRA_QUERIES[_name] = ANALYTICS_QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ANALYTICS_ORACLES.pop(_name)
+for _name in _R11_ROTATE_IN:
+    ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+
+if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
+    raise RuntimeError(
+        "ANALYTICS_QUERIES must stay exactly 42 entries so the driver's "
+        f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
+    )
+del _name
