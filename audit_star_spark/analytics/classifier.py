@@ -26,11 +26,15 @@ step: one corpus-keyed aggregation (scores per doc) and one
 feature-keyed aggregation (gradient) — no driver-side data motion at
 all. Scoring a new corpus is one broadcast join + one aggregation.
 
-Bit-determinism: every float reduction over an unordered group folds
-the SORTED collected values (the repo's gate convention — a production
-run would use plain sum()); sigmoid's exp is last-ulp-stable across
-engines under the 6-decimal output rounding, the doc_perplexity
-precedent.
+Bit-determinism vs scale: every float reduction over an unordered
+group honors the ``bit_exact`` switch (functions/folds.py) — True (the
+gate default) folds the SORTED collected values for oracle bit-parity;
+False is production plain SUM (map-side combinable, O(1) buffers —
+the gradient group is docs-per-feature, corpus-proportional, so the
+sorted fold's collect_list buffer would grow with the corpus). Both
+paths agree to 1e-9 (tests/test_folds_parity.py). sigmoid's exp is
+last-ulp-stable across engines under the 6-decimal output rounding,
+the doc_perplexity precedent.
 """
 
 from __future__ import annotations
@@ -39,11 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.text import TOKENS_EXPR
-
-_SORTED_SUM = (
-    "aggregate(array_sort(collect_list({0})), "
-    "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-)
+from audit_star_spark.functions.folds import fold_sum
 
 
 def hashed_features(
@@ -85,6 +85,7 @@ def train_logreg(
     labels: DataFrame,
     lr: float = 1.0,
     steps: int = 2,
+    bit_exact: bool = True,
 ) -> DataFrame:
     """Fixed-step full-batch GD from w = 0 over (doc_id, feat, x)
     features and (doc_id, label 0/1) labels. Returns (feat, w).
@@ -100,6 +101,10 @@ def train_logreg(
         raise ValueError(f"lr must be positive, got {lr}")
     y = labels.select("doc_id", F.col("label").cast("double").alias("y"))
     n_docs = y.count()  # bounded: one scalar, the batch size
+    if n_docs == 0:
+        # an empty label frame would otherwise divide the gradient by
+        # zero and silently produce NaN weights
+        raise ValueError("empty labels frame: nothing to train on")
     w = None  # w = 0: represented as an absent frame on the first step
     for _ in range(steps):
         if w is None:
@@ -109,7 +114,7 @@ def train_logreg(
                 features.join(F.broadcast(w), "feat")
                 .select("doc_id", (F.col("x") * F.col("w")).alias("xw"))
                 .groupBy("doc_id")
-                .agg(F.expr(_SORTED_SUM.format("xw")).alias("s"))
+                .agg(F.expr(fold_sum("xw", bit_exact)).alias("s"))
             )
             # docs whose every feature has zero weight keep s = 0
             scored = y.select("doc_id").join(s, "doc_id", "left").select(
@@ -126,9 +131,9 @@ def train_logreg(
             .select("feat", (F.col("x") * F.col("r")).alias("g"))
             .groupBy("feat")
             .agg(
-                (F.expr(_SORTED_SUM.format("g")) / F.lit(float(n_docs))).alias(
-                    "gm"
-                )
+                (
+                    F.expr(fold_sum("g", bit_exact)) / F.lit(float(n_docs))
+                ).alias("gm")
             )
         )
         step_w = grad.select(
@@ -150,7 +155,9 @@ def train_logreg(
     return w
 
 
-def score_docs(features: DataFrame, weights: DataFrame) -> DataFrame:
+def score_docs(
+    features: DataFrame, weights: DataFrame, bit_exact: bool = True
+) -> DataFrame:
     """(doc_id, score, prob): the linear score and sigmoid probability
     of label 1 under the trained weights — one broadcast join and one
     doc-keyed aggregation; the quality-filter decision is
@@ -159,7 +166,7 @@ def score_docs(features: DataFrame, weights: DataFrame) -> DataFrame:
         features.join(F.broadcast(weights), "feat")
         .select("doc_id", (F.col("x") * F.col("w")).alias("xw"))
         .groupBy("doc_id")
-        .agg(F.expr(_SORTED_SUM.format("xw")).alias("score"))
+        .agg(F.expr(fold_sum("xw", bit_exact)).alias("score"))
     )
     return s.select(
         "doc_id",
@@ -175,6 +182,7 @@ def quality_classifier_report(
     steps: int = 2,
     min_tokens: int = 30,
     tokens_expr: str = TOKENS_EXPR,
+    bit_exact: bool = True,
 ) -> DataFrame:
     """End to end, self-supervised: weak labels from a closed-form
     length gate (label 1 iff the doc has >= min_tokens tokens — the
@@ -189,8 +197,8 @@ def quality_classifier_report(
         (F.size(F.expr(tokens_expr)) >= min_tokens).cast("int").alias("label"),
     )
     feats = hashed_features(docs, n_features, tokens_expr)
-    w = train_logreg(feats, labels, lr=lr, steps=steps)
-    scored = score_docs(feats, w)
+    w = train_logreg(feats, labels, lr=lr, steps=steps, bit_exact=bit_exact)
+    scored = score_docs(feats, w, bit_exact=bit_exact)
     return (
         docs.select("doc_id", "source")
         .join(labels, "doc_id")

@@ -16,10 +16,19 @@ eigensolver allows.
 Scale shape:
 - the covariance accumulates ONE D^2-row table: vectors explode in-row
   to (i, j, x_i*x_j) triples that partial-aggregate map-side, so the
-  shuffle carries D^2 partials per task, never rows. (The gate path
-  folds sorted collected products per (i, j) for bit determinism — the
-  repo's convention; a production run would use plain sum() or a
-  per-partition numpy gram in mapInPandas.)
+  shuffle carries D^2 partials per task, never rows.
+- ``bit_exact`` switches the corpus-sized reductions (per-dimension
+  mean, per-(i, j) product sum — group size N) between the gate's
+  sorted fold (bit-identical to the DuckDB oracle, but the
+  ``collect_list`` buffer is O(N) per group) and production plain
+  ``SUM`` (true algebraic aggregate, O(1) buffers, map-side partials —
+  the only form that survives 100 TB). Both paths agree to 1e-9 on the
+  parity fixture (tests/test_folds_parity.py); the driver gate keeps
+  the default True. The shared switch lives in functions/folds.py.
+- the power-iteration / deflation loop is constant-size regardless of
+  corpus: every fold there is over a D-row or D^2-row frame (bounded
+  by dimension, not corpus), so it stays sorted-fold in BOTH modes —
+  bit-determinism is free when groups are O(D).
 - every power-iteration step is a join of the broadcast D-row vector
   against the D^2-row covariance and one D-group aggregation —
   driver never sees data, and the loop body is constant-size
@@ -36,37 +45,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.similarity import VEC_EXPR, _vec_dim
+from audit_star_spark.functions.folds import SORTED_FOLD, fold_sum
 from audit_star_spark.plans.iterate import iter_materialize
 
-_SORTED_SUM = (
-    "aggregate(array_sort(collect_list({0})), "
-    "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-)
+_SORTED_SUM = SORTED_FOLD  # bounded-group (O(D)) folds below stay sorted
 
 
-def covariance_table(emb: DataFrame, dim: int | None = None) -> DataFrame:
-    """(i, j, c): the (biased, /N) covariance of the embedding corpus —
-    centered with the per-dimension mean, both passes bit-deterministic
-    sorted folds."""
-    dim = dim or _vec_dim(emb)
-    base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
-    n = base.count()
-    if n == 0:
-        raise ValueError("empty embedding corpus")
-    dims = base.select(F.posexplode("vec").alias("i", "x"))
-    mean = dims.groupBy("i").agg(
-        (F.expr(_SORTED_SUM.format("x")) / F.lit(float(n))).alias("m")
-    )
-    centered = base.crossJoin(
-        F.broadcast(
-            mean.agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(i, m))), "
-                    "x -> x.m)"
-                ).alias("ml")
-            )
+def _mean_row(base: DataFrame, n: int, bit_exact: bool) -> DataFrame:
+    """ONE-row frame with ``ml``: the per-dimension corpus mean as an
+    array (dimension-major). The corpus-sized per-dimension sum honors
+    ``bit_exact``; the D-row array reassembly is bounded."""
+    return (
+        base.select(F.posexplode("vec").alias("i", "x"))
+        .groupBy("i")
+        .agg((F.expr(fold_sum("x", bit_exact)) / F.lit(float(n))).alias("m"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+            ).alias("ml")
         )
-    ).select(
+    )
+
+
+def _cov_from_base(
+    base: DataFrame, dim: int, n: int, mean_row: DataFrame, bit_exact: bool
+) -> DataFrame:
+    """(i, j, c) biased (/N) covariance from a pre-shaped (vec_id, vec)
+    frame and its one-row mean — the shared core, so callers that
+    already paid for the mean (embedding_whiten) reuse it instead of a
+    second full corpus pass."""
+    centered = base.crossJoin(F.broadcast(mean_row)).select(
         "vec_id",
         F.expr("zip_with(vec, ml, (x, m) -> x - m)").alias("cv"),
     )
@@ -85,7 +93,7 @@ def covariance_table(emb: DataFrame, dim: int | None = None) -> DataFrame:
         ).alias("p")
     ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.v").alias("v"))
     upper = pairs.groupBy("i", "j").agg(
-        (F.expr(_SORTED_SUM.format("v")) / F.lit(float(n))).alias("c")
+        (F.expr(fold_sum("v", bit_exact)) / F.lit(float(n))).alias("c")
     )
     return upper.unionByName(
         upper.filter(F.col("i") != F.col("j")).select(
@@ -94,10 +102,28 @@ def covariance_table(emb: DataFrame, dim: int | None = None) -> DataFrame:
     )
 
 
+def covariance_table(
+    emb: DataFrame, dim: int | None = None, bit_exact: bool = True
+) -> DataFrame:
+    """(i, j, c): the (biased, /N) covariance of the embedding corpus —
+    centered with the per-dimension mean. ``bit_exact=True`` (gate)
+    folds both corpus-sized passes in sorted order for oracle
+    bit-parity; ``False`` (production) uses plain map-side-combinable
+    SUM so group buffers are O(1) in corpus size."""
+    dim = dim or _vec_dim(emb)
+    base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+    n = base.count()
+    if n == 0:
+        raise ValueError("empty embedding corpus")
+    return _cov_from_base(base, dim, n, _mean_row(base, n, bit_exact), bit_exact)
+
+
 def _power_top(cov: DataFrame, dim: int, n_iter: int, spark) -> tuple[DataFrame, DataFrame]:
     """One top-eigenpair extraction from a (i, j, c) matrix frame:
     (loadings (dim, loading), eig (eigenvalue) — one row). Sign pinned
-    via dim 0 non-negative."""
+    via dim 0 non-negative. All folds here are over D-row groups —
+    bounded by dimension, so the sorted fold costs nothing and keeps
+    the loop bit-deterministic in both covariance modes."""
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"),
         (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("val"),
@@ -141,7 +167,7 @@ def _power_top(cov: DataFrame, dim: int, n_iter: int, spark) -> tuple[DataFrame,
 
 
 def pca_top_component(
-    emb: DataFrame, n_iter: int = 8
+    emb: DataFrame, n_iter: int = 8, bit_exact: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(loadings (dim, loading), stats (eigenvalue, trace, var_share) —
     one row). ``n_iter`` power-iteration steps from the uniform start
@@ -154,7 +180,7 @@ def pca_top_component(
     # (and each round's norm branch forks the DAG) — without truncated
     # lineage Spark re-derives it exponentially, the same blowup the
     # pagerank rounds guard against with iter_materialize
-    cov = iter_materialize(covariance_table(emb, dim))
+    cov = iter_materialize(covariance_table(emb, dim, bit_exact=bit_exact))
     spark = emb.sparkSession
     loadings, eig = _power_top(cov, dim, n_iter, spark)
     trace = cov.filter(F.col("i") == F.col("j")).agg(
@@ -168,30 +194,13 @@ def pca_top_component(
     return loadings, stats
 
 
-def pca_components(
-    emb: DataFrame, k: int = 2, n_iter: int = 8
+def _components_from_cov(
+    spark, cov: DataFrame, dim: int, k: int, n_iter: int
 ) -> DataFrame:
-    """Top-``k`` principal components by HOTELLING DEFLATION — extract
-    the top eigenpair, subtract ``lambda * v v'`` from the matrix frame
-    (a D-row self-join, closed form), repeat. The "All-but-the-Top"
-    recipe (Mu & Viswanath 2018) removes exactly these components to
-    whiten LM embeddings; the per-component variance shares are the
-    anisotropy report. Returns (comp 1-based, dim, loading,
-    eigenvalue, var_share) — k*D rows.
-
-    Same scale/portability shape as the top component: constant-size
-    loop bodies over the materialized D^2 matrix frame, +,-,*,/,sqrt
-    only, so the oracle replays every component including the
-    deflation arithmetic."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    dim = _vec_dim(emb)
-    if k > dim:
-        raise ValueError(f"k {k} exceeds dim {dim}")
-    spark = emb.sparkSession
-    cov = iter_materialize(covariance_table(emb, dim))
+    """Hotelling deflation over a pre-materialized (i, j, c) frame —
+    shared by pca_components and embedding_whiten (which already owns
+    the covariance). Returns (comp 1-based, dim, loading, eigenvalue,
+    var_share)."""
     trace = cov.filter(F.col("i") == F.col("j")).agg(
         F.expr(_SORTED_SUM.format("c")).alias("trace")
     )
@@ -230,11 +239,40 @@ def pca_components(
     return out
 
 
-def embedding_pca_report(emb: DataFrame, n_iter: int = 8) -> DataFrame:
+def pca_components(
+    emb: DataFrame, k: int = 2, n_iter: int = 8, bit_exact: bool = True
+) -> DataFrame:
+    """Top-``k`` principal components by HOTELLING DEFLATION — extract
+    the top eigenpair, subtract ``lambda * v v'`` from the matrix frame
+    (a D-row self-join, closed form), repeat. The "All-but-the-Top"
+    recipe (Mu & Viswanath 2018) removes exactly these components to
+    whiten LM embeddings; the per-component variance shares are the
+    anisotropy report. Returns (comp 1-based, dim, loading,
+    eigenvalue, var_share) — k*D rows.
+
+    Same scale/portability shape as the top component: constant-size
+    loop bodies over the materialized D^2 matrix frame, +,-,*,/,sqrt
+    only, so the oracle replays every component including the
+    deflation arithmetic. ``bit_exact`` governs only the corpus-sized
+    covariance folds (module docstring)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    dim = _vec_dim(emb)
+    if k > dim:
+        raise ValueError(f"k {k} exceeds dim {dim}")
+    cov = iter_materialize(covariance_table(emb, dim, bit_exact=bit_exact))
+    return _components_from_cov(emb.sparkSession, cov, dim, k, n_iter)
+
+
+def embedding_pca_report(
+    emb: DataFrame, n_iter: int = 8, bit_exact: bool = True
+) -> DataFrame:
     """Per-dimension report: (dim, loading, var_share) with the top
     component's explained-variance share repeated on every row (a
     constant column keeps the result one hash-checkable frame)."""
-    loadings, stats = pca_top_component(emb, n_iter)
+    loadings, stats = pca_top_component(emb, n_iter, bit_exact=bit_exact)
     return loadings.crossJoin(F.broadcast(stats.select("var_share"))).select(
         "dim",
         F.round("loading", 9).alias("loading"),
@@ -242,7 +280,9 @@ def embedding_pca_report(emb: DataFrame, n_iter: int = 8) -> DataFrame:
     )
 
 
-def embedding_whiten(emb: DataFrame, k: int = 1, n_iter: int = 8) -> DataFrame:
+def embedding_whiten(
+    emb: DataFrame, k: int = 1, n_iter: int = 8, bit_exact: bool = True
+) -> DataFrame:
     """All-but-the-Top whitening APPLIED (Mu & Viswanath 2018): return
     (vec_id, embedding) with the mean and the projections onto the top
     ``k`` principal components removed —
@@ -254,23 +294,26 @@ def embedding_whiten(emb: DataFrame, k: int = 1, n_iter: int = 8) -> DataFrame:
     deflated matrix, so its top component equals component k+1 of the
     input (the identity pca_components' deflation tests pin).
 
-    Scale shape: the k loading vectors and the mean collapse into ONE
-    broadcast row of three small arrays; the rewrite is a single in-row
-    expression over the corpus — no shuffle, no per-vector joins."""
+    Scale shape: the corpus mean is computed ONCE (one pass + one
+    count) and reused by both the covariance and the final rewrite —
+    the 1-row mean frame is materialized so the second broadcast does
+    not replay the pass. The k loading vectors and the mean collapse
+    into ONE broadcast row of small arrays; the rewrite is a single
+    in-row expression over the corpus — no shuffle, no per-vector
+    joins."""
     dim = _vec_dim(emb)
-    comps = pca_components(emb, k=k, n_iter=n_iter)
+    if k > dim:
+        raise ValueError(f"k {k} exceeds dim {dim}")
     base = emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
     n = base.count()
-    mean = (
-        base.select(F.posexplode("vec").alias("i", "x"))
-        .groupBy("i")
-        .agg((F.expr(_SORTED_SUM.format("x")) / F.lit(float(n))).alias("m"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
-            ).alias("ml")
-        )
-    )
+    if n == 0:
+        raise ValueError("empty embedding corpus")
+    # one corpus pass for the mean, shared by the covariance and the
+    # rewrite below (1-row frame — materialization truncates lineage so
+    # the second broadcast is free)
+    mean = iter_materialize(_mean_row(base, n, bit_exact))
+    cov = iter_materialize(_cov_from_base(base, dim, n, mean, bit_exact))
+    comps = _components_from_cov(emb.sparkSession, cov, dim, k, n_iter)
     # flatten the k loading vectors into one broadcastable array of
     # k * dim doubles, component-major
     lmat = comps.select("comp", "dim", "loading").agg(

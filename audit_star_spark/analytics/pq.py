@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.similarity import VEC_EXPR, _vec_dim
+from audit_star_spark.functions.folds import fold_sum
 
 PQ_M_SUB = 4
 PQ_K = 16
@@ -89,13 +90,20 @@ def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
 
 
 def pq_train(
-    emb: DataFrame, m_sub: int = PQ_M_SUB, k: int = PQ_K, iters: int = 1
+    emb: DataFrame,
+    m_sub: int = PQ_M_SUB,
+    k: int = PQ_K,
+    iters: int = 1,
+    bit_exact: bool = True,
 ) -> DataFrame:
     """Per-subspace codebooks: (sub_id, cell_id, n_members, centroid).
     Seeds are the first k vec_ids' slices; each iteration is one
-    distributed Lloyd round (assign by broadcast argmin, re-mean by
-    sorted (sub, cell, dim) folds). Empty cells vanish — exactly the
-    kmeans_update semantics, per subspace."""
+    distributed Lloyd round (assign by broadcast argmin, re-mean from
+    the assignments). The re-mean group is cell occupancy (~corpus/k),
+    so ``bit_exact`` picks the gate's sorted fold (oracle bit-parity,
+    O(group) buffers) or production plain SUM (map-side combinable,
+    O(1) buffers — functions/folds.py). Empty cells vanish — exactly
+    the kmeans_update semantics, per subspace."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     base = _base(emb)
@@ -105,11 +113,13 @@ def pq_train(
         "sub_id", F.col("vec_id").alias("cell_id"), F.col("svec").alias("centroid")
     )
     for _ in range(iters):
-        codebook = _lloyd_round(sub, codebook)
+        codebook = _lloyd_round(sub, codebook, bit_exact=bit_exact)
     return codebook
 
 
-def _lloyd_round(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+def _lloyd_round(
+    sub: DataFrame, codebook: DataFrame, bit_exact: bool = True
+) -> DataFrame:
     """One distributed Lloyd round per subspace: broadcast-argmin
     assignment against ``codebook``, then centroids re-mean from the
     assignments (sorted (sub, cell, dim) folds for bit-stable means).
@@ -123,10 +133,7 @@ def _lloyd_round(sub: DataFrame, codebook: DataFrame) -> DataFrame:
         )
         .groupBy("sub_id", "cell_id", "pos")
         .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(x)), "
-                "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-            ).alias("s"),
+            F.expr(fold_sum("x", bit_exact)).alias("s"),
             F.count("*").alias("n"),
         )
     )
@@ -297,7 +304,11 @@ def pq_recall(
 
 
 def opq_rotation(
-    base: DataFrame, codebook: DataFrame, dim: int, m_sub: int
+    base: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m_sub: int,
+    bit_exact: bool = True,
 ) -> DataFrame:
     """Learn the disjoint-Givens rotation from one PQ reconstruction:
     returns (p, c, s) for each pair (p, p + dim/2), p in [0, dim/2).
@@ -305,9 +316,9 @@ def opq_rotation(
     Scale shape: the reconstruction join is the PQ encode plan
     (broadcast codebook, no corpus shuffle); pair statistics are one
     narrow O(N·D/2)-row projection partial-aggregated into D/2 rows.
-    The per-pair sums fold over sorted collected values — the repo's
-    bit-determinism convention for gate-checked float reductions (a
-    production run would use plain sum())."""
+    The per-pair sums are corpus-sized groups (N values per pair), so
+    ``bit_exact`` picks the gate's sorted fold or production plain SUM
+    (functions/folds.py)."""
     h = dim // 2
     if dim % 2 != 0:
         raise ValueError(f"dim {dim} must be even for the half pairing")
@@ -345,14 +356,8 @@ def opq_rotation(
         (F.col("xp") * F.col("yq") - F.col("xq") * F.col("yp")).alias("v"),
     )
     stats = per_vec.groupBy("p").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(t)), "
-            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-        ).alias("tt"),
-        F.expr(
-            "aggregate(array_sort(collect_list(v)), "
-            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-        ).alias("ww"),
+        F.expr(fold_sum("t", bit_exact)).alias("tt"),
+        F.expr(fold_sum("v", bit_exact)).alias("ww"),
     )
     r = F.sqrt(F.col("tt") * F.col("tt") + F.col("ww") * F.col("ww"))
     return stats.select(
@@ -420,7 +425,10 @@ def _encode_base(
 
 
 def opq_train(
-    emb: DataFrame, m_sub: int = PQ_M_SUB, k: int = PQ_K
+    emb: DataFrame,
+    m_sub: int = PQ_M_SUB,
+    k: int = PQ_K,
+    bit_exact: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One OPQ alternation: (rotation (p, c, s), codebook trained on the
     rotated vectors). Quantization error of (rotate -> encode) is <= the
@@ -428,11 +436,12 @@ def opq_train(
     construction in the module header."""
     base = _base(emb)
     dim = _vec_dim(emb)
-    cb0 = pq_train(emb, m_sub, k, iters=1)
-    rot = opq_rotation(base, cb0, dim, m_sub)
+    cb0 = pq_train(emb, m_sub, k, iters=1, bit_exact=bit_exact)
+    rot = opq_rotation(base, cb0, dim, m_sub, bit_exact=bit_exact)
     rbase = opq_rotate(base, rot, dim)
     rsub = _subvecs(rbase, dim, m_sub)
-    cb1 = _lloyd_round(rsub, cb0)  # re-encode vs cb0 + re-mean, one step
+    # re-encode vs cb0 + re-mean, one step
+    cb1 = _lloyd_round(rsub, cb0, bit_exact=bit_exact)
     return rot, cb1
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from audit_star_spark.functions.folds import fold_sum
+
 VEC_EXPR = "transform(embedding, x -> CAST(x AS DOUBLE))"
 
 
@@ -332,16 +334,17 @@ def _assign_to_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _cell_means(assigned: DataFrame) -> DataFrame:
+def _cell_means(assigned: DataFrame, bit_exact: bool = True) -> DataFrame:
     """Element-wise per-cell mean: posexplode -> (cell, dim) aggregate
-    (sorted-fold sums for bit-determinism) -> reassembled array."""
+    -> reassembled array. The group is cell occupancy (~corpus/k), so
+    ``bit_exact`` picks the gate's sorted fold (oracle bit-parity) or
+    production plain SUM (map-side combinable, O(1) buffers —
+    functions/folds.py)."""
     sums = (
         assigned.select("cell_id", F.posexplode("vec").alias("pos", "x"))
         .groupBy("cell_id", "pos")
         .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(x)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-            ).alias("s"),
+            F.expr(fold_sum("x", bit_exact)).alias("s"),
             F.count("*").alias("n"),
         )
     )
@@ -355,7 +358,10 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
 
 
 def kmeans_train(
-    emb: DataFrame, n_cells: int = N_CELLS, iters: int = 3
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    iters: int = 3,
+    bit_exact: bool = True,
 ) -> tuple[DataFrame, list[float]]:
     """Full k-means: iterate the Lloyd step (assign -> mean) from the
     deterministic first-``n_cells`` seed. Returns (centroids, shifts)
@@ -395,7 +401,9 @@ def kmeans_train(
         )
         new_rows = [
             (int(r["cell_id"]), list(r["centroid"]), int(r["n_members"]))
-            for r in _cell_means(_assign_to_cells(base, cents)).collect()
+            for r in _cell_means(
+                _assign_to_cells(base, cents), bit_exact=bit_exact
+            ).collect()
         ]
         prev = dict(cents_rows)
         shift = 0.0
@@ -420,7 +428,9 @@ def kmeans_train(
     return out, shifts
 
 
-def kmeans_update(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
+def kmeans_update(
+    emb: DataFrame, n_cells: int = N_CELLS, bit_exact: bool = True
+) -> DataFrame:
     """One distributed Lloyd iteration over the coarse-quantizer
     centroids: assign every vector to its nearest centroid (broadcast
     cosine argmax — the same assignment the IVF/SemDeDup operators use),
@@ -432,9 +442,10 @@ def kmeans_update(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     Scale shape: centroids broadcast; the mean is posexplode ->
     (cell, dim) hash aggregate with map-side combine -> per-cell
     reassembly. Shuffle volume is n_cells x dims x 2 rows, independent of
-    corpus size. The per-(cell, dim) sum folds over the SORTED value list
-    (same bit-determinism rule as quality.with_char_entropy: float
-    addition is order-sensitive; sorted sequential folds are not).
+    corpus size. The per-(cell, dim) sum honors ``bit_exact``
+    (functions/folds.py): the gate default folds the SORTED value list
+    (float addition is order-sensitive; sorted sequential folds are
+    not), production uses plain SUM since the group is cell occupancy.
     """
     base = _prepared(emb)
     cents = base.filter(F.col("vec_id") < n_cells).select(
@@ -442,7 +453,7 @@ def kmeans_update(emb: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    return _cell_means(_assign_to_cells(base, cents))
+    return _cell_means(_assign_to_cells(base, cents), bit_exact=bit_exact)
 
 
 def label_nearest_neighbor(emb: DataFrame, salt_buckets: int = 1) -> DataFrame:
