@@ -7681,3 +7681,91 @@ if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
         f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
     )
 del _name
+
+
+# ------------------------------------------------ round-11 additions (EXTRA)
+DSIR_TARGET = "source IN ('src0', 'src1', 'src2')"
+DSIR_B = 256
+DSIR_K = 100
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling through the gate (analytics/dsir.py —
+    Xie et al. 2023): hashed unigram+bigram bucket models of the target
+    slice (sources src0-src2) vs the raw remainder, add-one smoothing,
+    per-doc importance log-weights, Gumbel top-k selection in the
+    deterministic md5-uniform family. The oracle replays the feature
+    hashing, both bag models, the log-ratio table, the sorted per-doc
+    fold and the Gumbel keys, then takes the same top-k."""
+    from audit_star_spark.analytics.dsir import dsir_resample
+
+    sel = dsir_resample(
+        load_table(spark, sf_dir, "documents"),
+        target=DSIR_TARGET,
+        k=DSIR_K,
+        n_buckets=DSIR_B,
+    )
+    return sel.select(
+        "doc_id", "source", F.round("log_w", 6).alias("log_w")
+    )
+
+
+def _dsir_selection_sql(
+    target: str = DSIR_TARGET, n_buckets: int = DSIR_B, k: int = DSIR_K
+) -> str:
+    b = n_buckets
+    fold = d_fold(
+        "list_sort(list(c * lr))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, {D_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {b}),
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t) - 1),
+        i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT % {b})
+    ELSE [] END)) AS bucket
+  FROM tl
+),
+cnt AS (SELECT doc_id, bucket, count(*) AS c FROM grams GROUP BY 1, 2),
+tgt AS (SELECT doc_id FROM documents WHERE {target}),
+fl AS (
+  SELECT c.bucket, c.c,
+         CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS tflag
+  FROM cnt c LEFT JOIN tgt t USING (doc_id)
+),
+pb AS (
+  SELECT bucket,
+         sum(CASE WHEN tflag = 1 THEN c ELSE 0 END) AS tc,
+         sum(CASE WHEN tflag = 0 THEN c ELSE 0 END) AS qc
+  FROM fl GROUP BY 1
+),
+tot AS (SELECT sum(tc) AS tt, sum(qc) AS qt FROM pb),
+ratio AS (
+  SELECT ab.bucket,
+         ln((COALESCE(pb.tc, 0) + 1.0) / (tot.tt + {float(b)!r}))
+       - ln((COALESCE(pb.qc, 0) + 1.0) / (tot.qt + {float(b)!r})) AS lr
+  FROM (SELECT unnest(generate_series(0, {b - 1})) AS bucket) ab
+  LEFT JOIN pb USING (bucket) CROSS JOIN tot
+),
+lw AS (
+  SELECT c.doc_id, {fold} AS log_w
+  FROM cnt c JOIN ratio USING (bucket)
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM tgt)
+  GROUP BY c.doc_id
+),
+keyed AS (
+  SELECT d.doc_id, d.source, lw.log_w,
+         lw.log_w - ln(-ln(
+           (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 15))::BIGINT
+            + 1.0) / 1152921504606846977.0)) AS g_key
+  FROM documents d JOIN lw USING (doc_id)
+)
+SELECT doc_id, source, round(log_w, 6) AS log_w
+FROM keyed ORDER BY g_key DESC, doc_id LIMIT {k}
+"""
+
+
+EXTRA_QUERIES["dsir_selection"] = q_dsir_selection
+EXTRA_ORACLES["dsir_selection"] = _dsir_selection_sql()
