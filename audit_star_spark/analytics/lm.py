@@ -235,7 +235,13 @@ def kn_tables_from_counts(tri: DataFrame, vocab: DataFrame) -> dict[str, DataFra
     materialization Spark re-derives the corpus-wide trigram aggregate
     once per consumer — measured 5x the query time at sf0.1. At real
     scale this materialization is a write of the model tables to
-    storage (exactly what the streaming count store does)."""
+    storage (exactly what the streaming count store does).
+
+    LIFETIME: the caller owns the persisted table — call
+    :func:`release_kn_model` on the returned dict when the model is no
+    longer needed, or repeated derivations (e.g. a fresh ``model()``
+    per read) accumulate persisted datasets for the session's life.
+    StreamingKNCounts.model() does this for its previous hand-out."""
     tri = tri.persist()
     ctx = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c12"), F.count("*").alias("n3f")
@@ -254,6 +260,14 @@ def kn_tables_from_counts(tri: DataFrame, vocab: DataFrame) -> dict[str, DataFra
     )
     return {"tri": tri, "ctx": ctx, "cont": cont, "mid": mid, "uni": uni,
             "totals": totals}
+
+
+def release_kn_model(model: dict[str, DataFrame]) -> None:
+    """Release the persisted trigram type table backing a KN model dict
+    (kn_tables_from_counts' lifetime contract). Safe to call twice;
+    scoring frames already computed stay valid, but new actions against
+    the dict's tables will re-derive the trigram aggregate."""
+    model["tri"].unpersist()
 
 
 def doc_perplexity_kn(

@@ -58,6 +58,11 @@ class StreamingIVFIngest:
         # (a subdir would read as a phantom partition of the assignment
         # store); only populated when the index carries PQ artifacts
         self.pq_store_dir = store_dir + "_pq"
+        # OPQ rotation cache: (pq-meta fingerprint, persisted rot frame,
+        # dim) — the coefficients are frozen like the centroids, so one
+        # read serves every micro-batch (invalidated if the meta changes,
+        # i.e. the index was retrained between batches)
+        self._rot_cache: tuple[str, DataFrame, int] | None = None
 
     def _pq_meta(self) -> dict | None:
         import json
@@ -69,6 +74,25 @@ class StreamingIVFIngest:
             return None
         with open(p) as f:
             return json.load(f)
+
+    def _opq_rotation(self, spark, meta: dict) -> tuple[DataFrame, int]:
+        """The persisted OPQ rotation, loaded and pinned ONCE per ingest
+        object instead of re-read every micro-batch inside foreachBatch.
+        The D/2-row frame persists eagerly; a changed PQ meta (index
+        retrain between batches) invalidates and releases the old one."""
+        import json
+
+        fp = json.dumps(meta, sort_keys=True)
+        if self._rot_cache is None or self._rot_cache[0] != fp:
+            rot = spark.read.parquet(
+                os.path.join(self.index.index_dir, "opq_rotation")
+            )
+            rot.persist()
+            rot.count()  # eager: pin before the first batch uses it
+            if self._rot_cache is not None:
+                self._rot_cache[1].unpersist()
+            self._rot_cache = (fp, rot, int(self.index.meta()["dim"]))
+        return self._rot_cache[1], self._rot_cache[2]
 
     # ------------------------------------------------------------ ingest
 
@@ -137,10 +161,7 @@ class StreamingIVFIngest:
                 # codes would live in the wrong space
                 from audit_star_spark.analytics.pq import opq_rotate
 
-                rot = spark.read.parquet(
-                    os.path.join(self.index.index_dir, "opq_rotation")
-                )
-                dim = self.index.meta()["dim"]
+                rot, dim = self._opq_rotation(spark, meta)
                 enc_in = opq_rotate(
                     enc_in.select(
                         "vec_id", F.expr(VEC_EXPR).alias("embedding")

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from audit_star_spark.analytics.lm import _trigrams, kn_tables_from_counts
+from audit_star_spark.analytics.lm import (
+    _trigrams,
+    kn_tables_from_counts,
+    release_kn_model,
+)
 from audit_star_spark.analytics.text import TOKENS_EXPR
 from audit_star_spark.streaming.store_compact import (
     BASELINE_ID,
@@ -48,6 +52,7 @@ class StreamingKNCounts:
     def __init__(self, store_path: str, tokens_expr: str = TOKENS_EXPR):
         self.store_path = store_path
         self.tokens_expr = tokens_expr
+        self._last_model: dict[str, DataFrame] | None = None
 
     def _partials(self, batch_df: DataFrame) -> DataFrame:
         tri = (
@@ -107,7 +112,15 @@ class StreamingKNCounts:
     def model(self, spark: SparkSession) -> dict[str, DataFrame]:
         """The KN model dict over everything ingested so far —
         identical to train_kn_trigram_lm of the full history (the merge
-        law, test-locked). Feed to analytics/lm.py score_kn."""
+        law, test-locked). Feed to analytics/lm.py score_kn.
+
+        Each call releases the PREVIOUS hand-out's persisted type table
+        (kn_tables_from_counts' lifetime contract) — calling model()
+        per read would otherwise pin one persisted dataset per call for
+        the session's life. Finish scoring against a model before
+        requesting the next one, or persist your own copy."""
+        if self._last_model is not None:
+            release_kn_model(self._last_model)
         merged = self._merged(spark)
         tri = merged.filter(F.col("w2").isNotNull()).select(
             "w1", "w2", "w3", F.col("c").alias("c3")
@@ -115,7 +128,8 @@ class StreamingKNCounts:
         vocab = merged.filter(F.col("w2").isNull()).select(
             F.col("w1").alias("w"), "c"
         )
-        return kn_tables_from_counts(tri, vocab)
+        self._last_model = kn_tables_from_counts(tri, vocab)
+        return self._last_model
 
     def compact(self, spark: SparkSession) -> None:
         """Fold per-batch count partials into one baseline partition
