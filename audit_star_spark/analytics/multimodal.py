@@ -1894,6 +1894,76 @@ def mp3_layer3_sideinfo_census(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=MP3_L3_SIDEINFO_SCHEMA)
 
 
+MP3_L3_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_granules", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("sum_abs_samples", T.LongType()),
+        T.StructField("n_nonzero", T.LongType()),
+        T.StructField("sum_scalefacs", T.LongType()),
+        T.StructField("sum_stuffing_bits", T.LongType()),
+    ]
+)
+
+
+def mp3_layer3_samples_census(media: DataFrame, tables: dict) -> DataFrame:
+    """MPEG-1 Layer III SPECTRAL-SAMPLE census through the
+    user-supplied-table escape hatch (analytics/mp3.py
+    decode_mp3_layer3_samples: bit-reservoir assembly, scalefactors
+    with scfsi reuse, three-region big_values Huffman + linbits +
+    signs, count1 tail, rzero). ``tables`` is the caller's B.7/B.8
+    dict — the ISO constants themselves are never shipped here; the
+    gate runs clearly-synthetic tables (synthetic_l3_tables) against
+    payloads built by the matching encoder. Narrow Arrow-batched
+    mapInPandas; poison payloads degrade to NULL metrics."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import decode_mp3_layer3_samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    r = decode_mp3_layer3_samples(bytes(payload), tables)
+                    ss = sa = nz = sf = st = 0
+                    for g in r["granules"]:
+                        for v in g["samples"]:
+                            ss += v
+                            sa += abs(v)
+                            nz += 1 if v else 0
+                        sf += sum(g["scalefacs"])
+                        st += g["stuffing_bits"]
+                    rows.append(
+                        (
+                            int(doc_id), r["n_frames"], len(r["granules"]),
+                            ss, sa, nz, sf, st,
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — poison degrade
+                    rows.append((int(doc_id),) + (None,) * 7)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_granules", "sum_samples",
+                    "sum_abs_samples", "n_nonzero", "sum_scalefacs",
+                    "sum_stuffing_bits",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64", "n_frames": "Int32",
+                    "n_granules": "Int64", "sum_samples": "Int64",
+                    "sum_abs_samples": "Int64", "n_nonzero": "Int64",
+                    "sum_scalefacs": "Int64", "sum_stuffing_bits": "Int64",
+                }
+            )
+
+    return media.mapInPandas(run, schema=MP3_L3_SAMPLES_SCHEMA)
+
+
 AUDIO_SPECTRAL_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

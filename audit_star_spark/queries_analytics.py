@@ -7769,3 +7769,184 @@ FROM keyed ORDER BY g_key DESC, doc_id LIMIT {k}
 
 EXTRA_QUERIES["dsir_selection"] = q_dsir_selection
 EXTRA_ORACLES["dsir_selection"] = _dsir_selection_sql()
+
+
+def _synth_mp3_l3_samples(spark_df):
+    """doc_id-keyed FULL Layer III frames (side info + Huffman main
+    data) under the clearly-synthetic table set
+    (mp3.synthetic_l3_tables, max_val=2): 1 + d%2 frames of 64 kbps
+    mono, two long-block granules each, every sample/scalefactor a
+    closed form in (doc_id, frame, granule, index) so the oracle can
+    replay the decoded census without touching the bitstream."""
+    from pyspark.sql import types as T
+
+    from audit_star_spark.util import spread
+
+    def synth(batches):
+        import pandas as pd
+
+        from audit_star_spark.analytics.mp3 import (
+            encode_mp3_layer3_frames,
+            synthetic_l3_tables,
+        )
+
+        tables = synthetic_l3_tables(max_val=2)
+
+        def granule(d, f, g):
+            n_pairs = 4 + (d + g) % 5
+            pairs = []
+            for i in range(n_pairs):
+                xm = (d + g + i) % 3
+                ym = (d + 2 * i + g) % 3
+                pairs.append(
+                    (
+                        -xm if (d + i) % 2 == 1 else xm,
+                        -ym if (d + g + i) % 3 == 2 else ym,
+                    )
+                )
+            quads = [
+                tuple(
+                    -((d + i + j + g) % 2)
+                    if (i + j) % 2 == 1
+                    else (d + i + j + g) % 2
+                    for j in range(4)
+                )
+                for i in range((d + f) % 3)
+            ]
+            return {
+                "global_gain": (d + g) % 256,
+                "scalefac_compress": 13,  # slen (3, 3)
+                "window_switching": 0, "block_type": 0, "mixed_block": 0,
+                "table_select": [1, 1, 1],
+                "region0_count": 4, "region1_count": 5,
+                "preflag": 0, "scalefac_scale": 0,
+                "count1table_select": (d + g) % 2,
+                "scalefacs": [(d + g + j) % 8 for j in range(21)],
+                "pairs": pairs, "quads": quads,
+            }
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp3_layer3_frames(
+                        [
+                            {
+                                "scfsi": [d % 16],
+                                "granules": [
+                                    [granule(d, f, g)] for g in range(2)
+                                ],
+                            }
+                            for f in range(1 + d % 2)
+                        ],
+                        tables,
+                        kbps=64,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread(spark_df.select("doc_id")).mapInPandas(
+        synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_mp3_l3_samples_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III spectral-sample decode through the
+    user-supplied-table escape hatch (analytics/mp3.py
+    decode_mp3_layer3_samples + synthetic_l3_tables): the synthesized
+    frames carry actual Huffman-coded main data — scalefactors with
+    scfsi granule-1 reuse, three-region big_values pairs with sign
+    bits, count1 quadruples, rzero padding — packed by
+    encode_mp3_layer3_frames and read back bit-exactly. The tables are
+    CLEARLY SYNTHETIC (never the ISO B.7/B.8 constants): the query
+    certifies the complete decode machinery; a caller who owns the
+    spec plugs the real tables into the same code path. One misplaced
+    bit desyncs the Huffman walk, so the summed census is a
+    whole-main-data checksum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    from audit_star_spark.analytics.mp3 import synthetic_l3_tables
+
+    r = multimodal.mp3_layer3_samples_census(
+        _synth_mp3_l3_samples(docs), synthetic_l3_tables(max_val=2)
+    )
+    return r.select(
+        "doc_id", "n_frames", "n_granules", "sum_samples",
+        "sum_abs_samples", "n_nonzero", "sum_scalefacs",
+        "sum_stuffing_bits",
+    )
+
+
+SQL_MP3_L3_SAMPLES = """
+WITH fr AS (
+  SELECT doc_id AS d, f
+  FROM documents CROSS JOIN (SELECT unnest(range(2)) AS f)
+  WHERE f < 1 + doc_id % 2
+),
+gg AS (SELECT d, f, g FROM fr CROSS JOIN (SELECT unnest(range(2)) AS g)),
+pairs AS (
+  SELECT d,
+    CASE WHEN (d + i) % 2 = 1 THEN -((d + g + i) % 3)
+         ELSE (d + g + i) % 3 END AS x,
+    CASE WHEN (d + g + i) % 3 = 2 THEN -((d + 2 * i + g) % 3)
+         ELSE (d + 2 * i + g) % 3 END AS y
+  FROM gg CROSS JOIN (SELECT unnest(range(9)) AS i)
+  WHERE i < 4 + (d + g) % 5
+),
+quads AS (
+  SELECT d,
+    CASE WHEN (i + j) % 2 = 1 THEN -((d + i + j + g) % 2)
+         ELSE (d + i + j + g) % 2 END AS v
+  FROM gg
+  CROSS JOIN (SELECT unnest(range(3)) AS i)
+  CROSS JOIN (SELECT unnest(range(4)) AS j)
+  WHERE i < (d + f) % 3
+),
+scf AS (
+  SELECT d,
+    CASE WHEN g = 1 AND ((d // (CASE WHEN j < 6 THEN 8 WHEN j < 11 THEN 4
+                                     WHEN j < 16 THEN 2 ELSE 1 END)) % 2) = 1
+         THEN (d + j) % 8 ELSE (d + g + j) % 8 END AS s
+  FROM gg CROSS JOIN (SELECT unnest(range(21)) AS j)
+),
+psum AS (
+  SELECT d, sum(x + y) AS ss, sum(abs(x) + abs(y)) AS sa,
+         sum(CASE WHEN x <> 0 THEN 1 ELSE 0 END
+           + CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS nz
+  FROM pairs GROUP BY d
+),
+qsum AS (
+  SELECT d, sum(v) AS ss, sum(abs(v)) AS sa,
+         sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS nz
+  FROM quads GROUP BY d
+),
+ssum AS (SELECT d, sum(s) AS sf FROM scf GROUP BY d)
+SELECT dd.doc_id,
+       CAST(1 + dd.doc_id % 2 AS INT) AS n_frames,
+       CAST(2 * (1 + dd.doc_id % 2) AS BIGINT) AS n_granules,
+       CAST(COALESCE(p.ss, 0) + COALESCE(q.ss, 0) AS BIGINT) AS sum_samples,
+       CAST(COALESCE(p.sa, 0) + COALESCE(q.sa, 0) AS BIGINT)
+         AS sum_abs_samples,
+       CAST(COALESCE(p.nz, 0) + COALESCE(q.nz, 0) AS BIGINT) AS n_nonzero,
+       CAST(s.sf AS BIGINT) AS sum_scalefacs,
+       CAST(0 AS BIGINT) AS sum_stuffing_bits
+FROM documents dd
+LEFT JOIN psum p ON p.d = dd.doc_id
+LEFT JOIN qsum q ON q.d = dd.doc_id
+JOIN ssum s ON s.d = dd.doc_id
+"""
+
+
+EXTRA_QUERIES["mp3_l3_samples_census"] = q_mp3_l3_samples_census
+EXTRA_ORACLES["mp3_l3_samples_census"] = SQL_MP3_L3_SAMPLES
