@@ -7950,3 +7950,99 @@ JOIN ssum s ON s.d = dd.doc_id
 
 EXTRA_QUERIES["mp3_l3_samples_census"] = q_mp3_l3_samples_census
 EXTRA_ORACLES["mp3_l3_samples_census"] = SQL_MP3_L3_SAMPLES
+
+
+def q_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting through the gate
+    (analytics/doremi.py — Xie et al. 2023): per-source excess loss =
+    mean self-trained bigram-LM NLL minus the uniform-LM baseline ln V
+    (clamped at 0), then 4 exponentiated-gradient Group-DRO steps with
+    simplex projection and uniform smoothing from the uniform start;
+    the reported avg_weight is the paper's step-averaged mixture. The
+    oracle replays the bigram LM, the domain folds, and every update
+    step (sorted folds, same arithmetic)."""
+    import math
+
+    from audit_star_spark.analytics.doremi import (
+        domain_excess_loss,
+        doremi_weights,
+    )
+    from audit_star_spark.analytics.lm import doc_perplexity
+    from audit_star_spark.analytics.text import TOKENS_EXPR
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = doc_perplexity(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    # bounded control decision: ONE integer (train vocabulary size)
+    # feeds the closed-form reference loss ln V — both engines compute
+    # the same integer, so the constant is bit-identical
+    v = (
+        docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    from audit_star_spark.plans.iterate import iter_materialize
+
+    # one materialization of the D-row excess frame serves both the
+    # weight iteration and the report join (its lineage is the full
+    # LM-scoring scan)
+    excess = iter_materialize(domain_excess_loss(scored, math.log(int(v))))
+    w = doremi_weights(excess, n_steps=4, lr=1.0, smoothing=0.1)
+    return excess.join(w, "domain").select(
+        "domain",
+        "n_docs",
+        F.round("excess", 6).alias("excess"),
+        F.round("final_weight", 6).alias("final_weight"),
+        F.round("avg_weight", 6).alias("avg_weight"),
+    )
+
+
+def _doremi_sql() -> str:
+    from audit_star_spark.analytics.doremi import doremi_sql_iterations
+    from audit_star_spark.analytics.lm import perplexity_sql
+
+    fold = d_fold(
+        "list_sort(list(CASE WHEN avg_nll IS NULL THEN 0.0 "
+        "ELSE avg_nll END))",
+        "CAST(0.0 AS DOUBLE)",
+        "(s, v) -> s + v",
+    )
+    excess_cte = f"""px AS ({perplexity_sql('documents', 'text')}),
+scored AS (
+  SELECT d.source AS domain, px.avg_nll
+  FROM documents d JOIN px ON px.doc_id = d.doc_id
+),
+uni2 AS (
+  SELECT unnest(str_split(regexp_replace(trim(lower(text)), '\\s+', ' ',
+    'g'), ' ')) AS w
+  FROM documents
+),
+voc2 AS (SELECT count(DISTINCT w) AS v FROM uni2),
+per AS (
+  SELECT domain, count(*) AS n_docs,
+         {fold} AS nll_sum,
+         sum(CASE WHEN avg_nll IS NOT NULL THEN 1 ELSE 0 END) AS n_scored
+  FROM scored GROUP BY domain
+),
+excess AS (
+  SELECT domain, n_docs,
+         greatest(0.0, CASE WHEN n_scored > 0
+                            THEN nll_sum / n_scored - ln(voc2.v)
+                            ELSE 0.0 END) AS excess
+  FROM per CROSS JOIN voc2
+)"""
+    inner = doremi_sql_iterations(
+        excess_cte, n_steps=4, lr=1.0, smoothing=0.1
+    )
+    return f"""
+SELECT e.domain, e.n_docs, round(e.excess, 6) AS excess,
+       round(i.final_weight, 6) AS final_weight,
+       round(i.avg_weight, 6) AS avg_weight
+FROM ({inner}) i
+JOIN ({ 'WITH ' + excess_cte + ' SELECT * FROM excess' }) e USING (domain)
+"""
+
+
+EXTRA_QUERIES["doremi_mixture"] = q_doremi_mixture
+EXTRA_ORACLES["doremi_mixture"] = _doremi_sql()
