@@ -8046,3 +8046,75 @@ JOIN ({ 'WITH ' + excess_cte + ' SELECT * FROM excess' }) e USING (domain)
 
 EXTRA_QUERIES["doremi_mixture"] = q_doremi_mixture
 EXTRA_ORACLES["doremi_mixture"] = _doremi_sql()
+
+
+def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-duplicates through the gate
+    (analytics/winnow.py — Schleimer et al. 2003 / MOSS): per document,
+    the rightmost-tie window minima of rolling k-gram hashes form the
+    fingerprint set (guarantee: shared runs >= w + k - 1 tokens always
+    collide); pairs sharing >= 2 distinct fingerprints report the
+    containment-style overlap. The oracle replays the k-gram hashes,
+    the window selection fold (identical tie-break), the inverted-index
+    join and the score."""
+    from audit_star_spark.analytics.winnow import winnow_near_pairs
+
+    r = winnow_near_pairs(
+        load_table(spark, sf_dir, "documents"), k=4, w=4, min_shared=2
+    )
+    return r.select(
+        "doc_a", "doc_b", "n_shared", F.round("overlap", 6).alias("overlap")
+    )
+
+
+def _winnow_sql(k: int = 4, w: int = 4, min_shared: int = 2) -> str:
+    from audit_star_spark.analytics.text import FP_PRIME
+
+    p = FP_PRIME
+    return f"""
+WITH th AS (SELECT doc_id, {D_TOK_HASHES} AS th FROM documents),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN len(th) >= {k} THEN
+      list_transform(generate_series(1, len(th) - {k} + 1),
+        i -> list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                           list_slice(th, i, i + {k} - 1)),
+               (h, t) -> (h * 31 + t % {p}) % {p}))
+    ELSE [] END AS kg
+  FROM th
+),
+sel AS (
+  SELECT doc_id, list_transform(generate_series(1,
+      CASE WHEN len(kg) >= {w} THEN len(kg) - {w} + 1
+           WHEN len(kg) >= 1 THEN 1 ELSE 0 END),
+    s -> list_reduce(
+         list_concat([struct_pack(pos := 0, fp := CAST(-1 AS BIGINT))],
+           list_transform(generate_series(s, least(s + {w} - 1, len(kg))),
+             j -> struct_pack(pos := j, fp := kg[j]))),
+         (st, e) -> CASE WHEN st.fp < 0 OR e.fp <= st.fp
+                         THEN e ELSE st END)) AS sel
+  FROM kg
+),
+fps AS (
+  SELECT DISTINCT doc_id, u.fp AS fp
+  FROM (SELECT doc_id, unnest(sel) AS u FROM sel)
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+)
+SELECT doc_a, doc_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6)
+         AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+EXTRA_QUERIES["winnow_near_dups"] = q_winnow_near_dups
+EXTRA_ORACLES["winnow_near_dups"] = _winnow_sql()
