@@ -137,6 +137,21 @@ def dsir_log_ratio_table(
     )
 
 
+def log_weights_from_ratio(
+    counts: DataFrame, ratio: DataFrame, bit_exact: bool = True
+) -> DataFrame:
+    """(doc_id, log_w) from a (doc_id, bucket, c) count frame and a
+    (bucket, lr) log-ratio table — the scoring half, shared with the
+    streaming count store (which derives ``ratio`` from its merged
+    history instead of the scored corpus itself)."""
+    return (
+        counts.join(F.broadcast(ratio), "bucket")
+        .select("doc_id", (F.col("c") * F.col("lr")).alias("clr"))
+        .groupBy("doc_id")
+        .agg(F.expr(fold_sum("clr", bit_exact)).alias("log_w"))
+    )
+
+
 def dsir_log_weights(
     docs: DataFrame,
     target: str,
@@ -156,12 +171,7 @@ def dsir_log_weights(
         "doc_id",
         "left",
     ).filter(F.col("__t").isNull()).select("doc_id", "bucket", "c")
-    return (
-        cand_counts.join(F.broadcast(ratio), "bucket")
-        .select("doc_id", (F.col("c") * F.col("lr")).alias("clr"))
-        .groupBy("doc_id")
-        .agg(F.expr(fold_sum("clr", bit_exact)).alias("log_w"))
-    )
+    return log_weights_from_ratio(cand_counts, ratio, bit_exact)
 
 
 def dsir_resample(
