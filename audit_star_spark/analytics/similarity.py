@@ -864,3 +864,128 @@ def projected_recall(
         "n_hits",
         (F.col("n_hits").cast("double") / float(k)).alias("recall"),
     )
+
+
+def _prefix_topk(
+    base: DataFrame, d: int, n_queries: int, k: int
+) -> DataFrame:
+    """Exact cosine top-k using only the first ``d`` dimensions — the
+    Matryoshka prefix ranking (broadcast queries, per-query top-k)."""
+    pre = base.select(
+        "vec_id", F.expr(f"slice(vec, 1, {d})").alias("pvec")
+    )
+    pre = with_norm(pre, vec_col="pvec", out="pnorm")
+    q = pre.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pvec").alias("qvec"),
+        F.col("pnorm").alias("qnorm"),
+    )
+    joined = pre.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = _dot("qvec", "pvec") / (F.col("qnorm") * F.col("pnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    dims: tuple[int, ...] = (16, 32, 64),
+    n_queries: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka truncation quality report (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): recall@k of exact cosine
+    search over each PREFIX of the embedding against the full-dim
+    exact top-k — the measurement that justifies (or rejects) storing/
+    searching truncated vectors, the standard MRL deployment question.
+    Returns (prefix_dim, query_id, n_hits, recall), one row per
+    (prefix, query).
+
+    Scale shape: one broadcast-query scan per prefix length (the
+    prefix slice is in-row — no second copy of the corpus), per-query
+    top-k through the rank window; the recall join touches only
+    |dims| * n_queries * k rows. The interpretation caveat of
+    projected_recall applies verbatim on near-uniform synthetic
+    vectors."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    dim = _vec_dim(emb)
+    if any(d < 1 or d > dim for d in dims):
+        raise ValueError(f"dims must be within [1, {dim}], got {dims}")
+    base = _prepared(emb)
+    exact = cosine_topk(emb, n_queries=n_queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    out = None
+    for d in dims:
+        pre = _prefix_topk(base, d, n_queries, k).select(
+            "query_id", F.col("vec_id").alias("p_vec_id")
+        )
+        hits = (
+            exact.join(
+                pre,
+                (exact["query_id"] == pre["query_id"])
+                & (exact["vec_id"] == pre["p_vec_id"]),
+                "left",
+            )
+            .groupBy(exact["query_id"].alias("query_id"))
+            .agg(F.count(F.col("p_vec_id")).cast("long").alias("n_hits"))
+            .select(
+                F.lit(d).alias("prefix_dim"),
+                "query_id",
+                "n_hits",
+                (F.col("n_hits").cast("double") / float(k)).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    per_cell: int = 4,
+    salt: str = "cbs",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: assign every vector to
+    its nearest coarse centroid (the kmeans_update / IVF assignment —
+    broadcast cosine argmax over the deterministic first-``n_cells``
+    seed) and keep ``per_cell`` deterministic samples per cell — the
+    standard embedding-space stratification that stops a dominant mode
+    from monopolizing a subsample (cluster-then-sample, as in SemDeDup
+    -adjacent curation pipelines). Returns (cell_id, vec_id, label).
+
+    Scale shape: one broadcast-assignment scan, one cell-keyed rank
+    window (per-group top-k, no global sort); the sample key is the
+    md5-uniform family of weighted_sample, so reruns and engines
+    agree."""
+    if per_cell < 1:
+        raise ValueError(f"per_cell must be >= 1, got {per_cell}")
+    base = _prepared(emb)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    assigned = _assign_to_cells(base, cents).join(
+        base.select("vec_id", "label"), "vec_id"
+    )
+    u = F.expr(
+        f"(CAST(conv(substring(md5(CAST(vec_id AS STRING) || ':{salt}'), "
+        "1, 15), 16, 10) AS BIGINT))"
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("__u").asc(), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("__u", u)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_cell)
+        .select("cell_id", "vec_id", "label")
+    )

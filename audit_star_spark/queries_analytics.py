@@ -8118,3 +8118,131 @@ JOIN sizes sb ON sb.doc_id = doc_b
 
 EXTRA_QUERIES["winnow_near_dups"] = q_winnow_near_dups
 EXTRA_ORACLES["winnow_near_dups"] = _winnow_sql()
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall through the gate
+    (analytics/similarity.py matryoshka_recall — Kusupati et al. 2022):
+    exact cosine top-10 over the 16/32/64-dim PREFIXES of each
+    embedding, scored against the full-dim exact top-10. The oracle
+    replays the prefix slices, both rankings (same tie-break) and the
+    recall join."""
+    from audit_star_spark.analytics.similarity import matryoshka_recall
+
+    return matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"), dims=(16, 32, 64)
+    ).select(
+        "prefix_dim", "query_id", "n_hits",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+def _matryoshka_sql(
+    dims: tuple[int, ...] = (16, 32, 64), n_queries: int = 8, k: int = 10
+) -> str:
+    def topk_cte(tag: str, d: int | None) -> str:
+        vec = f"list_slice(vec, 1, {d})" if d is not None else "vec"
+        return f"""
+n_{tag} AS (
+  SELECT vec_id, {vec} AS pv FROM base
+),
+m_{tag} AS (
+  SELECT vec_id, pv, sqrt({d_dot('pv', 'pv')}) AS nrm FROM n_{tag}
+),
+q_{tag} AS (
+  SELECT vec_id AS query_id, pv AS qv, nrm AS qn
+  FROM m_{tag} WHERE vec_id < {n_queries}
+),
+t_{tag} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {d_dot('q.qv', 'b.pv')} / (q.qn * b.nrm) DESC,
+                      b.vec_id) AS rank
+    FROM m_{tag} b JOIN q_{tag} q ON b.vec_id <> q.query_id
+  ) WHERE rank <= {k}
+)"""
+
+    ctes = [f"base AS (SELECT vec_id, {D_VEC} AS vec FROM embeddings)"]
+    ctes.append(topk_cte("full", None).strip().lstrip("\n"))
+    for d in dims:
+        ctes.append(topk_cte(f"d{d}", d).strip())
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT {d} AS prefix_dim, e.query_id, "
+        f"CAST(count(p.vec_id) AS BIGINT) AS n_hits "
+        f"FROM t_full e LEFT JOIN t_d{d} p "
+        f"ON p.query_id = e.query_id AND p.vec_id = e.vec_id "
+        f"GROUP BY e.query_id"
+        for d in dims
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT prefix_dim, query_id, n_hits,
+       round(CAST(n_hits AS DOUBLE) / {float(k)!r}, 6) AS recall
+FROM (
+  {unions}
+)"""
+    )
+
+
+EXTRA_QUERIES["matryoshka_recall"] = q_matryoshka_recall
+EXTRA_ORACLES["matryoshka_recall"] = _matryoshka_sql()
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced embedding sampling through the gate
+    (analytics/similarity.py cluster_balanced_sample): IVF-style
+    broadcast assignment to the deterministic first-16 centroids, then
+    4 md5-uniform samples per cell (per-group rank window). The oracle
+    replays the assignment argmax (same tie-break), the sample keys and
+    the per-cell rank."""
+    from audit_star_spark.analytics.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), n_cells=16, per_cell=4
+    )
+
+
+def _cluster_balanced_sql(
+    n_cells: int = 16, per_cell: int = 4, salt: str = "cbs"
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+cents AS (
+  SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm
+  FROM normed WHERE vec_id < {n_cells}
+),
+assigned AS (
+  SELECT vec_id, label, cell_id FROM (
+    SELECT b.vec_id, b.label, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {d_dot('c.cvec', 'b.vec')} / (c.cnorm * b.norm) DESC,
+                      c.cell_id) AS crank
+    FROM normed b CROSS JOIN cents c
+  ) WHERE crank = 1
+),
+keyed AS (
+  SELECT cell_id, vec_id, label,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':{salt}'), 1, 15))
+           ::BIGINT AS u
+  FROM assigned
+)
+SELECT cell_id, vec_id, label FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id
+                               ORDER BY u ASC, vec_id) AS rn
+  FROM keyed
+) WHERE rn <= {per_cell}
+"""
+
+
+EXTRA_QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
+EXTRA_ORACLES["cluster_balanced_sample"] = _cluster_balanced_sql()
