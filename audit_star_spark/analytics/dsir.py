@@ -49,11 +49,14 @@ from audit_star_spark.functions.folds import fold_sum
 DSIR_BUCKETS = 1024
 
 
-def ngram_buckets_expr(n_buckets: int, tokens_expr: str = TOKENS_EXPR) -> str:
+def ngram_buckets_expr(n_buckets: int, toks_col: str = "__tk") -> str:
     """In-row array of hashed n-gram bucket ids (unigrams + bigrams) —
-    the DSIR feature map as one expression, no explode until the
-    caller's count."""
-    t = tokens_expr
+    the DSIR feature map over an ALREADY-PROJECTED token-array column.
+    The tokenizer expression must be staged into a column first:
+    inlining it here would re-split the whole text inside the
+    per-bigram lambda — the O(tokens^2) regex blowup the KN trigram
+    stage hit (and fixed) in round 9."""
+    t = toks_col
     h = "CAST(conv(substring(md5({0}), 1, 15), 16, 10) AS BIGINT) % " + str(
         n_buckets
     )
@@ -75,13 +78,15 @@ def hashed_ngram_counts(
     tokens_expr: str = TOKENS_EXPR,
 ) -> DataFrame:
     """(doc_id, bucket, c): per-document hashed n-gram bucket counts —
-    integer, exact, map-side combinable."""
+    integer, exact, map-side combinable. Tokens are projected ONCE,
+    then the gram expression runs over the materialized array."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     return (
-        docs.select(
+        docs.select("doc_id", F.expr(tokens_expr).alias("__tk"))
+        .select(
             "doc_id",
-            F.explode(F.expr(ngram_buckets_expr(n_buckets, tokens_expr))).alias(
+            F.explode(F.expr(ngram_buckets_expr(n_buckets, "__tk"))).alias(
                 "bucket"
             ),
         )
@@ -163,7 +168,11 @@ def dsir_log_weights(
     the ``target`` SQL predicate): the DSIR importance log-weight under
     hashed-ngram bag models of the target vs raw slices. The per-doc
     fold honors ``bit_exact`` (group <= distinct buckets per doc)."""
-    counts = hashed_ngram_counts(docs, n_buckets, tokens_expr)
+    # persist: the md5-heavy n-gram count frame feeds BOTH bag models
+    # (via the ratio table) and the candidate scoring join — without
+    # this the explode+hash pipeline runs twice (at real scale: write
+    # the counts to storage once, as the streaming store does)
+    counts = hashed_ngram_counts(docs, n_buckets, tokens_expr).persist()
     target_ids = docs.filter(F.expr(target)).select("doc_id")
     ratio = dsir_log_ratio_table(counts, target_ids, n_buckets)
     cand_counts = counts.join(

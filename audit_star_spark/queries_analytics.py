@@ -8246,3 +8246,108 @@ SELECT cell_id, vec_id, label FROM (
 
 EXTRA_QUERIES["cluster_balanced_sample"] = q_cluster_balanced_sample
 EXTRA_ORACLES["cluster_balanced_sample"] = _cluster_balanced_sql()
+
+
+def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-Descent kNN-graph construction through the gate
+    (analytics/knn_graph.py — Dong et al. 2011): deterministic-random
+    seed edges, two neighbor-of-neighbor refinement rounds
+    (symmetrized edge set, new-pair-only scoring, per-node top-k), and
+    the convergence metric — recall of each eval node's exact top-k
+    among its graph out-edges. The oracle unrolls the identical seed
+    arithmetic and both rounds."""
+    from audit_star_spark.analytics.knn_graph import knn_graph_recall
+
+    return knn_graph_recall(
+        load_table(spark, sf_dir, "embeddings"), k=8, rounds=2, n_eval=8
+    ).select("src", "n_hits", F.round("recall", 6).alias("recall"))
+
+
+def _knn_graph_sql(k: int = 8, rounds: int = 2, n_eval: int = 8) -> str:
+    seed_h = (
+        "('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
+        "CAST(j AS VARCHAR)), 1, 15))::BIGINT"
+    )
+
+    def score(tbl: str) -> str:
+        return (
+            f"SELECT c.src, c.dst, "
+            f"{d_dot('s.vec', 'd.vec')} / (s.norm * d.norm) AS cosine "
+            f"FROM {tbl} c "
+            f"JOIN normed s ON s.vec_id = c.src "
+            f"JOIN normed d ON d.vec_id = c.dst"
+        )
+
+    def topk(tbl: str) -> str:
+        return (
+            f"SELECT src, dst, cosine FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY src "
+            f"ORDER BY cosine DESC, dst) AS rank FROM {tbl}"
+            f") WHERE rank <= {k}"
+        )
+
+    parts = [
+        f"base AS (SELECT vec_id, {D_VEC} AS vec FROM embeddings)",
+        f"normed AS (SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) "
+        "AS norm FROM base)",
+        "nn AS (SELECT count(*) AS n FROM base)",
+        f"""seeds AS (
+  SELECT DISTINCT src, (src + 1 + {seed_h} % (nn.n - 1)) % nn.n AS dst
+  FROM (SELECT vec_id AS src FROM base) CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS j)
+)""",
+        f"s0 AS ({score('seeds')})",
+        f"e0 AS ({topk('s0')})",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""und{t} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e{p}
+    UNION ALL SELECT dst AS src, src AS dst FROM e{p}
+  )
+)"""
+        )
+        parts.append(
+            f"""cand{t} AS (
+  SELECT DISTINCT l.src, r.dst
+  FROM und{t} l JOIN und{t} r ON l.dst = r.src
+  WHERE l.src <> r.dst
+  EXCEPT SELECT src, dst FROM e{p}
+)"""
+        )
+        parts.append(f"sc{t} AS ({score(f'cand{t}')})")
+        parts.append(
+            f"pool{t} AS (SELECT src, dst, cosine FROM e{p} "
+            f"UNION ALL SELECT src, dst, cosine FROM sc{t})"
+        )
+        parts.append(f"e{t} AS ({topk(f'pool{t}')})")
+    parts.append(
+        f"""exact AS (
+  SELECT src, dst FROM (
+    SELECT q.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {d_dot('q.vec', 'b.vec')} / (q.norm * b.norm) DESC,
+                      b.vec_id) AS rank
+    FROM normed q JOIN normed b ON b.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_eval}
+  ) WHERE rank <= {k}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT e.src, CAST(count(g.dst) AS BIGINT) AS n_hits,
+       round(CAST(count(g.dst) AS DOUBLE) / {float(k)!r}, 6) AS recall
+FROM exact e
+LEFT JOIN (SELECT src, dst FROM e{rounds} WHERE src < {n_eval}) g
+  ON g.src = e.src AND g.dst = e.dst
+GROUP BY e.src
+"""
+    )
+
+
+EXTRA_QUERIES["knn_graph_recall"] = q_knn_graph_recall
+EXTRA_ORACLES["knn_graph_recall"] = _knn_graph_sql()
