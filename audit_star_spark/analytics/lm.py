@@ -414,3 +414,49 @@ SELECT t.doc_id,
        exp(s.avg_nll) AS perplexity
 FROM {table} t LEFT JOIN scores s ON t.doc_id = s.doc_id
 """
+
+
+def perplexity_bins(
+    docs: DataFrame, n_bins: int = 3, tokens_expr: str = TOKENS_EXPR
+) -> DataFrame:
+    """CCNet's perplexity binning (Wenzek et al. 2020): rank every
+    document by self-trained bigram-LM perplexity WITHIN its language
+    and cut into ``n_bins`` equal-depth bins — bin 1 is the "head"
+    CCNet keeps, the tail is the crawl noise. Returns per (lang, bin):
+    n_docs, ppl_min, ppl_max.
+
+    Cross-engine determinism: the ntile orders by the 6-dp ROUNDED
+    perplexity then doc_id — raw floats differ in the last ulp between
+    engines (the doc_perplexity precedent), and a tie at 1e-15 must
+    not flip two documents across a bin boundary. Documents too short
+    to score (no bigrams) are excluded — their own quality class.
+
+    Scale shape: the LM is two count joins (doc_perplexity); the
+    binning is ONE language-keyed window — partition-parallel across
+    languages. A 100 TB run with few giant languages would range-
+    partition within language on the rounded perplexity instead (the
+    gapless_ids mode= precedent); the equal-depth cut itself is the
+    published mechanism either way."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pyspark.sql import Window
+
+    p = doc_perplexity(docs, tokens_expr=tokens_expr)
+    scored = (
+        docs.select("doc_id", "lang")
+        .join(p, "doc_id")
+        .filter(F.col("avg_nll").isNotNull())
+        .select(
+            "doc_id", "lang", F.round("perplexity", 6).alias("ppl6")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("ppl6", "doc_id")
+    return (
+        scored.withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("ppl6").alias("ppl_min"),
+            F.max("ppl6").alias("ppl_max"),
+        )
+    )

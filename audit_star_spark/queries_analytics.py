@@ -8351,3 +8351,42 @@ GROUP BY e.src
 
 EXTRA_QUERIES["knn_graph_recall"] = q_knn_graph_recall
 EXTRA_ORACLES["knn_graph_recall"] = _knn_graph_sql()
+
+
+def q_perplexity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity binning through the gate (analytics/lm.py
+    perplexity_bins — Wenzek et al. 2020): per-language equal-depth
+    terciles of self-trained bigram-LM perplexity (head / middle /
+    tail), ntile ordered by the 6-dp ROUNDED perplexity + doc_id so a
+    last-ulp float difference cannot flip a bin boundary between
+    engines. The oracle replays the LM and the same NTILE."""
+    from audit_star_spark.analytics.lm import perplexity_bins
+
+    return perplexity_bins(load_table(spark, sf_dir, "documents"), n_bins=3)
+
+
+def _perplexity_bins_sql(n_bins: int = 3) -> str:
+    from audit_star_spark.analytics.lm import perplexity_sql
+
+    return f"""
+WITH px AS ({perplexity_sql('documents', 'text')}),
+scored AS (
+  SELECT d.doc_id, d.lang, round(px.perplexity, 6) AS ppl6
+  FROM documents d JOIN px ON px.doc_id = d.doc_id
+  WHERE px.avg_nll IS NOT NULL
+),
+binned AS (
+  SELECT lang, ppl6,
+         NTILE({n_bins}) OVER (PARTITION BY lang
+                               ORDER BY ppl6, doc_id) AS bin
+  FROM scored
+)
+SELECT lang, CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(ppl6) AS ppl_min, max(ppl6) AS ppl_max
+FROM binned GROUP BY lang, bin
+"""
+
+
+EXTRA_QUERIES["perplexity_bins"] = q_perplexity_bins
+EXTRA_ORACLES["perplexity_bins"] = _perplexity_bins_sql()
