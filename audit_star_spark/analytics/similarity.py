@@ -989,3 +989,80 @@ def cluster_balanced_sample(
         .filter(F.col("__rn") <= per_cell)
         .select("cell_id", "vec_id", "label")
     )
+
+
+def kmeans_lightweight_coreset(
+    emb: DataFrame,
+    m: int = 64,
+    salt: str = "lwcs",
+    bit_exact: bool = True,
+) -> DataFrame:
+    """Lightweight coreset for k-means (Bachem, Lucic & Krause 2018,
+    "Scalable k-Means Clustering via Lightweight Coresets"): sample
+    ``m`` points with probability
+
+        q(x) = 1/2 * 1/N + 1/2 * d(x, mean)^2 / sum_x' d(x', mean)^2
+
+    and weight each pick 1/(m * q(x)); k-means cost on the weighted
+    sample approximates cost on the full corpus within the paper's
+    bounds. This is THE primitive that turns 100 TB of embeddings into
+    a driver-sized weighted set the exact solver (kmeans_train) can
+    iterate on. Returns (vec_id, label, q, weight).
+
+    Sampling is the deterministic Efraimidis-Spirakis draw of
+    weighted_sample (md5 uniforms, key u^(1/q), top-m WITHOUT
+    replacement via TakeOrderedAndProject) — the engine-portable form
+    of the paper's multinomial draw; the weight formula is unchanged.
+    Two corpus passes (mean, then distances) plus the top-m; the
+    corpus-sized folds honor ``bit_exact`` (functions/folds.py)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    from audit_star_spark.functions.folds import fold_sum
+
+    base = _prepared(emb)
+    n = base.count()  # bounded: one scalar
+    if n == 0:
+        raise ValueError("empty embedding corpus")
+    if m > n:
+        raise ValueError(f"m {m} exceeds corpus size {n}")
+    mean = (
+        base.select(F.posexplode("vec").alias("i", "x"))
+        .groupBy("i")
+        .agg((F.expr(fold_sum("x", bit_exact)) / F.lit(float(n))).alias("m"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+            ).alias("ml")
+        )
+    )
+    with_d2 = base.crossJoin(F.broadcast(mean)).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(zip_with(vec, ml, (x, mu) -> (x - mu) * (x - mu)), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        ).alias("d2"),
+    )
+    tot = with_d2.agg(F.expr(fold_sum("d2", bit_exact)).alias("s"))
+    scored = with_d2.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "label",
+        (
+            F.lit(0.5 / n) + F.lit(0.5) * F.col("d2") / F.col("s")
+        ).alias("q"),
+    )
+    u = F.expr(
+        f"(CAST(conv(substring(md5(CAST(vec_id AS STRING) || ':{salt}'), "
+        "1, 15), 16, 10) AS DOUBLE) + 1.0) / 1152921504606846977.0"
+    )
+    return (
+        scored.withColumn("__key", F.pow(u, F.lit(1.0) / F.col("q")))
+        .orderBy(F.col("__key").desc(), F.col("vec_id"))
+        .limit(m)
+        .select(
+            "vec_id",
+            "label",
+            "q",
+            (F.lit(1.0) / (F.lit(float(m)) * F.col("q"))).alias("weight"),
+        )
+    )

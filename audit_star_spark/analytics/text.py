@@ -718,3 +718,49 @@ def alpha_mix_report(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
         F.round("rate", 9).alias("rate"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def ngram_dup_profile(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """Corpus duplication profile (the RefinedWeb/Gopher-style health
+    report, corpus-level): for each n-gram order 1..``max_n``, the
+    number of n-gram TOKENS, distinct TYPES, and the duplicate
+    fraction (tokens - types) / tokens — how much of the corpus is
+    verbatim n-gram repetition, the first number a dedup pass is
+    judged against. Returns (n, n_tokens, n_types, dup_fraction).
+
+    Scale shape: tokens project ONCE per document (the staged-column
+    rule); each order is one in-row gram construction + one distinct
+    count and one count over the exploded stream — map-side combinable
+    aggregates, shuffle carries partials. Orders run as a union of
+    ``max_n`` narrow plans over the same scan."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    toks = docs.select(F.expr(TOKENS_EXPR).alias("toks"))
+    out = None
+    for n in range(1, max_n + 1):
+        if n == 1:
+            gexpr = "toks"
+        else:
+            joined = ", ".join(f"toks[i + {j}]" for j in range(n))
+            gexpr = (
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> concat_ws(' ', {joined})) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        grams = toks.select(F.explode(F.expr(gexpr)).alias("g"))
+        agg = grams.agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("g").cast("long").alias("n_types"),
+        ).select(
+            F.lit(n).alias("n"),
+            "n_tokens",
+            "n_types",
+            F.when(
+                F.col("n_tokens") > 0,
+                (F.col("n_tokens") - F.col("n_types"))
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
