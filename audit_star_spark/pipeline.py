@@ -35,6 +35,9 @@ def run_corpus_pipeline(
     shards: int | None = None,
     mix_weights: dict[str, float] | None = None,
     substring_k: int | None = None,
+    classifier_threshold: float | None = None,
+    dsir_target: str | None = None,
+    dsir_keep: int | None = None,
 ) -> dict:
     """Run the full cleaning pipeline over a documents parquet
     (``doc_id``, ``text``, extra columns carried through). Writes
@@ -116,7 +119,56 @@ def run_corpus_pipeline(
         clean.unpersist()
         clean = sub.drop("n_removed_tokens")
 
-    # 3c. optional source mixing: downsample-only toward the target
+    # 3c. optional model-based quality gate (the fastText-style stage of
+    # published pipelines, after the rule gate and dedup): train the
+    # self-supervised hashing-trick classifier on the survivors and keep
+    # documents whose ROUNDED probability clears the threshold (the
+    # exp-ulp-proof decision rule of the gate query)
+    if classifier_threshold is not None:
+        from audit_star_spark.analytics.classifier import (
+            hashed_features,
+            score_docs,
+            train_logreg,
+        )
+        from audit_star_spark.analytics.text import TOKENS_EXPR
+
+        labels = clean.select(
+            "doc_id",
+            (F.size(F.expr(TOKENS_EXPR)) >= 30).cast("int").alias("label"),
+        )
+        feats = hashed_features(clean)
+        w = train_logreg(feats, labels)
+        kept = (
+            score_docs(feats, w)
+            .filter(F.round("prob", 6) >= float(classifier_threshold))
+            .select("doc_id")
+        )
+        scored = clean.join(kept, "doc_id").persist()
+        stats["n_after_classifier"] = scored.count()
+        clean.unpersist()
+        clean = scored
+
+    # 3d. optional DSIR importance resampling toward a target slice
+    # (Xie et al. 2023): keep the dsir_keep candidates whose hashed
+    # n-gram profile is most target-like, PLUS the target slice itself
+    # (selection only ever filters candidates)
+    if dsir_target is not None:
+        if not dsir_keep or dsir_keep < 1:
+            raise ValueError("dsir_target requires dsir_keep >= 1")
+        from audit_star_spark.analytics.dsir import dsir_resample
+
+        picked = dsir_resample(clean, dsir_target, k=dsir_keep).select(
+            "doc_id"
+        )
+        keep = clean.filter(F.expr(dsir_target)).select("doc_id").unionByName(
+            picked
+        )
+        selected = clean.join(keep.distinct(), "doc_id").persist()
+        stats["n_after_dsir"] = selected.count()
+        clean.unpersist()
+        clean = selected
+
+    # 3e. optional source mixing: downsample-only toward the target
     # proportions (deterministic hash keep, binding source keeps 100%)
     if mix_weights:
         from audit_star_spark.analytics.text import apply_mix

@@ -133,3 +133,57 @@ def test_pipeline_optional_substring_stage(spark, tmp_path):
                 texts.append(_json.loads(line)["text"])
     assert len(texts) == 6
     assert sum(1 for t in texts if boiler in t) == 1  # only the canonical
+
+
+def test_pipeline_optional_classifier_and_dsir_stages(spark, tmp_path):
+    """classifier_threshold gates on the model probability; dsir_target
+    keeps the target slice plus the top-k most target-like candidates.
+    Both stages are selection-only (monotone funnel) and their counts
+    match the standalone operators composed by hand."""
+    from audit_star_spark.pipeline import run_corpus_pipeline
+
+    src = str(tmp_path / "docs.parquet")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(120)
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "out")
+    target = "source IN ('src0', 'src1')"
+    stats = run_corpus_pipeline(
+        spark,
+        src,
+        out,
+        classifier_threshold=0.5,
+        dsir_target=target,
+        dsir_keep=20,
+    )
+    assert (
+        stats["n_after_near_dedup"]
+        >= stats["n_after_classifier"]
+        >= stats["n_after_dsir"]
+        > 0
+    )
+    # the DSIR stage keeps all targets + at most dsir_keep candidates
+    kept = spark.read.json(os.path.join(out, "clean_jsonl"))
+    n_targets = kept.filter(F.expr(target)).count()
+    n_cands = kept.filter(~F.expr(target)).count()
+    assert n_cands <= 20
+    assert stats["n_after_dsir"] == n_targets + n_cands
+
+
+def test_pipeline_dsir_requires_keep(spark, tmp_path):
+    import pytest
+
+    from audit_star_spark.pipeline import run_corpus_pipeline
+
+    src = str(tmp_path / "docs.parquet")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(20)
+        .write.parquet(src)
+    )
+    with pytest.raises(ValueError, match="dsir_keep"):
+        run_corpus_pipeline(
+            spark, src, str(tmp_path / "out"), dsir_target="source = 'src0'"
+        )
