@@ -8513,3 +8513,99 @@ FROM keyed ORDER BY k DESC, vec_id LIMIT {m}
 
 EXTRA_QUERIES["kmeans_coreset"] = q_kmeans_coreset
 EXTRA_ORACLES["kmeans_coreset"] = _kmeans_coreset_sql()
+
+
+def q_robust_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of the embedding corpus through the gate
+    (analytics/robust.py — smoothed Weiszfeld, 3 fixed steps from the
+    mean): per-dimension mean vs geometric median and the outlier
+    ``drag`` between them. +,-,*,/ and sqrt only, so the oracle
+    replays the mean start and every iteration (same folds, same
+    epsilon floor)."""
+    from audit_star_spark.analytics.robust import robust_center_report
+
+    return robust_center_report(
+        load_table(spark, sf_dir, "embeddings"), n_iter=3
+    ).select(
+        "dim",
+        F.round("mean", 9).alias("mean"),
+        F.round("gmedian", 9).alias("gmedian"),
+        F.round("drag", 9).alias("drag"),
+    )
+
+
+def _robust_center_sql(n_iter: int = 3, eps: float = 1e-12) -> str:
+    fold = lambda xs: d_fold(  # noqa: E731
+        f"list_sort(list({xs}))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    parts = [
+        f"base AS (SELECT vec_id, {D_VEC} AS vec FROM embeddings)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base)",
+        """dims0 AS (
+  SELECT i, x FROM (
+    SELECT unnest(vec) AS x,
+           unnest(generate_series(1, len(vec))) AS i
+    FROM base
+  )
+)""",
+        f"""m0 AS (
+  SELECT i, {fold('x')} / nn.n AS m FROM dims0 CROSS JOIN nn GROUP BY i, nn.n
+)""",
+        """c0 AS (
+  SELECT list_transform(list_sort(list(struct_pack(i := i, m := m))),
+                        s -> s.m) AS gm
+  FROM m0
+)""",
+    ]
+    dist = d_fold(
+        "list_transform(list_zip(vec, gm), z -> (z[1] - z[2]) * (z[1] - z[2]))",
+        "CAST(0.0 AS DOUBLE)",
+        "(s, v) -> s + v",
+    )
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(
+            f"""d{t} AS (
+  SELECT vec, greatest(sqrt({dist}), {eps!r}) AS d
+  FROM base CROSS JOIN c{p}
+)"""
+        )
+        parts.append(
+            f"""t{t} AS (
+  SELECT i, xd, 1.0 / d AS w FROM (
+    SELECT unnest(list_transform(vec, x -> x / d)) AS xd,
+           unnest(generate_series(1, len(vec))) AS i,
+           d
+    FROM d{t}
+  )
+)"""
+        )
+        parts.append(
+            f"n{t} AS (SELECT i, {fold('xd')} AS nu FROM t{t} GROUP BY i)"
+        )
+        parts.append(
+            f"e{t} AS (SELECT {fold('w')} AS de FROM t{t} WHERE i = 1)"
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT list_transform(list_sort(list(struct_pack(i := i, g := g))),
+                        s -> s.g) AS gm
+  FROM (SELECT n{t}.i, n{t}.nu / e{t}.de AS g FROM n{t} CROSS JOIN e{t})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(d.i - 1 AS INT) AS dim,
+       round(m0s.gm[d.i], 9) AS mean,
+       round(c{n_iter}.gm[d.i], 9) AS gmedian,
+       round(m0s.gm[d.i] - c{n_iter}.gm[d.i], 9) AS drag
+FROM (SELECT unnest(generate_series(1, 64)) AS i) d
+CROSS JOIN c0 m0s CROSS JOIN c{n_iter}
+"""
+    )
+
+
+EXTRA_QUERIES["robust_center"] = q_robust_center
+EXTRA_ORACLES["robust_center"] = _robust_center_sql()
