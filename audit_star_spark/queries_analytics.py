@@ -8609,3 +8609,55 @@ CROSS JOIN c0 m0s CROSS JOIN c{n_iter}
 
 EXTRA_QUERIES["robust_center"] = q_robust_center
 EXTRA_ORACLES["robust_center"] = _robust_center_sql()
+
+
+def q_suffix_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array repetition profile through the gate
+    (analytics/suffix.py — Manber-Myers prefix doubling over the token
+    suffixes): at each span h = 1, 2, 4, 8, 16, how many suffixes share
+    their first-h tokens (and in how many duplicated groups) — the
+    all-k repetition view fixed-k shingles cannot give. The oracle is
+    definitionally INDEPENDENT: it regroups suffixes by their literal
+    first-h token slices per h, never running the doubling — the
+    doubling ranks and slice equality must coincide exactly."""
+    from audit_star_spark.analytics.suffix import suffix_dup_profile
+
+    return suffix_dup_profile(
+        load_table(spark, sf_dir, "documents"), max_h=16, mode="distributed"
+    )
+
+
+def _suffix_dup_sql(max_h: int = 16) -> str:
+    hs = []
+    h = 1
+    while h <= max_h:
+        hs.append(h)
+        h *= 2
+    parts = []
+    for h in hs:
+        parts.append(
+            f"""SELECT CAST({h} AS INT) AS h,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_suffixes,
+       CAST(count(*) AS BIGINT) AS n_dup_groups
+FROM (
+  SELECT count(*) AS c FROM (
+    SELECT array_to_string(
+             list_slice(toks, pos, least(pos + {h} - 1, len(toks))), ' ')
+           AS key
+    FROM suf
+  ) GROUP BY key HAVING count(*) > 1
+)"""
+        )
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tl AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents),
+suf AS (
+  SELECT doc_id, i AS pos, toks
+  FROM tl, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+)
+{u}
+"""
+
+
+EXTRA_QUERIES["suffix_dup_profile"] = q_suffix_dup_profile
+EXTRA_ORACLES["suffix_dup_profile"] = _suffix_dup_sql()

@@ -1,0 +1,102 @@
+"""Prefix-doubling suffix ranks (analytics/suffix.py): pure-Python
+suffix-array reference parity (equal suffixes share ranks; order
+matches a sorted() of the actual suffixes), window vs distributed mode
+equality, the dup-profile against brute-force slice grouping, the
+no-single-partition plan shape in distributed mode, and validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "a b a b c"),
+    (2, "b a b c d"),
+    (3, "a b a b c"),  # exact duplicate of doc 1: every suffix shared
+    (4, "z"),
+]
+
+
+def _df(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_suffixes(rows):
+    out = []
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        for pos in range(len(toks)):
+            out.append((doc_id, pos, tuple(toks[pos:])))
+    return out
+
+
+def test_ranks_match_python_suffix_sort(spark):
+    from audit_star_spark.analytics.suffix import suffix_ranks
+
+    got = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(_df(spark)).collect()
+    }
+    suf = _py_suffixes(DOCS)
+    assert set(got) == {(d, p) for d, p, _s in suf}
+    # dense ranks of the sorted distinct suffixes
+    distinct = sorted({s for _d, _p, s in suf})
+    want_rank = {s: i + 1 for i, s in enumerate(distinct)}
+    for d, p, s in suf:
+        assert got[(d, p)] == want_rank[s], (d, p, s)
+
+
+def test_modes_agree(spark):
+    from audit_star_spark.analytics.suffix import suffix_ranks
+
+    w = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(_df(spark), mode="window").collect()
+    }
+    d = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(_df(spark), mode="distributed").collect()
+    }
+    assert w == d
+
+
+def test_dup_profile_matches_bruteforce(spark):
+    from audit_star_spark.analytics.suffix import suffix_dup_profile
+
+    rows = {
+        r["h"]: (r["n_dup_suffixes"], r["n_dup_groups"])
+        for r in suffix_dup_profile(_df(spark), max_h=8).collect()
+    }
+    suf = _py_suffixes(DOCS)
+    for h in (1, 2, 4, 8):
+        groups = {}
+        for _d, _p, s in suf:
+            groups.setdefault(s[:h], []).append(1)
+        dup = [len(v) for v in groups.values() if len(v) > 1]
+        assert rows[h] == (sum(dup), len(dup)), h
+
+
+def test_duplicate_doc_suffixes_always_shared(spark):
+    """Docs 1 and 3 are identical, so every suffix stays duplicated at
+    EVERY span — the profile never reaches zero."""
+    from audit_star_spark.analytics.suffix import suffix_dup_profile
+
+    for r in suffix_dup_profile(_df(spark), max_h=16).collect():
+        assert r["n_dup_suffixes"] >= 10  # 5 suffixes x 2 copies
+
+
+def test_distributed_mode_has_no_single_partition_exchange(spark):
+    from audit_star_spark.analytics.suffix import suffix_ranks
+
+    plan = (
+        suffix_ranks(_df(spark), mode="distributed")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_empty_corpus_raises(spark):
+    from audit_star_spark.analytics.suffix import suffix_ranks
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        suffix_ranks(_df(spark).filter(F.lit(False)))
