@@ -68,12 +68,12 @@ def suffix_ranks(
     cur = iter_materialize(
         _dense_ranks(suf, ["tok"], mode).select("doc_id", "pos", "r")
     )
-    n_suffixes = cur.count()  # bounded: one scalar
+    # no per-round all-unique probe: identical suffixes (ubiquitous in
+    # real corpora — any shared final token) keep ranks tied forever,
+    # so the probe is a wasted job per round; the loop is bounded by
+    # ceil(log2(longest document)) regardless
     h = 1
     while h < max_len:
-        n_ranks = cur.agg(F.countDistinct("r")).collect()[0][0]
-        if n_ranks == n_suffixes:
-            break  # all suffixes already totally ordered
         nxt = cur.select(
             "doc_id", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2")
         )
@@ -162,4 +162,96 @@ def suffix_dup_profile(
         out_rows.append((h, 0, 0))
     return spark.createDataFrame(
         out_rows, "h int, n_dup_suffixes long, n_dup_groups long"
+    )
+
+
+def longest_repeated_run(
+    docs: DataFrame,
+    tokens_expr: str = TOKENS_EXPR,
+    mode: str = "window",
+) -> DataFrame:
+    """ONE row (run_len, run, n_occurrences): the LONGEST token run
+    appearing at least twice in the corpus (across or within
+    documents), ties broken by the lexicographically smallest run —
+    the suffix-array classic (the answer is always the longest common
+    prefix of two suffixes ADJACENT in suffix order).
+
+    Shape: final suffix ranks (prefix doubling above), then
+    - identical suffixes (same dense rank, group > 1): candidate run =
+      the whole suffix;
+    - adjacent DISTINCT ranks r, r+1: candidate run = token-level LCP
+      of one representative of each (same-rank suffixes are identical,
+      so any representative is exact) — computed in-row from the two
+      sliced token arrays after ONE join back to the corpus.
+    No window over the corpus: rank adjacency is the equi join
+    r = r + 1, and representatives are a groupBy-min. ``n_occurrences``
+    counts suffixes whose first run_len tokens equal the run."""
+    toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
+    ranks = suffix_ranks(docs, tokens_expr, mode)
+    # suffix token arrays, fetched once — persisted: the representative
+    # extraction, the within/adjacent candidate branches and the final
+    # occurrence count all read this frame
+    suf = ranks.join(toks, "doc_id").select(
+        "rank",
+        "doc_id",
+        "pos",
+        F.expr("slice(toks, pos + 1, size(toks) - pos)").alias("stoks"),
+    ).persist()
+    # one representative per rank (identical suffixes: any member)
+    rep = (
+        suf.groupBy("rank")
+        .agg(
+            F.count("*").alias("grp"),
+            F.min(F.struct("doc_id", "pos")).alias("m"),
+        )
+        .join(
+            suf.select("rank", "doc_id", "pos", "stoks"),
+            ["rank"],
+        )
+        .filter(
+            (F.col("m.doc_id") == F.col("doc_id"))
+            & (F.col("m.pos") == F.col("pos"))
+        )
+        .select("rank", "grp", "stoks")
+    ).persist()
+    # within-rank duplicates: the whole suffix repeats
+    within = rep.filter(F.col("grp") > 1).select(
+        F.size("stoks").alias("run_len"),
+        F.col("stoks").alias("run_toks"),
+    )
+    # adjacent distinct ranks: token-level LCP of the representatives
+    nxt = rep.select(
+        (F.col("rank") - 1).alias("rank"), F.col("stoks").alias("ntoks")
+    )
+    lcp = (
+        rep.join(nxt, "rank")
+        .select(
+            F.expr(
+                "CASE WHEN exists(zip_with(stoks, ntoks, (a, b) -> "
+                "a IS DISTINCT FROM b), x -> x) THEN "
+                "array_position(zip_with(stoks, ntoks, (a, b) -> "
+                "a IS DISTINCT FROM b), true) - 1 "
+                "ELSE least(size(stoks), size(ntoks)) END"
+            ).cast("int").alias("run_len"),
+            F.col("stoks").alias("run_toks"),
+        )
+        .filter(F.col("run_len") > 0)
+    )
+    cands = within.unionByName(lcp).select(
+        "run_len",
+        F.expr("concat_ws(' ', slice(run_toks, 1, run_len))").alias("run"),
+    )
+    best = cands.orderBy(F.col("run_len").desc(), F.col("run").asc()).limit(1)
+    # occurrence count of the winning run
+    n = (
+        suf.crossJoin(F.broadcast(best))
+        .filter(
+            F.expr("concat_ws(' ', slice(stoks, 1, run_len))")
+            == F.col("run")
+        )
+        .filter(F.size("stoks") >= F.col("run_len"))
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return best.crossJoin(F.broadcast(n)).select(
+        "run_len", "run", "n_occurrences"
     )

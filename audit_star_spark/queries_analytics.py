@@ -8661,3 +8661,65 @@ suf AS (
 
 EXTRA_QUERIES["suffix_dup_profile"] = q_suffix_dup_profile
 EXTRA_ORACLES["suffix_dup_profile"] = _suffix_dup_sql()
+
+
+def q_longest_repeated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated token run through the gate
+    (analytics/suffix.py longest_repeated_run — the suffix-array
+    classic: the answer is the max LCP of suffixes adjacent in suffix
+    order). The oracle is definitionally INDEPENDENT: it sorts the
+    literal suffixes, takes each adjacent pair's token LCP and the
+    same (length desc, run asc) argmax — no prefix doubling anywhere
+    in the oracle."""
+    from audit_star_spark.analytics.suffix import longest_repeated_run
+
+    return longest_repeated_run(
+        load_table(spark, sf_dir, "documents"), mode="distributed"
+    )
+
+
+SQL_LONGEST_RUN = f"""
+WITH tl AS (SELECT doc_id, {D_TOKENS} AS toks FROM documents),
+strs AS (
+  SELECT list_slice(toks, i, len(toks)) AS stoks
+  FROM tl, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+),
+ordered AS (
+  SELECT stoks,
+         row_number() OVER (ORDER BY array_to_string(stoks, ' ')) AS rn
+  FROM strs
+),
+pairs AS (
+  SELECT a.stoks AS x, b.stoks AS y
+  FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+),
+lcps AS (
+  SELECT CASE WHEN list_position(
+                list_transform(list_zip(x, y),
+                               z -> z[1] IS DISTINCT FROM z[2]), true)
+              IS NULL
+         THEN least(len(x), len(y))
+         ELSE list_position(
+                list_transform(list_zip(x, y),
+                               z -> z[1] IS DISTINCT FROM z[2]), true) - 1
+         END AS l,
+         x
+  FROM pairs
+),
+best AS (
+  SELECT CAST(l AS INT) AS run_len,
+         array_to_string(list_slice(x, 1, l), ' ') AS run
+  FROM lcps WHERE l > 0
+  ORDER BY l DESC, run ASC LIMIT 1
+)
+SELECT best.run_len, best.run,
+       (SELECT CAST(count(*) AS BIGINT) FROM strs
+        WHERE len(stoks) >= best.run_len
+          AND array_to_string(list_slice(stoks, 1, best.run_len), ' ')
+              = best.run) AS n_occurrences
+FROM best
+"""
+
+
+EXTRA_QUERIES["longest_repeated_run"] = q_longest_repeated_run
+EXTRA_ORACLES["longest_repeated_run"] = SQL_LONGEST_RUN

@@ -100,3 +100,29 @@ def test_empty_corpus_raises(spark):
 
     with pytest.raises(ValueError, match="empty corpus"):
         suffix_ranks(_df(spark).filter(F.lit(False)))
+
+
+def test_longest_repeated_run_matches_bruteforce(spark):
+    from audit_star_spark.analytics.suffix import longest_repeated_run
+
+    rows = [
+        (1, "x y the quick brown fox z"),
+        (2, "w the quick brown fox v u"),
+        (3, "unrelated words here"),
+        (4, "pp the quick brown fox qq"),
+    ]
+    got = longest_repeated_run(_df(spark, rows)).collect()[0]
+    # brute force: longest list prefix shared by >= 2 suffixes
+    suf = [s for _d, _p, s in _py_suffixes(rows)]
+    best = (0, ())
+    for i, a in enumerate(suf):
+        for b in suf[i + 1 :]:
+            l = 0
+            while l < min(len(a), len(b)) and a[l] == b[l]:
+                l += 1
+            cand = (l, a[:l])
+            if l > best[0] or (l == best[0] and cand[1] < best[1]):
+                best = cand
+    assert got["run_len"] == best[0] == 4
+    assert got["run"] == " ".join(best[1]) == "the quick brown fox"
+    assert got["n_occurrences"] == 3
