@@ -8723,3 +8723,15 @@ FROM best
 
 EXTRA_QUERIES["longest_repeated_run"] = q_longest_repeated_run
 EXTRA_ORACLES["longest_repeated_run"] = SQL_LONGEST_RUN
+
+
+# ---------------------------------------------- round-12 rotation candidates
+# The 13 round-11 additions are gate-sim + pytest-oracle-locked
+# (GATESIM_r11.log: full list OK at sf0.01) but have no hard driver
+# CORRECTNESS row yet. Next round, mirror _R11_ROTATE_IN/_OUT above:
+# rotate IN dsir_selection, doremi_mixture, winnow_near_dups,
+# mp3_l3_samples_census, matryoshka_recall, cluster_balanced_sample,
+# knn_graph_recall, perplexity_bins, kmeans_coreset, ngram_dup_profile,
+# robust_center, suffix_dup_profile, longest_repeated_run; retire 13
+# double-green (r10+r11) entries to EXTRA where the parity lock keeps
+# them oracle-checked every pytest run.
