@@ -8670,7 +8670,14 @@ def q_longest_repeated_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     order). The oracle is definitionally INDEPENDENT: it sorts the
     literal suffixes, takes each adjacent pair's token LCP and the
     same (length desc, run asc) argmax — no prefix doubling anywhere
-    in the oracle."""
+    in the oracle.
+
+    Cost note (gate-heavy, not weak): ~log2(longest doc) doubling
+    rounds, each a handful of small shuffles — at toy scale the wall
+    clock is Spark job-scheduling overhead (~26 s at sf0.1), not
+    compute; at real scale the same plan is the only known shape that
+    avoids both N^2 pairs and a single-partition rank (the mode
+    switch + plan lock in tests/test_suffix.py)."""
     from audit_star_spark.analytics.suffix import longest_repeated_run
 
     return longest_repeated_run(
