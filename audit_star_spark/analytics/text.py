@@ -764,3 +764,64 @@ def ngram_dup_profile(docs: DataFrame, max_n: int = 3) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def zipf_fit(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """ONE row (n_tokens, vocab, zipf_alpha, r2): the Zipf exponent of
+    the corpus token distribution — ordinary least squares of
+    ln(freq) on ln(rank) over the ``top_k`` most frequent tokens
+    (freq ~ rank^-alpha; natural text sits near alpha = 1, and a
+    corpus that drifts far from it is boilerplate-heavy or synthetic —
+    the classic quick health check next to ngram_dup_profile).
+
+    Scale shape: one token count aggregation (map-side combinable),
+    the top-k through TakeOrderedAndProject (rank ties broken by
+    token), then closed-form OLS over k rows — sums fold the SORTED
+    k-row list (bounded group, bit-determinism free). alpha is
+    reported positive (the magnitude of the slope)."""
+    if top_k < 3:
+        raise ValueError(f"top_k must be >= 3, got {top_k}")
+    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(top_k)
+        .select(F.col("c").cast("double").alias("c"))
+        .orderBy(F.col("c").desc())
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("c").alias("y"),
+    )
+    fold = (
+        "aggregate(array_sort(collect_list({0})), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(fold.format("x")).alias("sx"),
+        F.expr(fold.format("y")).alias("sy"),
+        F.expr(fold.format("x * x")).alias("sxx"),
+        F.expr(fold.format("x * y")).alias("sxy"),
+        F.expr(fold.format("y * y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    fit = s.select(
+        (-slope).alias("zipf_alpha"),
+        ((r_num / r_den) * (r_num / r_den)).alias("r2"),
+    )
+    return totals.crossJoin(F.broadcast(fit))

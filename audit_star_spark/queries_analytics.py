@@ -8742,3 +8742,61 @@ EXTRA_ORACLES["longest_repeated_run"] = SQL_LONGEST_RUN
 # robust_center, suffix_dup_profile, longest_repeated_run; retire 13
 # double-green (r10+r11) entries to EXTRA where the parity lock keeps
 # them oracle-checked every pytest run.
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent corpus health check through the gate
+    (analytics/text.py zipf_fit): OLS of ln(freq) on ln(rank) over the
+    top-100 tokens. Tie permutations inside a frequency level cannot
+    change the sums (tied tokens share y), and the top-k boundary
+    breaks ties by token in BOTH engines, so the fit is deterministic
+    cross-engine."""
+    from audit_star_spark.analytics.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"), top_k=100).select(
+        "n_tokens", "vocab",
+        F.round("zipf_alpha", 9).alias("zipf_alpha"),
+        F.round("r2", 9).alias("r2"),
+    )
+
+
+def _zipf_sql(top_k: int = 100) -> str:
+    fold = lambda xs: d_fold(  # noqa: E731
+        f"list_sort(list({xs}))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH tok AS (SELECT unnest({D_TOKENS}) AS tok FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM counts
+),
+top AS (
+  SELECT CAST(c AS DOUBLE) AS c FROM counts
+  ORDER BY c DESC, tok LIMIT {top_k}
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC) AS DOUBLE)) AS x,
+         ln(c) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         {fold('x')} AS sx, {fold('y')} AS sy,
+         {fold('x * x')} AS sxx, {fold('x * y')} AS sxy,
+         {fold('y * y')} AS syy
+  FROM xy
+)
+SELECT totals.n_tokens, totals.vocab,
+       round(-(s.n * s.sxy - s.sx * s.sy)
+              / (s.n * s.sxx - s.sx * s.sx), 9) AS zipf_alpha,
+       round(((s.n * s.sxy - s.sx * s.sy) * (s.n * s.sxy - s.sx * s.sy))
+              / ((s.n * s.sxx - s.sx * s.sx)
+                 * (s.n * s.syy - s.sy * s.sy)), 9) AS r2
+FROM totals CROSS JOIN s
+"""
+
+
+EXTRA_QUERIES["zipf_fit"] = q_zipf_fit
+EXTRA_ORACLES["zipf_fit"] = _zipf_sql()

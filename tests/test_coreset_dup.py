@@ -134,3 +134,37 @@ def test_dup_profile_validation(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_n"):
         ngram_dup_profile(docs, max_n=0)
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus built with freq(rank) = round(1000 * rank^-1) must fit
+    alpha ~ 1 with near-perfect r2; numpy OLS cross-check at 1e-9."""
+    import numpy as np
+
+    from audit_star_spark.analytics.text import zipf_fit
+
+    words = [f"w{i}" for i in range(1, 31)]
+    text_parts = []
+    for i, w in enumerate(words, start=1):
+        text_parts.extend([w] * round(1000 / i))
+    docs = spark.createDataFrame(
+        [(1, " ".join(text_parts))], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, top_k=30).collect()[0]
+    counts = sorted((round(1000 / i) for i in range(1, 31)), reverse=True)
+    x = np.log(np.arange(1, 31, dtype=float))
+    y = np.log(np.array(counts, dtype=float))
+    slope, _b = np.polyfit(x, y, 1)
+    assert r["zipf_alpha"] == pytest.approx(-slope, rel=1e-9)
+    assert r["zipf_alpha"] == pytest.approx(1.0, abs=0.05)
+    assert r["r2"] > 0.999
+    assert r["n_tokens"] == sum(counts)
+    assert r["vocab"] == 30
+
+
+def test_zipf_validation(spark):
+    from audit_star_spark.analytics.text import zipf_fit
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="top_k"):
+        zipf_fit(docs, top_k=2)
