@@ -8800,3 +8800,57 @@ FROM totals CROSS JOIN s
 
 EXTRA_QUERIES["zipf_fit"] = q_zipf_fit
 EXTRA_ORACLES["zipf_fit"] = _zipf_sql()
+
+
+# ----------------------------------------------------- round-12 rotation
+# The 14 round-11 additions (gate-sim + pytest-oracle-locked,
+# GATESIM_r11.log full list OK at sf0.01, but never driver-certified)
+# move into the 50-slot window to earn hard CORRECTNESS_r12 rows; 14
+# double-green entries (driver-green in BOTH r10 and r11) retire to
+# EXTRA, where tests/test_oracle_parity.py keeps them oracle-locked on
+# every pytest run. Window stays 8 audit + 42 analytics.
+_R12_ROTATE_IN = [
+    "dsir_selection",
+    "doremi_mixture",
+    "winnow_near_dups",
+    "mp3_l3_samples_census",
+    "matryoshka_recall",
+    "cluster_balanced_sample",
+    "knn_graph_recall",
+    "perplexity_bins",
+    "kmeans_coreset",
+    "ngram_dup_profile",
+    "robust_center",
+    "suffix_dup_profile",
+    "longest_repeated_run",
+    "zipf_fit",
+]
+_R12_ROTATE_OUT = [
+    "ivf_index_probe",
+    "pq_topk_recall",
+    "ivfpq_probe_recall",
+    "ivfpq_rerank",
+    "hll_event_users",
+    "kmv_audience_overlap",
+    "cms_event_counts",
+    "price_quantiles_hdr",
+    "weighted_price_quantiles",
+    "bloom_prefilter_stats",
+    "flac_meta",
+    "gif_anim_census",
+    "y4m_census",
+    "g711_census",
+]
+for _name in _R12_ROTATE_OUT:
+    EXTRA_QUERIES[_name] = ANALYTICS_QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ANALYTICS_ORACLES.pop(_name)
+for _name in _R12_ROTATE_IN:
+    ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+
+if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
+    raise RuntimeError(
+        "ANALYTICS_QUERIES must stay exactly 42 entries so the driver's "
+        f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
+    )
+del _name
