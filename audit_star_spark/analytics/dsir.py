@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.text import TOKENS_EXPR
 from audit_star_spark.functions.folds import fold_sum
+from audit_star_spark.plans.iterate import iter_materialize
 
 DSIR_BUCKETS = 1024
 
@@ -168,11 +169,15 @@ def dsir_log_weights(
     the ``target`` SQL predicate): the DSIR importance log-weight under
     hashed-ngram bag models of the target vs raw slices. The per-doc
     fold honors ``bit_exact`` (group <= distinct buckets per doc)."""
-    # persist: the md5-heavy n-gram count frame feeds BOTH bag models
-    # (via the ratio table) and the candidate scoring join — without
-    # this the explode+hash pipeline runs twice (at real scale: write
-    # the counts to storage once, as the streaming store does)
-    counts = hashed_ngram_counts(docs, n_buckets, tokens_expr).persist()
+    # materialize: the md5-heavy n-gram count frame feeds BOTH bag
+    # models (via the ratio table) and the candidate scoring join —
+    # without this the explode+hash pipeline runs twice (at real scale:
+    # write the counts to storage once, as the streaming store does).
+    # localCheckpoint, not persist: blocks release when the returned
+    # frame is unreferenced, so repeated invocations don't pin cached
+    # datasets for the session's life (the release_kn_model lifetime
+    # rule, solved here without a release handle).
+    counts = iter_materialize(hashed_ngram_counts(docs, n_buckets, tokens_expr))
     target_ids = docs.filter(F.expr(target)).select("doc_id")
     ratio = dsir_log_ratio_table(counts, target_ids, n_buckets)
     cand_counts = counts.join(

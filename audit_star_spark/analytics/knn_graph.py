@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.similarity import _dot, _prepared
+from audit_star_spark.operators.ids import gapless_ids
 from audit_star_spark.plans.iterate import iter_materialize
 
 
@@ -71,9 +72,35 @@ def knn_graph(emb: DataFrame, k: int = 8, rounds: int = 2) -> DataFrame:
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     base = _prepared(emb)
-    n = base.count()  # bounded: one scalar, the corpus size
+    # the seed arithmetic (src + 1 + h % (n-1)) % n is a valid non-self
+    # destination map ONLY over dense 0..n-1 ids: sparse or offset
+    # vec_ids would alias seed destinations onto missing vertices and
+    # the score join would silently drop them, leaving under-seeded
+    # nodes. Probe density with one bounded aggregate; when ids are NOT
+    # dense, rank them gapless first and translate back at the end (for
+    # dense inputs — every driver table — the probe passes and the plan
+    # is byte-identical to the direct path).
+    prof = base.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+    ).collect()[0]
+    n = prof["n"]  # bounded: one scalar row, the corpus size
     if n < 2:
         raise ValueError(f"need at least 2 vectors, got {n}")
+    dense = prof["lo"] == 0 and prof["hi"] == n - 1
+    if not dense:
+        idmap = gapless_ids(
+            base.select("vec_id").distinct(),
+            order_by=["vec_id"],
+            id_col="__nid",
+            start=0,
+        )
+        base = (
+            base.join(idmap, "vec_id")
+            .drop("vec_id")
+            .withColumnRenamed("__nid", "vec_id")
+        )
     nodes = base.select("vec_id", "vec", "norm")
     ns = nodes.select(
         F.col("vec_id").alias("src"),
@@ -124,6 +151,23 @@ def knn_graph(emb: DataFrame, k: int = 8, rounds: int = 2) -> DataFrame:
         )
         pool = edges.select("src", "dst", "cosine").unionByName(score(cand))
         edges = iter_materialize(_topk_per_src(pool, k))
+    if not dense:
+        back_s = idmap.select(
+            F.col("__nid").alias("src"), F.col("vec_id").alias("__src_id")
+        )
+        back_d = idmap.select(
+            F.col("__nid").alias("dst"), F.col("vec_id").alias("__dst_id")
+        )
+        edges = (
+            edges.join(back_s, "src")
+            .join(back_d, "dst")
+            .select(
+                F.col("__src_id").alias("src"),
+                "rank",
+                F.col("__dst_id").alias("dst"),
+                "cosine",
+            )
+        )
     return edges
 
 

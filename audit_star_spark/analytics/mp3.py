@@ -1183,6 +1183,11 @@ def _decode_granule(
                 v = -v
             vals.append(v)
         samples.extend(vals)
+    # an inconsistent stream whose big_values walk reads past the
+    # granule's bit budget would otherwise consume the NEXT granule's
+    # bits and silently rewind — raise, like the scalefactor overrun
+    if br.pos > end_bit:
+        raise ValueError("big_values overran part2_3_length")
     # count1 tail: quadruples until the bit budget is exhausted; a
     # quad that would overrun is encoder stuffing — discarded (§2.4.3.4)
     stuffing = 0

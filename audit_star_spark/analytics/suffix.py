@@ -50,14 +50,19 @@ def _dense_ranks(df: DataFrame, key_cols: list[str], mode: str) -> DataFrame:
     return df.join(ranked, key_cols)
 
 
-def suffix_ranks(
+def _suffix_rank_history(
     docs: DataFrame,
     tokens_expr: str = TOKENS_EXPR,
     mode: str = "window",
-) -> DataFrame:
-    """(doc_id, pos, rank): the lexicographic dense rank of every token
-    suffix (pos is 0-based; equal suffixes — across documents too —
-    share a rank). ``mode`` as in operators/ids.py."""
+) -> list[tuple[int, DataFrame]]:
+    """The full doubling ladder: [(h, rank_h frame)] for h = 1, 2, 4,
+    ..., 2^ceil(log2(longest document)) — rank_h orders suffixes by
+    their first h tokens (0-sentinel: shorter-is-smaller). Each frame
+    is (doc_id, pos, r), materialized with truncated lineage. Keeping
+    the ladder (instead of discarding all but the last round) is what
+    makes Manber–Myers LCP derivation possible WITHOUT ever
+    materializing per-suffix token slices — O(n log n) scalar rows
+    total, zero token arrays."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
     suf = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
@@ -68,6 +73,7 @@ def suffix_ranks(
     cur = iter_materialize(
         _dense_ranks(suf, ["tok"], mode).select("doc_id", "pos", "r")
     )
+    history = [(1, cur)]
     # no per-round all-unique probe: identical suffixes (ubiquitous in
     # real corpora — any shared final token) keep ranks tied forever,
     # so the probe is a wasted job per round; the loop is bounded by
@@ -92,6 +98,19 @@ def suffix_ranks(
             )
         )
         h *= 2
+        history.append((h, cur))
+    return history
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    tokens_expr: str = TOKENS_EXPR,
+    mode: str = "window",
+) -> DataFrame:
+    """(doc_id, pos, rank): the lexicographic dense rank of every token
+    suffix (pos is 0-based; equal suffixes — across documents too —
+    share a rank). ``mode`` as in operators/ids.py."""
+    _h, cur = _suffix_rank_history(docs, tokens_expr, mode)[-1]
     return cur.select("doc_id", "pos", F.col("r").alias("rank"))
 
 
@@ -176,82 +195,137 @@ def longest_repeated_run(
     the suffix-array classic (the answer is always the longest common
     prefix of two suffixes ADJACENT in suffix order).
 
-    Shape: final suffix ranks (prefix doubling above), then
-    - identical suffixes (same dense rank, group > 1): candidate run =
-      the whole suffix;
-    - adjacent DISTINCT ranks r, r+1: candidate run = token-level LCP
-      of one representative of each (same-rank suffixes are identical,
-      so any representative is exact) — computed in-row from the two
-      sliced token arrays after ONE join back to the corpus.
-    No window over the corpus: rank adjacency is the equi join
-    r = r + 1, and representatives are a groupBy-min. ``n_occurrences``
-    counts suffixes whose first run_len tokens equal the run."""
+    Shape — LCP FROM RANKS (Manber & Myers), never from token arrays:
+    - identical suffixes (same final dense rank, group > 1): candidate
+      run length = the whole suffix length (doc_len - pos, a scalar
+      join against the per-DOCUMENT length frame);
+    - adjacent DISTINCT ranks r, r+1 (one representative each, a
+      groupBy-min): LCP by descending the doubling ladder — at each
+      kept round h (largest first), if rank_h agrees at the pair's
+      current offsets, the suffixes share h more tokens: advance both
+      offsets by h and add h. Binary greedy over the power-of-two
+      ladder is exact (0-sentinel ranks make a short-vs-long tie
+      impossible for distinct suffixes), so the LCP needs only
+      log2(longest doc) rounds of two (doc_id, pos)-keyed scalar
+      joins over the #ranks-row pair frame.
+    Token text is materialized ONLY for the max-length candidates
+    (the tie-break set) and the final occurrence scan is an in-row
+    compare against the 1-row broadcast winner — no per-suffix token
+    slice is ever persisted or shuffled (the O(sum L_i^2) blowup the
+    first version had). ``n_occurrences`` counts suffixes whose first
+    run_len tokens equal the run."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
-    ranks = suffix_ranks(docs, tokens_expr, mode)
-    # suffix token arrays, fetched once — persisted: the representative
-    # extraction, the within/adjacent candidate branches and the final
-    # occurrence count all read this frame
-    suf = ranks.join(toks, "doc_id").select(
-        "rank",
-        "doc_id",
-        "pos",
-        F.expr("slice(toks, pos + 1, size(toks) - pos)").alias("stoks"),
-    ).persist()
-    # one representative per rank (identical suffixes: any member)
+    doc_len = toks.select("doc_id", F.size("toks").alias("__dl"))
+    history = _suffix_rank_history(docs, tokens_expr, mode)
+    _hf, final = history[-1]
+    # one representative per final rank (identical suffixes: any member
+    # is exact) + the group size for the within-rank branch
     rep = (
-        suf.groupBy("rank")
+        final.groupBy("r")
         .agg(
             F.count("*").alias("grp"),
             F.min(F.struct("doc_id", "pos")).alias("m"),
         )
-        .join(
-            suf.select("rank", "doc_id", "pos", "stoks"),
-            ["rank"],
+        .select(
+            F.col("r").alias("rank"),
+            "grp",
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.pos").alias("pos"),
         )
-        .filter(
-            (F.col("m.doc_id") == F.col("doc_id"))
-            & (F.col("m.pos") == F.col("pos"))
-        )
-        .select("rank", "grp", "stoks")
-    ).persist()
+    )
+    rep = iter_materialize(rep)
     # within-rank duplicates: the whole suffix repeats
-    within = rep.filter(F.col("grp") > 1).select(
-        F.size("stoks").alias("run_len"),
-        F.col("stoks").alias("run_toks"),
+    within = (
+        rep.filter(F.col("grp") > 1)
+        .join(doc_len, "doc_id")
+        .select(
+            (F.col("__dl") - F.col("pos")).cast("int").alias("run_len"),
+            "doc_id",
+            "pos",
+        )
     )
-    # adjacent distinct ranks: token-level LCP of the representatives
+    # adjacent distinct ranks: LCP by descending-h rank agreement
     nxt = rep.select(
-        (F.col("rank") - 1).alias("rank"), F.col("stoks").alias("ntoks")
+        (F.col("rank") - 1).alias("rank"),
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
     )
-    lcp = (
-        rep.join(nxt, "rank")
+    pairs = rep.join(nxt, "rank").select(
+        F.col("doc_id").alias("d1"),
+        F.col("pos").alias("p1"),
+        "d2",
+        "p2",
+        F.col("pos").alias("a"),
+        F.col("p2").alias("b"),
+        F.lit(0).alias("lcp"),
+    )
+    for h, rank_h in reversed(history):
+        ra = rank_h.select(
+            F.col("doc_id").alias("d1"),
+            F.col("pos").alias("a"),
+            F.col("r").alias("__ra"),
+        )
+        rb = rank_h.select(
+            F.col("doc_id").alias("d2"),
+            F.col("pos").alias("b"),
+            F.col("r").alias("__rb"),
+        )
+        match = (
+            F.col("__ra").isNotNull()
+            & F.col("__rb").isNotNull()
+            & (F.col("__ra") == F.col("__rb"))
+        )
+        pairs = iter_materialize(
+            pairs.join(ra, ["d1", "a"], "left")
+            .join(rb, ["d2", "b"], "left")
+            .select(
+                "d1",
+                "p1",
+                "d2",
+                "p2",
+                F.when(match, F.col("a") + h).otherwise(F.col("a")).alias("a"),
+                F.when(match, F.col("b") + h).otherwise(F.col("b")).alias("b"),
+                F.when(match, F.col("lcp") + h)
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+            )
+        )
+    adjacent = pairs.filter(F.col("lcp") > 0).select(
+        F.col("lcp").cast("int").alias("run_len"),
+        F.col("d1").alias("doc_id"),
+        F.col("p1").alias("pos"),
+    )
+    cands = within.unionByName(adjacent)
+    mx = cands.agg(F.max("run_len").alias("run_len"))
+    # token text ONLY for the (bounded) max-length tie-break set
+    best = (
+        cands.join(F.broadcast(mx), "run_len")
+        .join(toks, "doc_id")
+        .select(
+            "run_len",
+            F.expr("slice(toks, pos + 1, run_len)").alias("run_toks"),
+        )
+        .select(
+            "run_len",
+            F.expr("concat_ws(' ', run_toks)").alias("run"),
+            "run_toks",
+        )
+        .orderBy(F.col("run").asc())
+        .limit(1)
+    )
+    # occurrence count of the winning run: in-row per-document scan
+    # against the 1-row broadcast winner — streaming, nothing persisted
+    n = (
+        toks.crossJoin(F.broadcast(best))
+        .filter(F.size("toks") >= F.col("run_len"))
         .select(
             F.expr(
-                "CASE WHEN exists(zip_with(stoks, ntoks, (a, b) -> "
-                "a IS DISTINCT FROM b), x -> x) THEN "
-                "array_position(zip_with(stoks, ntoks, (a, b) -> "
-                "a IS DISTINCT FROM b), true) - 1 "
-                "ELSE least(size(stoks), size(ntoks)) END"
-            ).cast("int").alias("run_len"),
-            F.col("stoks").alias("run_toks"),
+                "size(filter(sequence(0, size(toks) - run_len), "
+                "p -> slice(toks, p + 1, run_len) = run_toks))"
+            ).alias("c")
         )
-        .filter(F.col("run_len") > 0)
+        .agg(F.sum("c").cast("long").alias("n_occurrences"))
     )
-    cands = within.unionByName(lcp).select(
-        "run_len",
-        F.expr("concat_ws(' ', slice(run_toks, 1, run_len))").alias("run"),
-    )
-    best = cands.orderBy(F.col("run_len").desc(), F.col("run").asc()).limit(1)
-    # occurrence count of the winning run
-    n = (
-        suf.crossJoin(F.broadcast(best))
-        .filter(
-            F.expr("concat_ws(' ', slice(stoks, 1, run_len))")
-            == F.col("run")
-        )
-        .filter(F.size("stoks") >= F.col("run_len"))
-        .agg(F.count("*").alias("n_occurrences"))
-    )
-    return best.crossJoin(F.broadcast(n)).select(
+    return best.drop("run_toks").crossJoin(F.broadcast(n)).select(
         "run_len", "run", "n_occurrences"
     )

@@ -815,13 +815,16 @@ def zipf_fit(docs: DataFrame, top_k: int = 100) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
+    # r2 expression shape MUST match the DuckDB oracle operation-for-
+    # operation (num^2 / (den_x * den_y), no sqrt): algebraically-equal
+    # alternatives differ in the last ulps and a boundary-sitting value
+    # could flip the rounded hash gate
     r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    r_den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    r_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
     fit = s.select(
         (-slope).alias("zipf_alpha"),
-        ((r_num / r_den) * (r_num / r_den)).alias("r2"),
+        ((r_num * r_num) / r_den).alias("r2"),
     )
     return totals.crossJoin(F.broadcast(fit))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.text import FP_PRIME, TOK_HASHES_EXPR
+from audit_star_spark.plans.iterate import iter_materialize
 
 WIN_K = 4  # k-gram length (tokens)
 WIN_W = 4  # winnowing window (k-grams)
@@ -112,9 +113,12 @@ def winnow_near_pairs(
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     fph = winnow_fingerprints(docs, k, w).select("doc_id", "fp").distinct()
-    # persist: the sizes aggregate, the (optional) ubiquity stats and
-    # the two sides of the bucket join all read this md5-heavy frame
-    fph = fph.persist()
+    # materialize: the sizes aggregate, the (optional) ubiquity stats
+    # and the two sides of the bucket join all read this md5-heavy
+    # frame. localCheckpoint, not persist: blocks release when the
+    # result frame is unreferenced instead of pinning cache for the
+    # session's life (the release_kn_model lifetime rule).
+    fph = iter_materialize(fph)
     sizes = fph.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     buckets = fph
     if max_doc_freq is not None:

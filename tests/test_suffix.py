@@ -126,3 +126,39 @@ def test_longest_repeated_run_matches_bruteforce(spark):
     assert got["run_len"] == best[0] == 4
     assert got["run"] == " ".join(best[1]) == "the quick brown fox"
     assert got["n_occurrences"] == 3
+
+
+def test_longest_run_never_materializes_suffix_arrays(spark, monkeypatch):
+    """The scale lock for the LCP-from-ranks rewrite: every frame
+    longest_repeated_run materializes (rank ladder, representative
+    frame, LCP pair states) carries only scalar columns — the
+    per-suffix token-slice frame of the first version (O(sum L_i^2)
+    storage) must never come back. Also: no session-lifetime persist()
+    anywhere in the module."""
+    import inspect
+
+    from pyspark.sql.types import ArrayType
+
+    from audit_star_spark.analytics import suffix as suffix_mod
+
+    recorded = []
+    real = suffix_mod.iter_materialize
+
+    def spy(df, *a, **kw):
+        recorded.append(df.schema)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(suffix_mod, "iter_materialize", spy)
+    out = suffix_mod.longest_repeated_run(
+        _df(spark, [(1, "p q r s t"), (2, "m p q r s n")]),
+        mode="distributed",
+    ).collect()
+    assert out[0]["run"] == "p q r s"
+    assert len(recorded) >= 3  # ladder rounds + rep + pair descents
+    for schema in recorded:
+        for f in schema.fields:
+            assert not isinstance(f.dataType, ArrayType), (
+                f"array column {f.name} materialized — the per-suffix "
+                "slice blowup is back"
+            )
+    assert ".persist(" not in inspect.getsource(suffix_mod)
