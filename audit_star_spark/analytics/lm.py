@@ -417,7 +417,10 @@ FROM {table} t LEFT JOIN scores s ON t.doc_id = s.doc_id
 
 
 def perplexity_bins(
-    docs: DataFrame, n_bins: int = 3, tokens_expr: str = TOKENS_EXPR
+    docs: DataFrame,
+    n_bins: int = 3,
+    tokens_expr: str = TOKENS_EXPR,
+    mode: str = "window",
 ) -> DataFrame:
     """CCNet's perplexity binning (Wenzek et al. 2020): rank every
     document by self-trained bigram-LM perplexity WITHIN its language
@@ -425,18 +428,27 @@ def perplexity_bins(
     CCNet keeps, the tail is the crawl noise. Returns per (lang, bin):
     n_docs, ppl_min, ppl_max.
 
-    Cross-engine determinism: the ntile orders by the 6-dp ROUNDED
+    Cross-engine determinism: the cut orders by the 6-dp ROUNDED
     perplexity then doc_id — raw floats differ in the last ulp between
     engines (the doc_perplexity precedent), and a tie at 1e-15 must
     not flip two documents across a bin boundary. Documents too short
     to score (no bigrams) are excluded — their own quality class.
 
-    Scale shape: the LM is two count joins (doc_perplexity); the
-    binning is ONE language-keyed window — partition-parallel across
-    languages. A 100 TB run with few giant languages would range-
-    partition within language on the rounded perplexity instead (the
-    gapless_ids mode= precedent); the equal-depth cut itself is the
-    published mechanism either way."""
+    Scale shape: the LM is two count joins (doc_perplexity). The cut:
+    - mode='window' — ONE language-keyed ntile window: fine for a
+      many-language corpus, but CCNet's actual use (a monolingual or
+      English-dominated crawl) funnels the dominant language through
+      ONE window partition — a single task sorts the corpus;
+    - mode='distributed' — the gapless_ids two-pass offset scheme:
+      range-partition + sort the whole frame on (lang, ppl6, doc_id)
+      (each LANGUAGE spreads across many partitions by perplexity),
+      assign global gapless row ids, subtract each language's first id
+      (a #langs-row broadcast) to get the within-language rank, then
+      apply ntile's EXACT closed form — the first n mod k buckets get
+      ceil(n/k) rows, the rest floor(n/k). Bit-identical to the window
+      path (test-locked), with no corpus-sized window partition
+      anywhere in the plan.
+    """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     from pyspark.sql import Window
@@ -450,13 +462,43 @@ def perplexity_bins(
             "doc_id", "lang", F.round("perplexity", 6).alias("ppl6")
         )
     )
-    w = Window.partitionBy("lang").orderBy("ppl6", "doc_id")
-    return (
-        scored.withColumn("bin", F.ntile(n_bins).over(w))
-        .groupBy("lang", "bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.min("ppl6").alias("ppl_min"),
-            F.max("ppl6").alias("ppl_max"),
+    if mode == "window":
+        w = Window.partitionBy("lang").orderBy("ppl6", "doc_id")
+        binned = scored.withColumn("bin", F.ntile(n_bins).over(w))
+    else:
+        from audit_star_spark.operators.ids import gapless_ids
+
+        ids = gapless_ids(
+            scored,
+            order_by=["lang", "ppl6", "doc_id"],
+            id_col="__gid",
+            mode=mode,
         )
+        # ordering by lang FIRST makes each language's global ids
+        # contiguous, so rank-in-language = __gid - min(__gid per lang)
+        # + 1; the offset table is one tiny broadcast frame
+        off = ids.groupBy("lang").agg(
+            F.min("__gid").alias("__lo"), F.count("*").alias("__n")
+        )
+        # integer ceil-divisions reproduce ntile exactly; when a
+        # language has fewer rows than bins, q = 0 and thr = n, so the
+        # q-divisor branch is never evaluated on a zero q
+        k = n_bins
+        bin_expr = (
+            f"CAST(CASE WHEN __r <= ((__n div {k}) + 1) * (__n % {k}) THEN "
+            f"(__r + (__n div {k})) div ((__n div {k}) + 1) "
+            f"ELSE (__n % {k}) + "
+            f"(__r - ((__n div {k}) + 1) * (__n % {k}) + (__n div {k}) - 1) "
+            f"div (__n div {k}) END AS INT)"
+        )
+        binned = (
+            ids.join(F.broadcast(off), "lang")
+            .withColumn("__r", F.col("__gid") - F.col("__lo") + 1)
+            .withColumn("bin", F.expr(bin_expr))
+            .drop("__gid", "__lo", "__n", "__r")
+        )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("ppl6").alias("ppl_min"),
+        F.max("ppl6").alias("ppl_max"),
     )

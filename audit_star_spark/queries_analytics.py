@@ -8362,7 +8362,9 @@ def q_perplexity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The oracle replays the LM and the same NTILE."""
     from audit_star_spark.analytics.lm import perplexity_bins
 
-    return perplexity_bins(load_table(spark, sf_dir, "documents"), n_bins=3)
+    return perplexity_bins(
+        load_table(spark, sf_dir, "documents"), n_bins=3, mode="distributed"
+    )
 
 
 def _perplexity_bins_sql(n_bins: int = 3) -> str:

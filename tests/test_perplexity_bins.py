@@ -42,3 +42,50 @@ def test_validation(docs):
 
     with pytest.raises(ValueError, match="n_bins"):
         perplexity_bins(docs, n_bins=1)
+
+
+def test_modes_agree_exactly(spark, docs):
+    """The distributed path (gapless_ids two-pass + ntile's closed
+    form) must be BIT-IDENTICAL to the window ntile — including the
+    uneven-remainder bucket sizes (n_bins=4 over counts not divisible
+    by 4 exercises both branches of the closed form)."""
+    from audit_star_spark.analytics.lm import perplexity_bins
+
+    for k in (3, 4, 7):
+        w = {
+            (r["lang"], r["bin"]): (r["n_docs"], r["ppl_min"], r["ppl_max"])
+            for r in perplexity_bins(docs, n_bins=k, mode="window").collect()
+        }
+        d = {
+            (r["lang"], r["bin"]): (r["n_docs"], r["ppl_min"], r["ppl_max"])
+            for r in perplexity_bins(
+                docs, n_bins=k, mode="distributed"
+            ).collect()
+        }
+        assert w == d, k
+
+
+def test_distributed_mode_has_no_window(spark, docs):
+    """A monolingual corpus funnels the window path through one task;
+    the distributed path's plan must contain NO window operator (the
+    corpus-sized funnel). Scalar-total aggregates (the LM's 1-row
+    vocab/total counts, which partial-aggregate map-side first) are the
+    only single-partition exchanges allowed — they exist identically in
+    both modes and carry one row."""
+    from audit_star_spark.analytics.lm import perplexity_bins
+
+    plan = (
+        perplexity_bins(docs, n_bins=3, mode="distributed")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "ntile" not in plan
+    # every SinglePartition exchange must feed a keyless (scalar)
+    # HashAggregate — i.e. a bounded 1-row total, never row data
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        window = plan[max(0, m.start() - 600): m.start()]
+        assert "HashAggregate(keys=[]" in window, window[-300:]
