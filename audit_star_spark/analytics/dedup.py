@@ -695,6 +695,56 @@ def substring_dedup_rewrite(
 ORIG_TOKENS_EXPR = "split(regexp_replace(trim(text), '\\\\s+', ' '), ' ')"
 
 
+def suffix_dedup_rewrite(
+    docs: DataFrame,
+    min_len: int = 8,
+    mode: str = "window",
+    emit_text: bool = False,
+    preserve_case: bool = False,
+) -> DataFrame:
+    """Suffix-RANK-driven exact-substring dedup with removal — the same
+    semantics as :func:`substring_dedup_rewrite` (every duplicated run
+    of >= min_len tokens cut from all but the globally-first
+    occurrence, overlapping-window coverage merged to maximal spans),
+    but window identity comes from the prefix-doubling suffix machinery
+    (analytics/suffix.py suffix_window_keys) instead of per-window md5
+    hashing:
+
+    - COLLISION-FREE: two windows compare equal iff their tokens are
+      equal (the md5-60-bit path has a ~2^-60 false-merge floor);
+    - O(1) per window: the rank pair is two scalar lookups, where the
+      hash path re-reads k tokens per position — at min_len = 50
+      (the Lee et al. 2022 setting) that is 50x less hashing work on
+      the corpus scan;
+    - log2(min_len) doubling rounds, NOT log2(longest doc): the ladder
+      stops at the first power of two >= the window (max_h).
+
+    Output schema and values are IDENTICAL to substring_dedup_rewrite
+    at the same k on any corpus without md5 collisions (test-locked),
+    so the two are drop-in interchangeable; the suffix path is the one
+    to prefer at large min_len. ``mode`` as in suffix_ranks
+    ('distributed' = no single-partition rank anywhere)."""
+    from audit_star_spark.analytics.suffix import suffix_window_keys
+
+    cols = ["doc_id", F.expr(TOKENS_EXPR).alias("toks")]
+    if preserve_case:
+        cols.append(F.expr(ORIG_TOKENS_EXPR).alias("orig"))
+    base = docs.select(*cols)
+    wins = suffix_window_keys(docs, min_len, TOKENS_EXPR, mode)
+    firsts = wins.groupBy("r1", "r2").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    removed = (
+        wins.join(firsts, ["r1", "r2"])
+        .filter(
+            (F.col("doc_id") != F.col("o.doc_id"))
+            | (F.col("pos") != F.col("o.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return substring_rewrite_report(base, removed, min_len, emit_text=emit_text)
+
+
 def substring_removed_occurrences(wins: DataFrame) -> DataFrame:
     """(doc_id, pos) of every window occurrence that is NOT the global
     first (min (doc_id, pos)) of its hash. groupBy-min + join, not a

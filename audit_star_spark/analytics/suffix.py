@@ -54,6 +54,7 @@ def _suffix_rank_history(
     docs: DataFrame,
     tokens_expr: str = TOKENS_EXPR,
     mode: str = "window",
+    max_h: int | None = None,
 ) -> list[tuple[int, DataFrame]]:
     """The full doubling ladder: [(h, rank_h frame)] for h = 1, 2, 4,
     ..., 2^ceil(log2(longest document)) — rank_h orders suffixes by
@@ -62,7 +63,10 @@ def _suffix_rank_history(
     the ladder (instead of discarding all but the last round) is what
     makes Manber–Myers LCP derivation possible WITHOUT ever
     materializing per-suffix token slices — O(n log n) scalar rows
-    total, zero token arrays."""
+    total, zero token arrays. ``max_h`` stops the ladder once rank_h
+    for that span is built (a consumer that only needs prefix-equality
+    at one fixed span — suffix_window_keys — pays only
+    log2(max_h) rounds, not log2(longest document))."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
     suf = toks.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
@@ -79,7 +83,7 @@ def _suffix_rank_history(
     # so the probe is a wasted job per round; the loop is bounded by
     # ceil(log2(longest document)) regardless
     h = 1
-    while h < max_len:
+    while h < max_len and (max_h is None or h < max_h):
         nxt = cur.select(
             "doc_id", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2")
         )
@@ -112,6 +116,47 @@ def suffix_ranks(
     share a rank). ``mode`` as in operators/ids.py."""
     _h, cur = _suffix_rank_history(docs, tokens_expr, mode)[-1]
     return cur.select("doc_id", "pos", F.col("r").alias("rank"))
+
+
+def suffix_window_keys(
+    docs: DataFrame,
+    k: int,
+    tokens_expr: str = TOKENS_EXPR,
+    mode: str = "window",
+) -> DataFrame:
+    """(doc_id, pos, r1, r2): for every position that admits a full
+    k-token window (pos <= doc_len - k, 0-based), a rank pair that
+    identifies the window's k tokens EXACTLY — two windows are equal
+    iff their (r1, r2) pairs are equal. The classic overlapping
+    power-of-two trick: with h = the largest power of two <= k,
+    r1 = rank_h(pos) and r2 = rank_h(pos + k - h); the two h-spans
+    cover [0, k) because 2h > k, and rank_h equality is exact h-token
+    prefix equality for suffixes of length >= h (both are, by the
+    pos <= doc_len - k filter). Unlike md5 window hashing this is
+    collision-FREE, costs O(1) per window instead of O(k) hashing
+    work, and reuses only log2(k) doubling rounds (``max_h``)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = 1 << (k.bit_length() - 1)  # largest power of two <= k
+    toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
+    doc_len = toks.select("doc_id", F.size("toks").alias("__dl"))
+    history = _suffix_rank_history(docs, tokens_expr, mode, max_h=h)
+    rank_h = history[-1][1]
+    # if every document is shorter than h (<= k), the ladder stops
+    # early — but then no position passes the pos <= doc_len - k
+    # filter either, so the (then-meaningless) key is never emitted
+    r1 = rank_h.select("doc_id", "pos", F.col("r").alias("r1"))
+    r2 = rank_h.select(
+        "doc_id",
+        (F.col("pos") - (k - h)).alias("pos"),
+        F.col("r").alias("r2"),
+    )
+    return (
+        r1.join(doc_len, "doc_id")
+        .filter(F.col("pos") <= F.col("__dl") - k)
+        .join(r2, ["doc_id", "pos"])
+        .select("doc_id", "pos", "r1", "r2")
+    )
 
 
 def suffix_dup_profile(

@@ -8856,3 +8856,81 @@ if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
         f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
     )
 del _name
+
+
+# ------------------------------------------------ round-12 additions (EXTRA)
+def q_suffix_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-rank-driven exact-substring dedup with removal through
+    the gate (analytics/dedup.py suffix_dedup_rewrite): window identity
+    from the prefix-doubling rank pair (collision-free, O(1) per
+    window) instead of md5 window hashes; same keep-first + span-merge
+    + rewrite semantics as substring_dedup_rewrite. The oracle is
+    definitionally INDEPENDENT of the doubling: it groups windows by
+    the LITERAL k-token slice string — rank-pair equality and literal
+    slice equality must coincide exactly."""
+    return dedup.suffix_dedup_rewrite(
+        load_table(spark, sf_dir, "documents"), min_len=8, mode="distributed"
+    )
+
+
+def _suffix_dedup_sql(k: int = 8) -> str:
+    key = f"array_to_string(list_slice(toks, pos + 1, pos + {k}), ' ')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {D_TOKENS} AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - {k})) AS pos, toks
+  FROM base WHERE len(toks) >= {k}
+),
+keyed AS (
+  SELECT doc_id, pos, {key} AS key FROM wins
+),
+removed AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+    FROM keyed
+  ) WHERE rn > 1
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS new_span
+  FROM removed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {k} AS e
+  FROM sp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS n_removed_tokens,
+         list(struct_pack(s := s, e := e)) AS spans
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+       round(COALESCE(p.n_removed_tokens, 0) / CAST(len(b.toks) AS DOUBLE), 6)
+         AS removed_fraction,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+       -- array_join(empty) is '' — a fully-removed doc must hash ''
+       md5(COALESCE(array_to_string(
+         CASE WHEN p.spans IS NULL THEN b.toks
+              ELSE list_filter(b.toks, (t, i) -> len(list_filter(p.spans,
+                     sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0) END,
+         ' '), '')) AS clean_md5
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["suffix_dedup_rewrite"] = q_suffix_dedup_rewrite
+EXTRA_ORACLES["suffix_dedup_rewrite"] = _suffix_dedup_sql()

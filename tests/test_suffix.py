@@ -162,3 +162,58 @@ def test_longest_run_never_materializes_suffix_arrays(spark, monkeypatch):
                 "slice blowup is back"
             )
     assert ".persist(" not in inspect.getsource(suffix_mod)
+
+
+def test_suffix_window_keys_group_like_literal_slices(spark):
+    from audit_star_spark.analytics.suffix import suffix_window_keys
+
+    rows = DOCS + [(5, "the quick brown fox jumps over the quick brown dog")]
+    for k in (2, 3, 4, 5):  # powers of two AND the overlap cases
+        got = suffix_window_keys(_df(spark, rows), k).collect()
+        by_key, by_slice = {}, {}
+        for r in got:
+            by_key.setdefault((r["r1"], r["r2"]), set()).add(
+                (r["doc_id"], r["pos"])
+            )
+        for doc_id, text in rows:
+            toks = text.strip().lower().split()
+            for pos in range(len(toks) - k + 1):
+                by_slice.setdefault(tuple(toks[pos: pos + k]), set()).add(
+                    (doc_id, pos)
+                )
+        assert sorted(map(sorted, by_key.values())) == sorted(
+            map(sorted, by_slice.values())
+        ), k
+
+
+def test_suffix_dedup_rewrite_matches_fixed_k_path(spark):
+    """Drop-in parity: on a corpus with planted >= min_len duplicated
+    runs (and no md5 collisions, i.e. any real corpus), the suffix-rank
+    path must reproduce substring_dedup_rewrite row-for-row — including
+    clean_md5, i.e. the rewritten text itself — at power-of-two AND
+    overlapping window sizes, in both modes."""
+    from audit_star_spark.analytics.dedup import (
+        substring_dedup_rewrite,
+        suffix_dedup_rewrite,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique one"),
+        (2, "x alpha beta gamma delta epsilon zeta eta theta y"),
+        (3, "p q alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "totally different content with no repeats at all here"),
+        (5, "a a a a a a a a a a a a"),  # periodic text artifact branch
+    ]
+    for k in (4, 5, 8):
+        want = {
+            r["doc_id"]: r.asDict()
+            for r in substring_dedup_rewrite(_df(spark, rows), k=k).collect()
+        }
+        for mode in ("window", "distributed"):
+            got = {
+                r["doc_id"]: r.asDict()
+                for r in suffix_dedup_rewrite(
+                    _df(spark, rows), min_len=k, mode=mode
+                ).collect()
+            }
+            assert got == want, (k, mode)
