@@ -755,6 +755,63 @@ def _gen_exists_not_exists_mix(rng: random.Random) -> str:
     )
 
 
+def _gen_null_safe_join(rng: random.Random) -> str:
+    """Null-safe equality join (IS NOT DISTINCT FROM): NULLIF-derived
+    keys on both sides so the NULL = NULL bucket actually joins — the
+    semantics `=` silently drops."""
+    s1 = rng.choice(["'O'", "'F'", "'P'"])
+    s2 = rng.choice(["'O'", "'F'", "'P'"])
+    return (
+        f"WITH a AS (SELECT NULLIF(o_orderstatus, {s1}) AS k, "
+        f"CAST(COUNT(*) AS BIGINT) AS na FROM orders{_where(rng)} "
+        f"GROUP BY 1), "
+        f"b AS (SELECT NULLIF(o_orderstatus, {s2}) AS k, "
+        f"CAST(SUM(o_orderkey) AS BIGINT) AS nb FROM orders GROUP BY 1) "
+        f"SELECT a.k, a.na, b.nb FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k"
+    )
+
+
+def _gen_filter_over_window_col(rng: random.Random) -> str:
+    """Aggregate FILTER clauses whose predicates read a WINDOW-derived
+    column from the inner query — filter-after-rank semantics must
+    agree across engines (deterministic: the rank order always ends
+    with the unique o_orderkey tie-break)."""
+    part = rng.choice(["o_orderstatus", "o_orderpriority"])
+    order = rng.choice(
+        ["o_totalprice DESC, o_orderkey", "o_orderdate, o_orderkey"]
+    )
+    k = rng.randint(2, 6)
+    m = rng.randint(2, 4)
+    return (
+        f"SELECT {part}, "
+        f"CAST(COUNT(*) FILTER (WHERE rn <= {k}) AS BIGINT) AS a0, "
+        f"CAST(SUM(o_orderkey) FILTER (WHERE rn % {m} = 0) AS BIGINT) AS a1, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM (SELECT {part}, o_orderkey, "
+        f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order}) AS rn "
+        f"FROM orders{_where(rng)}) t GROUP BY {part}"
+    )
+
+
+def _gen_union_in_correlated_in(rng: random.Random) -> str:
+    """UNION ALL inside a correlated IN-subquery — BOTH branches carry
+    their own correlation to the outer row (Spark decorrelates each
+    branch independently; duplicate keys from the union must not
+    change IN's set semantics)."""
+    ln = rng.randint(1, 4)
+    qty = rng.randint(20, 45)
+    return (
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders o WHERE o.o_orderkey IN ("
+        f"SELECT l.l_orderkey FROM lineitem l "
+        f"WHERE l.l_orderkey = o.o_orderkey AND l.l_linenumber = {ln} "
+        f"UNION ALL "
+        f"SELECT l2.l_orderkey FROM lineitem l2 "
+        f"WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > {qty}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -795,6 +852,9 @@ def _corpus() -> list[str]:
         + [_gen_chained_correlated_subquery(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_case_bucket_distinct(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_exists_not_exists_mix(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_null_safe_join(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_filter_over_window_col(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_union_in_correlated_in(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
