@@ -1522,3 +1522,269 @@ def encode_mp3_layer3_frames(
             )
         out += head + body + bytes(size - len(head) - len(body))
     return bytes(out)
+
+
+# --------------------------------------------------------- PCM synthesis
+# Layer III PCM under the SAME user-supplied-tables contract as the
+# B.7/B.8 spectral decode: everything the spec prints as a FORMULA
+# (requantization power laws, IMDCT, block windows, overlap-add,
+# frequency inversion, filterbank matrixing) is implemented; everything
+# the spec prints as a TABLE (the B.3 512-tap prototype window, the 8
+# alias-reduction ci coefficients, B.6 pretab, B.8 short bands) must be
+# supplied by the caller — zero ISO constants ship here, and the tests
+# run clearly-synthetic stand-ins through the full machinery.
+
+
+def _imdct(X: list, n: int) -> list:
+    """n-point IMDCT (12 short / 36 long) — the closed §2.4.3.4.10.2
+    formula x_i = sum_{k<n/2} X_k cos(pi/(2n)(2i + 1 + n/2)(2k + 1))."""
+    import math
+
+    half = n // 2
+    return [
+        sum(
+            X[k]
+            * math.cos(math.pi / (2 * n) * (2 * i + 1 + half) * (2 * k + 1))
+            for k in range(half)
+        )
+        for i in range(n)
+    ]
+
+
+def _l3_block_window(block_type: int) -> list:
+    """§2.4.3.4.10.3 block windows — the spec prints these as closed
+    sine FORMULAS (normal / start / stop 36-tap, short 12-tap), so they
+    ship; only tabulated constants stay caller-supplied."""
+    import math
+
+    if block_type == 2:
+        return [math.sin(math.pi / 12 * (i + 0.5)) for i in range(12)]
+    w = [math.sin(math.pi / 36 * (i + 0.5)) for i in range(36)]
+    if block_type == 1:  # start: long attack half, short decay half
+        for i in range(18, 24):
+            w[i] = 1.0
+        for i in range(24, 30):
+            w[i] = math.sin(math.pi / 12 * (i - 18 + 0.5))
+        for i in range(30, 36):
+            w[i] = 0.0
+    elif block_type == 3:  # stop: mirror of start
+        for i in range(0, 6):
+            w[i] = 0.0
+        for i in range(6, 12):
+            w[i] = math.sin(math.pi / 12 * (i - 6 + 0.5))
+        for i in range(12, 18):
+            w[i] = 1.0
+    return w
+
+
+def synthesize_subband_pcm(blocks: list, window: list) -> list:
+    """The polyphase synthesis filterbank (ISO 11172-3 §2.4.3.2, the
+    Annex A flow chart) over a CALLER-SUPPLIED 512-tap prototype window
+    (table B.3 — tabulated, not shipped; the escape-hatch contract of
+    decode_mp3_layer3_samples). ``blocks`` is a sequence of 32-sample
+    subband vectors (one filterbank instant each); each yields 32 PCM
+    samples. Matrixing is the closed formula
+    N_ik = cos((16 + i)(2k + 1) pi / 64); the 1024-value V fifo, the
+    U/W gather and the 16-tap comb are the spec's exact flow."""
+    import math
+
+    win = [float(x) for x in window]
+    if len(win) != 512:
+        raise ValueError(
+            f"synth window must have 512 taps (B.3 shape), got {len(win)}"
+        )
+    n_mat = [
+        [math.cos((16 + i) * (2 * k + 1) * math.pi / 64) for k in range(32)]
+        for i in range(64)
+    ]
+    v = [0.0] * 1024
+    out: list = []
+    for s in blocks:
+        if len(s) != 32:
+            raise ValueError("each subband block must carry 32 samples")
+        v = [
+            sum(n_mat[i][k] * s[k] for k in range(32)) for i in range(64)
+        ] + v[:960]
+        u = [0.0] * 512
+        for i in range(8):
+            for j in range(32):
+                u[i * 64 + j] = v[i * 128 + j]
+                u[i * 64 + 32 + j] = v[i * 128 + 96 + j]
+        w = [u[i] * win[i] for i in range(512)]
+        out.extend(
+            sum(w[j + 32 * i] for i in range(16)) for j in range(32)
+        )
+    return out
+
+
+def _l3_requantize(
+    samples: list, sf: list, g: dict, sfb_long: list, tables: dict
+) -> list:
+    """Coded-order integer samples -> xr floats: the §2.4.3.4.7.1
+    power laws. Long: |is|^(4/3) * 2^((gg-210)/4) * 2^(-mult*(sf +
+    preflag*pretab)); short: per-window subblock_gain and
+    scalefac_s[sfb][win] (flat index sfb*3 + win, the transmitted
+    order). ``mult`` = 0.5 (scalefac_scale 0) or 1.0."""
+    import math
+
+    gg = g["global_gain"]
+    mult = 1.0 if g["scalefac_scale"] else 0.5
+    short = g["window_switching"] and g["block_type"] == 2
+    out = [0.0] * 576
+    if not short:
+        pre = [0.0] * (len(sfb_long) - 1)
+        if g["preflag"]:
+            if "pretab" not in tables:
+                raise NotImplementedError(
+                    "preflag granule needs caller-supplied 'pretab' "
+                    "(ISO 11172-3 table B.6)"
+                )
+            supplied = list(tables["pretab"])
+            pre[: len(supplied)] = [float(p) for p in supplied]
+        gain = 2.0 ** (0.25 * (gg - 210))
+        band = 0
+        for i, v in enumerate(samples):
+            while band + 1 < len(sfb_long) - 1 and i >= sfb_long[band + 1]:
+                band += 1
+            s = float(sf[band]) if band < len(sf) else 0.0
+            p = pre[band] if band < len(pre) else 0.0
+            mag = abs(v) ** (4.0 / 3.0) * gain * 2.0 ** (-mult * (s + p))
+            out[i] = -mag if v < 0 else mag
+        return out
+    if g["mixed_block"]:
+        raise NotImplementedError(
+            "mixed short/long granules are not synthesized (the pure "
+            "long and pure short paths cover the transmitted shapes "
+            "this repo's encoders produce)"
+        )
+    if "sfb_short" not in tables:
+        raise NotImplementedError(
+            "short-block granule needs caller-supplied 'sfb_short' "
+            "(ISO 11172-3 table B.8 short bands, cumulative 0..192)"
+        )
+    sfb_s = list(tables["sfb_short"])
+    if sfb_s[0] != 0 or sfb_s[-1] != 192 or any(
+        a >= b for a, b in zip(sfb_s, sfb_s[1:])
+    ):
+        raise ValueError(
+            "sfb_short must be strictly increasing cumulative offsets "
+            "from 0 to 192"
+        )
+    sbg = g["subblock_gain"]
+    cidx = 0
+    for n in range(len(sfb_s) - 1):
+        start, end = sfb_s[n], sfb_s[n + 1]
+        for w in range(3):
+            gain = 2.0 ** (0.25 * (gg - 210 - 8 * sbg[w]))
+            sidx = n * 3 + w
+            s = float(sf[sidx]) if sidx < len(sf) else 0.0
+            scale = gain * 2.0 ** (-mult * s)
+            for f in range(start, end):
+                if cidx >= len(samples):
+                    break
+                v = samples[cidx]
+                cidx += 1
+                mag = abs(v) ** (4.0 / 3.0) * scale
+                # natural layout: frequency f of window w lands at
+                # subband f div 6, line (f mod 6) — stored as
+                # 18*sb + 6*w + (f mod 6) for the IMDCT consumer
+                out[18 * (f // 6) + 6 * w + (f % 6)] = -mag if v < 0 else mag
+    return out
+
+
+def decode_mp3_layer3_pcm(payload: bytes, tables: dict | None = None) -> dict:
+    """FULL Layer III PCM decode under caller-supplied tables — the
+    B.3 escape hatch the B.7/B.8 spectral decode established. Requires,
+    beyond decode_mp3_layer3_samples' keys:
+
+    - ``synth_window``: the 512-tap prototype window (table B.3);
+    - ``alias_ci``: the 8 alias-reduction ci coefficients
+      (§2.4.3.4.10.1 — cs/ca are DERIVED here: cs = 1/sqrt(1+ci^2),
+      ca = ci/sqrt(1+ci^2));
+    - ``pretab`` (only if a granule sets preflag): table B.6;
+    - ``sfb_short`` (only if short granules occur): B.8 short bands.
+
+    Pipeline (§2.4.3.4): requantize -> (short: reorder to per-subband
+    windows) -> (long: alias-reduction butterflies across subband
+    boundaries) -> IMDCT with the closed-form block windows ->
+    overlap-add (18 + 18) -> frequency inversion (odd samples of odd
+    subbands) -> polyphase synthesis. Returns ``{"n_frames",
+    "sample_rate", "channels", "n_granules", "pcm": [per-channel float
+    lists, 576 samples per granule]}``. Without the required tables
+    this raises, naming them — the honest-boundary default."""
+    if tables is None:
+        raise NotImplementedError(
+            "Layer III PCM decode requires caller-supplied ISO 11172-3 "
+            "tables: B.7/B.8 (see decode_mp3_layer3_samples) plus the "
+            "B.3 512-tap synthesis window ('synth_window') and the 8 "
+            "alias-reduction coefficients ('alias_ci')"
+        )
+    for key in ("synth_window", "alias_ci"):
+        if key not in tables:
+            raise NotImplementedError(
+                f"Layer III PCM decode needs tables['{key}'] "
+                "(B.3 window / §2.4.3.4.10.1 ci coefficients)"
+            )
+    import math
+
+    ci = [float(c) for c in tables["alias_ci"]]
+    if len(ci) != 8:
+        raise ValueError(f"alias_ci must carry 8 coefficients, got {len(ci)}")
+    cs = [1.0 / math.sqrt(1.0 + c * c) for c in ci]
+    ca = [c / math.sqrt(1.0 + c * c) for c in ci]
+    dec = decode_mp3_layer3_samples(payload, tables)
+    side = decode_mp3_layer3_sideinfo(payload)
+    sfb_long = list(tables["sfb_long"])
+    nch = dec["channels"]
+    overlap = [[0.0] * 576 for _ in range(nch)]
+    sub_blocks: list[list] = [[] for _ in range(nch)]
+    for gdat, gmeta in zip(dec["granules"], side["granules"]):
+        key = (gdat["frame"], gdat["gr"], gdat["ch"])
+        if key != (gmeta["frame"], gmeta["gr"], gmeta["ch"]):
+            raise ValueError(f"granule stream desync at {key}")
+        ch = gdat["ch"]
+        xr = _l3_requantize(
+            gdat["samples"], gdat["scalefacs"], gmeta, sfb_long, tables
+        )
+        short = gmeta["window_switching"] and gmeta["block_type"] == 2
+        if not short:
+            # alias-reduction butterflies across each subband boundary
+            for sb in range(1, 32):
+                for i in range(8):
+                    a = xr[18 * sb - 1 - i]
+                    b = xr[18 * sb + i]
+                    xr[18 * sb - 1 - i] = a * cs[i] - b * ca[i]
+                    xr[18 * sb + i] = b * cs[i] + a * ca[i]
+        grane = [[0.0] * 18 for _ in range(32)]
+        for sb in range(32):
+            if short:
+                y = [0.0] * 36
+                w12 = _l3_block_window(2)
+                for w in range(3):
+                    xw = _imdct(
+                        xr[18 * sb + 6 * w: 18 * sb + 6 * w + 6], 12
+                    )
+                    for j in range(12):
+                        y[6 + 6 * w + j] += xw[j] * w12[j]
+            else:
+                x36 = _imdct(xr[18 * sb: 18 * sb + 18], 36)
+                w36 = _l3_block_window(gmeta["block_type"])
+                y = [x36[j] * w36[j] for j in range(36)]
+            for j in range(18):
+                grane[sb][j] = y[j] + overlap[ch][18 * sb + j]
+                overlap[ch][18 * sb + j] = y[18 + j]
+            if sb % 2:  # frequency inversion: odd samples, odd subbands
+                for j in range(1, 18, 2):
+                    grane[sb][j] = -grane[sb][j]
+        for t in range(18):
+            sub_blocks[ch].append([grane[sb][t] for sb in range(32)])
+    return {
+        "n_frames": dec["n_frames"],
+        "sample_rate": dec["sample_rate"],
+        "channels": nch,
+        "n_granules": len(dec["granules"]),
+        "pcm": [
+            synthesize_subband_pcm(sub_blocks[ch], tables["synth_window"])
+            for ch in range(nch)
+        ],
+    }
