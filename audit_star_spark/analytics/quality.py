@@ -393,3 +393,68 @@ def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------- C4 line cleaner
+# Raffel et al. 2020 (arXiv:1910.10683) §2.2 — the C4 structural rules
+# between raw extraction and dedup: keep only lines that end in a
+# terminal punctuation mark AND carry at least 5 words; drop the whole
+# page when fewer than `min_lines` lines survive, or when it contains a
+# blocklisted phrase ("lorem ipsum") or a curly brace (the
+# JavaScript-leak tell). Everything is ONE in-row expression chain per
+# page — no explode, no shuffle, the cleaner is a pure map over the
+# corpus scan (the cheapest possible 100 TB shape).
+
+C4_TERMINAL = (".", "!", "?", '"')
+C4_BLOCKLIST = ("lorem ipsum", "{")
+
+
+def c4_line_clean(
+    pages: DataFrame,
+    text_col: str = "page",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    blocklist: tuple = C4_BLOCKLIST,
+) -> DataFrame:
+    """Per-page C4 report: (doc_id, n_lines, n_kept_lines, kept,
+    drop_reason, clean_md5). ``kept`` pages carry the md5 of the
+    rewritten text (surviving lines re-joined with a newline);
+    dropped pages report which rule fired first — 'blocklist' wins
+    over 'too_few_lines' (C4 applies the page-level filters to the
+    raw page). Line word counts split on runs of whitespace after
+    trimming; a trailing-whitespace line still matches its terminal
+    punctuation (rtrim before the suffix test), matching the published
+    intent rather than a byte-literal reading."""
+    if min_words_per_line < 1 or min_lines < 1:
+        raise ValueError("min_words_per_line and min_lines must be >= 1")
+    term = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINAL)
+    keep_line = (
+        f"size(split(trim(l), '\\\\s+')) >= {min_words_per_line} "
+        f"AND array_contains(array({term}), substring(rtrim(l), -1, 1))"
+    )
+    kept_lines = f"filter(split({text_col}, '\\n'), l -> {keep_line})"
+    block = " OR ".join(
+        f"contains(lower({text_col}), '{p}')" for p in blocklist
+    ) or "false"
+    return pages.select(
+        "doc_id",
+        F.expr(f"size(split({text_col}, '\\n'))").cast("long").alias("n_lines"),
+        F.expr(f"size({kept_lines})").cast("long").alias("n_kept_lines"),
+        F.expr(block).alias("__blocked"),
+        F.md5(F.expr(f"array_join({kept_lines}, '\\n')")).alias("__md5"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        (~F.col("__blocked") & (F.col("n_kept_lines") >= min_lines)).alias(
+            "kept"
+        ),
+        F.when(F.col("__blocked"), F.lit("blocklist"))
+        .when(F.col("n_kept_lines") < min_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("drop_reason"),
+        F.when(
+            ~F.col("__blocked") & (F.col("n_kept_lines") >= min_lines),
+            F.col("__md5"),
+        ).alias("clean_md5"),
+    )

@@ -8934,3 +8934,85 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 
 EXTRA_QUERIES["suffix_dedup_rewrite"] = q_suffix_dedup_rewrite
 EXTRA_ORACLES["suffix_dedup_rewrite"] = _suffix_dedup_sql()
+
+
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 structural line cleaner through the gate (analytics/quality.py
+    c4_line_clean — Raffel et al. 2020 §2.2): terminal-punctuation +
+    min-words line filter, min-lines / blocklist page drop, rewritten-
+    text md5. The synthetic documents carry no line structure, so the
+    gate SYNTHESIZES deterministic pages from the token stream (the
+    codec-census pattern): line length 4 + doc_id % 4 tokens (so the
+    4-word docs exercise the word-count drop), a '.' terminal on lines
+    where (doc_id + i) % 3 != 0 (so ~1/3 of lines fail the terminal
+    rule), 'lorem ipsum' appended when doc_id % 97 == 0 and a '{' line
+    when doc_id % 89 == 0 (the page-level blocklist branches). The
+    oracle restates synthesis AND rules in DuckDB."""
+    from audit_star_spark.analytics.quality import c4_line_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    line_expr = (
+        "array_join(transform(sequence(0, CAST((size(__t) + __l - 1) DIV __l "
+        "AS INT) - 1), i -> concat(array_join(slice(__t, i * __l + 1, __l), "
+        "' '), CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END)), "
+        "'\\n')"
+    )
+    pages = (
+        docs.select("doc_id", F.expr(text.TOKENS_EXPR).alias("__t"))
+        .withColumn("__l", (F.lit(4) + F.col("doc_id") % 4).cast("int"))
+        .filter(F.size("__t") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.expr(line_expr),
+                F.when(F.col("doc_id") % 97 == 0, F.lit("\nlorem ipsum"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 89 == 0, F.lit("\nx { y"))
+                .otherwise(F.lit("")),
+            ).alias("page"),
+        )
+    )
+    return c4_line_clean(pages)
+
+
+SQL_C4_LINE_CLEAN = f"""
+WITH tl AS (
+  SELECT doc_id, {D_TOKENS} AS t, 4 + doc_id % 4 AS l FROM documents
+  WHERE len({D_TOKENS}) >= 1
+),
+pages AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(0, CAST((len(t) + l - 1) // l AS INT) - 1),
+             i -> array_to_string(list_slice(t, i * l + 1, i * l + l), ' ')
+                  || CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END),
+           chr(10))
+         || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'x {{ y' ELSE '' END
+         AS page
+  FROM tl
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
+         list_filter(string_split(page, chr(10)),
+           x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+                AND right(rtrim(x), 1) IN ('.', '!', '?', '"')) AS kl,
+         (contains(lower(page), 'lorem ipsum') OR contains(lower(page), '{{'))
+           AS blocked
+  FROM pages
+)
+SELECT doc_id, n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept_lines,
+       (NOT blocked AND len(kl) >= 3) AS kept,
+       CASE WHEN blocked THEN 'blocklist'
+            WHEN len(kl) < 3 THEN 'too_few_lines' END AS drop_reason,
+       CASE WHEN NOT blocked AND len(kl) >= 3
+            THEN md5(COALESCE(array_to_string(kl, chr(10)), '')) END
+         AS clean_md5
+FROM scored
+"""
+
+
+EXTRA_QUERIES["c4_line_clean"] = q_c4_line_clean
+EXTRA_ORACLES["c4_line_clean"] = SQL_C4_LINE_CLEAN

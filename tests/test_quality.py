@@ -176,3 +176,36 @@ def test_compression_ratio_orders_text_by_compressibility(spark):
     # deterministic across runs
     again = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(docs).collect()}
     assert again == {k: v["zlib_ratio"] for k, v in got.items()}
+
+
+def test_c4_line_clean_rules(spark):
+    """Raffel et al. 2020 §2.2 rule-by-rule: terminal punctuation,
+    min words per line, min kept lines, lorem-ipsum and curly-brace
+    page drops, and the rewritten-text md5 of surviving pages."""
+    import hashlib
+
+    from audit_star_spark.analytics.quality import c4_line_clean
+
+    good = "one two three four five.\nsix seven eight nine ten!\n" \
+           'eleven twelve thirteen fourteen fifteen?"'
+    # line 2 lacks terminal punct, line 3 has only 4 words
+    partial = "a b c d e.\nno terminal punctuation here at all\n" \
+              "too few words."
+    lorem = good + "\nLorem Ipsum dolor sit amet."
+    brace = good + "\nvar x = { a: 1 };"
+    rows = [(1, good), (2, partial), (3, brace), (4, lorem)]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_clean(
+            spark.createDataFrame(rows, "doc_id long, page string")
+        ).collect()
+    }
+    assert out[1]["kept"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["drop_reason"] is None
+    assert out[1]["clean_md5"] == hashlib.md5(good.encode()).hexdigest()
+    assert not out[2]["kept"] and out[2]["drop_reason"] == "too_few_lines"
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept_lines"] == 1
+    assert out[2]["clean_md5"] is None
+    # blocklist fires on the PAGE even though enough lines survive
+    assert not out[3]["kept"] and out[3]["drop_reason"] == "blocklist"
+    assert not out[4]["kept"] and out[4]["drop_reason"] == "blocklist"
