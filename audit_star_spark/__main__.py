@@ -68,6 +68,12 @@ def corpus_main(argv: list[str]) -> int:
              "(token-level rewrite)",
     )
     ap.add_argument(
+        "--substring-engine", choices=("hash", "suffix"), default="hash",
+        help="window-identity engine for --substring-dedup: 'hash' (md5 "
+             "window hashes) or 'suffix' (prefix-doubling rank pairs — "
+             "collision-free, O(1)/window; prefer at large K)",
+    )
+    ap.add_argument(
         "--mix", action="append", default=[], metavar="SOURCE=WEIGHT",
         help="target mix weight for a source (repeatable; unlisted "
              "sources default to 1.0; downsample-only)",
@@ -99,6 +105,7 @@ def corpus_main(argv: list[str]) -> int:
         shards=args.shards,
         mix_weights=mix_weights or None,
         substring_k=args.substring_dedup or None,
+        substring_engine=args.substring_engine,
     )
     for k, v in stats.items():
         print(f"{k:22s} {v}")

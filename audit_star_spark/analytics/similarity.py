@@ -1066,3 +1066,58 @@ def kmeans_lightweight_coreset(
             (F.lit(1.0) / (F.lit(float(m)) * F.col("q"))).alias("weight"),
         )
     )
+
+
+def incontext_order(
+    emb: DataFrame, n_cells: int = N_CELLS, mode: str = "distributed"
+) -> DataFrame:
+    """In-Context Pretraining batch ordering (Shi et al. 2024,
+    "In-Context Pretraining: Language Modeling Beyond Document
+    Boundaries", arXiv:2310.10638): order the corpus so semantically
+    related documents are ADJACENT in the training stream — the paper
+    shows the context a document is packed next to matters, and its
+    scale recipe approximates the greedy max-similarity path with a
+    cluster traversal. This operator is that scale form: nearest coarse
+    cell first (broadcast argmax over the deterministic first-n_cells
+    centroids — the ivf/semantic_dedup convention), most-central
+    documents first within each cell. Returns (vec_id, cell_id, sim6,
+    position) with ``position`` gapless over the whole corpus — the
+    shard writer consumes it directly.
+
+    Ordering determinism: position sorts on the 6-dp ROUNDED centroid
+    similarity (descending) then vec_id — raw-float ordering differs in
+    the last ulp across engines, and a flip would renumber every later
+    position (the float-portability rule applied to ORDERING). Scale
+    shape: one broadcast-argmax scan (per-vector group = n_cells,
+    bounded) plus the gapless-id two-pass — no corpus-sized window
+    partition in 'distributed' mode."""
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    from audit_star_spark.operators.ids import gapless_ids
+
+    base = _prepared(emb)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell_id")
+    )
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "cell_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select(
+            "vec_id", "cell_id", F.round("ccos", 6).alias("sim6")
+        )
+        .withColumn("__negsim", -F.col("sim6"))
+    )
+    return gapless_ids(
+        assigned,
+        order_by=["cell_id", "__negsim", "vec_id"],
+        id_col="position",
+        mode=mode,
+    ).select("vec_id", "cell_id", "sim6", F.col("position").cast("long").alias("position"))

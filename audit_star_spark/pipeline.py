@@ -35,6 +35,7 @@ def run_corpus_pipeline(
     shards: int | None = None,
     mix_weights: dict[str, float] | None = None,
     substring_k: int | None = None,
+    substring_engine: str = "hash",
     classifier_threshold: float | None = None,
     dsir_target: str | None = None,
     dsir_keep: int | None = None,
@@ -95,12 +96,36 @@ def run_corpus_pipeline(
     # tokens) but the rewrite filters the original-case token stream, so
     # the surviving corpus keeps its casing; the only normalization the
     # stage applies is trim + whitespace-collapse (token granularity)
+    # Two interchangeable engines (row-identical output, test-locked):
+    # 'hash' = md5 window hashing (O(k) hash work per position);
+    # 'suffix' = prefix-doubling rank pairs (collision-free, O(1) per
+    # position, log2(k) distributed rank rounds) — the one to prefer at
+    # Lee et al.'s min_len = 50, where hashing re-reads 50 tokens per
+    # window.
     if substring_k:
-        from audit_star_spark.analytics.dedup import substring_dedup_rewrite
+        if substring_engine == "suffix":
+            from audit_star_spark.analytics.dedup import suffix_dedup_rewrite
 
-        rewritten = substring_dedup_rewrite(
-            clean, k=substring_k, emit_text=True, preserve_case=True
-        )
+            rewritten = suffix_dedup_rewrite(
+                clean,
+                min_len=substring_k,
+                mode="distributed",
+                emit_text=True,
+                preserve_case=True,
+            )
+        elif substring_engine == "hash":
+            from audit_star_spark.analytics.dedup import (
+                substring_dedup_rewrite,
+            )
+
+            rewritten = substring_dedup_rewrite(
+                clean, k=substring_k, emit_text=True, preserve_case=True
+            )
+        else:
+            raise ValueError(
+                f"substring_engine must be 'hash' or 'suffix', "
+                f"got {substring_engine!r}"
+            )
         sub = (
             clean.drop("text")
             .join(

@@ -9016,3 +9016,52 @@ FROM scored
 
 EXTRA_QUERIES["c4_line_clean"] = q_c4_line_clean
 EXTRA_ORACLES["c4_line_clean"] = SQL_C4_LINE_CLEAN
+
+
+def q_incontext_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Context Pretraining semantic batch ordering through the gate
+    (analytics/similarity.py incontext_order — Shi et al. 2024): the
+    cluster-major traversal with gapless positions, run on the
+    distributed (no-corpus-window) path. The oracle replays the
+    broadcast argmax (same tie-break), the 6-dp rounded similarity and
+    the (cell, -sim6, vec_id) row numbering."""
+    from audit_star_spark.analytics.similarity import incontext_order
+
+    return incontext_order(
+        load_table(spark, sf_dir, "embeddings"), n_cells=16,
+        mode="distributed",
+    )
+
+
+def _incontext_sql(n_cells: int = 16) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+cents AS (
+  SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm
+  FROM normed WHERE vec_id < {n_cells}
+),
+assigned AS (
+  SELECT vec_id, cell_id, round(ccos, 6) AS sim6 FROM (
+    SELECT b.vec_id, c.cell_id,
+           {d_dot('c.cvec', 'b.vec')} / (c.cnorm * b.norm) AS ccos,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {d_dot('c.cvec', 'b.vec')} / (c.cnorm * b.norm) DESC,
+                      c.cell_id) AS crank
+    FROM normed b CROSS JOIN cents c
+  ) WHERE crank = 1
+)
+SELECT vec_id, cell_id, sim6,
+       CAST(ROW_NUMBER() OVER (ORDER BY cell_id, -sim6, vec_id) AS BIGINT)
+         AS position
+FROM assigned
+"""
+
+
+EXTRA_QUERIES["incontext_order"] = q_incontext_order
+EXTRA_ORACLES["incontext_order"] = _incontext_sql()

@@ -121,3 +121,38 @@ def test_cbs_validation(emb):
 
     with pytest.raises(ValueError, match="per_cell"):
         cluster_balanced_sample(emb, per_cell=0)
+
+
+def test_incontext_order_positions_and_coherence(spark, emb):
+    """ICP ordering invariants: positions are gapless 1..N over the
+    whole corpus, cells are contiguous runs, within-cell similarity is
+    non-increasing, the window and distributed modes agree exactly, and
+    the assignment matches a numpy argmax replay."""
+    from audit_star_spark.analytics.similarity import incontext_order
+
+    rows_d = incontext_order(emb, n_cells=8, mode="distributed").collect()
+    rows_w = incontext_order(emb, n_cells=8, mode="window").collect()
+    as_map = lambda rs: {  # noqa: E731
+        r["vec_id"]: (r["cell_id"], r["sim6"], r["position"]) for r in rs
+    }
+    assert as_map(rows_d) == as_map(rows_w)
+    n = emb.count()
+    ordered = sorted(rows_d, key=lambda r: r["position"])
+    assert [r["position"] for r in ordered] == list(range(1, n + 1))
+    for a, b in zip(ordered, ordered[1:]):
+        if a["cell_id"] == b["cell_id"]:
+            assert a["sim6"] >= b["sim6"]  # most-central first
+        else:
+            assert a["cell_id"] < b["cell_id"]  # cells are contiguous
+    # numpy argmax replay of the assignment
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=float)
+            for r in pdf.itertuples()}
+    cents = {c: vecs[c] / np.linalg.norm(vecs[c]) for c in range(8)}
+    got = {r["vec_id"]: r["cell_id"] for r in rows_d}
+    for vid, v in vecs.items():
+        sims = {c: float(np.dot(cv, v / np.linalg.norm(v)))
+                for c, cv in cents.items()}
+        best = max(sims, key=lambda c: (sims[c], -c))
+        # tie-break: highest sim, then LOWEST cell id
+        assert got[vid] == best, vid

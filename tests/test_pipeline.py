@@ -187,3 +187,53 @@ def test_pipeline_dsir_requires_keep(spark, tmp_path):
         run_corpus_pipeline(
             spark, src, str(tmp_path / "out"), dsir_target="source = 'src0'"
         )
+
+
+def test_pipeline_substring_engines_agree(spark, tmp_path):
+    """substring_engine='suffix' (prefix-doubling rank pairs) must
+    reproduce the hash engine's pipeline output exactly — same removed
+    token stat, same exported texts."""
+    import glob
+    import gzip
+    import json as _json
+
+    from audit_star_spark.pipeline import run_corpus_pipeline
+
+    boiler = "all rights reserved contact us for details today"
+    rows = [
+        (i, f"document number {i} body " + " ".join(
+            f"w{i}x{j}" for j in range(40)) + f" {boiler}", "web")
+        for i in range(6)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+
+    def run(engine, sub):
+        out = str(tmp_path / sub)
+        stats = run_corpus_pipeline(
+            spark, src, out, substring_k=8, shards=1,
+            substring_engine=engine,
+        )
+        texts = {}
+        for f in glob.glob(os.path.join(out, "clean_jsonl", "*")):
+            op = gzip.open if f.endswith(".gz") else open
+            with op(f, "rt") as fh:
+                for line in fh:
+                    d = _json.loads(line)
+                    texts[d["doc_id"]] = d["text"]
+        return stats["n_substring_removed_tokens"], texts
+
+    n_hash, t_hash = run("hash", "out_hash")
+    n_suffix, t_suffix = run("suffix", "out_suffix")
+    assert n_hash == n_suffix >= 5 * 8
+    assert t_hash == t_suffix
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="substring_engine"):
+        run_corpus_pipeline(
+            spark, src, str(tmp_path / "bad"), substring_k=8,
+            substring_engine="nope",
+        )
