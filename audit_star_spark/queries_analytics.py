@@ -9065,3 +9065,11 @@ FROM assigned
 
 EXTRA_QUERIES["incontext_order"] = q_incontext_order
 EXTRA_ORACLES["incontext_order"] = _incontext_sql()
+
+
+# ---------------------------------------------- round-13 rotation candidates
+# The 3 round-12 additions (suffix_dedup_rewrite, c4_line_clean,
+# incontext_order) are gate-sim green (GATESIM_r12.log: 196/196 OK at
+# sf0.01) and pytest-oracle-locked but have no hard driver CORRECTNESS
+# row yet. Next round, mirror _R12_ROTATE_IN/_OUT above: rotate the 3
+# in and retire 3 double-green (r11+r12) window entries to EXTRA.
