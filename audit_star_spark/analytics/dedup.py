@@ -745,6 +745,56 @@ def suffix_dedup_rewrite(
     return substring_rewrite_report(base, removed, min_len, emit_text=emit_text)
 
 
+def suffix_decontaminate_rewrite(
+    docs: DataFrame,
+    probes: DataFrame,
+    min_len: int = 8,
+    mode: str = "window",
+    emit_text: bool = False,
+) -> DataFrame:
+    """Benchmark-span scrubbing with suffix-RANK window identity — the
+    decontamination counterpart of :func:`suffix_dedup_rewrite`, same
+    semantics as :func:`decontaminate_rewrite` (EVERY corpus occurrence
+    of a >= min_len-token window appearing anywhere in the probe set is
+    removed; no keep-first — the benchmark copy is canonical by
+    definition) but collision-free and O(1) per window instead of md5
+    hashing (the large-min_len argument of suffix_dedup_rewrite).
+
+    Rank pairs are only comparable when corpus and probe text rank in
+    ONE doubling run, so the ladder is built over the union; probe rows
+    ride along under negated surrogate ids (-probe_id - 1), disjoint
+    from the corpus's non-negative ids (validated with one bounded
+    min() scalar). Membership is a (r1, r2)-keyed left-semi join — the
+    probe side is tiny, AQE broadcasts it."""
+    lo = (
+        docs.select(F.min("doc_id").alias("lo"))
+        .unionAll(probes.select(F.min("probe_id").alias("lo")))
+        .agg(F.min("lo"))
+        .collect()[0][0]
+    )
+    if lo is not None and lo < 0:
+        raise ValueError(
+            "doc_id/probe_id must be non-negative (probe rows ride the "
+            f"union under negated surrogate ids); saw {lo}"
+        )
+    from audit_star_spark.analytics.suffix import suffix_window_keys
+
+    base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+    combined = docs.select("doc_id", "text").unionByName(
+        probes.select((-F.col("probe_id") - 1).alias("doc_id"), "text")
+    )
+    wins = suffix_window_keys(combined, min_len, TOKENS_EXPR, mode)
+    probe_keys = (
+        wins.filter(F.col("doc_id") < 0).select("r1", "r2").distinct()
+    )
+    removed = (
+        wins.filter(F.col("doc_id") >= 0)
+        .join(probe_keys, ["r1", "r2"], "left_semi")
+        .select("doc_id", "pos")
+    )
+    return substring_rewrite_report(base, removed, min_len, emit_text=emit_text)
+
+
 def substring_removed_occurrences(wins: DataFrame) -> DataFrame:
     """(doc_id, pos) of every window occurrence that is NOT the global
     first (min (doc_id, pos)) of its hash. groupBy-min + join, not a

@@ -9073,3 +9073,79 @@ EXTRA_ORACLES["incontext_order"] = _incontext_sql()
 # sf0.01) and pytest-oracle-locked but have no hard driver CORRECTNESS
 # row yet. Next round, mirror _R12_ROTATE_IN/_OUT above: rotate the 3
 # in and retire 3 double-green (r11+r12) window entries to EXTRA.
+
+
+def q_suffix_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-rank benchmark scrubbing through the gate
+    (analytics/dedup.py suffix_decontaminate_rewrite): same probe set
+    as decontaminate_rewrite (doc_id % 97 == 0), window identity from
+    the prefix-doubling rank pair over the corpus+probe union instead
+    of md5 hashes. The oracle is INDEPENDENT of the doubling: it
+    groups windows by the literal k-token slice string."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return dedup.suffix_decontaminate_rewrite(
+        docs, probes, min_len=8, mode="distributed"
+    )
+
+
+def _suffix_decontaminate_sql(k: int = 8) -> str:
+    key = f"array_to_string(list_slice(toks, pos + 1, pos + {k}), ' ')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {D_TOKENS} AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - {k})) AS pos, toks
+  FROM base WHERE len(toks) >= {k}
+),
+keyed AS (
+  SELECT doc_id, pos, {key} AS key FROM wins
+),
+probe_k AS (
+  SELECT DISTINCT key FROM keyed WHERE doc_id % 97 = 0
+),
+removed AS (
+  SELECT w.doc_id, w.pos FROM keyed w JOIN probe_k USING (key)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS new_span
+  FROM removed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {k} AS e
+  FROM sp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS n_removed_tokens,
+         list(struct_pack(s := s, e := e)) AS spans
+  FROM spans GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+       round(COALESCE(p.n_removed_tokens, 0) / CAST(len(b.toks) AS DOUBLE), 6)
+         AS removed_fraction,
+       md5(COALESCE(array_to_string(
+         CASE WHEN p.spans IS NULL THEN b.toks
+              ELSE list_filter(b.toks, (t, i) -> len(list_filter(p.spans,
+                     sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0) END,
+         ' '), '')) AS clean_md5
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["suffix_decontaminate_rewrite"] = q_suffix_decontaminate_rewrite
+EXTRA_ORACLES["suffix_decontaminate_rewrite"] = _suffix_decontaminate_sql()

@@ -217,3 +217,48 @@ def test_suffix_dedup_rewrite_matches_fixed_k_path(spark):
                 ).collect()
             }
             assert got == want, (k, mode)
+
+
+def test_suffix_decontaminate_matches_fixed_k_path(spark):
+    """Scrubbing parity: the suffix-rank decontamination must reproduce
+    decontaminate_rewrite row-for-row (incl. clean_md5) — corpus
+    occurrences of probe windows removed with NO keep-first — and
+    reject negative ids (they'd collide with the probe surrogates)."""
+    from audit_star_spark.analytics.dedup import (
+        decontaminate_rewrite,
+        suffix_decontaminate_rewrite,
+    )
+
+    corpus = [
+        (1, "keep this text the secret benchmark answer is here plus more"),
+        (2, "unrelated totally clean document with nothing shared at all"),
+        (3, "prefix words the secret benchmark answer is here suffix words"),
+    ]
+    probe_rows = [(10, "the secret benchmark answer is here")]
+    docs = _df(spark, corpus)
+    probes = spark.createDataFrame(
+        probe_rows, "probe_id long, text string"
+    )
+    for k in (4, 6):
+        want = {
+            r["doc_id"]: r.asDict()
+            for r in decontaminate_rewrite(docs, probes, k=k).collect()
+        }
+        for mode in ("window", "distributed"):
+            got = {
+                r["doc_id"]: r.asDict()
+                for r in suffix_decontaminate_rewrite(
+                    docs, probes, min_len=k, mode=mode
+                ).collect()
+            }
+            assert got == want, (k, mode)
+    # both contaminated docs lost the 6-token probe span
+    assert want[1]["n_removed_tokens"] >= 6
+    assert want[3]["n_removed_tokens"] >= 6
+    assert want[2]["n_removed_tokens"] == 0
+
+    neg = spark.createDataFrame(
+        [(-5, "negative id doc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        suffix_decontaminate_rewrite(neg, probes, min_len=4).collect()
