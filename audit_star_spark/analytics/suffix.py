@@ -304,7 +304,14 @@ def longest_repeated_run(
         F.col("p2").alias("b"),
         F.lit(0).alias("lcp"),
     )
-    for h, rank_h in reversed(history):
+    # the TOP ladder round is the final rank table itself: the pair's
+    # offsets start at the representatives' own positions, whose final
+    # ranks are r and r+1 — distinct by construction — so that round
+    # can never match and is always skipped. Exactness is preserved:
+    # the remaining powers sum to h_top - 1 >= max_len - 1 >= any LCP
+    # of two distinct suffixes.
+    descent = list(reversed(history))[1:]
+    for h, rank_h in descent:
         ra = rank_h.select(
             F.col("doc_id").alias("d1"),
             F.col("pos").alias("a"),
@@ -320,6 +327,9 @@ def longest_repeated_run(
             & F.col("__rb").isNotNull()
             & (F.col("__ra") == F.col("__rb"))
         )
+        # truncate EVERY round (forked-DAG rule): a two-round lineage
+        # was measured 2-4x slower at sf0.1 — the joined rank tables
+        # re-enter planning each round and the deferred plan replays
         pairs = iter_materialize(
             pairs.join(ra, ["d1", "a"], "left")
             .join(rb, ["d2", "b"], "left")
