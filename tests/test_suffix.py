@@ -262,3 +262,18 @@ def test_suffix_decontaminate_matches_fixed_k_path(spark):
     )
     with pytest.raises(ValueError, match="non-negative"):
         suffix_decontaminate_rewrite(neg, probes, min_len=4).collect()
+
+
+def test_longest_run_single_token_docs(spark):
+    """max_len = 1 corpus: the ladder has ONE round (the final table),
+    the descent set is empty after the top-round skip, and the answer
+    comes entirely from the within-rank branch."""
+    from audit_star_spark.analytics.suffix import longest_repeated_run
+
+    got = longest_repeated_run(
+        _df(spark, [(1, "x"), (2, "x"), (3, "y")])
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["run_len"], got[0]["run"], got[0]["n_occurrences"]) == (
+        1, "x", 2,
+    )
