@@ -812,6 +812,22 @@ def _gen_union_in_correlated_in(rng: random.Random) -> str:
     )
 
 
+def _gen_group_by_all(rng: random.Random) -> str:
+    """GROUP BY ALL — both engines infer the grouping keys from the
+    non-aggregate select list; the inference must agree (a mixed
+    computed-key + plain-key select exercises the inference rule)."""
+    lo = rng.randint(50000, 200000)
+    aggs = [
+        f"{a} AS a{i}"
+        for i, a in enumerate(rng.sample(_AGGS[:5], rng.randint(1, 3)))
+    ]
+    return (
+        f"SELECT o_orderstatus, "
+        f"CASE WHEN o_totalprice < {lo} THEN 'lo' ELSE 'hi' END AS bucket, "
+        f"{', '.join(aggs)} FROM orders{_where(rng)} GROUP BY ALL"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -855,6 +871,7 @@ def _corpus() -> list[str]:
         + [_gen_null_safe_join(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_filter_over_window_col(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_union_in_correlated_in(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_group_by_all(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
