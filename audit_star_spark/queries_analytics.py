@@ -9067,12 +9067,13 @@ EXTRA_QUERIES["incontext_order"] = q_incontext_order
 EXTRA_ORACLES["incontext_order"] = _incontext_sql()
 
 
-# ---------------------------------------------- round-13 rotation candidates
-# The 3 round-12 additions (suffix_dedup_rewrite, c4_line_clean,
-# incontext_order) are gate-sim green (GATESIM_r12.log: 196/196 OK at
-# sf0.01) and pytest-oracle-locked but have no hard driver CORRECTNESS
-# row yet. Next round, mirror _R12_ROTATE_IN/_OUT above: rotate the 3
-# in and retire 3 double-green (r11+r12) window entries to EXTRA.
+# ---------------------------------------------- round-13 rotation (executed)
+# The 4 round-12 additions (suffix_dedup_rewrite,
+# suffix_decontaminate_rewrite, c4_line_clean, incontext_order) were
+# gate-sim green (GATESIM_r12.log: 196/196 OK + addendum at sf0.01) and
+# pytest-oracle-locked but had no hard driver CORRECTNESS row; the
+# _R13_ROTATE block at the bottom of this module moves them into the
+# 50-slot window and retires 4 double-green (r11+r12) entries to EXTRA.
 
 
 def q_suffix_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9149,3 +9150,38 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 
 EXTRA_QUERIES["suffix_decontaminate_rewrite"] = q_suffix_decontaminate_rewrite
 EXTRA_ORACLES["suffix_decontaminate_rewrite"] = _suffix_decontaminate_sql()
+
+
+# ----------------------------------------------------- round-13 rotation
+# The 4 round-12 additions (gate-sim + pytest-oracle-locked,
+# GATESIM_r12.log 196/196 OK + suffix_decontaminate_rewrite addendum at
+# sf0.01, but never driver-certified) move into the 50-slot window to
+# earn hard CORRECTNESS_r13 rows; 4 double-green entries (driver-green
+# in BOTH r11 and r12) retire to EXTRA, where
+# tests/test_oracle_parity.py keeps them oracle-locked on every pytest
+# run. Window stays 8 audit + 42 analytics.
+_R13_ROTATE_IN = [
+    "suffix_dedup_rewrite",
+    "suffix_decontaminate_rewrite",
+    "c4_line_clean",
+    "incontext_order",
+]
+_R13_ROTATE_OUT = [
+    "mp3_l1_census",
+    "mp3_l2_census",
+    "audio_spectral_census",
+    "doc_triangles",
+]
+for _name in _R13_ROTATE_OUT:
+    EXTRA_QUERIES[_name] = ANALYTICS_QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ANALYTICS_ORACLES.pop(_name)
+for _name in _R13_ROTATE_IN:
+    ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+
+if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
+    raise RuntimeError(
+        "ANALYTICS_QUERIES must stay exactly 42 entries so the driver's "
+        f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
+    )
+del _name
