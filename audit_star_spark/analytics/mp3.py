@@ -1738,6 +1738,15 @@ def decode_mp3_layer3_pcm(payload: bytes, tables: dict | None = None) -> dict:
     nch = dec["channels"]
     overlap = [[0.0] * 576 for _ in range(nch)]
     sub_blocks: list[list] = [[] for _ in range(nch)]
+    if len(dec["granules"]) != len(side["granules"]):
+        # zip would silently truncate a length mismatch (e.g. a frame
+        # decoded by one pass but skipped by the other); the per-key
+        # check below only catches reordering within the common prefix
+        raise ValueError(
+            "granule stream desync: samples pass decoded "
+            f"{len(dec['granules'])} granules, side-info pass "
+            f"{len(side['granules'])}"
+        )
     for gdat, gmeta in zip(dec["granules"], side["granules"]):
         key = (gdat["frame"], gdat["gr"], gdat["ch"])
         if key != (gmeta["frame"], gmeta["gr"], gmeta["ch"]):

@@ -20,6 +20,8 @@ grams is engine-dependent).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -398,22 +400,24 @@ def compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
 # --------------------------------------------------------- C4 line cleaner
 # Raffel et al. 2020 (arXiv:1910.10683) §2.2 — the C4 structural rules
 # between raw extraction and dedup: keep only lines that end in a
-# terminal punctuation mark AND carry at least 5 words; drop the whole
-# page when fewer than `min_lines` lines survive, or when it contains a
-# blocklisted phrase ("lorem ipsum") or a curly brace (the
-# JavaScript-leak tell). Everything is ONE in-row expression chain per
-# page — no explode, no shuffle, the cleaner is a pure map over the
-# corpus scan (the cheapest possible 100 TB shape).
+# terminal punctuation mark, carry enough words, and do not contain the
+# word "javascript"; drop the whole page when fewer than `min_lines`
+# lines survive, or when it contains a blocklisted phrase
+# ("lorem ipsum") or a curly brace (the code-leak tell). Everything is
+# ONE in-row expression chain per page — no explode, no shuffle, the
+# cleaner is a pure map over the corpus scan (the cheapest possible
+# 100 TB shape).
 
 C4_TERMINAL = (".", "!", "?", '"')
 C4_BLOCKLIST = ("lorem ipsum", "{")
+C4_LINE_BLOCKWORD = "javascript"
 
 
 def c4_line_clean(
     pages: DataFrame,
     text_col: str = "page",
     min_words_per_line: int = 5,
-    min_lines: int = 3,
+    min_lines: int = 5,
     blocklist: tuple = C4_BLOCKLIST,
 ) -> DataFrame:
     """Per-page C4 report: (doc_id, n_lines, n_kept_lines, kept,
@@ -424,23 +428,44 @@ def c4_line_clean(
     raw page). Line word counts split on runs of whitespace after
     trimming; a trailing-whitespace line still matches its terminal
     punctuation (rtrim before the suffix test), matching the published
-    intent rather than a byte-literal reading."""
+    intent rather than a byte-literal reading.
+
+    Parameter provenance (the paper text and the released c4_utils
+    disagree; defaults follow the RELEASED implementation):
+
+    - ``min_words_per_line=5``: §2.2 prose says "at least 3 words",
+      but the official c4_utils ships MIN_WORDS_PER_LINE = 5. Pass 3
+      for the paper-text reading.
+    - ``min_lines=5``: §2.2 "removed any page with fewer than 5
+      sentences" (c4_utils MIN_NUM_SENTENCES = 5), with surviving
+      lines standing in for sentences here.
+    - the §2.2 "removed any line with the word Javascript" rule IS
+      implemented: a line containing :data:`C4_LINE_BLOCKWORD`
+      (case-insensitive) is dropped at line level, like c4_utils.
+
+    Blocklist phrases may contain any characters (they are matched as
+    plain case-insensitive substrings via column ops, never spliced
+    into SQL text); ``text_col`` must be a plain identifier because it
+    is referenced inside an ``F.expr`` lambda chain."""
     if min_words_per_line < 1 or min_lines < 1:
         raise ValueError("min_words_per_line and min_lines must be >= 1")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text_col):
+        raise ValueError(f"text_col must be a plain identifier: {text_col!r}")
     term = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINAL)
     keep_line = (
         f"size(split(trim(l), '\\\\s+')) >= {min_words_per_line} "
-        f"AND array_contains(array({term}), substring(rtrim(l), -1, 1))"
+        f"AND array_contains(array({term}), substring(rtrim(l), -1, 1)) "
+        f"AND NOT contains(lower(l), '{C4_LINE_BLOCKWORD}')"
     )
     kept_lines = f"filter(split({text_col}, '\\n'), l -> {keep_line})"
-    block = " OR ".join(
-        f"contains(lower({text_col}), '{p}')" for p in blocklist
-    ) or "false"
+    block = F.lit(False)
+    for p in blocklist:
+        block = block | F.contains(F.lower(F.col(text_col)), F.lit(p.lower()))
     return pages.select(
         "doc_id",
         F.expr(f"size(split({text_col}, '\\n'))").cast("long").alias("n_lines"),
         F.expr(f"size({kept_lines})").cast("long").alias("n_kept_lines"),
-        F.expr(block).alias("__blocked"),
+        block.alias("__blocked"),
         F.md5(F.expr(f"array_join({kept_lines}, '\\n')")).alias("__md5"),
     ).select(
         "doc_id",

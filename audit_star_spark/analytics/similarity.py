@@ -1096,7 +1096,34 @@ def incontext_order(
     from audit_star_spark.operators.ids import gapless_ids
 
     base = _prepared(emb)
-    cents = base.filter(F.col("vec_id") < n_cells).select(
+    # Centroids are "the first n_cells vectors" (the ivf/semantic_dedup
+    # convention) — but `vec_id < n_cells` is only right for dense
+    # 0..n-1 ids. Sparse or offset ids would select nothing and the
+    # whole-corpus ordering would silently come back empty (the same
+    # failure class knn_graph probes for). Probe density with one
+    # bounded aggregate; when ids are NOT dense, take the n_cells
+    # SMALLEST ids instead (TakeOrdered — bounded, no full sort; for
+    # dense inputs the probe passes and the plan is byte-identical to
+    # the direct filter).
+    prof = base.agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+    ).collect()[0]
+    if prof["n"] == 0:
+        raise ValueError("incontext_order: empty corpus")
+    if prof["lo"] == 0 and prof["hi"] == prof["n"] - 1:
+        cent_pred = F.col("vec_id") < n_cells
+    else:
+        first_ids = [
+            r["vec_id"]
+            for r in base.select("vec_id")
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        ]  # bounded: at most n_cells ids
+        cent_pred = F.col("vec_id").isin(first_ids)
+    cents = base.filter(cent_pred).select(
         F.col("vec_id").alias("cell_id"),
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),

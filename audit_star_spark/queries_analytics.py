@@ -8945,9 +8945,11 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec-census pattern): line length 4 + doc_id % 4 tokens (so the
     4-word docs exercise the word-count drop), a '.' terminal on lines
     where (doc_id + i) % 3 != 0 (so ~1/3 of lines fail the terminal
-    rule), 'lorem ipsum' appended when doc_id % 97 == 0 and a '{' line
-    when doc_id % 89 == 0 (the page-level blocklist branches). The
-    oracle restates synthesis AND rules in DuckDB."""
+    rule), 'lorem ipsum' appended when doc_id % 97 == 0, a '{' line
+    when doc_id % 89 == 0 (the page-level blocklist branches), and a
+    well-formed line containing 'javascript' when doc_id % 83 == 0
+    (it passes word-count + terminal but the §2.2 line-blockword rule
+    must drop it). The oracle restates synthesis AND rules in DuckDB."""
     from audit_star_spark.analytics.quality import c4_line_clean
 
     docs = load_table(spark, sf_dir, "documents")
@@ -8969,6 +8971,10 @@ def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.lit("")),
                 F.when(F.col("doc_id") % 89 == 0, F.lit("\nx { y"))
                 .otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 83 == 0,
+                    F.lit("\nplease click to enable JavaScript support."),
+                ).otherwise(F.lit("")),
             ).alias("page"),
         )
     )
@@ -8989,6 +8995,9 @@ pages AS (
            chr(10))
          || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
          || CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'x {{ y' ELSE '' END
+         || CASE WHEN doc_id % 83 = 0
+                 THEN chr(10) || 'please click to enable JavaScript support.'
+                 ELSE '' END
          AS page
   FROM tl
 ),
@@ -8997,17 +9006,18 @@ scored AS (
          CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
          list_filter(string_split(page, chr(10)),
            x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 5
-                AND right(rtrim(x), 1) IN ('.', '!', '?', '"')) AS kl,
+                AND right(rtrim(x), 1) IN ('.', '!', '?', '"')
+                AND NOT contains(lower(x), 'javascript')) AS kl,
          (contains(lower(page), 'lorem ipsum') OR contains(lower(page), '{{'))
            AS blocked
   FROM pages
 )
 SELECT doc_id, n_lines,
        CAST(len(kl) AS BIGINT) AS n_kept_lines,
-       (NOT blocked AND len(kl) >= 3) AS kept,
+       (NOT blocked AND len(kl) >= 5) AS kept,
        CASE WHEN blocked THEN 'blocklist'
-            WHEN len(kl) < 3 THEN 'too_few_lines' END AS drop_reason,
-       CASE WHEN NOT blocked AND len(kl) >= 3
+            WHEN len(kl) < 5 THEN 'too_few_lines' END AS drop_reason,
+       CASE WHEN NOT blocked AND len(kl) >= 5
             THEN md5(COALESCE(array_to_string(kl, chr(10)), '')) END
          AS clean_md5
 FROM scored

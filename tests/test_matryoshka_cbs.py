@@ -156,3 +156,31 @@ def test_incontext_order_positions_and_coherence(spark, emb):
         best = max(sims, key=lambda c: (sims[c], -c))
         # tie-break: highest sim, then LOWEST cell id
         assert got[vid] == best, vid
+
+
+def test_incontext_order_sparse_ids(spark, emb):
+    """Sparse/offset vec_ids must produce the SAME ordering as dense
+    ids (translated), not a silent empty result: the density probe
+    falls back to the n_cells smallest ids as centroids, which for a
+    monotonic id transform are the same vectors."""
+    from audit_star_spark.analytics.similarity import incontext_order
+
+    dense = incontext_order(emb, n_cells=8, mode="distributed").collect()
+    shifted = emb.withColumn(
+        "vec_id", (F.col("vec_id") * 3 + 1000).cast("long")
+    )
+    sparse = incontext_order(shifted, n_cells=8, mode="distributed").collect()
+    assert len(sparse) == len(dense) > 0
+    tr = lambda v: v * 3 + 1000  # noqa: E731
+    want = {tr(r["vec_id"]): (tr(r["cell_id"]), r["sim6"], r["position"])
+            for r in dense}
+    got = {r["vec_id"]: (r["cell_id"], r["sim6"], r["position"])
+           for r in sparse}
+    assert got == want
+
+
+def test_incontext_order_empty_corpus(spark, emb):
+    from audit_star_spark.analytics.similarity import incontext_order
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        incontext_order(emb.filter(F.lit(False)), n_cells=8)

@@ -187,20 +187,25 @@ def test_c4_line_clean_rules(spark):
     from audit_star_spark.analytics.quality import c4_line_clean
 
     good = "one two three four five.\nsix seven eight nine ten!\n" \
-           'eleven twelve thirteen fourteen fifteen?"'
+           'eleven twelve thirteen fourteen fifteen?"\n' \
+           "sixteen seventeen eighteen nineteen twenty.\n" \
+           "alpha beta gamma delta epsilon!"
     # line 2 lacks terminal punct, line 3 has only 4 words
     partial = "a b c d e.\nno terminal punctuation here at all\n" \
               "too few words."
     lorem = good + "\nLorem Ipsum dolor sit amet."
     brace = good + "\nvar x = { a: 1 };"
-    rows = [(1, good), (2, partial), (3, brace), (4, lorem)]
+    # well-formed (5+ words, terminal '.') but contains 'javascript' —
+    # the §2.2 line-blockword rule must drop JUST that line
+    js = good + "\nplease click to enable JavaScript support."
+    rows = [(1, good), (2, partial), (3, brace), (4, lorem), (5, js)]
     out = {
         r["doc_id"]: r.asDict()
         for r in c4_line_clean(
             spark.createDataFrame(rows, "doc_id long, page string")
         ).collect()
     }
-    assert out[1]["kept"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["kept"] and out[1]["n_kept_lines"] == 5
     assert out[1]["drop_reason"] is None
     assert out[1]["clean_md5"] == hashlib.md5(good.encode()).hexdigest()
     assert not out[2]["kept"] and out[2]["drop_reason"] == "too_few_lines"
@@ -209,3 +214,32 @@ def test_c4_line_clean_rules(spark):
     # blocklist fires on the PAGE even though enough lines survive
     assert not out[3]["kept"] and out[3]["drop_reason"] == "blocklist"
     assert not out[4]["kept"] and out[4]["drop_reason"] == "blocklist"
+    # javascript line dropped at LINE level; rest of the page survives
+    assert out[5]["kept"] and out[5]["n_kept_lines"] == 5
+    assert out[5]["n_lines"] == 6
+    assert out[5]["clean_md5"] == hashlib.md5(good.encode()).hexdigest()
+    # paper-text reading still available via the knobs
+    relaxed = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_clean(
+            spark.createDataFrame(rows, "doc_id long, page string"),
+            min_words_per_line=3,
+            min_lines=3,
+        ).collect()
+    }
+    # 'too few words.' (3 words) now passes the line rule, but only 2
+    # lines survive, still under min_lines=3
+    assert not relaxed[2]["kept"] and relaxed[2]["n_kept_lines"] == 2
+    # blocklist phrases with quotes must not break expression parsing
+    quoted = c4_line_clean(
+        spark.createDataFrame(rows, "doc_id long, page string"),
+        blocklist=("it's a trap", "{"),
+    ).collect()
+    assert len(quoted) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="plain identifier"):
+        c4_line_clean(
+            spark.createDataFrame(rows, "doc_id long, page string"),
+            text_col="page; drop table",
+        )
