@@ -254,11 +254,18 @@ def longest_repeated_run(
       log2(longest doc) rounds of two (doc_id, pos)-keyed scalar
       joins over the #ranks-row pair frame.
     Token text is materialized ONLY for the max-length candidates
-    (the tie-break set) and the final occurrence scan is an in-row
-    compare against the 1-row broadcast winner — no per-suffix token
-    slice is ever persisted or shuffled (the O(sum L_i^2) blowup the
-    first version had). ``n_occurrences`` counts suffixes whose first
-    run_len tokens equal the run."""
+    (the tie-break set) — no per-suffix token slice is ever persisted
+    or shuffled (the O(sum L_i^2) blowup the first version had).
+    ``n_occurrences`` counts suffixes whose first run_len tokens equal
+    the run, FROM THE LADDER: with h = the largest power of two <=
+    run_len and d = run_len - h, the spans [0, h) and [d, d + h)
+    cover [0, run_len), so a suffix starts an occurrence iff its
+    rank_h agrees with the winner's at both offsets (collision-free;
+    the 0-sentinel keeps shorter suffixes on distinct ranks) — two
+    filtered scans of the already-materialized rank_h frame plus one
+    equi-join, replacing the earlier in-row slice-compare rescan whose
+    compute was O(L * run_len) per document (quadratic for a
+    pathological run_len ~ L/2 corpus)."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
     doc_len = toks.select("doc_id", F.size("toks").alias("__dl"))
     history = _suffix_rank_history(docs, tokens_expr, mode)
@@ -358,29 +365,39 @@ def longest_repeated_run(
         .join(toks, "doc_id")
         .select(
             "run_len",
-            F.expr("slice(toks, pos + 1, run_len)").alias("run_toks"),
-        )
-        .select(
-            "run_len",
-            F.expr("concat_ws(' ', run_toks)").alias("run"),
-            "run_toks",
+            "doc_id",
+            "pos",
+            F.expr("concat_ws(' ', slice(toks, pos + 1, run_len))").alias(
+                "run"
+            ),
         )
         .orderBy(F.col("run").asc())
         .limit(1)
     )
-    # occurrence count of the winning run: in-row per-document scan
-    # against the 1-row broadcast winner — streaming, nothing persisted
-    n = (
-        toks.crossJoin(F.broadcast(best))
-        .filter(F.size("toks") >= F.col("run_len"))
-        .select(
-            F.expr(
-                "size(filter(sequence(0, size(toks) - run_len), "
-                "p -> slice(toks, p + 1, run_len) = run_toks))"
-            ).alias("c")
+    out_schema = "run_len int, run string, n_occurrences long"
+    spark = docs.sparkSession
+    wrows = best.collect()  # bounded: exactly the winner row (or none)
+    if not wrows:
+        return spark.createDataFrame([], out_schema)
+    w = wrows[0]
+    run_len, wd, wp = int(w["run_len"]), w["doc_id"], int(w["pos"])
+    # occurrence count from the ladder (see docstring): the winner's
+    # rank_h at offsets 0 and d, then count suffixes agreeing at both
+    h = 1 << (run_len.bit_length() - 1)  # largest power of two <= L
+    d = run_len - h
+    rank_h = dict(history)[h]
+    wr = {
+        int(r["pos"]): r["r"]
+        for r in rank_h.filter(
+            (F.col("doc_id") == wd) & F.col("pos").isin(wp, wp + d)
+        ).collect()
+    }  # bounded: at most 2 rows
+    m1 = rank_h.filter(F.col("r") == wr[wp]).select("doc_id", "pos")
+    if d == 0:
+        n = m1.count()
+    else:
+        m2 = rank_h.filter(F.col("r") == wr[wp + d]).select(
+            "doc_id", (F.col("pos") - d).alias("pos")
         )
-        .agg(F.sum("c").cast("long").alias("n_occurrences"))
-    )
-    return best.drop("run_toks").crossJoin(F.broadcast(n)).select(
-        "run_len", "run", "n_occurrences"
-    )
+        n = m1.join(m2, ["doc_id", "pos"]).count()
+    return spark.createDataFrame([(run_len, w["run"], int(n))], out_schema)

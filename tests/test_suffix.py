@@ -277,3 +277,24 @@ def test_longest_run_single_token_docs(spark):
     assert (got[0]["run_len"], got[0]["run"], got[0]["n_occurrences"]) == (
         1, "x", 2,
     )
+
+
+def test_longest_run_overlapping_occurrences_ladder_count(spark):
+    """run_len ~ L/2 pathological corpus: the winner is a 7-token run
+    of a single repeated token with OVERLAPPING occurrences — the
+    ladder-based count (h=4, d=3: the two-span join path) must count
+    every starting position, and the old in-row slice-compare rescan
+    must stay gone from the implementation."""
+    import inspect
+
+    from audit_star_spark.analytics.suffix import longest_repeated_run
+
+    got = longest_repeated_run(
+        _df(spark, [(1, "a a a a a a a a")]), mode="distributed"
+    ).collect()
+    assert len(got) == 1
+    assert (got[0]["run_len"], got[0]["run"], got[0]["n_occurrences"]) == (
+        7, " ".join(["a"] * 7), 2,
+    )
+    src = inspect.getsource(longest_repeated_run)
+    assert "sequence(" not in src  # the O(L * run_len) rescan
