@@ -39,6 +39,27 @@ recall (the offline equivalent is a suffix array over the corpus, same
 order); contrast the near-dup store's bounded sketches, which buy their
 O(docs x k) bound with approximate Jaccard. Every join here keys on the
 window hash; the batch side is small and broadcasts.
+
+Why the stream CANNOT use suffix-rank window identity (the batch
+path's collision-free alternative, analytics/suffix.py
+suffix_window_keys): a rank pair is CORPUS-RELATIVE — rank_h is the
+dense rank of a suffix among ALL suffixes seen, so every arriving
+document inserts new suffixes and renumbers ranks globally. A store
+keyed on batch-B rank pairs is meaningless at batch B+1; keeping the
+pairs current would mean re-running the doubling ladder over the whole
+accumulated corpus each micro-batch, which IS the batch operator, not
+an incremental store. Content hashes are the only window identity
+that is stable under insertion, so the stream keeps md5 — and accepts
+its collision floor:
+
+    h = first 15 hex chars of md5 = 60 bits. By the birthday bound a
+    store of W distinct windows expects ~ W^2 / 2^61 colliding pairs:
+    ~4e-4 at W = 1e9 windows, ~0.4 at W = 1e11. A collision removes an
+    occurrence that was NOT actually a duplicate (silent
+    over-removal); it can never under-remove. The batch suffix-rank
+    path has floor 0 — run it offline when exactness matters, or run
+    ``verify_store`` (below) against the ingested corpus to certify
+    after the fact that no collision actually occurred.
 """
 
 from __future__ import annotations
@@ -167,6 +188,61 @@ class StreamingSubstringDedup:
         if not os.path.isdir(self.results_dir):
             return None
         return spark.read.parquet(self.results_dir).drop("ingest_batch_id")
+
+    def verify_store(self, spark, docs: DataFrame) -> DataFrame:
+        """Offline store-integrity pass over the INGESTED corpus
+        (``docs`` must cover every document ever processed): recompute
+        each document's literal k-token windows and certify, per store
+        hash, that (a) no two DISTINCT literal windows share a hash
+        (the md5 collision floor did not fire — every removal was a
+        true duplicate), (b) every store hash is backed by at least
+        one corpus window (no orphans from a corpus/store mismatch),
+        and (c) the recorded owner (doc_id, pos) actually carries that
+        window. ONE row: (n_store_hashes, n_collisions,
+        n_orphan_hashes, n_owner_mismatches) — all-zero tail means the
+        stream's output is bit-identical to what the collision-free
+        batch path would have produced on the same arrival order."""
+        recover_store(self.store_dir)
+        store = visible(
+            spark.read.parquet(self.store_dir),
+            compacted_through(self.store_dir),
+        ).select("h", "doc_id", "pos")
+        base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
+        k = self.k
+        lit_expr = (
+            f"transform(sequence(0, size(toks) - {k}), "
+            f"i -> named_struct('pos', i, 'w', "
+            f"array_join(slice(toks, i + 1, {k}), ' ')))"
+        )
+        lits = (
+            base.filter(F.size("toks") >= k)
+            .select("doc_id", F.explode(F.expr(lit_expr)).alias("x"))
+            .select(
+                "doc_id",
+                F.col("x.pos").alias("pos"),
+                F.col("x.w").alias("w"),
+                F.expr(
+                    "CAST(conv(substring(md5(x.w), 1, 15), 16, 10) AS BIGINT)"
+                ).alias("h"),
+            )
+        )
+        n_hashes = store.count()
+        n_collisions = (
+            lits.join(store.select("h"), "h", "left_semi")
+            .groupBy("h")
+            .agg(F.countDistinct("w").alias("nw"))
+            .filter(F.col("nw") > 1)
+            .count()
+        )
+        n_orphans = store.join(lits.select("h"), "h", "left_anti").count()
+        n_owner_mismatch = store.join(
+            lits.select("h", "doc_id", "pos"), ["h", "doc_id", "pos"], "left_anti"
+        ).count()
+        return spark.createDataFrame(
+            [(n_hashes, n_collisions, n_orphans, n_owner_mismatch)],
+            "n_store_hashes long, n_collisions long, "
+            "n_orphan_hashes long, n_owner_mismatches long",
+        )
 
     def compact(self, spark) -> None:
         """Fold per-batch hash partitions into the -1 baseline (bounds

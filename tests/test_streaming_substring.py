@@ -98,3 +98,25 @@ def test_real_stream_available_now(spark, st, tmp_path):
     # one batch = the whole corpus: exact batch-operator equality
     assert got == _batch_reference(spark, DOCS)
     assert os.path.isdir(st.store_dir)
+
+
+def test_verify_store_certifies_no_collisions(spark, st):
+    """The offline integrity pass over the ingested corpus: all-zero
+    collision/orphan/owner-mismatch tail certifies the md5 60-bit
+    identity behaved exactly like the collision-free batch identity on
+    this corpus; a corpus/store mismatch is reported, not hidden."""
+    st.process_batch(_df(spark, DOCS[:3]), 0)
+    st.process_batch(_df(spark, DOCS[3:]), 1)
+    row = st.verify_store(spark, _df(spark, DOCS)).collect()[0]
+    assert row["n_store_hashes"] > 0
+    assert row["n_collisions"] == 0
+    assert row["n_orphan_hashes"] == 0
+    assert row["n_owner_mismatches"] == 0
+    # verification also holds across compaction (baseline partition)
+    st.compact(spark)
+    row = st.verify_store(spark, _df(spark, DOCS)).collect()[0]
+    assert (row["n_collisions"], row["n_orphan_hashes"],
+            row["n_owner_mismatches"]) == (0, 0, 0)
+    # a corpus that is MISSING an ingested doc shows orphan hashes
+    partial = st.verify_store(spark, _df(spark, DOCS[1:])).collect()[0]
+    assert partial["n_orphan_hashes"] > 0
