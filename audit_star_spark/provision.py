@@ -7,6 +7,26 @@ audit.go:398–513) becomes: per-table log/checkpoint directory init (C7),
 streaming-ingest handles (C9), temp-view registration for the three
 reconstruction views (B8), audit_history interval upkeep (C10), error
 accounting that continues past per-table failures (C13, audit.go:49,1132).
+
+C11 (security/roles/grants): the reference issues ``GRANT USAGE ON
+SCHEMA <schema>_audit_raw TO <grantee>`` per schema
+(grantUsageOnSchemas, audit.go:720–731), ``GRANT SELECT ON TABLE ... TO
+<grantee>`` (grantSelectOnTable, audit.go:733–745), and appends a
+``GRANT SELECT`` to each view's DDL when Grantee is configured
+(audit.go:1115–1121) — Postgres then enforces those at query time.
+Open-source Spark has NO engine-side SQL authorization layer to hand
+that enforcement to, so the equivalent here is split the only way it
+can be: grant METADATA is first-class (a persisted ``_audit_acl``
+store written at view registration, introspectable via ``grants()`` —
+the role_table_grants analogue), and ENFORCEMENT lives at the engine's
+own access point (``read_view(name, principal)`` raises
+PermissionError unless the principal is the configured owner or holds
+a recorded grant). Like the reference, no configured grantee means no
+GRANT rows are written and access stays open. The remaining C11
+constructs are config-recorded only: ``security`` (DEFINER/INVOKER has
+no meaning without a privilege system under the view) and ``set_role``
+(audit.go:201–207, a Postgres connection property); ``lock_timeout``
+maps to the write-conflict retry policy as surveyed.
 """
 
 from __future__ import annotations
@@ -46,6 +66,73 @@ class AuditStar:
         self.ingests: dict[str, AuditIngest] = {}
         # state-snapshot version each table's registered views serve
         self._served_versions: dict[str, int | None] = {}
+        # (object, privilege, grantee) -> object_type; rehydrated from
+        # the persisted store so a fresh engine instance extends rather
+        # than clobbers a prior run's grants
+        self._acl: dict[tuple[str, str, str], str] = {
+            (r["object_name"], r["privilege"], r["grantee"]): r["object_type"]
+            for r in self.grants().collect()
+        }
+
+    # -- view ACL (C11 grants, audit.go:720–745, 1115–1121) ---------------
+    def _acl_path(self) -> str:
+        return os.path.join(self.config.log_root, "_audit_acl")
+
+    def _record_grants(self, spec: TableSpec, view_names: list[str]) -> None:
+        """Persist the reference's GRANT set for one provisioned table:
+        USAGE on the audit schema (grantUsageOnSchemas) + SELECT on each
+        reconstruction view (the per-view GRANT the reference appends to
+        the view DDL). No-op when no grantee is configured — exactly the
+        reference's ``if grantee != ""`` guard. Idempotent: the ACL is
+        keyed by (object, privilege, grantee) and rewritten whole (it is
+        bounded control metadata: a handful of rows per table)."""
+        if not self.config.grantee:
+            return
+        for name in [
+            (f"{spec.schema}_audit", "schema", "USAGE"),
+        ] + [(v, "view", "SELECT") for v in view_names]:
+            self._acl[(name[0], name[2], self.config.grantee)] = name[1]
+        rows = [
+            (obj, typ, priv, grantee)
+            for (obj, priv, grantee), typ in sorted(self._acl.items())
+        ]
+        self.spark.createDataFrame(
+            rows,
+            "object_name string, object_type string, "
+            "privilege string, grantee string",
+        ).coalesce(1).write.mode("overwrite").parquet(self._acl_path())
+
+    def grants(self) -> DataFrame:
+        """The recorded ACL (role_table_grants analogue): one row per
+        (object, privilege, grantee); empty when none were issued."""
+        if os.path.isdir(self._acl_path()):
+            return self.spark.read.parquet(self._acl_path())
+        return self.spark.createDataFrame(
+            [],
+            "object_name string, object_type string, "
+            "privilege string, grantee string",
+        )
+
+    def read_view(self, name: str, principal: str | None = None) -> DataFrame:
+        """The enforcement point: return the registered view's DataFrame
+        iff ``principal`` may SELECT from it. A view with NO recorded
+        grant is open (the reference issues no GRANTs without a
+        grantee); the configured owner always passes (the Postgres
+        owner/definer privilege)."""
+        acl = {
+            (r["object_name"], r["grantee"])
+            for r in self.grants().filter(F.col("privilege") == "SELECT").collect()
+        }  # bounded: control metadata
+        guarded = {obj for obj, _g in acl}
+        if name in guarded:
+            allowed = principal is not None and (
+                (name, principal) in acl or principal == self.config.owner
+            )
+            if not allowed:
+                raise PermissionError(
+                    f"principal {principal!r} has no SELECT grant on {name}"
+                )
+        return self.spark.table(name)
 
     # -- audit_history control table (C10, audit.go:608–625) --------------
     def _history_path(self) -> str:
@@ -144,6 +231,11 @@ class AuditStar:
         supplied = live.get(spec.fqn)
         ingest = self.ingests.get(spec.fqn)
 
+        view_names = [
+            safe_identifier(f"{spec.schema}_audit_{spec.name}_audit_{kind}")
+            for kind in VIEW_SUFFIXES
+        ]
+
         def register(_batch_id: int | None = None) -> None:
             log = self.log_for(spec)
             live_df = supplied
@@ -166,13 +258,17 @@ class AuditStar:
                     store.unpin(prev)
                 self._served_versions[spec.fqn] = v
                 live_df = typed_state(ingest.latest_state(), spec)
-            for kind, fn in zip(VIEW_SUFFIXES, (delta_view, snapshot_view, compare_view)):
+            for name, fn in zip(
+                view_names, (delta_view, snapshot_view, compare_view)
+            ):
                 # quoted/special schema+table names fold to legal
                 # identifiers (the reference quotes DDL names; documented
                 # deviation)
-                name = safe_identifier(f"{spec.schema}_audit_{spec.name}_audit_{kind}")
                 fn(log, live_df, spec).createOrReplaceTempView(name)
 
         register()
+        # C11: the reference appends GRANT SELECT to each view's DDL and
+        # grants schema USAGE when a grantee is configured
+        self._record_grants(spec, view_names)
         if supplied is None and ingest is not None:
             ingest.on_batch.append(register)
