@@ -828,6 +828,65 @@ def _gen_group_by_all(rng: random.Random) -> str:
     )
 
 
+def _gen_lateral_alias_reuse(rng: random.Random) -> str:
+    """Lateral column alias reuse: later select items reference earlier
+    aliases (including an alias OF an alias) — both engines must
+    resolve the chain against the same expression, not a same-named
+    table column."""
+    m = rng.randint(3, 9)
+    d = rng.randint(2, 5)
+    aggs = rng.choice(
+        ["CAST(SUM(o_orderkey) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)"]
+    )
+    return (
+        f"SELECT o_orderstatus, {aggs} AS s, "
+        f"s % {m} AS s_mod, s_mod * {d} + 1 AS s_chain "
+        f"FROM orders{_where(rng)} GROUP BY o_orderstatus"
+    )
+
+
+def _gen_named_window_qualify(rng: random.Random) -> str:
+    """The QUALIFY-equivalent: a NAMED window (WINDOW w AS ...) shared
+    by two window functions, filtered on the rank column from the
+    outer query — named-window resolution and filter-after-window
+    semantics must agree (unique o_orderkey tie-break keeps every rank
+    deterministic)."""
+    part = rng.choice(["o_orderstatus", "o_orderpriority"])
+    order = rng.choice(
+        ["o_totalprice DESC, o_orderkey", "o_orderdate, o_orderkey"]
+    )
+    k = rng.randint(2, 6)
+    return (
+        f"SELECT {part}, o_orderkey, rn, cum FROM ("
+        f"SELECT {part}, o_orderkey, "
+        f"CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+        f"CAST(SUM(o_orderkey) OVER w AS BIGINT) AS cum "
+        f"FROM orders{_where(rng)} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {order})"
+        f") t WHERE rn <= {k}"
+    )
+
+
+def _gen_window_nulls_first_last(rng: random.Random) -> str:
+    """Explicit NULLS FIRST/LAST inside a window ORDER BY over a
+    NULLIF-derived key: the engines' DEFAULT null placement differs by
+    direction, so the explicit placement is what must agree — checked
+    by summing the ranks the NULL rows landed on."""
+    s = rng.choice(["'O'", "'F'", "'P'"])
+    direction = rng.choice(
+        ["ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST", "DESC NULLS LAST"]
+    )
+    return (
+        f"SELECT CAST(SUM(CASE WHEN k IS NULL THEN rn ELSE 0 END) AS BIGINT)"
+        f" AS null_rank_sum, "
+        f"CAST(MAX(CASE WHEN k IS NULL THEN rn END) AS BIGINT) AS null_max_rn, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        f"SELECT k, ROW_NUMBER() OVER (ORDER BY k {direction}, o_orderkey) AS rn "
+        f"FROM (SELECT NULLIF(o_orderstatus, {s}) AS k, o_orderkey "
+        f"FROM orders{_where(rng)}) b) t"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -872,6 +931,9 @@ def _corpus() -> list[str]:
         + [_gen_filter_over_window_col(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_union_in_correlated_in(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_group_by_all(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_lateral_alias_reuse(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_named_window_qualify(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_window_nulls_first_last(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
