@@ -268,6 +268,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Asymmetric n-gram (3-shingle) CONTAINMENT near-dup pairs (Broder
+    1997's resemblance/containment split): C(A->B) = |A ∩ B| / |A| — the
+    fraction of A's shingles that also appear in B. Jaccard misses the
+    quotes-and-wrappers case (a short document wholly contained in a
+    long one has tiny Jaccard but containment 1.0); containment is the
+    right detector for partial inclusion, excerpting, and
+    template-plus-payload pages.
+
+    Candidate rule (the asymmetric prefix filter): if C(A->B) >= t then
+    A shares at least ceil(t * |A|) shingles with B, so the first
+    ``|A| - ceil(t * |A|) + 1`` elements of A's sorted shingle-hash set
+    MUST hit B's full set. Each document's prefix probes the FULL
+    inverted index (not the prefix-vs-prefix join Jaccard permits —
+    containment has no symmetric size bound: small-in-big is exactly
+    the signal). Verification is exact set intersection over the full
+    sets; both directional containments are reported and a pair
+    survives when the LARGER one clears ``threshold``.
+
+    The DuckDB gate oracle is definitionally INDEPENDENT of the prefix
+    filter: it joins on ANY shared shingle (complete for t > 0) — a
+    prefix-filter completeness bug would surface as missing rows.
+
+    Scale shape: one in-row prefix slice (zero pre-join shuffles, the
+    hash-order PPJoin lesson), one equi-join keyed on shingle hash
+    against the full index, distinct, then a bounded verification join.
+    Same 60-bit shingle-hash domain as ngram_jaccard_pairs."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = _shingled(docs).select(
+        "doc_id", F.array_sort(F.array_distinct("shash")).alias("sset")
+    )
+    sets = sets.persist()
+    probe = sets.filter(F.size("sset") >= 1).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"slice(sset, 1, size(sset) - "
+                f"CAST(ceil({threshold} * size(sset)) AS INT) + 1)"
+            )
+        ).alias("sh"),
+    )
+    index = sets.select(
+        F.col("doc_id").alias("doc_i"), F.explode("sset").alias("sh")
+    )
+    cand = (
+        probe.join(index, "sh")
+        .filter(F.col("doc_id") != F.col("doc_i"))
+        .select(
+            F.least("doc_id", "doc_i").alias("doc_a"),
+            F.greatest("doc_id", "doc_i").alias("doc_b"),
+        )
+        .distinct()
+    )
+    j = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    c_ab = inter.cast("double") / F.size("set_a")
+    c_ba = inter.cast("double") / F.size("set_b")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        c_ab.alias("containment_a_in_b"),
+        c_ba.alias("containment_b_in_a"),
+    ).filter(
+        F.greatest("containment_a_in_b", "containment_b_in_a")
+        >= F.lit(threshold)
+    )
+
+
 SIMHASH_BITS = 60
 _TOK_HASHES = (
     f"transform({TOKENS_EXPR}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
@@ -621,6 +696,109 @@ def span_dedup_stats(docs: DataFrame, span_tokens: int = 10) -> DataFrame:
         "n_spans",
         "n_dup_spans",
         (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_span_fraction"),
+    )
+
+
+def sentence_span_dedup(
+    pages: DataFrame, span: int = 3, text_col: str = "page"
+) -> DataFrame:
+    """C4's span-level deduplication (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span of text occurring
+    more than once in the data set") — SENTENCE granularity, the unit
+    between whole-document exact dedup and token-window substring
+    dedup. Sentences are the newline-delimited lines of ``text_col``
+    (the c4_line_clean convention: upstream extraction owns sentence
+    splitting). Every sliding ``span``-sentence window is keyed; for
+    each key occurring more than once, the globally-FIRST occurrence by
+    (doc_id, pos) survives and every other occurrence's sentences are
+    removed (overlapping removed windows union at sentence level).
+
+    Returns one row per page: (doc_id, n_sentences, n_dup_spans,
+    n_removed_sentences, removed_fraction, clean_md5) with clean_md5 =
+    md5 of the surviving sentences re-joined with newlines.
+
+    Window identity is md5 over the literal span text; the gate oracle
+    regroups by the LITERAL span string (definitionally independent —
+    an md5 collision would hash-mismatch). Scale shape: spans explode
+    in-row (narrow, <= span x sentences rows), keep-first is ONE
+    groupBy-min + equi-join (the substring_dedup_rewrite shape),
+    covered-sentence expansion is a bounded <= span-fold explode, and
+    the rewrite is an in-row indexed filter per page — no window over
+    the corpus, no driver step."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    if not text_col.isidentifier():
+        raise ValueError(f"text_col must be a plain identifier: {text_col!r}")
+    sents = pages.select(
+        "doc_id", F.expr(f"split({text_col}, '\\n')").alias("sents")
+    )
+    spans = (
+        sents.filter(F.size("sents") >= span)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(sents) - {span}), "
+                    f"i -> named_struct('pos', i, "
+                    f"'key', md5(concat_ws('\\n', slice(sents, i + 1, {span})))))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.key").alias("key"))
+    )
+    firsts = spans.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    removed = (
+        spans.join(firsts, "key")
+        .filter(
+            (F.col("doc_id") != F.col("o.doc_id"))
+            | (F.col("pos") != F.col("o.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    n_dup = removed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans")
+    )
+    rem_idx = (
+        removed.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {span} - 1)")).alias("idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("idx")).alias("ridx"),
+            F.count("*").cast("long").alias("n_removed_sentences"),
+        )
+    )
+    return (
+        sents.join(n_dup, "doc_id", "left")
+        .join(rem_idx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("sents").cast("long").alias("n_sentences"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_removed_sentences", F.lit(0)).alias(
+                "n_removed_sentences"
+            ),
+            F.round(
+                F.coalesce("n_removed_sentences", F.lit(0))
+                / F.size("sents").cast("double"),
+                6,
+            ).alias("removed_fraction"),
+            F.md5(
+                F.when(
+                    F.col("ridx").isNull(),
+                    F.expr("concat_ws('\\n', sents)"),
+                ).otherwise(
+                    F.expr(
+                        "concat_ws('\\n', filter(sents, "
+                        "(s, i) -> NOT array_contains(ridx, i)))"
+                    )
+                )
+            ).alias("clean_md5"),
+        )
     )
 
 

@@ -449,6 +449,27 @@ def perplexity_bins(
       path (test-locked), with no corpus-sized window partition
       anywhere in the plan.
     """
+    return perplexity_binned_docs(
+        docs, n_bins=n_bins, tokens_expr=tokens_expr, mode=mode
+    ).groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("ppl6").alias("ppl_min"),
+        F.max("ppl6").alias("ppl_max"),
+    )
+
+
+def perplexity_binned_docs(
+    docs: DataFrame,
+    n_bins: int = 3,
+    tokens_expr: str = TOKENS_EXPR,
+    mode: str = "window",
+) -> DataFrame:
+    """The per-DOCUMENT frame behind :func:`perplexity_bins`: (doc_id,
+    lang, ppl6, bin) for every scorable document — factored out so
+    pipeline compositions (ccnet_disposition) can consume the document
+    verdicts directly. Same determinism rule (6-dp rounded perplexity
+    then doc_id) and the same mode switch; see perplexity_bins for the
+    scale discussion."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     from pyspark.sql import Window
@@ -497,8 +518,67 @@ def perplexity_bins(
             .withColumn("bin", F.expr(bin_expr))
             .drop("__gid", "__lo", "__n", "__r")
         )
-    return binned.groupBy("lang", "bin").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.min("ppl6").alias("ppl_min"),
-        F.max("ppl6").alias("ppl_max"),
+    return binned
+
+
+def ccnet_disposition(
+    docs: DataFrame,
+    n_bins: int = 3,
+    tokens_expr: str = TOKENS_EXPR,
+    mode: str = "window",
+) -> DataFrame:
+    """The CCNet pipeline verdict (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    one disposition per document from the three stages run jointly —
+    exact dedup (fingerprint keep-first), language identification, and
+    per-language LM perplexity binning (bin 1 = head, kept; last bin =
+    tail, dropped). Precedence mirrors the paper's pipeline order:
+
+        duplicate > unknown language > unscorable (no bigrams) > bin
+
+    Binning runs within the PREDICTED language — CCNet groups the
+    crawl by its own langid output, not by trusted labels. Returns
+    (doc_id, pred_lang, is_dup, ppl6, bin, disposition) for EVERY
+    document; ppl6/bin stay NULL for unscorable ones.
+
+    Scale shape: each stage is the already-certified operator
+    (with_fingerprint in-row fold; with_lang_id in-row regex census;
+    perplexity_binned_docs two count-joins + the mode-switched cut) —
+    composition adds only doc_id equi-joins."""
+    from audit_star_spark.analytics.text import with_fingerprint, with_lang_id
+
+    lang = with_lang_id(docs).select("doc_id", "pred_lang")
+    fp = with_fingerprint(docs)
+    first = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("__keep"))
+    dup = (
+        fp.join(first, "fingerprint")
+        .select("doc_id", (F.col("doc_id") != F.col("__keep")).alias("is_dup"))
+    )
+    relabeled = (
+        docs.select("doc_id", "text")
+        .join(lang, "doc_id")
+        .select("doc_id", F.col("pred_lang").alias("lang"), "text")
+    )
+    binned = perplexity_binned_docs(
+        relabeled, n_bins=n_bins, tokens_expr=tokens_expr, mode=mode
+    ).select("doc_id", "ppl6", "bin")
+    disposition = (
+        F.when(F.col("is_dup"), F.lit("drop_duplicate"))
+        .when(F.col("pred_lang") == "unknown", F.lit("drop_lang"))
+        .when(F.col("bin").isNull(), F.lit("drop_unscorable"))
+        .when(F.col("bin") == 1, F.lit("keep_head"))
+        .when(F.col("bin") < n_bins, F.lit("keep_middle"))
+        .otherwise(F.lit("drop_tail"))
+    )
+    return (
+        lang.join(dup, "doc_id")
+        .join(binned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "is_dup",
+            "ppl6",
+            F.col("bin").cast("int").alias("bin"),
+            disposition.alias("disposition"),
+        )
     )

@@ -9195,3 +9195,207 @@ if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
         f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
     )
 del _name
+
+
+# ------------------------------------------------ round-13 additions (EXTRA)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment near-dup pairs through the gate
+    (analytics/dedup.py ngram_containment_pairs — Broder 1997's
+    containment): C(A->B) = |A n B| / |A| catches the small-in-big
+    inclusion Jaccard misses. The engine generates candidates with the
+    asymmetric prefix filter (each doc's sorted-hash prefix probes the
+    FULL inverted index); the oracle is definitionally INDEPENDENT of
+    that filter — it joins on ANY shared shingle (complete for t > 0),
+    so a prefix-completeness bug surfaces as missing rows."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _ngram_containment_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform({D_SHINGLES},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {dedup.MH_P}))) AS sset
+  FROM documents
+),
+inv AS (SELECT doc_id, unnest(sset) AS sh FROM docs_sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+           / len(sa.sset) AS c_ab,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+           / len(sb.sset) AS c_ba
+  FROM cand
+  JOIN docs_sh sa ON sa.doc_id = doc_a
+  JOIN docs_sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       c_ab AS containment_a_in_b,
+       c_ba AS containment_b_in_a
+FROM v WHERE greatest(c_ab, c_ba) >= {threshold}
+"""
+
+
+EXTRA_QUERIES["ngram_containment"] = q_ngram_containment
+EXTRA_ORACLES["ngram_containment"] = _ngram_containment_sql()
+
+
+def q_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span dedup through the gate
+    (analytics/dedup.py sentence_span_dedup — Raffel et al. 2020 §2.2's
+    'discarded all but one of any three-sentence span'). The synthetic
+    documents carry no sentence structure, so the gate SYNTHESIZES
+    deterministic pages: fixed 4-token lines with a '.' terminal —
+    FIXED length so token runs shared across documents (the corpus has
+    them; longest_repeated_run finds ~100-token runs) align into
+    identical sentences and spans. The oracle restates synthesis AND
+    rules, grouping spans by the LITERAL 3-sentence string
+    (definitionally independent of the engine's md5 span keys)."""
+    from audit_star_spark.analytics.dedup import sentence_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = (
+        docs.select("doc_id", F.expr(text.TOKENS_EXPR).alias("__t"))
+        .filter(F.size("__t") >= 1)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(0, "
+                "CAST((size(__t) + 3) DIV 4 AS INT) - 1), "
+                "i -> concat(array_join(slice(__t, i * 4 + 1, 4), ' '), '.')), "
+                "'\\n')"
+            ).alias("page"),
+        )
+    )
+    return sentence_span_dedup(pages, span=3)
+
+
+SQL_SENTENCE_SPAN_DEDUP = f"""
+WITH tl AS (
+  SELECT doc_id, {D_TOKENS} AS t FROM documents WHERE len({D_TOKENS}) >= 1
+),
+pages AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, CAST((len(t) + 3) // 4 AS INT) - 1),
+           i -> array_to_string(list_slice(t, i * 4 + 1, i * 4 + 4), ' ') || '.')
+           AS sents
+  FROM tl
+),
+spans AS (
+  SELECT doc_id, unnest(generate_series(0, len(sents) - 3)) AS pos, sents
+  FROM pages WHERE len(sents) >= 3
+),
+keyed AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(sents, pos + 1, pos + 3), chr(10)) AS key
+  FROM spans
+),
+removed AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+    FROM keyed
+  ) WHERE rn > 1
+),
+rem_idx AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS idx FROM removed
+  ) t
+),
+per_doc AS (
+  SELECT doc_id, list_sort(list(idx)) AS ridx,
+         CAST(count(*) AS BIGINT) AS n_removed
+  FROM rem_idx GROUP BY doc_id
+),
+nd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM removed GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(len(p.sents) AS BIGINT) AS n_sentences,
+       COALESCE(nd.n_dup, 0) AS n_dup_spans,
+       COALESCE(pd.n_removed, 0) AS n_removed_sentences,
+       round(COALESCE(pd.n_removed, 0) / CAST(len(p.sents) AS DOUBLE), 6)
+         AS removed_fraction,
+       md5(COALESCE(
+         CASE WHEN pd.ridx IS NULL THEN array_to_string(p.sents, chr(10))
+              ELSE array_to_string(list_filter(p.sents,
+                     (s, i) -> NOT list_contains(pd.ridx, i - 1)), chr(10))
+         END, '')) AS clean_md5
+FROM pages p LEFT JOIN nd USING (doc_id) LEFT JOIN per_doc pd USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["sentence_span_dedup"] = q_sentence_span_dedup
+EXTRA_ORACLES["sentence_span_dedup"] = SQL_SENTENCE_SPAN_DEDUP
+
+
+def q_ccnet_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet pipeline verdict through the gate (analytics/lm.py
+    ccnet_disposition — Wenzek et al. 2020): exact-dedup keep-first +
+    langid + per-predicted-language perplexity terciles, one
+    disposition per document with pipeline-order precedence
+    (duplicate > unknown language > unscorable > bin). Runs the
+    mode='distributed' cut (no corpus window). The oracle recomposes
+    the three already-certified stage oracles (fingerprint fold, lang
+    argmax cascade, bigram-LM perplexity) around a DuckDB NTILE."""
+    from audit_star_spark.analytics.lm import ccnet_disposition
+
+    return ccnet_disposition(
+        load_table(spark, sf_dir, "documents"), n_bins=3, mode="distributed"
+    )
+
+
+def _ccnet_sql(n_bins: int = 3) -> str:
+    from audit_star_spark.analytics.lm import perplexity_sql
+
+    return f"""
+WITH lang AS (
+  SELECT doc_id, pred_lang FROM ({_lang_sql()}) t
+),
+fp AS ({SQL_FINGERPRINT}),
+dup AS (
+  SELECT doc_id,
+         doc_id != MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+  FROM fp
+),
+px AS ({perplexity_sql('documents', 'text')}),
+scored AS (
+  SELECT l.doc_id, l.pred_lang, round(px.perplexity, 6) AS ppl6
+  FROM lang l JOIN px ON px.doc_id = l.doc_id
+  WHERE px.avg_nll IS NOT NULL
+),
+binned AS (
+  SELECT doc_id, ppl6,
+         NTILE({n_bins}) OVER (PARTITION BY pred_lang
+                               ORDER BY ppl6, doc_id) AS bin
+  FROM scored
+)
+SELECT l.doc_id, l.pred_lang, d.is_dup, b.ppl6, CAST(b.bin AS INT) AS bin,
+       CASE WHEN d.is_dup THEN 'drop_duplicate'
+            WHEN l.pred_lang = 'unknown' THEN 'drop_lang'
+            WHEN b.bin IS NULL THEN 'drop_unscorable'
+            WHEN b.bin = 1 THEN 'keep_head'
+            WHEN b.bin < {n_bins} THEN 'keep_middle'
+            ELSE 'drop_tail' END AS disposition
+FROM lang l
+JOIN dup d ON d.doc_id = l.doc_id
+LEFT JOIN binned b ON b.doc_id = l.doc_id
+"""
+
+
+EXTRA_QUERIES["ccnet_disposition"] = q_ccnet_disposition
+EXTRA_ORACLES["ccnet_disposition"] = _ccnet_sql()
+
+
+# ---------------------------------------------- round-14 rotation candidates
+# The 3 round-13 additions (ngram_containment, sentence_span_dedup,
+# ccnet_disposition) are gate-sim + pytest-oracle-locked but have no
+# hard driver CORRECTNESS row yet. Next round, mirror _R13_ROTATE_IN/
+# _OUT above: rotate the 3 in and retire 3 double-green (r12+r13)
+# window entries to EXTRA.
