@@ -725,14 +725,40 @@ def sentence_span_dedup(
     covered-sentence expansion is a bounded <= span-fold explode, and
     the rewrite is an in-row indexed filter per page — no window over
     the corpus, no driver step."""
-    if span < 1:
-        raise ValueError(f"span must be >= 1, got {span}")
+    sents = sentence_split(pages, text_col)
+    spans = sentence_spans(sents, span)
+    firsts = spans.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("o")
+    )
+    removed = (
+        spans.join(firsts, "key")
+        .filter(
+            (F.col("doc_id") != F.col("o.doc_id"))
+            | (F.col("pos") != F.col("o.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    return sentence_rewrite_report(sents, removed, span)
+
+
+def sentence_split(pages: DataFrame, text_col: str = "page") -> DataFrame:
+    """(doc_id, sents): newline-delimited sentence array per page —
+    shared by the batch operator and the streaming store (one
+    splitting code path, two execution modes)."""
     if not text_col.isidentifier():
         raise ValueError(f"text_col must be a plain identifier: {text_col!r}")
-    sents = pages.select(
+    return pages.select(
         "doc_id", F.expr(f"split({text_col}, '\\n')").alias("sents")
     )
-    spans = (
+
+
+def sentence_spans(sents: DataFrame, span: int) -> DataFrame:
+    """(doc_id, pos, key) for every sliding ``span``-sentence window of
+    ``sents(doc_id, sents)`` — md5 over the literal newline-joined span
+    text; pages shorter than ``span`` yield no rows."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    return (
         sents.filter(F.size("sents") >= span)
         .select(
             "doc_id",
@@ -746,17 +772,15 @@ def sentence_span_dedup(
         )
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.key").alias("key"))
     )
-    firsts = spans.groupBy("key").agg(
-        F.min(F.struct("doc_id", "pos")).alias("o")
-    )
-    removed = (
-        spans.join(firsts, "key")
-        .filter(
-            (F.col("doc_id") != F.col("o.doc_id"))
-            | (F.col("pos") != F.col("o.pos"))
-        )
-        .select("doc_id", "pos")
-    )
+
+
+def sentence_rewrite_report(
+    sents: DataFrame, removed: DataFrame, span: int
+) -> DataFrame:
+    """Per-page report from a removed-span stream (doc_id, pos) — the
+    second half of sentence_span_dedup, shared with the streaming
+    store: covered-sentence expansion (bounded <= span-fold explode),
+    in-row indexed rewrite, md5 of the survivors."""
     n_dup = removed.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_dup_spans")
     )
