@@ -268,7 +268,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
     """Asymmetric n-gram (3-shingle) CONTAINMENT near-dup pairs (Broder
     1997's resemblance/containment split): C(A->B) = |A ∩ B| / |A| — the
     fraction of A's shingles that also appear in B. Jaccard misses the
@@ -294,9 +296,23 @@ def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFram
     Scale shape: one in-row prefix slice (zero pre-join shuffles, the
     hash-order PPJoin lesson), one equi-join keyed on shingle hash
     against the full index, distinct, then a bounded verification join.
-    Same 60-bit shingle-hash domain as ngram_jaccard_pairs."""
+    Same 60-bit shingle-hash domain as ngram_jaccard_pairs.
+
+    ``max_df`` (opt-in) is the 100 TB skew guard, the containment
+    analogue of minhash_lsh_pairs' ``max_bucket``: a stop-shingle
+    appearing in B documents multiplies every probe-prefix occurrence
+    into B candidates — a quadratic hot JOIN OUTPUT no AQE partition
+    split can fix. Shingles with document frequency > ``max_df`` are
+    dropped from the candidate INDEX only (the df aggregate shuffles on
+    the same key as the join — co-partitioned); verification still uses
+    full sets, so every REPORTED containment stays exact. Trade-off
+    (documented, not implied): a pair whose prefix evidence is entirely
+    hot shingles is missed. Default None = exact candidate semantics,
+    required by the gate oracle."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
     sets = _shingled(docs).select(
         "doc_id", F.array_sort(F.array_distinct("shash")).alias("sset")
     )
@@ -313,6 +329,13 @@ def ngram_containment_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFram
     index = sets.select(
         F.col("doc_id").alias("doc_i"), F.explode("sset").alias("sh")
     )
+    if max_df is not None:
+        df_stats = index.groupBy("sh").agg(F.count("*").alias("__df"))
+        index = (
+            index.join(df_stats, "sh")
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     cand = (
         probe.join(index, "sh")
         .filter(F.col("doc_id") != F.col("doc_i"))

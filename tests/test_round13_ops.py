@@ -205,3 +205,39 @@ def test_perplexity_bins_unchanged_by_refactor(spark):
         n, lo, hi = regroup.get(k, (0, float("inf"), float("-inf")))
         regroup[k] = (n + 1, min(lo, r["ppl6"]), max(hi, r["ppl6"]))
     assert agg == regroup
+
+
+def test_containment_max_df_guard(spark):
+    """The opt-in stop-shingle guard: pairs with non-hot prefix
+    evidence survive; a pair whose ONLY shared shingles are hot is
+    dropped from candidates (the documented recall trade-off); reported
+    containments stay exact either way."""
+    from audit_star_spark.analytics.dedup import ngram_containment_pairs
+
+    hot = "common shared boiler plate words appear everywhere always"
+    rows = (
+        # 6 docs all containing the hot run -> its shingles have df >= 6
+        [(i, hot + f" unique tail {i} zz{i}") for i in range(1, 7)]
+        # a genuine near-dup pair with UNIQUE shared evidence
+        + [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_containment_pairs(
+            docs, threshold=0.8, max_df=3
+        ).collect()
+    }
+    assert (10, 11) in exact and (10, 11) in guarded
+    # hot-evidence-only pairs exist exactly and are dropped under the cap
+    assert any(a < 7 and b < 7 for a, b in exact)
+    assert not any(a < 7 and b < 7 for a, b in guarded)
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_containment_pairs(docs, max_df=0)
