@@ -64,6 +64,52 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     )
 
 
+def hard_negatives(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the
+    DPR / ANCE recipe — Karpukhin et al. 2020, "Dense Passage
+    Retrieval"; Xiong et al. 2021, "Approximate Nearest Neighbor
+    Negative Contrastive Learning"): for each query vector (vec_id <
+    n_queries, the ivf/knn query convention), the top-k most-cosine-
+    similar vectors whose LABEL differs from the query's — the
+    near-boundary negatives that make contrastive batches informative
+    where random negatives are trivially separable. Same-label vectors
+    are positives and excluded (which also excludes the query itself).
+    Returns (query_id, query_label, rank, vec_id, neg_label, cosine),
+    rank 1 = hardest.
+
+    Scale shape: the bounded query set broadcasts against ONE corpus
+    scan (no shuffle of the big side before the per-query top-k); the
+    top-k window partitions on query_id — n_queries keys, never the
+    corpus. Mining for a full training set = chunk the query set and
+    union; each chunk keeps this exact plan."""
+    if n_queries < 1 or k < 1:
+        raise ValueError(f"n_queries and k must be >= 1, got {n_queries}, {k}")
+    base = _prepared(emb)
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    joined = base.join(F.broadcast(q), F.col("label") != F.col("query_label"))
+    cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "rank", "vec_id", "neg_label", "cosine")
+    )
+
+
 N_PLANES = 8
 
 

@@ -9393,9 +9393,53 @@ EXTRA_QUERIES["ccnet_disposition"] = q_ccnet_disposition
 EXTRA_ORACLES["ccnet_disposition"] = _ccnet_sql()
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the gate (analytics/similarity.py
+    hard_negatives — the DPR/ANCE contrastive-training recipe): per
+    query vector, the top-k most-similar DIFFERENT-label vectors.
+    Exact brute-force semantics; the oracle restates the label
+    exclusion + cosine ranking in DuckDB."""
+    return similarity.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), n_queries=8, k=10
+    )
+
+
+def _hard_negatives_sql(k: int = 10, n_queries: int = 8) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, label, vec, sqrt({d_dot('vec', 'vec')}) AS norm
+  FROM base
+),
+q AS (
+  SELECT vec_id AS query_id, label AS query_label, vec AS qvec, norm AS qnorm
+  FROM normed WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, q.query_label, base.vec_id, base.label AS neg_label,
+         {d_dot('q.qvec', 'base.vec')} / (q.qnorm * base.norm) AS cosine
+  FROM normed base JOIN q ON base.label <> q.query_label
+)
+SELECT query_id, query_label, CAST(rank AS INT) AS rank, vec_id, neg_label,
+       cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+EXTRA_QUERIES["hard_negatives"] = q_hard_negatives
+EXTRA_ORACLES["hard_negatives"] = _hard_negatives_sql()
+
+
 # ---------------------------------------------- round-14 rotation candidates
-# The 3 round-13 additions (ngram_containment, sentence_span_dedup,
-# ccnet_disposition) are gate-sim + pytest-oracle-locked but have no
-# hard driver CORRECTNESS row yet. Next round, mirror _R13_ROTATE_IN/
-# _OUT above: rotate the 3 in and retire 3 double-green (r12+r13)
-# window entries to EXTRA.
+# The 4 round-13 additions (ngram_containment, sentence_span_dedup,
+# ccnet_disposition, hard_negatives) are gate-sim + pytest-oracle-locked
+# but have no hard driver CORRECTNESS row yet. Next round, mirror
+# _R13_ROTATE_IN/_OUT above: rotate the 4 in and retire 4 double-green
+# (r12+r13) window entries to EXTRA.

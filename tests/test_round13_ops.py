@@ -241,3 +241,43 @@ def test_containment_max_df_guard(spark):
     assert not any(a < 7 and b < 7 for a, b in guarded)
     with pytest.raises(ValueError, match="max_df"):
         ngram_containment_pairs(docs, max_df=0)
+
+
+def test_hard_negatives_numpy_parity(spark):
+    """Exact parity with a numpy replay: per query, top-k cosine among
+    DIFFERENT-label vectors, ties by lowest vec_id; same-label
+    positives never appear."""
+    import numpy as np
+
+    from audit_star_spark.analytics.similarity import hard_negatives
+    from audit_star_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = hard_negatives(emb, n_queries=4, k=5).collect()
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=float)
+            for r in pdf.itertuples()}
+    labels = {int(r.vec_id): int(r.label) for r in pdf.itertuples()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        ql = labels[qid]
+        assert all(r["query_label"] == ql for r in rows)
+        assert all(r["neg_label"] != ql for r in rows)
+        qv = vecs[qid] / np.linalg.norm(vecs[qid])
+        cand = sorted(
+            ((float(np.dot(qv, v / np.linalg.norm(v))), vid)
+             for vid, v in vecs.items() if labels[vid] != ql),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert [r["vec_id"] for r in rows] == [vid for _c, vid in cand]
+        for r, (c, _vid) in zip(rows, cand):
+            assert abs(r["cosine"] - c) < 1e-9
+    from pyspark.sql import functions as _F  # noqa: F401
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_queries"):
+        hard_negatives(emb, n_queries=0)
