@@ -78,10 +78,20 @@ def hard_negatives(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame
     rank 1 = hardest.
 
     Scale shape: the bounded query set broadcasts against ONE corpus
-    scan (no shuffle of the big side before the per-query top-k); the
-    top-k window partitions on query_id — n_queries keys, never the
-    corpus. Mining for a full training set = chunk the query set and
-    union; each chunk keeps this exact plan."""
+    scan (no shuffle of the big side before the per-query top-k), and
+    the top-k is TWO-PHASE — per input partition, the candidates fold
+    into a k-truncated sorted array BEFORE any exchange (the explicit
+    spark_partition_id grouping key is what forces the truncation
+    map-side; a bare groupBy(query_id) would ship every candidate),
+    then the per-partition winners (<= partitions x n_queries x k rows)
+    re-merge per query. A row_number window partitioned by query_id
+    would instead funnel each query's ENTIRE different-label corpus
+    through one task — the straggler this shape exists to avoid
+    (plan-locked: no Window operator). Exact: struct sort on
+    (-cosine, vec_id) is total (vec_id unique), so phase-2 of the
+    truncated phase-1 arrays equals the global top-k. Mining for a
+    full training set = chunk the query set and union; each chunk
+    keeps this exact plan."""
     if n_queries < 1 or k < 1:
         raise ValueError(f"n_queries and k must be >= 1, got {n_queries}, {k}")
     base = _prepared(emb)
@@ -93,20 +103,41 @@ def hard_negatives(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame
     )
     joined = base.join(F.broadcast(q), F.col("label") != F.col("query_label"))
     cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
+    cand = joined.select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        cos.alias("cosine"),
     )
-    return (
-        joined.select(
-            "query_id",
-            "query_label",
-            "vec_id",
-            F.col("label").alias("neg_label"),
-            cos.alias("cosine"),
+    # -cosine is an exact IEEE sign flip, so the struct's natural
+    # ascending order is (cosine DESC, vec_id ASC) — the tie-break rule
+    top_struct = (
+        "struct(-cosine AS nc, vec_id, neg_label, query_label, cosine)"
+    )
+    local = cand.withColumn("__p", F.spark_partition_id()).groupBy(
+        "query_id", "__p"
+    ).agg(
+        F.expr(
+            f"slice(array_sort(collect_list({top_struct})), 1, {k})"
+        ).alias("top")
+    )
+    merged = (
+        local.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(
+            F.expr(f"slice(array_sort(collect_list(t)), 1, {k})").alias("top")
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "query_label", "rank", "vec_id", "neg_label", "cosine")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("r", "t")
+    ).select(
+        "query_id",
+        F.col("t.query_label").alias("query_label"),
+        (F.col("r") + 1).cast("int").alias("rank"),
+        F.col("t.vec_id").alias("vec_id"),
+        F.col("t.neg_label").alias("neg_label"),
+        F.col("t.cosine").alias("cosine"),
     )
 
 

@@ -281,3 +281,19 @@ def test_hard_negatives_numpy_parity(spark):
 
     with _pytest.raises(ValueError, match="n_queries"):
         hard_negatives(emb, n_queries=0)
+
+
+def test_hard_negatives_plan_has_no_window(spark):
+    """The two-phase top-k scale lock: no Window operator (a query_id-
+    partitioned window would funnel each query's entire different-label
+    corpus through one task) and no single-partition exchange."""
+    from audit_star_spark.analytics.similarity import hard_negatives
+    from audit_star_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = (
+        hard_negatives(emb, n_queries=4, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowExec" not in plan and " Window " not in plan
+    assert "Exchange SinglePartition" not in plan
