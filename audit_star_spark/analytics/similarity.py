@@ -43,10 +43,54 @@ def _prepared(emb: DataFrame) -> DataFrame:
     )
 
 
+def _topk_per_query(cand: DataFrame, k: int, payload: list[str]) -> DataFrame:
+    """Exact per-query top-k by (cosine DESC, vec_id ASC) WITHOUT a
+    query-partitioned window: candidates fold into a k-truncated sorted
+    array per input partition before any exchange (the explicit
+    spark_partition_id grouping key forces map-side truncation), then
+    the per-partition winners (<= partitions x queries x k rows)
+    re-merge per query. A row_number window over query_id would funnel
+    each query's ENTIRE candidate stream through one task — correct for
+    cell/bucket-pruned candidate sets (bounded per query), a straggler
+    for unpruned brute-force scans, which is where this helper is used.
+    Exact: -cosine is an IEEE sign flip and vec_id is unique, so the
+    struct's natural order is a total order and merging truncated
+    partition arrays equals the global top-k.
+
+    ``cand`` must carry (query_id, vec_id, cosine, *payload); returns
+    (query_id, rank, vec_id, *payload, cosine), rank 1 = best."""
+    fields = ", ".join(["-cosine AS nc", "vec_id"] + payload + ["cosine"])
+    ts = f"struct({fields})"
+    local = cand.withColumn("__p", F.spark_partition_id()).groupBy(
+        "query_id", "__p"
+    ).agg(
+        F.expr(f"slice(array_sort(collect_list({ts})), 1, {k})").alias("top")
+    )
+    merged = (
+        local.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(
+            F.expr(f"slice(array_sort(collect_list(t)), 1, {k})").alias("top")
+        )
+    )
+    out = merged.select("query_id", F.posexplode("top").alias("r", "t"))
+    cols = [
+        F.col("query_id"),
+        (F.col("r") + 1).cast("int").alias("rank"),
+        F.col("t.vec_id").alias("vec_id"),
+    ]
+    cols += [F.col(f"t.{c}").alias(c) for c in payload]
+    cols.append(F.col("t.cosine").alias("cosine"))
+    return out.select(*cols)
+
+
 def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for query vectors (vec_id < n_queries).
     Brute force: broadcast the tiny query side against all candidates —
-    one scan, no shuffle of the big side until the per-query top-k."""
+    one scan, no shuffle of the big side until the per-query top-k,
+    which is the two-phase partial fold (:func:`_topk_per_query` — no
+    query-partitioned window; this is the unpruned full-corpus scan the
+    window shape would straggle on)."""
     base = _prepared(emb)
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -55,12 +99,8 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     )
     joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        joined.select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
+    return _topk_per_query(
+        joined.select("query_id", "vec_id", cos.alias("cosine")), k, []
     )
 
 
@@ -110,34 +150,8 @@ def hard_negatives(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame
         F.col("label").alias("neg_label"),
         cos.alias("cosine"),
     )
-    # -cosine is an exact IEEE sign flip, so the struct's natural
-    # ascending order is (cosine DESC, vec_id ASC) — the tie-break rule
-    top_struct = (
-        "struct(-cosine AS nc, vec_id, neg_label, query_label, cosine)"
-    )
-    local = cand.withColumn("__p", F.spark_partition_id()).groupBy(
-        "query_id", "__p"
-    ).agg(
-        F.expr(
-            f"slice(array_sort(collect_list({top_struct})), 1, {k})"
-        ).alias("top")
-    )
-    merged = (
-        local.select("query_id", F.explode("top").alias("t"))
-        .groupBy("query_id")
-        .agg(
-            F.expr(f"slice(array_sort(collect_list(t)), 1, {k})").alias("top")
-        )
-    )
-    return merged.select(
-        "query_id", F.posexplode("top").alias("r", "t")
-    ).select(
-        "query_id",
-        F.col("t.query_label").alias("query_label"),
-        (F.col("r") + 1).cast("int").alias("rank"),
-        F.col("t.vec_id").alias("vec_id"),
-        F.col("t.neg_label").alias("neg_label"),
-        F.col("t.cosine").alias("cosine"),
+    return _topk_per_query(cand, k, ["neg_label", "query_label"]).select(
+        "query_id", "query_label", "rank", "vec_id", "neg_label", "cosine"
     )
 
 
