@@ -887,6 +887,61 @@ def _gen_window_nulls_first_last(rng: random.Random) -> str:
     )
 
 
+def _gen_values_derived_join(rng: random.Random) -> str:
+    """Inline VALUES derived table joined against a real table — the
+    constant-relation join both engines must type identically (the
+    broadcast-dimension idiom at its smallest)."""
+    segs = rng.sample(
+        ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+        rng.randint(2, 4),
+    )
+    vals = ", ".join(f"('{s}', {i + 1})" for i, s in enumerate(segs))
+    return (
+        f"SELECT v.tier, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        f"FROM orders JOIN customer ON o_custkey = c_custkey "
+        f"JOIN (VALUES {vals}) v(seg, tier) ON c_mktsegment = v.seg"
+        f"{_where(rng)} GROUP BY v.tier"
+    )
+
+
+def _gen_rollup_grouping_fn(rng: random.Random) -> str:
+    """ROLLUP with the GROUPING() marker function — subtotal rows must
+    carry the same marker values and NULL grouping keys in both
+    engines. The WHERE stays single-predicate and satisfiable: on an
+    EMPTY input the engines genuinely diverge (DuckDB emits the ANSI
+    grand-total row for the () grouping set, Spark returns zero rows),
+    so the conformance subset is rollup-over-non-empty only."""
+    a = rng.choice(["o_orderstatus", "o_orderpriority"])
+    agg = rng.choice(
+        ["CAST(SUM(o_orderkey) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)"]
+    )
+    pred = rng.choice(
+        [
+            "",
+            f" WHERE o_totalprice > {rng.randint(1000, 100000)}",
+            f" WHERE o_custkey % {rng.randint(2, 7)} = 0",
+        ]
+    )
+    return (
+        f"SELECT {a}, CAST(GROUPING({a}) AS BIGINT) AS g_marker, "
+        f"{agg} AS v FROM orders{pred} GROUP BY ROLLUP({a})"
+    )
+
+
+def _gen_limit_offset_page(rng: random.Random) -> str:
+    """LIMIT/OFFSET pagination over a fully deterministic total order
+    (unique o_orderkey tie-break) — page boundaries must slice
+    identically."""
+    off = rng.randint(1, 40)
+    lim = rng.randint(3, 12)
+    return (
+        f"SELECT o_orderkey, o_totalprice FROM orders{_where(rng)} "
+        f"ORDER BY o_totalprice DESC, o_orderkey "
+        f"LIMIT {lim} OFFSET {off}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -934,6 +989,9 @@ def _corpus() -> list[str]:
         + [_gen_lateral_alias_reuse(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_named_window_qualify(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_window_nulls_first_last(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_values_derived_join(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_rollup_grouping_fn(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_limit_offset_page(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
