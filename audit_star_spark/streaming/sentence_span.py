@@ -172,6 +172,64 @@ class StreamingSentenceSpanDedup:
             return None
         return spark.read.parquet(self.results_dir).drop("ingest_batch_id")
 
+    def verify_store(self, spark, pages: DataFrame) -> DataFrame:
+        """Offline store-integrity pass over the INGESTED corpus
+        (``pages`` must cover every page ever processed) — the
+        substring store's certification, span-granular: recompute each
+        page's literal spans and certify per store key that (a) no two
+        DISTINCT literal spans share a key (the md5 floor did not
+        fire), (b) every store key is backed by a corpus span, and (c)
+        the recorded owner (doc_id, pos) actually carries it. ONE row:
+        (n_store_keys, n_collisions, n_orphan_keys,
+        n_owner_mismatches)."""
+        recover_store(self.store_dir)
+        store = visible(
+            spark.read.parquet(self.store_dir),
+            compacted_through(self.store_dir),
+        ).select("key", "doc_id", "pos")
+        sents = sentence_split(
+            pages.select("doc_id", self.text_col), self.text_col
+        )
+        span = self.span
+        lits = (
+            sents.filter(F.size("sents") >= span)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(sents) - {span}), "
+                        f"i -> named_struct('pos', i, "
+                        f"'w', concat_ws('\\n', slice(sents, i + 1, {span}))))"
+                    )
+                ).alias("x"),
+            )
+            .select(
+                "doc_id",
+                F.col("x.pos").alias("pos"),
+                F.col("x.w").alias("w"),
+                F.md5("x.w").alias("key"),
+            )
+        )
+        n_keys = store.count()
+        n_collisions = (
+            lits.join(store.select("key"), "key", "left_semi")
+            .groupBy("key")
+            .agg(F.countDistinct("w").alias("nw"))
+            .filter(F.col("nw") > 1)
+            .count()
+        )
+        n_orphans = store.join(lits.select("key"), "key", "left_anti").count()
+        n_owner_mismatch = store.join(
+            lits.select("key", "doc_id", "pos"),
+            ["key", "doc_id", "pos"],
+            "left_anti",
+        ).count()
+        return spark.createDataFrame(
+            [(n_keys, n_collisions, n_orphans, n_owner_mismatch)],
+            "n_store_keys long, n_collisions long, "
+            "n_orphan_keys long, n_owner_mismatches long",
+        )
+
     def compact(self, spark) -> None:
         """Fold per-batch key partitions into the -1 baseline; a
         replayed-then-compacted edge can leave two owners — keep the

@@ -97,3 +97,24 @@ def test_real_stream_available_now(spark, st, tmp_path):
     got = _results(spark, st)
     assert got == _batch_reference(spark, PAGES)
     assert os.path.isdir(st.store_dir)
+
+
+def test_verify_store_certifies_no_collisions(spark, st):
+    st.process_batch(_df(spark, PAGES[:3]), 0)
+    st.process_batch(_df(spark, PAGES[3:]), 1)
+    row = st.verify_store(spark, _df(spark, PAGES)).collect()[0]
+    assert row["n_store_keys"] > 0
+    assert (row["n_collisions"], row["n_orphan_keys"],
+            row["n_owner_mismatches"]) == (0, 0, 0)
+    st.compact(spark)
+    row = st.verify_store(spark, _df(spark, PAGES)).collect()[0]
+    assert (row["n_collisions"], row["n_orphan_keys"],
+            row["n_owner_mismatches"]) == (0, 0, 0)
+    # a missing page whose spans are UNIQUE shows orphan keys
+    partial = st.verify_store(spark, _df(spark, PAGES[:-1])).collect()[0]
+    assert partial["n_orphan_keys"] > 0
+    # a missing page that a LATER duplicate fully covers leaves no
+    # orphans - but its recorded ownership no longer verifies
+    partial = st.verify_store(spark, _df(spark, PAGES[1:])).collect()[0]
+    assert partial["n_orphan_keys"] == 0
+    assert partial["n_owner_mismatches"] > 0
