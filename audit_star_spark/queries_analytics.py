@@ -9437,9 +9437,43 @@ EXTRA_QUERIES["hard_negatives"] = q_hard_negatives
 EXTRA_ORACLES["hard_negatives"] = _hard_negatives_sql()
 
 
-# ---------------------------------------------- round-14 rotation candidates
-# The 4 round-13 additions (ngram_containment, sentence_span_dedup,
-# ccnet_disposition, hard_negatives) are gate-sim + pytest-oracle-locked
-# but have no hard driver CORRECTNESS row yet. Next round, mirror
-# _R13_ROTATE_IN/_OUT above: rotate the 4 in and retire 4 double-green
-# (r12+r13) window entries to EXTRA.
+# ----------------------------------------------------- round-14 rotation
+# The 4 round-13 additions (gate-sim + pytest-oracle-locked,
+# GATESIM_r13.log 200/200 OK + hard_negatives addendum at sf0.01, but
+# never driver-certified) move into the 50-slot window to earn hard
+# CORRECTNESS_r14 rows; 4 double-green entries (driver-green in BOTH
+# r12 and r13) retire to EXTRA, where tests/test_oracle_parity.py keeps
+# them oracle-locked on every pytest run. Window stays 8 audit + 42
+# analytics; the retiring 4 are census-family so the window keeps one
+# representative per operator family after the dedup/LM/ANN arrivals.
+_R14_ROTATE_IN = [
+    "ngram_containment",
+    "sentence_span_dedup",
+    "ccnet_disposition",
+    "hard_negatives",
+]
+_R14_ROTATE_OUT = [
+    "mp3_l3_sideinfo_census",
+    "mp3_l3_samples_census",
+    "warc_reshard_census",
+    "audio_resampled_rational",
+]
+for _name in _R14_ROTATE_OUT:
+    EXTRA_QUERIES[_name] = ANALYTICS_QUERIES.pop(_name)
+    EXTRA_ORACLES[_name] = ANALYTICS_ORACLES.pop(_name)
+for _name in _R14_ROTATE_IN:
+    ANALYTICS_QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+    ANALYTICS_ORACLES[_name] = EXTRA_ORACLES.pop(_name)
+
+if len(ANALYTICS_QUERIES) != 42:  # driver gate window: 8 audit + 42 analytics
+    raise RuntimeError(
+        "ANALYTICS_QUERIES must stay exactly 42 entries so the driver's "
+        f"50-slot correctness window is stable; got {len(ANALYTICS_QUERIES)}"
+    )
+del _name
+
+
+# ---------------------------------------------- round-15 rotation candidates
+# Round-14 additions awaiting driver rows (rotate in next round by
+# mirroring _R14_ROTATE_IN/_OUT above, retiring 4 double-green window
+# entries to EXTRA): see the end of this module for the current list.
