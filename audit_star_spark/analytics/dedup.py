@@ -227,8 +227,13 @@ def ngram_jaccard_pairs(
         ).withColumn(
             "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "sh"))
         )
+        # round(.., 9) before ceil: IEEE noise can push t*sz a few ulps
+        # ABOVE the exact integer (0.07*100 -> 7.000000000000001,
+        # ceil -> 8), shortening the prefix by one and missing an
+        # exact-boundary candidate the verification step would accept
         prefix = ranked.filter(
-            F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)) + 1
         )
     else:
         prefix = sets.select(
@@ -237,7 +242,7 @@ def ngram_jaccard_pairs(
             F.explode(
                 F.expr(
                     f"slice(sset, 1, size(sset) - "
-                    f"CAST(ceil({threshold} * size(sset)) AS INT) + 1)"
+                    f"CAST(ceil(round({threshold} * size(sset), 9)) AS INT) + 1)"
                 )
             ).alias("sh"),
         )
@@ -249,7 +254,7 @@ def ngram_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.ceil(F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
+                >= F.ceil(F.round(F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")), 9))
             ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -322,7 +327,7 @@ def ngram_containment_pairs(
         F.explode(
             F.expr(
                 f"slice(sset, 1, size(sset) - "
-                f"CAST(ceil({threshold} * size(sset)) AS INT) + 1)"
+                f"CAST(ceil(round({threshold} * size(sset), 9)) AS INT) + 1)"
             )
         ).alias("sh"),
     )

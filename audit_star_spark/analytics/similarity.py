@@ -58,7 +58,15 @@ def _topk_per_query(cand: DataFrame, k: int, payload: list[str]) -> DataFrame:
     partition arrays equals the global top-k.
 
     ``cand`` must carry (query_id, vec_id, cosine, *payload); returns
-    (query_id, rank, vec_id, *payload, cosine), rank 1 = best."""
+    (query_id, rank, vec_id, *payload, cosine), rank 1 = best.
+
+    NaN guard: a zero-norm vector makes cosine NaN, and NaN's sort
+    position differs BETWEEN engines (Spark's ascending sort puts NaN
+    last -> excluded; DuckDB's ORDER BY cosine DESC puts NaN first ->
+    rank 1). NaN candidates are dropped here and the gate oracles
+    mirror the same ``NOT isnan(cosine)`` filter, so both engines agree
+    should a degenerate vector ever appear."""
+    cand = cand.filter(~F.isnan("cosine"))
     fields = ", ".join(["-cosine AS nc", "vec_id"] + payload + ["cosine"])
     ts = f"struct({fields})"
     local = cand.withColumn("__p", F.spark_partition_id()).groupBy(
@@ -1181,7 +1189,18 @@ def incontext_order(
     position (the float-portability rule applied to ORDERING). Scale
     shape: one broadcast-argmax scan (per-vector group = n_cells,
     bounded) plus the gapless-id two-pass — no corpus-sized window
-    partition in 'distributed' mode."""
+    partition in 'distributed' mode.
+
+    EAGER: calling this function runs two bounded Spark jobs at
+    DataFrame-CONSTRUCTION time (an id-density probe — count/min/max —
+    and, only for sparse/offset ids, a TakeOrdered of the n_cells
+    smallest ids), so the returned plan cannot dangle on a
+    `vec_id < n_cells` predicate that matches nothing. Callers that
+    need fully lazy composition should pre-validate ids and call the
+    dense path themselves. On sparse ids the centroid set is the
+    n_cells SMALLEST ids (not `vec_id < n_cells`, which would select
+    nothing) — for dense 0..n-1 ids both rules pick the same vectors
+    and the plan is byte-identical to the direct filter."""
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     from audit_star_spark.operators.ids import gapless_ids

@@ -80,7 +80,8 @@ class AuditStar:
 
     def _record_grants(self, spec: TableSpec, view_names: list[str]) -> None:
         """Persist the reference's GRANT set for one provisioned table:
-        USAGE on the audit schema (grantUsageOnSchemas) + SELECT on each
+        USAGE on the raw-log schema ``<schema>_audit_raw``, the exact
+        object grantUsageOnSchemas names (audit.go:722), + SELECT on each
         reconstruction view (the per-view GRANT the reference appends to
         the view DDL). No-op when no grantee is configured — exactly the
         reference's ``if grantee != ""`` guard. Idempotent: the ACL is
@@ -89,7 +90,7 @@ class AuditStar:
         if not self.config.grantee:
             return
         for name in [
-            (f"{spec.schema}_audit", "schema", "USAGE"),
+            (f"{spec.schema}_audit_raw", "schema", "USAGE"),
         ] + [(v, "view", "SELECT") for v in view_names]:
             self._acl[(name[0], name[2], self.config.grantee)] = name[1]
         rows = [
@@ -227,7 +228,14 @@ class AuditStar:
         (ingest.on_batch) — the live side re-resolves to the newest
         snapshot version instead of dangling on a GC'd directory — and
         PINS the version it serves so keep-2 GC can never delete it while
-        a registered view still reads it."""
+        a registered view still reads it.
+
+        C11 boundary: grant enforcement happens ONLY at ``read_view``.
+        ``spark.sql("SELECT ... FROM <temp view>")`` bypasses it — OSS
+        Spark has no authorization layer, so a temp view is readable by
+        any code holding the SparkSession. The recorded ACL
+        (``grants()``) is the reference's GRANT metadata plus an engine
+        access point, not SQL-level security."""
         supplied = live.get(spec.fqn)
         ingest = self.ingests.get(spec.fqn)
 

@@ -800,9 +800,13 @@ q AS (
   FROM normed WHERE vec_id < {n_queries}
 ),
 scored AS (
-  SELECT q.query_id, base.vec_id,
-         {d_dot('q.qvec', 'base.vec')} / (q.qnorm * base.norm) AS cosine
-  FROM normed base JOIN q ON base.vec_id <> q.query_id {join_extra}
+  -- NOT isnan: mirrors the engine's _topk_per_query NaN guard (zero-norm
+  -- vectors sort differently between Spark and DuckDB)
+  SELECT * FROM (
+    SELECT q.query_id, base.vec_id,
+           {d_dot('q.qvec', 'base.vec')} / (q.qnorm * base.norm) AS cosine
+    FROM normed base JOIN q ON base.vec_id <> q.query_id {join_extra}
+  ) WHERE NOT isnan(cosine)
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -9418,9 +9422,12 @@ q AS (
   FROM normed WHERE vec_id < {n_queries}
 ),
 scored AS (
-  SELECT q.query_id, q.query_label, base.vec_id, base.label AS neg_label,
-         {d_dot('q.qvec', 'base.vec')} / (q.qnorm * base.norm) AS cosine
-  FROM normed base JOIN q ON base.label <> q.query_label
+  -- NOT isnan: mirrors the engine's _topk_per_query NaN guard
+  SELECT * FROM (
+    SELECT q.query_id, q.query_label, base.vec_id, base.label AS neg_label,
+           {d_dot('q.qvec', 'base.vec')} / (q.qnorm * base.norm) AS cosine
+    FROM normed base JOIN q ON base.label <> q.query_label
+  ) WHERE NOT isnan(cosine)
 )
 SELECT query_id, query_label, CAST(rank AS INT) AS rank, vec_id, neg_label,
        cosine

@@ -49,7 +49,9 @@ def test_grants_recorded_and_enforced(spark, tmp_path, feed_dir):
     views = [
         f"app_audit_users_audit_{k}" for k in ("delta", "snapshot", "compare")
     ]
-    want = {("app_audit", "schema", "USAGE", "analyst")} | {
+    # USAGE lands on the raw-log schema object, the exact name
+    # grantUsageOnSchemas uses (audit.go:722: "%s_audit_raw")
+    want = {("app_audit_raw", "schema", "USAGE", "analyst")} | {
         (v, "view", "SELECT", "analyst") for v in views
     }
     assert got == want
@@ -99,3 +101,26 @@ def test_grants_idempotent_and_rehydrated(spark, tmp_path, feed_dir):
     assert star2.read_view("app_audit_users_audit_delta", "auditor").count() > 0
     with pytest.raises(PermissionError):
         star2.read_view("app_audit_users_audit_delta", "intern")
+
+
+def test_sql_path_bypasses_enforcement_but_not_acl(spark, tmp_path, feed_dir):
+    """The documented C11 boundary (_register_views docstring): OSS Spark
+    has no authorization layer, so spark.sql over a registered temp view
+    bypasses read_view enforcement. The bypass must not corrupt the
+    recorded ACL — grants() is metadata, not a gate."""
+    star = _provision(spark, tmp_path, feed_dir, grantee="analyst")
+    before = {
+        (r["object_name"], r["privilege"], r["grantee"])
+        for r in star.grants().collect()
+    }
+    view = "app_audit_users_audit_delta"
+    with pytest.raises(PermissionError):
+        star.read_view(view, "intern")
+    # same view, same (ungranted) caller, SQL surface: readable — the
+    # enforcement point is read_view only
+    assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0]["n"] > 0
+    after = {
+        (r["object_name"], r["privilege"], r["grantee"])
+        for r in star.grants().collect()
+    }
+    assert after == before
