@@ -9250,6 +9250,71 @@ EXTRA_QUERIES["ngram_containment"] = q_ngram_containment
 EXTRA_ORACLES["ngram_containment"] = _ngram_containment_sql()
 
 
+def q_ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-GUARDED containment path (max_df stop-shingle cap) —
+    the posture a 100 TB run must use. Unlike the exact-path gate,
+    whose oracle is candidate-rule-independent (any-shared-shingle
+    join), the df filter deliberately trades candidate completeness for
+    a bounded join, so no independent oracle can exist: this oracle
+    RESTATES the engine's candidate rule exactly (prefix slice probing
+    a df<=max_df-filtered index) and certifies that the traded
+    semantics are implemented as documented. max_df=5 bites at sf0.01
+    (29 shingles carry df>5, max df 7), so the gate exercises the
+    guarded code path, not a no-op cap."""
+    return dedup.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=5
+    )
+
+
+def _ngram_containment_capped_sql(threshold: float = 0.8, max_df: int = 5) -> str:
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform({D_SHINGLES},
+           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {dedup.MH_P}))) AS sset
+  FROM documents
+),
+inv AS (SELECT doc_id, unnest(sset) AS sh FROM docs_sh),
+-- the engine's co-partitioned stop-shingle guard: shingles with document
+-- frequency > max_df leave the candidate INDEX only
+keep AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= {max_df}),
+idx AS (SELECT i.doc_id, i.sh FROM inv i JOIN keep USING (sh)),
+-- the engine's asymmetric prefix: first len - ceil(round(t*len, 9)) + 1
+-- elements of the SORTED full set (prefix sliced from the FULL set,
+-- only the probed index is df-filtered)
+prefix AS (
+  SELECT doc_id,
+         unnest(list_slice(sset, 1,
+           len(sset) - CAST(ceil(round({threshold} * len(sset), 9)) AS INT) + 1
+         )) AS sh
+  FROM docs_sh
+),
+cand AS (
+  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+                  greatest(p.doc_id, i.doc_id) AS doc_b
+  FROM prefix p JOIN idx i ON p.sh = i.sh AND p.doc_id <> i.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+           / len(sa.sset) AS c_ab,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+           / len(sb.sset) AS c_ba
+  FROM cand
+  JOIN docs_sh sa ON sa.doc_id = doc_a
+  JOIN docs_sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       c_ab AS containment_a_in_b,
+       c_ba AS containment_b_in_a
+FROM v WHERE greatest(c_ab, c_ba) >= {threshold}
+"""
+
+
+EXTRA_QUERIES["ngram_containment_capped"] = q_ngram_containment_capped
+EXTRA_ORACLES["ngram_containment_capped"] = _ngram_containment_capped_sql()
+
+
 def q_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 three-sentence-span dedup through the gate
     (analytics/dedup.py sentence_span_dedup — Raffel et al. 2020 §2.2's
