@@ -472,8 +472,6 @@ def perplexity_binned_docs(
     scale discussion."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    from pyspark.sql import Window
-
     p = doc_perplexity(docs, tokens_expr=tokens_expr)
     scored = (
         docs.select("doc_id", "lang")
@@ -483,6 +481,21 @@ def perplexity_binned_docs(
             "doc_id", "lang", F.round("perplexity", 6).alias("ppl6")
         )
     )
+    return ntile_cut(scored, n_bins=n_bins, mode=mode)
+
+
+def ntile_cut(scored: DataFrame, n_bins: int, mode: str = "window") -> DataFrame:
+    """Equal-depth per-language ntile over a (doc_id, lang, ppl6) frame
+    — the cut stage of :func:`perplexity_binned_docs`, factored out so
+    read paths that derive ppl6 from persisted count stores
+    (streaming/ccnet.py) run the SAME cut code (one code path, two
+    execution modes; the two modes are themselves bit-identical,
+    test-locked). See perplexity_bins for the window-vs-distributed
+    scale discussion."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pyspark.sql import Window
+
     if mode == "window":
         w = Window.partitionBy("lang").orderBy("ppl6", "doc_id")
         binned = scored.withColumn("bin", F.ntile(n_bins).over(w))
@@ -562,14 +575,6 @@ def ccnet_disposition(
     binned = perplexity_binned_docs(
         relabeled, n_bins=n_bins, tokens_expr=tokens_expr, mode=mode
     ).select("doc_id", "ppl6", "bin")
-    disposition = (
-        F.when(F.col("is_dup"), F.lit("drop_duplicate"))
-        .when(F.col("pred_lang") == "unknown", F.lit("drop_lang"))
-        .when(F.col("bin").isNull(), F.lit("drop_unscorable"))
-        .when(F.col("bin") == 1, F.lit("keep_head"))
-        .when(F.col("bin") < n_bins, F.lit("keep_middle"))
-        .otherwise(F.lit("drop_tail"))
-    )
     return (
         lang.join(dup, "doc_id")
         .join(binned, "doc_id", "left")
@@ -579,6 +584,22 @@ def ccnet_disposition(
             "is_dup",
             "ppl6",
             F.col("bin").cast("int").alias("bin"),
-            disposition.alias("disposition"),
+            ccnet_verdict_expr(n_bins).alias("disposition"),
         )
+    )
+
+
+def ccnet_verdict_expr(n_bins: int) -> F.Column:
+    """The CCNet disposition CASE over (is_dup, pred_lang, bin) columns
+    — pipeline-order precedence (duplicate > unknown language >
+    unscorable > bin), shared by the batch composition above and the
+    streaming read path (streaming/ccnet.py) so precedence can never
+    drift between modes."""
+    return (
+        F.when(F.col("is_dup"), F.lit("drop_duplicate"))
+        .when(F.col("pred_lang") == "unknown", F.lit("drop_lang"))
+        .when(F.col("bin").isNull(), F.lit("drop_unscorable"))
+        .when(F.col("bin") == 1, F.lit("keep_head"))
+        .when(F.col("bin") < n_bins, F.lit("keep_middle"))
+        .otherwise(F.lit("drop_tail"))
     )
