@@ -1258,3 +1258,62 @@ def incontext_order(
         id_col="position",
         mode=mode,
     ).select("vec_id", "cell_id", "sim6", F.col("position").cast("long").alias("position"))
+
+
+def clip_alignment_census(
+    pairs: DataFrame,
+    img_col: str = "img_vec",
+    txt_col: str = "txt_vec",
+    threshold: float = 0.28,
+    label_col: str = "label",
+) -> DataFrame:
+    """LAION-style image-text alignment filtering census (Schuhmann et
+    al. 2021, "LAION-400M": keep a crawled (image, caption) pair iff
+    its CLIP cosine similarity clears a threshold — 0.3 for LAION-400M,
+    0.28 for LAION-5B). Input is a PAIRED frame: one row per candidate
+    pair carrying both embedding columns (the shape a web-scale
+    multimodal crawl actually lands in its pair parquet), plus a
+    grouping label (source/shard/language bucket). Returns one census
+    row per label: (label, n_pairs, n_scored, n_aligned,
+    frac_aligned6, avg_sim6, min_sim6, max_sim6).
+
+    A pair with a zero-norm side is unscorable (an all-black image or
+    empty caption from a broken fetch): its similarity is NULL — it
+    counts in n_pairs but never in n_scored/n_aligned, and the NULL
+    convention is explicit (a CASE guard) rather than riding on any
+    engine's division/NaN behavior, so the DuckDB oracle can restate
+    it exactly.
+
+    Scale shape: ZERO joins and zero broadcasts — similarity is an
+    in-row fold over the two array columns (same `_dot` the rest of
+    the module uses), then ONE map-side-combined groupBy on the
+    bounded label domain. The only shuffle is the #labels-row partial
+    aggregate exchange; at 100 TB this is a single full scan at disk
+    bandwidth, embarrassingly parallel."""
+    dot = _dot(img_col, txt_col)
+    ni = F.sqrt(_dot(img_col, img_col))
+    nt = F.sqrt(_dot(txt_col, txt_col))
+    sim = F.when((ni > 0) & (nt > 0), dot / (ni * nt))
+    scored = pairs.select(F.col(label_col).alias("label"), sim.alias("sim"))
+    agg = scored.groupBy("label").agg(
+        F.count("*").alias("n_pairs"),
+        F.count("sim").alias("n_scored"),
+        F.sum(
+            F.when(F.col("sim") >= threshold, 1).otherwise(0)
+        ).alias("n_aligned"),
+        F.round(F.avg("sim"), 6).alias("avg_sim6"),
+        F.round(F.min("sim"), 6).alias("min_sim6"),
+        F.round(F.max("sim"), 6).alias("max_sim6"),
+    )
+    return agg.select(
+        "label",
+        "n_pairs",
+        "n_scored",
+        "n_aligned",
+        F.round(
+            F.col("n_aligned") / F.nullif(F.col("n_scored"), F.lit(0)), 6
+        ).alias("frac_aligned6"),
+        "avg_sim6",
+        "min_sim6",
+        "max_sim6",
+    )

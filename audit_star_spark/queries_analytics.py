@@ -9315,6 +9315,75 @@ EXTRA_QUERIES["ngram_containment_capped"] = q_ngram_containment_capped
 EXTRA_ORACLES["ngram_containment_capped"] = _ngram_containment_capped_sql()
 
 
+def q_clip_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style paired image-text alignment census through the gate
+    (analytics/similarity.py clip_alignment_census — Schuhmann et al.
+    2021's CLIP-score filtering). The synthetic corpus has one
+    embedding table, so the gate SYNTHESIZES the paired frame the
+    operator contracts on: consecutive ids pair up (even = image side,
+    odd = caption side, the label riding with the image) — one
+    equi-join of gate plumbing; the OPERATOR itself is join-free (one
+    scan, in-row folds, label-domain groupBy). The oracle restates
+    pairing, the explicit zero-norm NULL guard, and the census in
+    DuckDB."""
+    from audit_star_spark.analytics.similarity import (
+        VEC_EXPR,
+        clip_alignment_census,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    img = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pair_key"),
+        "label",
+        F.expr(VEC_EXPR).alias("img_vec"),
+    )
+    txt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("pair_key"),
+        F.expr(VEC_EXPR).alias("txt_vec"),
+    )
+    pairs = img.join(txt, "pair_key")
+    return clip_alignment_census(pairs, threshold=0.28)
+
+
+def _clip_alignment_sql(threshold: float = 0.28) -> str:
+    ii = d_dot("img_vec", "img_vec")
+    tt = d_dot("txt_vec", "txt_vec")
+    it = d_dot("img_vec", "txt_vec")
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {D_VEC} AS vec FROM embeddings
+),
+pairs AS (
+  SELECT a.label AS label, a.vec AS img_vec, b.vec AS txt_vec
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0
+),
+scored AS (
+  -- explicit zero-norm NULL guard, mirroring the engine's CASE (never
+  -- rides on an engine's division/NaN behavior)
+  SELECT label,
+         CASE WHEN sqrt({ii}) > 0 AND sqrt({tt}) > 0
+              THEN {it} / (sqrt({ii}) * sqrt({tt})) END AS sim
+  FROM pairs
+)
+SELECT label,
+       count(*) AS n_pairs,
+       count(sim) AS n_scored,
+       CAST(sum(CASE WHEN sim >= {threshold} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_aligned,
+       round(CAST(sum(CASE WHEN sim >= {threshold} THEN 1 ELSE 0 END)
+                  AS BIGINT) / nullif(count(sim), 0), 6) AS frac_aligned6,
+       round(avg(sim), 6) AS avg_sim6,
+       round(min(sim), 6) AS min_sim6,
+       round(max(sim), 6) AS max_sim6
+FROM scored GROUP BY label
+"""
+
+
+EXTRA_QUERIES["clip_alignment"] = q_clip_alignment
+EXTRA_ORACLES["clip_alignment"] = _clip_alignment_sql()
+
+
 def q_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 three-sentence-span dedup through the gate
     (analytics/dedup.py sentence_span_dedup — Raffel et al. 2020 §2.2's
