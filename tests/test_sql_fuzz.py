@@ -942,6 +942,61 @@ def _gen_limit_offset_page(rng: random.Random) -> str:
     )
 
 
+def _gen_setop_all(rng: random.Random) -> str:
+    """INTERSECT ALL / EXCEPT ALL — BAG semantics: duplicate
+    multiplicities must match exactly (min / difference of per-row
+    counts), not collapse to DISTINCT like the plain set ops the
+    _gen_setop shape covers."""
+    op = rng.choice(["INTERSECT ALL", "EXCEPT ALL"])
+    k = rng.randint(2, 9)
+    proj = f"o_orderstatus, o_custkey % {k} AS b"
+    return (
+        f"SELECT {proj} FROM orders{_where(rng)} "
+        f"{op} "
+        f"SELECT {proj} FROM orders{_where(rng)}"
+    )
+
+
+def _gen_filtered_agg_gsets_window(rng: random.Random) -> str:
+    """FILTERed aggregates over GROUPING SETS feeding a window: the
+    FILTER clause must apply per-set (the () grand-total row filters
+    the same predicate), and the outer RANK must order the mixed
+    NULL/value grouping rows identically in both engines (COALESCE
+    tie-break keeps the order total)."""
+    g = rng.choice(["o_orderstatus", "o_orderpriority"])
+    k = rng.randint(2, 7)
+    thr = rng.randint(1000, 300000)
+    return (
+        f"WITH g AS ("
+        f"SELECT {g}, "
+        f"CAST(COUNT(*) FILTER (WHERE o_custkey % {k} = 0) AS BIGINT) AS c_f, "
+        f"CAST(SUM(o_orderkey) FILTER (WHERE o_totalprice > {thr}) AS BIGINT)"
+        f" AS s_f "
+        f"FROM orders{_where(rng)} GROUP BY GROUPING SETS (({g}), ())"
+        f") SELECT {g}, c_f, s_f, "
+        f"CAST(RANK() OVER (ORDER BY c_f DESC, COALESCE({g}, '~')) AS BIGINT)"
+        f" AS r FROM g"
+    )
+
+
+def _gen_unpivot(rng: random.Random) -> str:
+    """Standard-SQL UNPIVOT (Spark 3.4+ and DuckDB parse the same
+    clause): wide integer columns fold to (name, val) rows. Integer
+    columns only — CAST(double AS BIGINT) rounds in DuckDB but
+    truncates in Spark, so no float column may enter the fold."""
+    mod = rng.randint(2, 17)
+    filt = rng.randint(2, 9)
+    cols = rng.sample(["ck", "bucket", "pk"], rng.randint(2, 3))
+    return (
+        f"SELECT o_orderkey, name, val FROM ("
+        f"SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck, "
+        f"CAST(o_orderkey % {mod} AS BIGINT) AS bucket, "
+        f"CAST(o_custkey % {mod + 1} AS BIGINT) AS pk "
+        f"FROM orders WHERE o_orderkey % {filt} = 0) "
+        f"UNPIVOT (val FOR name IN ({', '.join(cols)}))"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -992,6 +1047,9 @@ def _corpus() -> list[str]:
         + [_gen_values_derived_join(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_rollup_grouping_fn(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_limit_offset_page(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_setop_all(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_filtered_agg_gsets_window(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_unpivot(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
