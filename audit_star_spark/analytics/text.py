@@ -828,3 +828,86 @@ def zipf_fit(docs: DataFrame, top_k: int = 100) -> DataFrame:
         ((r_num * r_num) / r_den).alias("r2"),
     )
     return totals.crossJoin(F.broadcast(fit))
+
+
+def packed_chunk_census(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    tokens_expr: str = TOKENS_EXPR,
+    mode: str = "distributed",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing census — the layout every
+    LLM pretraining loader runs (concatenate documents back-to-back in
+    a fixed order, split the token stream into ``seq_len`` training
+    examples; GPT-3 appendix B, "during training we train on sequences
+    of ... packed documents"). Returns one row per training chunk:
+
+        (chunk_id, n_docs, chunk_tokens, n_whole_docs,
+         carry_in, carry_out, boundary_frac9)
+
+    n_docs = documents contributing >= 1 token to the chunk; carry_in /
+    carry_out flag a document straddling the left/right chunk edge (at
+    most one each — the stream is contiguous); n_whole_docs = documents
+    fully contained; boundary_frac9 = fraction of the chunk's tokens
+    that belong to straddling documents — the attention-contamination
+    budget a loader without cross-document masking pays per chunk.
+
+    Scale shape: the global token offset of each document is an
+    EXCLUSIVE prefix sum in doc_id order via
+    :func:`~audit_star_spark.operators.ids.prefix_sums` — the
+    gapless-ids two-pass scheme (per-partition sums -> broadcast bases
+    + within-partition running sum), so mode='distributed' has no
+    Exchange SinglePartition and no corpus-sized window partition. Each
+    document then explodes into the ceil(n/seq_len)+1 chunk ids it
+    overlaps (bounded per doc) and ONE groupBy(chunk_id) folds the
+    census. Deterministic: token counts are exact ints and doc_id is a
+    total order, so chunk boundaries are engine-independent."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from audit_star_spark.operators.ids import prefix_sums
+
+    lens = docs.select(
+        "doc_id", F.size(F.expr(tokens_expr)).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    off = prefix_sums(lens, "n_tokens", ["doc_id"], out="off", mode=mode)
+    end = F.col("off") + F.col("n_tokens")
+    spans = off.select(
+        "doc_id",
+        "off",
+        end.alias("end"),
+        F.expr(
+            f"explode(sequence(off DIV {seq_len}, (off + n_tokens - 1) DIV {seq_len}))"
+        ).alias("chunk_id"),
+    )
+    lo = F.col("chunk_id") * seq_len
+    hi = lo + seq_len
+    tok = F.least(F.col("end"), hi) - F.greatest(F.col("off"), lo)
+    starts = F.col("off") >= lo
+    ends = F.col("end") <= hi
+    per = spans.select(
+        "chunk_id",
+        tok.alias("tok"),
+        starts.alias("starts"),
+        ends.alias("ends"),
+    )
+    agg = per.groupBy("chunk_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").alias("chunk_tokens"),
+        F.sum((F.col("starts") & F.col("ends")).cast("long")).alias("n_whole_docs"),
+        F.max((~F.col("starts")).cast("int")).alias("carry_in"),
+        F.max((~F.col("ends")).cast("int")).alias("carry_out"),
+        F.sum(
+            F.when(~(F.col("starts") & F.col("ends")), F.col("tok")).otherwise(0)
+        ).alias("__straddle_tok"),
+    )
+    return agg.select(
+        "chunk_id",
+        "n_docs",
+        "chunk_tokens",
+        "n_whole_docs",
+        "carry_in",
+        "carry_out",
+        F.round(
+            F.col("__straddle_tok") / F.col("chunk_tokens").cast("double"), 9
+        ).alias("boundary_frac9"),
+    )

@@ -80,3 +80,66 @@ def gapless_ids(
         .withColumn(id_col, F.col("__base") + local_idx)
         .drop("__pid", "__mid", "__base")
     )
+
+
+def prefix_sums(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[str],
+    out: str = "offset",
+    mode: str = "distributed",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` along the total order
+    ``order_by`` (row's offset = sum of all strictly-earlier values) —
+    the same two-pass scheme as :func:`gapless_ids`, generalized from
+    counting rows to summing a column: a global running-sum window
+    would funnel everything through one partition, so pass 1 collects
+    ONE sum per partition (bounded metadata) into cumulative bases and
+    pass 2 adds a WITHIN-partition running sum (the window is keyed on
+    the partition id, so no Exchange SinglePartition appears — each
+    window group is one already-sorted partition).
+
+    Determinism: with a total ``order_by`` the result equals
+    ``sum(value) over (order by ... rows between unbounded preceding
+    and 1 preceding)`` exactly — integer values only (float prefix
+    sums would depend on fold order)."""
+    if mode == "window":
+        w = (
+            Window.orderBy(*[qcol(c) for c in order_by])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            out, F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+        )
+
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    part = part.persist()
+    sums = {
+        r["__pid"]: r["s"]
+        for r in part.groupBy("__pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
+        .collect()
+    }  # bounded: one row per partition
+    bases, acc = [], 0
+    for pid in sorted(sums):
+        bases.append((pid, acc))
+        acc += int(sums[pid])
+    offsets = spark.createDataFrame(bases or [(0, 0)], "__pid int, __base long")
+    wl = (
+        Window.partitionBy("__pid")
+        .orderBy(*[qcol(c) for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(value_col).over(wl), F.lit(0))
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__base") + local).cast("long"))
+        .drop("__pid", "__base")
+    )

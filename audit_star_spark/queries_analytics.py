@@ -9384,6 +9384,64 @@ EXTRA_QUERIES["clip_alignment"] = q_clip_alignment
 EXTRA_ORACLES["clip_alignment"] = _clip_alignment_sql()
 
 
+def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing census through the gate
+    (analytics/text.py packed_chunk_census — the GPT-3-style loader
+    layout): documents concatenate in doc_id order and split into
+    512-token training chunks; per chunk, doc count, whole-doc count,
+    boundary straddle flags, and the attention-contamination fraction.
+    mode='distributed' exercises the prefix_sums two-pass scheme (no
+    global running-sum window); the oracle restates the same packing
+    with DuckDB's window cumsum — definitionally independent of the
+    engine's partition-base mechanics."""
+    return text.packed_chunk_census(
+        load_table(spark, sf_dir, "documents"), seq_len=512, mode="distributed"
+    )
+
+
+def _packed_chunks_sql(seq_len: int = 512) -> str:
+    return f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({D_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE len({D_TOKENS}) > 0
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM lens
+),
+spans AS (
+  SELECT doc_id, o, o + n_tokens AS e,
+         unnest(generate_series(CAST(o // {seq_len} AS BIGINT),
+                 CAST((o + n_tokens - 1) // {seq_len} AS BIGINT))) AS chunk_id
+  FROM off
+),
+per AS (
+  SELECT chunk_id,
+         least(e, (chunk_id + 1) * {seq_len})
+           - greatest(o, chunk_id * {seq_len}) AS tok,
+         o >= chunk_id * {seq_len} AS starts,
+         e <= (chunk_id + 1) * {seq_len} AS ends
+  FROM spans
+)
+SELECT chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS chunk_tokens,
+       CAST(sum(CASE WHEN starts AND ends THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_whole_docs,
+       max(CASE WHEN NOT starts THEN 1 ELSE 0 END) AS carry_in,
+       max(CASE WHEN NOT ends THEN 1 ELSE 0 END) AS carry_out,
+       round(CAST(sum(CASE WHEN NOT (starts AND ends) THEN tok ELSE 0 END)
+                  AS DOUBLE) / sum(tok), 9) AS boundary_frac9
+FROM per GROUP BY chunk_id
+"""
+
+
+EXTRA_QUERIES["packed_chunks"] = q_packed_chunks
+EXTRA_ORACLES["packed_chunks"] = _packed_chunks_sql()
+
+
 def q_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 three-sentence-span dedup through the gate
     (analytics/dedup.py sentence_span_dedup — Raffel et al. 2020 §2.2's

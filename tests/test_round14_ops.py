@@ -49,3 +49,66 @@ def test_clip_alignment_plan_is_join_free(spark):
     assert "Window" not in plan
     # partial (map-side) aggregation before the single label exchange
     assert "partial" in plan.lower()
+
+
+def test_prefix_sums_modes_agree(spark):
+    from audit_star_spark.operators.ids import prefix_sums
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, v long").repartition(8)
+    got_d = {
+        r["doc_id"]: r["offset"]
+        for r in prefix_sums(df, "v", ["doc_id"], mode="distributed").collect()
+    }
+    got_w = {
+        r["doc_id"]: r["offset"]
+        for r in prefix_sums(df, "v", ["doc_id"], mode="window").collect()
+    }
+    acc, want = 0, {}
+    for i, v in rows:
+        want[i] = acc
+        acc += v
+    assert got_d == want
+    assert got_w == want
+
+
+def test_packed_chunk_census_invariants(spark):
+    from audit_star_spark.analytics.text import packed_chunk_census
+
+    # doc i has (i % 29) + 1 tokens
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range((i % 29) + 1))) for i in range(80)],
+        "doc_id long, text string",
+    )
+    L = 16
+    rows = {r["chunk_id"]: r for r in packed_chunk_census(docs, seq_len=L).collect()}
+    total = sum((i % 29) + 1 for i in range(80))
+    assert sorted(rows) == list(range((total + L - 1) // L))
+    for cid, r in rows.items():
+        if cid < max(rows):
+            assert r["chunk_tokens"] == L  # interior chunks are full
+        assert r["n_docs"] >= r["n_whole_docs"]
+        # contiguous stream: at most one straddler per edge
+        assert r["carry_in"] in (0, 1) and r["carry_out"] in (0, 1)
+        assert r["n_whole_docs"] + r["carry_in"] + r["carry_out"] >= r["n_docs"] - 1
+    assert sum(r["chunk_tokens"] for r in rows.values()) == total
+    # the last chunk may be partial and must never carry out
+    assert rows[max(rows)]["carry_out"] == 0
+    assert rows[0]["carry_in"] == 0
+    # distributed == window (the prefix_sums parity carried through)
+    w = {
+        tuple(r)
+        for r in packed_chunk_census(docs, seq_len=L, mode="window").collect()
+    }
+    assert {tuple(r) for r in rows.values()} == w
+
+
+def test_packed_chunk_census_distributed_plan_has_no_global_funnel(spark):
+    from audit_star_spark.analytics.text import packed_chunk_census
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    df = packed_chunk_census(docs, seq_len=4, mode="distributed")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
