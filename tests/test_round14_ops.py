@@ -112,3 +112,65 @@ def test_packed_chunk_census_distributed_plan_has_no_global_funnel(spark):
     df = packed_chunk_census(docs, seq_len=4, mode="distributed")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+PAIR_ROWS = [
+    (0, 1, [1.0, 0.0], [1.0, 0.0]),
+    (1, 1, [1.0, 0.0], [0.0, 1.0]),
+    (2, 1, [0.0, 0.0], [1.0, 0.0]),
+    (3, 2, [1.0, 1.0], [1.0, 0.9]),
+    (4, 2, [1.0, 0.0], [-1.0, 0.0]),
+    (5, 3, [0.0, 0.0], [0.0, 0.0]),
+]
+MORE_ROWS = [
+    (6, 1, [0.5, 0.5], [0.5, 0.5]),
+    (7, 3, [2.0, 0.0], [2.0, 0.1]),
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_clip_alignment_parity_replay_compaction(spark, tmp_path):
+    import os
+
+    from audit_star_spark.analytics.similarity import clip_alignment_census
+    from audit_star_spark.streaming.alignment import StreamingClipAlignment
+
+    st = StreamingClipAlignment(str(tmp_path / "align"))
+    assert st.census(spark) is None
+    st.apply_batch(_pairs(spark, PAIR_ROWS[:3]), 0)
+    st.apply_batch(_pairs(spark, PAIR_ROWS[3:]), 1)
+    want = _rows(clip_alignment_census(_pairs(spark, PAIR_ROWS)))
+    assert _rows(st.census(spark)) == want
+    st.apply_batch(_pairs(spark, PAIR_ROWS[3:]), 1)  # replay: own partition
+    assert _rows(st.census(spark)) == want
+    st.compact(spark)
+    assert _rows(st.census(spark)) == want
+    parts = {p for p in os.listdir(st.store_dir) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1"}
+    st.apply_batch(_pairs(spark, PAIR_ROWS[3:]), 1)  # replay AFTER compaction
+    assert _rows(st.census(spark)) == want
+    st.apply_batch(_pairs(spark, MORE_ROWS), 2)
+    assert _rows(st.census(spark)) == _rows(
+        clip_alignment_census(_pairs(spark, PAIR_ROWS + MORE_ROWS))
+    )
+
+
+def test_streaming_clip_alignment_availablenow(spark, tmp_path):
+    from audit_star_spark.analytics.similarity import clip_alignment_census
+    from audit_star_spark.streaming.alignment import StreamingClipAlignment
+
+    src = str(tmp_path / "src")
+    _pairs(spark, PAIR_ROWS).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st = StreamingClipAlignment(str(tmp_path / "align"))
+    st.start(stream, str(tmp_path / "ck")).awaitTermination()
+    assert _rows(st.census(spark)) == _rows(
+        clip_alignment_census(_pairs(spark, PAIR_ROWS))
+    )
