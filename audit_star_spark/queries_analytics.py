@@ -9673,6 +9673,8 @@ del _name
 
 
 # ---------------------------------------------- round-15 rotation candidates
-# Round-14 additions awaiting driver rows (rotate in next round by
-# mirroring _R14_ROTATE_IN/_OUT above, retiring 4 double-green window
-# entries to EXTRA): see the end of this module for the current list.
+# The 3 round-14 additions (ngram_containment_capped, clip_alignment,
+# packed_chunks — registered at the end of this module) are gate-sim +
+# pytest-oracle-locked but have no hard driver CORRECTNESS row yet.
+# Next round, mirror _R14_ROTATE_IN/_OUT above: rotate the 3 in and
+# retire 3 double-green (r13+r14) window entries to EXTRA.
