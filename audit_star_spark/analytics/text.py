@@ -864,11 +864,25 @@ def packed_chunk_census(
     total order, so chunk boundaries are engine-independent."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    from audit_star_spark.operators.ids import prefix_sums
-
     lens = docs.select(
         "doc_id", F.size(F.expr(tokens_expr)).cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+    )
+    return packed_chunk_census_from_lens(lens, seq_len=seq_len, mode=mode)
+
+
+def packed_chunk_census_from_lens(
+    lens: DataFrame, seq_len: int = 2048, mode: str = "distributed"
+) -> DataFrame:
+    """The census core of :func:`packed_chunk_census` over a
+    pre-tokenized (doc_id, n_tokens) frame — factored out so the
+    streaming store (streaming/packing.py), which persists token
+    counts instead of text, derives the identical census at read (one
+    code path, two execution modes)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from audit_star_spark.operators.ids import prefix_sums
+
+    lens = lens.filter(F.col("n_tokens") > 0)
     off = prefix_sums(lens, "n_tokens", ["doc_id"], out="off", mode=mode)
     end = F.col("off") + F.col("n_tokens")
     spans = off.select(

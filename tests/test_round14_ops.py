@@ -174,3 +174,58 @@ def test_streaming_clip_alignment_availablenow(spark, tmp_path):
     assert _rows(st.census(spark)) == _rows(
         clip_alignment_census(_pairs(spark, PAIR_ROWS))
     )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+PACK_DOCS = [(i, " ".join("w" for _ in range((i % 13) + 1))) for i in range(40)]
+PACK_LATER = [(40 + i, " ".join("w" for _ in range((i % 7) + 2))) for i in range(10)]
+
+def test_streaming_packed_chunks_parity_replay_compaction(spark, tmp_path):
+    import os
+
+    from audit_star_spark.analytics.text import packed_chunk_census
+    from audit_star_spark.streaming.packing import StreamingPackedChunks
+
+    st = StreamingPackedChunks(str(tmp_path / "pack"), seq_len=16)
+    assert st.census(spark) is None
+    st.apply_batch(_docs(spark, PACK_DOCS[:25]), 0)
+    st.apply_batch(_docs(spark, PACK_DOCS[25:]), 1)
+    want = _rows(packed_chunk_census(_docs(spark, PACK_DOCS), seq_len=16))
+    assert _rows(st.census(spark)) == want
+    st.apply_batch(_docs(spark, PACK_DOCS[25:]), 1)  # replay
+    assert _rows(st.census(spark)) == want
+    st.compact(spark)
+    assert _rows(st.census(spark)) == want
+    parts = {p for p in os.listdir(st.store_dir) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1"}
+    st.apply_batch(_docs(spark, PACK_DOCS[25:]), 1)  # replay AFTER compaction
+    assert _rows(st.census(spark)) == want
+    st.apply_batch(_docs(spark, PACK_LATER), 2)
+    assert _rows(st.census(spark)) == _rows(
+        packed_chunk_census(_docs(spark, PACK_DOCS + PACK_LATER), seq_len=16)
+    )
+    # both cut modes of the read path agree
+    assert _rows(st.census(spark, mode="window")) == _rows(
+        st.census(spark, mode="distributed")
+    )
+
+
+def test_streaming_packed_chunks_availablenow(spark, tmp_path):
+    from audit_star_spark.analytics.text import packed_chunk_census
+    from audit_star_spark.streaming.packing import StreamingPackedChunks
+
+    src = str(tmp_path / "src")
+    _docs(spark, PACK_DOCS).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st = StreamingPackedChunks(str(tmp_path / "pack"), seq_len=16)
+    st.start(stream, str(tmp_path / "ck")).awaitTermination()
+    assert _rows(st.census(spark)) == _rows(
+        packed_chunk_census(_docs(spark, PACK_DOCS), seq_len=16)
+    )
