@@ -1317,3 +1317,160 @@ def clip_alignment_census(
         "min_sim6",
         "max_sim6",
     )
+
+
+def bitext_mine(
+    emb: DataFrame,
+    n_cells: int = 8,
+    k: int = 4,
+    threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"; the CCMatrix recipe, Schwenk et al. 2021): align two
+    monolingual corpora embedded in a shared space by scoring candidate
+    pairs with the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgk(x) + avgk(y)) / 2)
+
+    where ``avgk(v)`` is the mean cosine of v's k nearest candidates on
+    the OPPOSITE side — the local-density normalizer that fixes the
+    hubness failure of raw-cosine mining. Sides come from label parity
+    (even labels = source, odd = target — the gate's stand-in for two
+    languages; a real pipeline passes language-split corpora through
+    the same dataflow). For each source vector the best-margin target
+    is kept when its margin clears ``threshold``; ``mutual`` marks
+    pairs that are also the target's best source (the paper's
+    intersection strategy). Returns (src_id, tgt_id, cos6, margin6,
+    mutual), one row per mined source.
+
+    Scale shape — cell-blocked, never all-pairs: every vector assigns
+    to one of ``n_cells`` broadcast centroids (first-n_cells-vectors
+    convention of :func:`semantic_dedup`; the dataflow is identical
+    under trained k-means), and candidates are the CELL EQUI-JOIN of
+    opposite sides — pair count is bounded by the largest cell, the
+    same blocking the paper's FAISS index performs. avgk uses those
+    cell-blocked neighbors (the paper's own denominator is approximate
+    kNN). Both per-side kNN averages and both argmaxes run through the
+    two-phase partial top-k (:func:`_topk_per_query` — map-side
+    k-truncation before any exchange, no query-partitioned window over
+    an unpruned stream). At production scale the candidate frame is
+    worth persisting (it is scanned once per direction); the gate-size
+    plan recomputes the one equi-join.
+
+    Determinism: every float is a sequential double fold; avgk sums
+    the top-k cosines in RANK order (engines disagree on unordered
+    float sums); argmax ties break on partner id; cos/margin round to
+    6 dp only at the output boundary while the threshold compares the
+    raw (bit-identical) margin — the float-portability conventions of
+    this module. NaN cosines (zero-norm vectors) are dropped by the
+    _topk_per_query guard, mirrored in the oracle."""
+    if n_cells < 1 or k < 1:
+        raise ValueError(f"n_cells and k must be >= 1, got {n_cells}, {k}")
+    base = _prepared(emb).withColumn("side", F.col("label") % 2)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "side", "vec", "norm", "cell_id", ccos.alias("ccos")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "side", "vec", "norm", "cell_id")
+    )
+    src = assigned.filter(F.col("side") == 0).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("vec").alias("svec"),
+        F.col("norm").alias("snorm"),
+        "cell_id",
+    )
+    tgt = assigned.filter(F.col("side") == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("vec").alias("tvec"),
+        F.col("norm").alias("tnorm"),
+        "cell_id",
+    )
+    cos = _dot("svec", "tvec") / (F.col("snorm") * F.col("tnorm"))
+    pairs = (
+        src.join(tgt, "cell_id")
+        .select("src_id", "tgt_id", cos.alias("cos"))
+        .filter(~F.isnan("cos"))
+    )
+
+    def _avgk(cand: DataFrame, qcol: str, out: str) -> DataFrame:
+        # mean of the top-k cosines, summed in rank order (deterministic)
+        topk = _topk_per_query(cand, k, [])
+        fold = (
+            "aggregate(transform(array_sort(collect_list(struct(rank, cosine))), "
+            "t -> t.cosine), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        return topk.groupBy("query_id").agg(
+            (F.expr(fold) / F.count("*").cast("double")).alias(out)
+        ).select(F.col("query_id").alias(qcol), out)
+
+    src_avg = _avgk(
+        pairs.select(
+            F.col("src_id").alias("query_id"),
+            F.col("tgt_id").alias("vec_id"),
+            F.col("cos").alias("cosine"),
+        ),
+        "src_id",
+        "src_avg",
+    )
+    tgt_avg = _avgk(
+        pairs.select(
+            F.col("tgt_id").alias("query_id"),
+            F.col("src_id").alias("vec_id"),
+            F.col("cos").alias("cosine"),
+        ),
+        "tgt_id",
+        "tgt_avg",
+    )
+    margin = F.col("cos") / ((F.col("src_avg") + F.col("tgt_avg")) / F.lit(2.0))
+    margined = (
+        pairs.join(src_avg, "src_id")
+        .join(tgt_avg, "tgt_id")
+        .select("src_id", "tgt_id", "cos", margin.alias("margin"))
+    )
+    best_fwd = _topk_per_query(
+        margined.select(
+            F.col("src_id").alias("query_id"),
+            F.col("tgt_id").alias("vec_id"),
+            F.col("margin").alias("cosine"),
+            "cos",
+        ),
+        1,
+        ["cos"],
+    ).select(
+        F.col("query_id").alias("src_id"),
+        F.col("vec_id").alias("tgt_id"),
+        "cos",
+        F.col("cosine").alias("margin"),
+    )
+    best_bwd = _topk_per_query(
+        margined.select(
+            F.col("tgt_id").alias("query_id"),
+            F.col("src_id").alias("vec_id"),
+            F.col("margin").alias("cosine"),
+        ),
+        1,
+        [],
+    ).select(
+        F.col("query_id").alias("tgt_id"), F.col("vec_id").alias("bsrc")
+    )
+    return (
+        best_fwd.join(best_bwd, "tgt_id")
+        .filter(F.col("margin") >= threshold)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("cos", 6).alias("cos6"),
+            F.round("margin", 6).alias("margin6"),
+            (F.col("bsrc") == F.col("src_id")).alias("mutual"),
+        )
+    )

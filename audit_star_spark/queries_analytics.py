@@ -9678,3 +9678,104 @@ del _name
 # pytest-oracle-locked but have no hard driver CORRECTNESS row yet.
 # Next round, mirror _R14_ROTATE_IN/_OUT above: rotate the 3 in and
 # retire 3 double-green (r13+r14) window entries to EXTRA.
+
+
+# ------------------------------------------------ margin-based bitext mining
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext candidate mining through the gate
+    (analytics/similarity.py bitext_mine — Artetxe & Schwenk 2019 ratio
+    margin, the CCMatrix curation step): label-parity sides, cell-blocked
+    candidates, per-side top-k cosine averages as the margin denominator,
+    forward-best + mutual flag. The oracle restates the cell assignment,
+    the rank-ordered avgk folds, and both argmaxes in DuckDB."""
+    return similarity.bitext_mine(
+        load_table(spark, sf_dir, "embeddings"), n_cells=8, k=4, threshold=1.05
+    )
+
+
+def _bitext_mine_sql(n_cells: int = 8, k: int = 4, threshold: float = 1.05) -> str:
+    avg_fold = d_fold(
+        "list(cos ORDER BY r)", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, label % 2 AS side, {D_VEC} AS vec FROM embeddings
+),
+normed AS (
+  SELECT vec_id, side, vec, sqrt({d_dot('vec', 'vec')}) AS norm FROM base
+),
+cents AS (
+  SELECT vec_id AS cell_id, vec AS cvec, norm AS cnorm
+  FROM normed WHERE vec_id < {n_cells}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cell_id) AS crank
+  FROM (
+    SELECT n.vec_id, n.side, n.vec, n.norm, c.cell_id,
+           {d_dot('c.cvec', 'n.vec')} / (c.cnorm * n.norm) AS ccos
+    FROM normed n CROSS JOIN cents c
+  )
+),
+assigned AS (
+  SELECT vec_id, side, vec, norm, cell_id FROM ranked WHERE crank = 1
+),
+pairs AS (
+  -- NOT isnan: mirrors the engine's _topk_per_query NaN guard
+  SELECT * FROM (
+    SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+           {d_dot('s.vec', 't.vec')} / (s.norm * t.norm) AS cos
+    FROM assigned s JOIN assigned t
+      ON s.cell_id = t.cell_id AND s.side = 0 AND t.side = 1
+  ) WHERE NOT isnan(cos)
+),
+fwd_rank AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY cos DESC, tgt_id) AS r
+  FROM pairs
+),
+src_avg AS (
+  -- top-k cosines summed in RANK order (unordered float sums diverge)
+  SELECT src_id, {avg_fold} / CAST(count(*) AS DOUBLE) AS src_avg
+  FROM fwd_rank WHERE r <= {k} GROUP BY src_id
+),
+bwd_rank AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                               ORDER BY cos DESC, src_id) AS r
+  FROM pairs
+),
+tgt_avg AS (
+  SELECT tgt_id, {avg_fold} / CAST(count(*) AS DOUBLE) AS tgt_avg
+  FROM bwd_rank WHERE r <= {k} GROUP BY tgt_id
+),
+margined AS (
+  SELECT p.src_id, p.tgt_id, p.cos,
+         p.cos / ((sa.src_avg + ta.tgt_avg) / 2.0) AS margin
+  FROM pairs p
+  JOIN src_avg sa ON sa.src_id = p.src_id
+  JOIN tgt_avg ta ON ta.tgt_id = p.tgt_id
+),
+best_fwd AS (
+  SELECT src_id, tgt_id, cos, margin FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                 ORDER BY margin DESC, tgt_id) AS br
+    FROM margined
+  ) WHERE br = 1
+),
+best_bwd AS (
+  SELECT tgt_id, bsrc FROM (
+    SELECT tgt_id, src_id AS bsrc,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id
+                              ORDER BY margin DESC, src_id) AS br
+    FROM margined
+  ) WHERE br = 1
+)
+SELECT f.src_id, f.tgt_id, round(f.cos, 6) AS cos6,
+       round(f.margin, 6) AS margin6, (b.bsrc = f.src_id) AS mutual
+FROM best_fwd f JOIN best_bwd b ON b.tgt_id = f.tgt_id
+WHERE f.margin >= {threshold}
+"""
+
+
+EXTRA_QUERIES["bitext_mine"] = q_bitext_mine
+EXTRA_ORACLES["bitext_mine"] = _bitext_mine_sql()

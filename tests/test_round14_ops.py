@@ -229,3 +229,93 @@ def test_streaming_packed_chunks_availablenow(spark, tmp_path):
     assert _rows(st.census(spark)) == _rows(
         packed_chunk_census(_docs(spark, PACK_DOCS), seq_len=16)
     )
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_bitext_mine_hand_corpus(spark):
+    """Hand-checkable margin mining: src x0=(1,0), x1=(0,1); tgt t2~x0,
+    t3~x1, t4 diagonal. Ratio margins of the aligned pairs clear 1.05
+    by a wide hand-computed gap (1.423); the diagonal never wins."""
+    from audit_star_spark.analytics.similarity import bitext_mine
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 0),
+        (2, [1.0, 0.1], 1),
+        (3, [0.1, 1.0], 1),
+        (4, [0.7, 0.7], 1),
+    ]
+    got = {
+        (r["src_id"], r["tgt_id"]): r
+        for r in bitext_mine(_emb(spark, rows), n_cells=1, k=2).collect()
+    }
+    assert set(got) == {(0, 2), (1, 3)}
+    assert all(r["mutual"] for r in got.values())
+    # margin(x0,t2) = cos(x0,t2) / ((avgk(x0) + avgk(t2)) / 2) with the
+    # float32-cast inputs (0.1f != 0.1) = 1.423167
+    assert abs(got[(0, 2)]["margin6"] - 1.423167) < 2e-6
+    assert abs(got[(0, 2)]["cos6"] - 0.995037) < 2e-6
+    # threshold above the hand margin -> nothing mined
+    assert (
+        bitext_mine(_emb(spark, rows), n_cells=1, k=2, threshold=1.5).count()
+        == 0
+    )
+
+
+def test_bitext_mine_mutual_flag(spark):
+    """Two identical sources compete for one target: both mine it
+    forward, but only the lower-id source is the target's best
+    (tie-break on partner id), so exactly one pair is mutual."""
+    from audit_star_spark.analytics.similarity import bitext_mine
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 2),  # even label -> also source side
+        (2, [1.0, 0.0], 1),
+    ]
+    got = {
+        r["src_id"]: r["mutual"]
+        for r in bitext_mine(
+            _emb(spark, rows), n_cells=1, k=1, threshold=0.9
+        ).collect()
+    }
+    assert got == {0: True, 1: False}
+
+
+def test_bitext_mine_plan_is_cell_blocked(spark):
+    """Scale locks: the ONLY row_number window is the bounded per-vector
+    cell-assignment argmax (group size = n_cells); the kNN averages and
+    both argmaxes are the two-phase partial top-k, so no window may be
+    partitioned by src_id/tgt_id/query_id, and partial aggregation must
+    appear before the top-k exchanges."""
+    from audit_star_spark.analytics.similarity import bitext_mine
+
+    df = bitext_mine(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        n_cells=8,
+        k=4,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    for spec in wins:
+        assert "vec_id" in spec, f"unexpected window partition: {spec}"
+        for key in ("src_id", "tgt_id", "query_id"):
+            assert key not in spec, f"corpus-keyed window funnel: {spec}"
+    assert "partial" in plan.lower()
+
+
+def test_bitext_mine_validation(spark):
+    from audit_star_spark.analytics.similarity import bitext_mine
+    import pytest
+
+    with pytest.raises(ValueError):
+        bitext_mine(_emb(spark, [(0, [1.0], 0)]), n_cells=0)
+    with pytest.raises(ValueError):
+        bitext_mine(_emb(spark, [(0, [1.0], 0)]), k=0)
