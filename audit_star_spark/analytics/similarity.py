@@ -1324,6 +1324,7 @@ def bitext_mine(
     n_cells: int = 8,
     k: int = 4,
     threshold: float = 1.05,
+    side=None,
 ) -> DataFrame:
     """Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
@@ -1335,10 +1336,12 @@ def bitext_mine(
 
     where ``avgk(v)`` is the mean cosine of v's k nearest candidates on
     the OPPOSITE side — the local-density normalizer that fixes the
-    hubness failure of raw-cosine mining. Sides come from label parity
-    (even labels = source, odd = target — the gate's stand-in for two
-    languages; a real pipeline passes language-split corpora through
-    the same dataflow). For each source vector the best-margin target
+    hubness failure of raw-cosine mining. ``side`` is any 0/1 integer
+    Column (0 = source, 1 = target) — a real pipeline passes its
+    language flag, e.g. ``F.col("lang") == "de"``, cast to int; the
+    default (label parity: even = source, odd = target) is the gate's
+    stand-in for two languages. For each source vector the best-margin
+    target
     is kept when its margin clears ``threshold``; ``mutual`` marks
     pairs that are also the target's best source (the paper's
     intersection strategy). Returns (src_id, tgt_id, cos6, margin6,
@@ -1367,7 +1370,18 @@ def bitext_mine(
     _topk_per_query guard, mirrored in the oracle."""
     if n_cells < 1 or k < 1:
         raise ValueError(f"n_cells and k must be >= 1, got {n_cells}, {k}")
-    base = _prepared(emb).withColumn("side", F.col("label") % 2)
+    if side is None:
+        side = F.col("label") % 2
+    from audit_star_spark.util import spread
+
+    # side is evaluated against the RAW input (before projection), so a
+    # caller's language column works even though the vector pipeline
+    # only carries (vec_id, side, vec, norm) forward
+    base = with_norm(
+        spread(emb.withColumn("side", side)).select(
+            "vec_id", "side", F.expr(VEC_EXPR).alias("vec")
+        )
+    )
     cents = base.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
         F.col("vec").alias("cvec"),

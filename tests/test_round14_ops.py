@@ -319,3 +319,28 @@ def test_bitext_mine_validation(spark):
         bitext_mine(_emb(spark, [(0, [1.0], 0)]), n_cells=0)
     with pytest.raises(ValueError):
         bitext_mine(_emb(spark, [(0, [1.0], 0)]), k=0)
+
+
+def test_bitext_mine_custom_side_column(spark):
+    """A real pipeline passes its language flag as the side expression;
+    mining over an explicit lang column must equal the label-parity
+    default when the two encode the same split."""
+    from audit_star_spark.analytics.similarity import bitext_mine
+
+    rows = [
+        (0, [1.0, 0.0], 0, "en"),
+        (1, [0.0, 1.0], 0, "en"),
+        (2, [1.0, 0.1], 1, "de"),
+        (3, [0.1, 1.0], 1, "de"),
+        (4, [0.7, 0.7], 1, "de"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int, lang string"
+    )
+    by_lang = bitext_mine(
+        df, n_cells=1, k=2, side=(F.col("lang") == "de").cast("int")
+    )
+    by_parity = bitext_mine(df.drop("lang"), n_cells=1, k=2)
+    assert sorted(map(tuple, by_lang.collect())) == sorted(
+        map(tuple, by_parity.collect())
+    )
