@@ -9673,11 +9673,11 @@ del _name
 
 
 # ---------------------------------------------- round-15 rotation candidates
-# The 3 round-14 additions (ngram_containment_capped, clip_alignment,
-# packed_chunks — registered at the end of this module) are gate-sim +
-# pytest-oracle-locked but have no hard driver CORRECTNESS row yet.
-# Next round, mirror _R14_ROTATE_IN/_OUT above: rotate the 3 in and
-# retire 3 double-green (r13+r14) window entries to EXTRA.
+# The 4 round-14 additions (ngram_containment_capped, clip_alignment,
+# packed_chunks, bitext_mine — registered at the end of this module) are
+# gate-sim + pytest-oracle-locked but have no hard driver CORRECTNESS row
+# yet. Next round, mirror _R14_ROTATE_IN/_OUT above: rotate the 4 in and
+# retire 4 double-green (r13+r14) window entries to EXTRA.
 
 
 # ------------------------------------------------ margin-based bitext mining
