@@ -997,6 +997,59 @@ def _gen_unpivot(rng: random.Random) -> str:
     )
 
 
+def _gen_recursive_cte(rng: random.Random) -> str:
+    """WITH RECURSIVE (Spark 4.x and DuckDB share the standard syntax):
+    a bounded integer-sequence anchor + recursive step joined against
+    orders — the recursion must terminate at the same depth and the
+    join must see identical sequences in both engines."""
+    depth = rng.randint(3, 8)
+    mod = rng.randint(5, 11)
+    step = rng.randint(1, 3)
+    return (
+        f"WITH RECURSIVE seq(n) AS ("
+        f"SELECT {rng.randint(0, 2)} "
+        f"UNION ALL SELECT n + {step} FROM seq WHERE n < {depth * step}"
+        f") "
+        f"SELECT s.n, CAST(COUNT(*) AS BIGINT) AS c, "
+        f"CAST(SUM(o.o_orderkey % {mod + 2}) AS BIGINT) AS s2 "
+        f"FROM seq s JOIN orders o ON o.o_custkey % {mod} = s.n % {mod} "
+        f"GROUP BY s.n"
+    )
+
+
+def _gen_ordinal_group_order(rng: random.Random) -> str:
+    """GROUP BY / ORDER BY ordinal positions — both engines must
+    resolve ordinals against the same select-list positions, including
+    when an expression (not a bare column) sits at that position."""
+    mod = rng.randint(2, 9)
+    aggs = rng.sample(_AGGS, rng.randint(1, 2))
+    sel = [f"o_orderstatus", f"o_custkey % {mod}"] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    return (
+        f"SELECT {', '.join(sel)} FROM orders{_where(rng)} "
+        f"GROUP BY 1, 2 ORDER BY 1, 2 LIMIT {rng.randint(5, 25)}"
+    )
+
+
+def _gen_nullif_coalesce(rng: random.Random) -> str:
+    """NULLIF / COALESCE null-injection algebra over pure integer ops
+    (no division — CAST(double AS BIGINT) rounds in DuckDB, truncates
+    in Spark): NULLIF must produce NULLs that COUNT skips and COALESCE
+    must repair, identically in both engines."""
+    m1, m2 = rng.randint(2, 9), rng.randint(2, 13)
+    sentinel = rng.randint(0, m1 - 1)
+    dflt = rng.choice([-1, 0, 7])
+    return (
+        f"SELECT o_custkey % {m2} AS b, "
+        f"CAST(SUM(COALESCE(NULLIF(o_custkey % {m1}, {sentinel}), {dflt})"
+        f" * (o_orderkey % {m2 + 2})) AS BIGINT) AS v, "
+        f"CAST(COUNT(NULLIF(o_orderstatus, "
+        f"'{rng.choice(['O', 'F', 'P'])}')) AS BIGINT) AS nf "
+        f"FROM orders{_where(rng)} GROUP BY o_custkey % {m2}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -1050,6 +1103,9 @@ def _corpus() -> list[str]:
         + [_gen_setop_all(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_filtered_agg_gsets_window(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_unpivot(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_recursive_cte(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_ordinal_group_order(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_nullif_coalesce(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
