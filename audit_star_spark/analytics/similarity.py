@@ -1357,9 +1357,10 @@ def bitext_mine(
     kNN). Both per-side kNN averages and both argmaxes run through the
     two-phase partial top-k (:func:`_topk_per_query` — map-side
     k-truncation before any exchange, no query-partitioned window over
-    an unpruned stream). At production scale the candidate frame is
-    worth persisting (it is scanned once per direction); the gate-size
-    plan recomputes the one equi-join.
+    an unpruned stream). The candidate and margined frames are
+    persisted (each feeds 2-3 consumers; without it the assignment
+    windows + cell join recompute ~5x — at scale these would be writes
+    to scratch storage, the operators/ids.py convention).
 
     Determinism: every float is a sequential double fold; avgk sums
     the top-k cosines in RANK order (engines disagree on unordered
@@ -1410,10 +1411,16 @@ def bitext_mine(
         "cell_id",
     )
     cos = _dot("svec", "tvec") / (F.col("snorm") * F.col("tnorm"))
+    # The candidate frame feeds three consumers (both avgk directions and
+    # the margin join) and the margined frame feeds both argmaxes —
+    # persist so the assignment windows + cell join run ONCE, not 5x (at
+    # scale this would be a write to scratch storage; persist suffices —
+    # the operators/ids.py convention).
     pairs = (
         src.join(tgt, "cell_id")
         .select("src_id", "tgt_id", cos.alias("cos"))
         .filter(~F.isnan("cos"))
+        .persist()
     )
 
     def _avgk(cand: DataFrame, qcol: str, out: str) -> DataFrame:
@@ -1450,6 +1457,7 @@ def bitext_mine(
         pairs.join(src_avg, "src_id")
         .join(tgt_avg, "tgt_id")
         .select("src_id", "tgt_id", "cos", margin.alias("margin"))
+        .persist()
     )
     best_fwd = _topk_per_query(
         margined.select(
