@@ -1319,12 +1319,40 @@ def clip_alignment_census(
     )
 
 
+def _centroid_frame(centroids: DataFrame) -> DataFrame:
+    """(cell_id, embedding) -> broadcastable (cell_id, cvec, cnorm)."""
+    return with_norm(
+        centroids.select("cell_id", F.expr(VEC_EXPR).alias("cvec")),
+        vec_col="cvec",
+        out="cnorm",
+    )
+
+
+def _sided_assignment(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment carrying the bitext ``side`` flag:
+    broadcast centroids, per-row cosine argmax (ties on cell_id) — the
+    :func:`_assign_to_cells` shape with one extra carried column.
+    Shared by batch mining and the streaming assign-on-ingest store so
+    the two cannot drift."""
+    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id", "side", "vec", "norm", "cell_id", ccos.alias("ccos")
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "side", "vec", "norm", "cell_id")
+    )
+
+
 def bitext_mine(
     emb: DataFrame,
     n_cells: int = 8,
     k: int = 4,
     threshold: float = 1.05,
     side=None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
@@ -1349,8 +1377,10 @@ def bitext_mine(
 
     Scale shape — cell-blocked, never all-pairs: every vector assigns
     to one of ``n_cells`` broadcast centroids (first-n_cells-vectors
-    convention of :func:`semantic_dedup`; the dataflow is identical
-    under trained k-means), and candidates are the CELL EQUI-JOIN of
+    convention of :func:`semantic_dedup`; pass ``centroids`` — a
+    (cell_id, embedding) frame, e.g. trained k-means — to override, in
+    which case ``n_cells`` is ignored), and candidates are the CELL
+    EQUI-JOIN of
     opposite sides — pair count is bounded by the largest cell, the
     same blocking the paper's FAISS index performs. avgk uses those
     cell-blocked neighbors (the paper's own denominator is approximate
@@ -1383,21 +1413,24 @@ def bitext_mine(
             "vec_id", "side", F.expr(VEC_EXPR).alias("vec")
         )
     )
-    cents = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
-    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id", "side", "vec", "norm", "cell_id", ccos.alias("ccos")
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
-    assigned = (
-        scored.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "side", "vec", "norm", "cell_id")
-    )
+    if centroids is None:
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
+    else:
+        cents = _centroid_frame(centroids)
+    assigned = _sided_assignment(base, cents)
+    return _bitext_mine_from_assigned(assigned, k, threshold)
+
+
+def _bitext_mine_from_assigned(
+    assigned: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """The margin-mining core over an assigned (vec_id, side, vec, norm,
+    cell_id) frame — shared by :func:`bitext_mine` and the streaming
+    store's mine-at-read so batch and stream cannot drift."""
     src = assigned.filter(F.col("side") == 0).select(
         F.col("vec_id").alias("src_id"),
         F.col("vec").alias("svec"),

@@ -344,3 +344,96 @@ def test_bitext_mine_custom_side_column(spark):
     assert sorted(map(tuple, by_lang.collect())) == sorted(
         map(tuple, by_parity.collect())
     )
+
+
+def _emb_rows(n, offset=0):
+    # deterministic small corpus: directions vary by id, labels cycle 0-3
+    import math
+
+    return [
+        (
+            offset + i,
+            [
+                float(f"{math.sin(0.7 * (offset + i) + d):.6f}")
+                for d in range(8)
+            ],
+            (offset + i) % 4,
+        )
+        for i in range(n)
+    ]
+
+
+def test_streaming_bitext_parity_replay_compaction(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.analytics.similarity import bitext_mine
+    from audit_star_spark.streaming.bitext import StreamingBitextMiner
+
+    first, later = _emb_rows(40), _emb_rows(12, offset=40)
+    cents = _emb(spark, first).filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    st = StreamingBitextMiner(str(tmp_path / "bitext"), k=3, threshold=0.8)
+    assert st.mine(spark) is None
+    import pytest
+
+    with pytest.raises(ValueError):  # no frozen centroids yet
+        st.apply_batch(_emb(spark, first), 0)
+    st.ensure_centroids(cents)
+    st.apply_batch(_emb(spark, first[:25]), 0)
+    st.apply_batch(_emb(spark, first[25:]), 1)
+    want = _rows(
+        bitext_mine(_emb(spark, first), k=3, threshold=0.8, centroids=cents)
+    )
+    assert want, "parity corpus must actually mine pairs"
+    assert _rows(st.mine(spark)) == want
+    st.apply_batch(_emb(spark, first[25:]), 1)  # replay: own partition
+    assert _rows(st.mine(spark)) == want
+    st.compact(spark)
+    assert _rows(st.mine(spark)) == want
+    parts = {p for p in os.listdir(st.store_dir) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1"}
+    st.apply_batch(_emb(spark, first[25:]), 1)  # replay AFTER compaction
+    assert _rows(st.mine(spark)) == want
+    st.apply_batch(_emb(spark, later), 2)
+    assert _rows(st.mine(spark)) == _rows(
+        bitext_mine(
+            _emb(spark, first + later), k=3, threshold=0.8, centroids=cents
+        )
+    )
+    # frozen quantizer: a second ensure_centroids never overwrites
+    st.ensure_centroids(
+        _emb(spark, later).select(F.col("vec_id").alias("cell_id"), "embedding")
+    )
+    assert _rows(st.mine(spark)) == _rows(
+        bitext_mine(
+            _emb(spark, first + later), k=3, threshold=0.8, centroids=cents
+        )
+    )
+
+
+def test_streaming_bitext_availablenow(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from audit_star_spark.analytics.similarity import bitext_mine
+    from audit_star_spark.streaming.bitext import StreamingBitextMiner
+
+    rows = _emb_rows(36)
+    src = str(tmp_path / "src")
+    _emb(spark, rows).repartition(3).write.parquet(src)
+    cents = _emb(spark, rows).filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st = StreamingBitextMiner(str(tmp_path / "bitext"), k=3, threshold=0.8)
+    st.ensure_centroids(cents)
+    st.start(stream, str(tmp_path / "ck")).awaitTermination()
+    assert _rows(st.mine(spark)) == _rows(
+        bitext_mine(_emb(spark, rows), k=3, threshold=0.8, centroids=cents)
+    )
