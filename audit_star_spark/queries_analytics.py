@@ -9673,11 +9673,12 @@ del _name
 
 
 # ---------------------------------------------- round-15 rotation candidates
-# The 4 round-14 additions (ngram_containment_capped, clip_alignment,
-# packed_chunks, bitext_mine — registered at the end of this module) are
-# gate-sim + pytest-oracle-locked but have no hard driver CORRECTNESS row
-# yet. Next round, mirror _R14_ROTATE_IN/_OUT above: rotate the 4 in and
-# retire 4 double-green (r13+r14) window entries to EXTRA.
+# The 5 round-14 additions (ngram_containment_capped, clip_alignment,
+# packed_chunks, bitext_mine, k_anonymity — registered at the end of this
+# module) are gate-sim + pytest-oracle-locked but have no hard driver
+# CORRECTNESS row yet. Next round, mirror _R14_ROTATE_IN/_OUT above:
+# rotate the 5 in and retire 5 double-green (r13+r14) window entries to
+# EXTRA.
 
 
 # ------------------------------------------------ margin-based bitext mining
@@ -9779,3 +9780,52 @@ WHERE f.margin >= {threshold}
 
 EXTRA_QUERIES["bitext_mine"] = q_bitext_mine
 EXTRA_ORACLES["bitext_mine"] = _bitext_mine_sql()
+
+
+# ------------------------------------------------- k-anonymity census
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk census through the gate
+    (analytics/privacy.py k_anonymity_census — Sweeney 2002 k-anonymity
+    + Machanavajjhala 2007 l-diversity): equivalence classes under the
+    (nation, market-segment) quasi-identifiers, sensitive column =
+    account balance bucketed to thousands (floor keeps the double
+    integral, so the BIGINT cast agrees across the rounds-vs-truncates
+    dialect boundary). One row per observed class size."""
+    from audit_star_spark.analytics.privacy import k_anonymity_census
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000.0)
+    )
+    return k_anonymity_census(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="bal_bucket"
+    )
+
+
+def _k_anonymity_sql(k: int = 5) -> str:
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+              AS BIGINT) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+sized AS (
+  SELECT class_size,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(class_size) AS BIGINT) AS n_rows,
+         MIN(l) AS min_l,
+         round(AVG(l), 6) AS avg_l6
+  FROM classes GROUP BY class_size
+),
+total AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM sized)
+SELECT s.class_size, s.n_classes, s.n_rows,
+       round(s.n_rows / t.total_rows, 6) AS share6,
+       (s.class_size < {k}) AS risky,
+       s.min_l, s.avg_l6
+FROM sized s CROSS JOIN total t
+"""
+
+
+EXTRA_QUERIES["k_anonymity"] = q_k_anonymity
+EXTRA_ORACLES["k_anonymity"] = _k_anonymity_sql()

@@ -437,3 +437,66 @@ def test_streaming_bitext_availablenow(spark, tmp_path):
     assert _rows(st.mine(spark)) == _rows(
         bitext_mine(_emb(spark, rows), k=3, threshold=0.8, centroids=cents)
     )
+
+
+def test_k_anonymity_hand_census(spark):
+    from audit_star_spark.analytics.privacy import k_anonymity_census
+
+    df = spark.createDataFrame(
+        [
+            ("A", "x"),
+            ("A", "x"),
+            ("A", "y"),
+            ("B", "z"),
+        ],
+        "q string, s string",
+    )
+    got = {
+        r["class_size"]: r
+        for r in k_anonymity_census(
+            df, ["q"], k=2, sensitive_col="s"
+        ).collect()
+    }
+    assert set(got) == {1, 3}
+    big, small = got[3], got[1]
+    assert big["n_classes"] == 1 and big["n_rows"] == 3
+    assert big["share6"] == 0.75 and big["risky"] is False
+    assert big["min_l"] == 2 and big["avg_l6"] == 2.0
+    assert small["risky"] is True and small["min_l"] == 1
+    # homogeneity attack: size >= k but a single sensitive value
+    homo = spark.createDataFrame(
+        [("A", "x"), ("A", "x")], "q string, s string"
+    )
+    row = k_anonymity_census(homo, ["q"], k=2, sensitive_col="s").collect()[0]
+    assert row["risky"] is False and row["min_l"] == 1
+
+
+def test_k_anonymity_without_sensitive_and_validation(spark):
+    import pytest
+
+    from audit_star_spark.analytics.privacy import k_anonymity_census
+
+    df = spark.createDataFrame([("A", 1), ("A", 2)], "q string, v int")
+    row = k_anonymity_census(df, ["q"], k=5).collect()[0]
+    assert row["class_size"] == 2 and row["risky"] is True
+    assert row["min_l"] is None and row["avg_l6"] is None
+    with pytest.raises(ValueError):
+        k_anonymity_census(df, [], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity_census(df, ["q"], k=0)
+
+
+def test_k_anonymity_plan_has_no_corpus_window(spark):
+    """The corpus total must arrive as a broadcast 1-row frame, never a
+    window over the data rows; both aggregates must partial map-side."""
+    from audit_star_spark.analytics.privacy import k_anonymity_census
+
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "q string, v int")
+    plan = (
+        k_anonymity_census(df, ["q"], k=2, sensitive_col="v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
