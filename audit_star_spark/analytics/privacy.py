@@ -47,6 +47,16 @@ def k_anonymity_census(
     if sensitive_col is not None:
         aggs.append(F.countDistinct(sensitive_col).alias("l"))
     classes = df.groupBy(*quasi_cols).agg(*aggs)
+    return census_from_classes(classes, k, sensitive_col is not None)
+
+
+def census_from_classes(
+    classes: DataFrame, k: int, has_sensitive: bool
+) -> DataFrame:
+    """The size-census tail over a (quasi..., class_size[, l]) frame —
+    shared by :func:`k_anonymity_census` and the streaming store's
+    census-at-read so batch and stream cannot drift."""
+    sensitive_col = "l" if has_sensitive else None
     sized = classes.groupBy("class_size").agg(
         F.count("*").alias("n_classes"),
         F.sum("class_size").alias("n_rows"),
