@@ -1353,6 +1353,7 @@ def bitext_mine(
     threshold: float = 1.05,
     side=None,
     centroids: DataFrame | None = None,
+    index=None,
 ) -> DataFrame:
     """Margin-based bitext candidate mining (Artetxe & Schwenk 2019,
     "Margin-based Parallel Corpus Mining with Multilingual Sentence
@@ -1379,8 +1380,10 @@ def bitext_mine(
     to one of ``n_cells`` broadcast centroids (first-n_cells-vectors
     convention of :func:`semantic_dedup`; pass ``centroids`` — a
     (cell_id, embedding) frame, e.g. trained k-means — to override, in
-    which case ``n_cells`` is ignored), and candidates are the CELL
-    EQUI-JOIN of
+    which case ``n_cells`` is ignored; or pass ``index`` — an
+    :class:`~audit_star_spark.analytics.ivf_index.IVFIndex` — to mine
+    straight off persisted assignments with zero training jobs), and
+    candidates are the CELL EQUI-JOIN of
     opposite sides — pair count is bounded by the largest cell, the
     same blocking the paper's FAISS index performs. avgk uses those
     cell-blocked neighbors (the paper's own denominator is approximate
@@ -1403,6 +1406,17 @@ def bitext_mine(
         raise ValueError(f"n_cells and k must be >= 1, got {n_cells}, {k}")
     if side is None:
         side = F.col("label") % 2
+    if index is not None:
+        # train-once / probe-many (the semantic_dedup convention): the
+        # persisted cell assignments replace both the centroid broadcast
+        # and the assignment scan; emb/n_cells/centroids are ignored and
+        # ``side`` is evaluated over the assignment frame (vec_id, label)
+        assigned = (
+            index.assignments(emb.sparkSession)
+            .withColumn("side", side)
+            .select("vec_id", "side", "vec", "norm", "cell_id")
+        )
+        return _bitext_mine_from_assigned(assigned, k, threshold)
     from audit_star_spark.util import spread
 
     # side is evaluated against the RAW input (before projection), so a

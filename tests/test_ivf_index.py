@@ -584,3 +584,42 @@ def test_opq_streaming_codes_match_batch_encode(
         .collect()
     }
     assert streamed == want
+
+
+def test_bitext_mine_from_persisted_index(index, spark, emb):
+    """bitext_mine(index=...) mines straight off the persisted
+    assignments — same pairs as running the mining core over an inline
+    assignment from the SAME persisted centroids, zero training jobs."""
+    from audit_star_spark.analytics.similarity import (
+        _bitext_mine_from_assigned,
+        _sided_assignment,
+        bitext_mine,
+        with_norm,
+        VEC_EXPR,
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            bitext_mine(emb, k=3, threshold=0.8, index=index).collect(),
+        )
+    )
+    cents = index.centroids(spark).select(
+        "cell_id",
+        F.col("centroid").alias("cvec"),
+        F.col("cnorm").alias("cnorm"),
+    )
+    base = with_norm(
+        emb.withColumn("side", F.col("label") % 2).select(
+            "vec_id", "side", F.expr(VEC_EXPR).alias("vec")
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            _bitext_mine_from_assigned(
+                _sided_assignment(base, cents), 3, 0.8
+            ).collect(),
+        )
+    )
+    assert got == want and got
