@@ -1050,6 +1050,55 @@ def _gen_nullif_coalesce(rng: random.Random) -> str:
     )
 
 
+def _gen_try_cast(rng: random.Random) -> str:
+    """TRY_CAST over strings that only sometimes parse: the failure set
+    (NULL) must be identical in both engines — COUNT skips the NULLs,
+    COALESCE repairs them with a sentinel."""
+    n = rng.randint(1, 2)
+    sent = rng.choice([-1, 0, 99])
+    return (
+        f"SELECT o_orderstatus, "
+        f"CAST(SUM(COALESCE(TRY_CAST(SUBSTR(o_orderpriority, 1, {n}) AS INT),"
+        f" {sent})) AS BIGINT) AS v, "
+        f"CAST(COUNT(TRY_CAST(o_orderpriority AS INT)) AS BIGINT) AS n_ok "
+        f"FROM orders{_where(rng)} GROUP BY o_orderstatus"
+    )
+
+
+def _gen_interval_arith(rng: random.Random) -> str:
+    """Timestamp + INTERVAL arithmetic in predicates and grouping —
+    both engines must land the shifted timestamps on the same side of
+    the literal boundary."""
+    days = rng.randint(7, 120)
+    y = rng.randint(1995, 1998)
+    m = rng.randint(1, 9)
+    return (
+        f"SELECT CAST(o_orderdate + INTERVAL {days} DAY AS TIMESTAMP)"
+        f" AS shifted, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM orders WHERE o_orderdate + INTERVAL {days} DAY "
+        f"< TIMESTAMP '{y}-0{m}-01 00:00:00' "
+        f"GROUP BY o_orderdate ORDER BY shifted LIMIT {rng.randint(5, 20)}"
+    )
+
+
+def _gen_greatest_least(rng: random.Random) -> str:
+    """GREATEST/LEAST over integer expressions with NULLIF-injected
+    NULLs — both engines skip NULL arguments (largest/smallest
+    non-NULL), a semantic worth locking because older dialects return
+    NULL on any NULL argument."""
+    m1, m2 = rng.randint(2, 9), rng.randint(2, 7)
+    lit = rng.randint(1, 5)
+    sent = rng.randint(0, m1 - 1)
+    return (
+        f"SELECT o_orderstatus, "
+        f"CAST(SUM(GREATEST(o_custkey % {m1}, o_orderkey % {m2}, {lit}))"
+        f" AS BIGINT) AS g, "
+        f"CAST(SUM(LEAST(NULLIF(o_custkey % {m1}, {sent}), {lit}))"
+        f" AS BIGINT) AS l "
+        f"FROM orders{_where(rng)} GROUP BY o_orderstatus"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -1106,6 +1155,9 @@ def _corpus() -> list[str]:
         + [_gen_recursive_cte(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_ordinal_group_order(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_nullif_coalesce(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_try_cast(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_interval_arith(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_greatest_least(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
