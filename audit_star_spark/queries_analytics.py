@@ -9673,12 +9673,13 @@ del _name
 
 
 # ---------------------------------------------- round-15 rotation candidates
-# The 5 round-14 additions (ngram_containment_capped, clip_alignment,
-# packed_chunks, bitext_mine, k_anonymity — registered at the end of this
-# module) are gate-sim + pytest-oracle-locked but have no hard driver
-# CORRECTNESS row yet. Next round, mirror _R14_ROTATE_IN/_OUT above:
-# rotate the 5 in and retire 5 double-green (r13+r14) window entries to
-# EXTRA.
+# The 6 round-14 additions (ngram_containment_capped, clip_alignment,
+# packed_chunks, bitext_mine, k_anonymity, embedding_drift — registered
+# at the end of this module) are gate-sim + pytest-oracle-locked but have
+# no hard driver CORRECTNESS row yet. Next round, mirror
+# _R14_ROTATE_IN/_OUT above: rotate (at least the first) 5 in and retire
+# as many double-green (r13+r14) window entries to EXTRA; the window must
+# stay 8 audit + 42 analytics.
 
 
 # ------------------------------------------------ margin-based bitext mining
@@ -9829,3 +9830,61 @@ FROM sized s CROSS JOIN total t
 
 EXTRA_QUERIES["k_anonymity"] = q_k_anonymity
 EXTRA_ORACLES["k_anonymity"] = _k_anonymity_sql()
+
+
+# --------------------------------------------------- embedding drift census
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-corpus embedding drift through the gate
+    (analytics/drift.py embedding_drift): label-parity sides stand in
+    for reference/candidate snapshots; per-dimension means/variances
+    (two-pass, sorted folds in gate mode), Cohen's-d standardized mean
+    difference with an explicit zero-variance CASE, and the diagonal
+    Fréchet (FID) term whose sum is the drift dashboard's number."""
+    from audit_star_spark.analytics.drift import embedding_drift
+
+    return embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+def _embedding_drift_sql() -> str:
+    fold = lambda xs: d_fold(  # noqa: E731
+        f"list_sort(list({xs}))", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH base AS (
+  SELECT label % 2 AS side, {D_VEC} AS vec FROM embeddings
+),
+dims AS (
+  SELECT side, k - 1 AS i, vec[k] AS x
+  FROM base, LATERAL (SELECT unnest(range(1, len(vec) + 1)) AS k)
+),
+mean AS (
+  SELECT side, i, {fold('x')} / CAST(count(*) AS DOUBLE) AS m,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dims GROUP BY side, i
+),
+cen AS (
+  SELECT d.side, d.i, (d.x - m.m) * (d.x - m.m) AS v
+  FROM dims d JOIN mean m ON m.side = d.side AND m.i = d.i
+),
+var AS (
+  SELECT side, i, {fold('v')} / CAST(count(*) AS DOUBLE) AS var
+  FROM cen GROUP BY side, i
+),
+st AS (
+  SELECT m.side, m.i, m.n, m.m, v.var
+  FROM mean m JOIN var v ON v.side = m.side AND v.i = m.i
+)
+SELECT a.i, a.n AS n_a, b.n AS n_b,
+       round(a.m, 6) AS mean_a6, round(b.m, 6) AS mean_b6,
+       round(a.var, 6) AS var_a6, round(b.var, 6) AS var_b6,
+       round(CASE WHEN a.var + b.var > 0
+                  THEN (a.m - b.m) / sqrt((a.var + b.var) / 2.0) END,
+             6) AS smd6,
+       round((a.m - b.m) * (a.m - b.m) + a.var + b.var
+             - 2.0 * sqrt(a.var * b.var), 6) AS fid_term6
+FROM st a JOIN st b ON a.i = b.i AND a.side = 0 AND b.side = 1
+"""
+
+
+EXTRA_QUERIES["embedding_drift"] = q_embedding_drift
+EXTRA_ORACLES["embedding_drift"] = _embedding_drift_sql()

@@ -591,3 +591,63 @@ def test_streaming_k_anonymity_availablenow(spark, tmp_path):
             _priv(spark, PRIV_ROWS), ["nation", "seg"], k=2, sensitive_col="bal"
         )
     )
+
+
+def test_embedding_drift_hand_stats(spark):
+    from audit_star_spark.analytics.drift import embedding_drift
+
+    rows = [
+        (0, [0.0, 0.0], 0),  # side 0: mean (1,1), var (1,1)
+        (1, [2.0, 2.0], 0),
+        (2, [1.0, 3.0], 1),  # side 1: mean (1,3), var (0,0)
+        (3, [1.0, 3.0], 1),
+    ]
+    got = {
+        r["i"]: r for r in embedding_drift(_emb(spark, rows)).collect()
+    }
+    assert set(got) == {0, 1}
+    d0, d1 = got[0], got[1]
+    assert d0["n_a"] == 2 and d0["n_b"] == 2
+    assert (d0["mean_a6"], d0["mean_b6"]) == (1.0, 1.0)
+    assert (d0["var_a6"], d0["var_b6"]) == (1.0, 0.0)
+    assert d0["smd6"] == 0.0 and d0["fid_term6"] == 1.0
+    assert (d1["mean_a6"], d1["mean_b6"]) == (1.0, 3.0)
+    # smd = (1-3)/sqrt((1+0)/2) = -2.828427; fid = 4 + 1 + 0 - 0 = 5
+    assert abs(d1["smd6"] + 2.828427) < 2e-6
+    assert d1["fid_term6"] == 5.0
+    # both variances zero -> smd NULL via the explicit CASE, fid 0
+    flat = [(0, [5.0], 0), (1, [5.0], 0), (2, [5.0], 1), (3, [5.0], 1)]
+    row = embedding_drift(_emb(spark, flat)).collect()[0]
+    assert row["smd6"] is None and row["fid_term6"] == 0.0
+
+
+def test_embedding_drift_modes_agree(spark):
+    """Production mode (plain SUM partials) must match the gate's
+    sorted-fold mode to float tolerance on every statistic."""
+    from audit_star_spark.analytics.drift import embedding_drift
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r["i"]: r for r in embedding_drift(emb, bit_exact=True).collect()}
+    fast = {r["i"]: r for r in embedding_drift(emb, bit_exact=False).collect()}
+    assert set(exact) == set(fast) and len(exact) == 64
+    for i, e in exact.items():
+        f = fast[i]
+        for c in ("mean_a6", "mean_b6", "var_a6", "var_b6", "smd6", "fid_term6"):
+            assert abs(e[c] - f[c]) <= 1e-5, (i, c, e[c], f[c])
+
+
+def test_embedding_drift_plan_shape(spark):
+    """No corpus window, no single-partition exchange; the centering
+    join is broadcast (bounded 2*D-row mean frame)."""
+    from audit_star_spark.analytics.drift import embedding_drift
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        embedding_drift(emb, bit_exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
