@@ -651,3 +651,85 @@ def test_embedding_drift_plan_shape(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _drift_rows(n, offset=0):
+    import math
+
+    return [
+        (
+            offset + j,
+            [
+                float(f"{math.cos(0.31 * (offset + j) + d) + (0.2 * d if (offset + j) % 2 else 0.0):.6f}")
+                for d in range(6)
+            ],
+            (offset + j) % 4,
+        )
+        for j in range(n)
+    ]
+
+
+def _drift_close(rows_a, rows_b, tol=1e-5):
+    assert {r[0] for r in rows_a} == {r[0] for r in rows_b}
+    a = {r[0]: r for r in rows_a}
+    for key, rb in ((r[0], r) for r in rows_b):
+        ra = a[key]
+        assert ra[1] == rb[1] and ra[2] == rb[2]  # n_a, n_b exact
+        for x, y in zip(ra[3:], rb[3:]):
+            if x is None or y is None:
+                assert x == y
+            else:
+                assert abs(x - y) <= tol, (key, x, y)
+
+
+def test_streaming_drift_parity_replay_compaction(spark, tmp_path):
+    import os
+
+    from audit_star_spark.analytics.drift import embedding_drift
+    from audit_star_spark.streaming.drift import StreamingEmbeddingDrift
+
+    first, later = _drift_rows(40), _drift_rows(12, offset=40)
+    st = StreamingEmbeddingDrift(str(tmp_path / "drift"))
+    assert st.census(spark) is None
+    st.apply_batch(_emb(spark, first[:25]), 0)
+    st.apply_batch(_emb(spark, first[25:]), 1)
+    want = sorted(map(tuple, embedding_drift(_emb(spark, first)).collect()))
+    _drift_close(sorted(map(tuple, st.census(spark).collect())), want)
+    st.apply_batch(_emb(spark, first[25:]), 1)  # replay: own partition
+    _drift_close(sorted(map(tuple, st.census(spark).collect())), want)
+    st.compact(spark)
+    _drift_close(sorted(map(tuple, st.census(spark).collect())), want)
+    parts = {p for p in os.listdir(st.store_dir) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1"}
+    st.apply_batch(_emb(spark, later), 2)
+    _drift_close(
+        sorted(map(tuple, st.census(spark).collect())),
+        sorted(map(tuple, embedding_drift(_emb(spark, first + later)).collect())),
+    )
+    # constant dimension across both sides: clamped var, NULL smd, fid 0
+    flat = [(0, [7.0], 0), (1, [7.0], 0), (2, [7.0], 1), (3, [7.0], 1)]
+    st2 = StreamingEmbeddingDrift(str(tmp_path / "drift2"))
+    st2.apply_batch(_emb(spark, flat), 0)
+    row = st2.census(spark).collect()[0]
+    assert row["smd6"] is None and row["fid_term6"] == 0.0
+    assert row["var_a6"] == 0.0 and row["var_b6"] == 0.0
+
+
+def test_streaming_drift_availablenow(spark, tmp_path):
+    from audit_star_spark.analytics.drift import embedding_drift
+    from audit_star_spark.streaming.drift import StreamingEmbeddingDrift
+
+    rows = _drift_rows(36)
+    src = str(tmp_path / "src")
+    _emb(spark, rows).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st = StreamingEmbeddingDrift(str(tmp_path / "drift"))
+    st.start(stream, str(tmp_path / "ck")).awaitTermination()
+    _drift_close(
+        sorted(map(tuple, st.census(spark).collect())),
+        sorted(map(tuple, embedding_drift(_emb(spark, rows)).collect())),
+    )
