@@ -95,3 +95,93 @@ def embedding_drift(
         F.round(smd, 6).alias("smd6"),
         F.round(fid, 6).alias("fid_term6"),
     )
+
+
+def vocab_drift(
+    docs: DataFrame,
+    k: int = 100,
+    side=None,
+    tokens_expr: str | None = None,
+) -> DataFrame:
+    """Vocabulary drift between two corpora — the text-side twin of
+    :func:`embedding_drift`: per-token unigram rates of a reference
+    (side 0) and candidate (side 1) corpus and each token's
+    Jensen-Shannon divergence contribution
+
+        js(t) = p ln(p/m) / 2 + q ln(q/m) / 2,   m = (p + q) / 2
+
+    (zero terms via explicit CASE when a side never saw the token —
+    never an engine's 0*ln(0) behavior). Returns the top-``k`` tokens
+    by contribution — "which tokens drifted most", the actionable form
+    of the dashboard's summed JS number. ``side`` is any 0/1 integer
+    Column (default doc_id parity — the gate's stand-in for
+    old/new snapshot).
+
+    Scale shape: explode -> ONE map-side-combined (side, token) count
+    (shuffle bounded by distinct tokens, not corpus tokens), a 1-row
+    side-total reduction (the accepted bounded scalar shape), a
+    token-keyed full outer join of the two bounded vocabularies, and a
+    TakeOrdered top-k — no corpus window. Determinism: rates are exact
+    integer ratios, js is the same IEEE expression per token in both
+    engines, ranking ties break on the token string; rounding to 6 dp
+    happens after the ranking."""
+    from audit_star_spark.analytics.text import TOKENS_EXPR
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if side is None:
+        side = F.col("doc_id") % 2
+    toks = (
+        docs.withColumn("side", side)
+        .select("side", F.explode(F.expr(tokens_expr or TOKENS_EXPR)).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    tf = toks.groupBy("side", "token").agg(F.count("*").alias("c"))
+    tots = tf.groupBy().agg(
+        F.sum(F.when(F.col("side") == 0, F.col("c"))).alias("ta"),
+        F.sum(F.when(F.col("side") == 1, F.col("c"))).alias("tb"),
+    )
+    a = tf.filter(F.col("side") == 0).select("token", F.col("c").alias("ca"))
+    b = tf.filter(F.col("side") == 1).select("token", F.col("c").alias("cb"))
+    j = (
+        a.join(b, "token", "full")
+        .select(
+            "token",
+            F.coalesce("ca", F.lit(0)).alias("c_a"),
+            F.coalesce("cb", F.lit(0)).alias("c_b"),
+        )
+        .crossJoin(F.broadcast(tots))
+    )
+    p = F.col("c_a") / F.col("ta").cast("double")
+    q = F.col("c_b") / F.col("tb").cast("double")
+    scored = j.select(
+        "token",
+        "c_a",
+        "c_b",
+        p.alias("p"),
+        q.alias("q"),
+        ((p + q) / F.lit(2.0)).alias("m"),
+    )
+    js = (
+        F.when(
+            F.col("p") > 0,
+            F.col("p") * F.log(F.col("p") / F.col("m")) / F.lit(2.0),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("q") > 0,
+            F.col("q") * F.log(F.col("q") / F.col("m")) / F.lit(2.0),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        scored.withColumn("js", js)
+        .orderBy(F.col("js").desc(), "token")
+        .limit(k)
+        .select(
+            "token",
+            "c_a",
+            "c_b",
+            F.round("p", 6).alias("p6"),
+            F.round("q", 6).alias("q6"),
+            F.round("js", 6).alias("js6"),
+        )
+    )

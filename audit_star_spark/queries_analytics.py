@@ -9673,12 +9673,12 @@ del _name
 
 
 # ---------------------------------------------- round-15 rotation candidates
-# The 6 round-14 additions (ngram_containment_capped, clip_alignment,
-# packed_chunks, bitext_mine, k_anonymity, embedding_drift — registered
-# at the end of this module) are gate-sim + pytest-oracle-locked but have
-# no hard driver CORRECTNESS row yet. Next round, mirror
-# _R14_ROTATE_IN/_OUT above: rotate (at least the first) 5 in and retire
-# as many double-green (r13+r14) window entries to EXTRA; the window must
+# The 7 round-14 additions (ngram_containment_capped, clip_alignment,
+# packed_chunks, bitext_mine, k_anonymity, embedding_drift, vocab_drift —
+# registered at the end of this module) are gate-sim + pytest-oracle-
+# locked but have no hard driver CORRECTNESS row yet. Next round, mirror
+# _R14_ROTATE_IN/_OUT above: rotate (a subset of) them in and retire as
+# many double-green (r13+r14) window entries to EXTRA; the window must
 # stay 8 audit + 42 analytics.
 
 
@@ -9888,3 +9888,59 @@ FROM st a JOIN st b ON a.i = b.i AND a.side = 0 AND b.side = 1
 
 EXTRA_QUERIES["embedding_drift"] = q_embedding_drift
 EXTRA_ORACLES["embedding_drift"] = _embedding_drift_sql()
+
+
+# --------------------------------------------------- vocabulary drift census
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift through the gate (analytics/drift.py
+    vocab_drift): doc_id-parity sides stand in for reference/candidate
+    snapshots; top-k tokens by Jensen-Shannon contribution with
+    explicit zero-term CASEs; the oracle restates the unigram rates and
+    the js expression verbatim."""
+    from audit_star_spark.analytics.drift import vocab_drift
+
+    return vocab_drift(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def _vocab_drift_sql(k: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS side, unnest({D_TOKENS}) AS token FROM documents
+),
+tf AS (
+  SELECT side, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE len(token) > 0 GROUP BY side, token
+),
+tots AS (
+  SELECT CAST(SUM(CASE WHEN side = 0 THEN c END) AS BIGINT) AS ta,
+         CAST(SUM(CASE WHEN side = 1 THEN c END) AS BIGINT) AS tb
+  FROM tf
+),
+j AS (
+  SELECT COALESCE(a.token, b.token) AS token,
+         COALESCE(a.ca, 0) AS c_a, COALESCE(b.cb, 0) AS c_b
+  FROM (SELECT token, c AS ca FROM tf WHERE side = 0) a
+  FULL OUTER JOIN (SELECT token, c AS cb FROM tf WHERE side = 1) b
+    ON a.token = b.token
+),
+scored AS (
+  SELECT token, c_a, c_b,
+         c_a / CAST(ta AS DOUBLE) AS p,
+         c_b / CAST(tb AS DOUBLE) AS q,
+         (c_a / CAST(ta AS DOUBLE) + c_b / CAST(tb AS DOUBLE)) / 2.0 AS m
+  FROM j CROSS JOIN tots
+),
+ranked AS (
+  SELECT token, c_a, c_b, p, q,
+         (CASE WHEN p > 0 THEN p * ln(p / m) / 2.0 ELSE 0.0 END
+          + CASE WHEN q > 0 THEN q * ln(q / m) / 2.0 ELSE 0.0 END) AS js
+  FROM scored
+)
+SELECT token, c_a, c_b, round(p, 6) AS p6, round(q, 6) AS q6,
+       round(js, 6) AS js6
+FROM ranked ORDER BY js DESC, token LIMIT {k}
+"""
+
+
+EXTRA_QUERIES["vocab_drift"] = q_vocab_drift
+EXTRA_ORACLES["vocab_drift"] = _vocab_drift_sql()

@@ -733,3 +733,60 @@ def test_streaming_drift_availablenow(spark, tmp_path):
         sorted(map(tuple, st.census(spark).collect())),
         sorted(map(tuple, embedding_drift(_emb(spark, rows)).collect())),
     )
+
+
+def test_vocab_drift_hand_distributions(spark):
+    import math
+
+    from audit_star_spark.analytics.drift import vocab_drift
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b"),  # side 0 (even ids): a x3, b x1 -> T_a = 4
+            (2, "a"),
+            (1, "a c c"),  # side 1: a x1, c x2 -> T_b = 3
+        ],
+        "doc_id long, text string",
+    )
+    got = vocab_drift(docs, k=10).collect()
+    # ranked by js desc: c (one-sided 2/3), b (one-sided 1/4), a (shared)
+    assert [r["token"] for r in got] == ["c", "b", "a"]
+    by = {r["token"]: r for r in got}
+    assert (by["a"]["c_a"], by["a"]["c_b"]) == (3, 1)
+    assert (by["b"]["c_a"], by["b"]["c_b"]) == (1, 0)
+    assert (by["c"]["c_a"], by["c"]["c_b"]) == (0, 2)
+
+    def js(p, q):
+        m = (p + q) / 2.0
+        t = p * math.log(p / m) / 2.0 if p > 0 else 0.0
+        return t + (q * math.log(q / m) / 2.0 if q > 0 else 0.0)
+
+    assert abs(by["a"]["js6"] - round(js(3 / 4, 1 / 3), 6)) < 2e-6
+    assert abs(by["b"]["js6"] - round(js(1 / 4, 0.0), 6)) < 2e-6
+    assert abs(by["c"]["js6"] - round(js(0.0, 2 / 3), 6)) < 2e-6
+    assert by["b"]["q6"] == 0.0 and by["c"]["p6"] == 0.0
+    # identical sides -> zero drift everywhere
+    same = spark.createDataFrame(
+        [(0, "x y"), (1, "x y")], "doc_id long, text string"
+    )
+    assert all(r["js6"] == 0.0 for r in vocab_drift(same, k=10).collect())
+    import pytest
+
+    with pytest.raises(ValueError):
+        vocab_drift(docs, k=0)
+
+
+def test_vocab_drift_plan_shape(spark):
+    """No corpus window; the side totals arrive broadcast; the top-k is
+    a TakeOrdered, never a global sort materialization."""
+    from audit_star_spark.analytics.drift import vocab_drift
+
+    docs = spark.createDataFrame(
+        [(i, "w x y") for i in range(8)], "doc_id long, text string"
+    )
+    plan = (
+        vocab_drift(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
