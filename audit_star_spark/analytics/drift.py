@@ -137,6 +137,14 @@ def vocab_drift(
         .filter(F.length("token") > 0)
     )
     tf = toks.groupBy("side", "token").agg(F.count("*").alias("c"))
+    return vocab_drift_from_counts(tf, k)
+
+
+def vocab_drift_from_counts(tf: DataFrame, k: int) -> DataFrame:
+    """The ranking tail over a (side, token, c) count frame — shared by
+    :func:`vocab_drift` and the streaming store's census-at-read so
+    batch and stream cannot drift (and, counts being integers, the
+    stream's merged partials reproduce the batch output EXACTLY)."""
     tots = tf.groupBy().agg(
         F.sum(F.when(F.col("side") == 0, F.col("c"))).alias("ta"),
         F.sum(F.when(F.col("side") == 1, F.col("c"))).alias("tb"),

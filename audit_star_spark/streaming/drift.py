@@ -186,3 +186,101 @@ class StreamingEmbeddingDrift:
             merged.withColumn("ingest_batch_id", F.lit(BASELINE_ID)),
             new_ct,
         )
+
+
+class StreamingVocabDrift:
+    """Streaming vocabulary drift — per-(side, token) count partials.
+
+    Counts are integers, so merged partials reproduce the batch
+    vocab_drift output EXACTLY (hash parity, not tolerance — unlike the
+    moment-based embedding monitor above): each micro-batch folds its
+    tokens into (side, token, c) rows and ``census()`` runs the shared
+    ranking tail (analytics/drift.py vocab_drift_from_counts — one code
+    path) over the merged counts. Store size is O(distinct tokens seen
+    per trigger)."""
+
+    def __init__(self, store_dir: str, k: int = 100, side=None):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.store_dir = store_dir
+        self.k = k
+        self.side = side
+
+    def _partials(self, batch_df: DataFrame) -> DataFrame:
+        from audit_star_spark.analytics.text import TOKENS_EXPR
+
+        side = self.side if self.side is not None else F.col("doc_id") % 2
+        toks = (
+            batch_df.withColumn("side", side)
+            .select("side", F.explode(F.expr(TOKENS_EXPR)).alias("token"))
+            .filter(F.length("token") > 0)
+        )
+        return toks.groupBy("side", "token").agg(F.count("*").alias("c"))
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        recover_store(self.store_dir)
+        (
+            self._partials(batch_df)
+            .withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(self.store_dir)
+        )
+
+    def start(
+        self, doc_stream: DataFrame, checkpoint: str, available_now: bool = True
+    ):
+        verify_lineage(self.store_dir, checkpoint)
+
+        def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        writer = doc_stream.writeStream.foreachBatch(on_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        query = writer.start()
+        bind_lineage(self.store_dir, str(query.id))
+        return query
+
+    def _merged(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        recover_store(self.store_dir)
+        if not os.path.isdir(self.store_dir):
+            return None
+        try:
+            df = spark.read.parquet(self.store_dir)
+        except AnalysisException as ex:
+            cls = getattr(ex, "getErrorClass", lambda: None)() or ""
+            if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+                return None
+            raise
+        live = visible(df, compacted_through(self.store_dir))
+        return live.groupBy("side", "token").agg(F.sum("c").alias("c"))
+
+    def census(self, spark: SparkSession) -> DataFrame | None:
+        """The batch vocab_drift of everything ingested so far (EXACT
+        parity test-locked)."""
+        from audit_star_spark.analytics.drift import vocab_drift_from_counts
+
+        merged = self._merged(spark)
+        if merged is None:
+            return None
+        return vocab_drift_from_counts(merged, self.k)
+
+    def compact(self, spark: SparkSession) -> None:
+        recover_store(self.store_dir)
+        if not os.path.isdir(self.store_dir):
+            return
+        ct = compacted_through(self.store_dir)
+        live = visible(spark.read.parquet(self.store_dir), ct)
+        new_ct = max(ct, max_live_batch(live))
+        merged = live.groupBy("side", "token").agg(F.sum("c").alias("c"))
+        compact_partitioned_store(
+            self.store_dir,
+            merged.withColumn("ingest_batch_id", F.lit(BASELINE_ID)),
+            new_ct,
+        )

@@ -790,3 +790,49 @@ def test_vocab_drift_plan_shape(spark):
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row totals cross join
+
+
+VOCAB_DOCS = [(i, ["alpha beta", "beta gamma", "gamma delta x", "alpha alpha y"][i % 4]) for i in range(20)]
+VOCAB_LATER = [(20 + i, "epsilon beta z") for i in range(6)]
+
+
+def test_streaming_vocab_drift_exact_parity_replay_compaction(spark, tmp_path):
+    import os
+
+    from audit_star_spark.analytics.drift import vocab_drift
+    from audit_star_spark.streaming.drift import StreamingVocabDrift
+
+    st = StreamingVocabDrift(str(tmp_path / "vd"), k=50)
+    assert st.census(spark) is None
+    st.apply_batch(_docs(spark, VOCAB_DOCS[:12]), 0)
+    st.apply_batch(_docs(spark, VOCAB_DOCS[12:]), 1)
+    want = _rows(vocab_drift(_docs(spark, VOCAB_DOCS), k=50))
+    assert _rows(st.census(spark)) == want  # EXACT, integer counts
+    st.apply_batch(_docs(spark, VOCAB_DOCS[12:]), 1)  # replay
+    assert _rows(st.census(spark)) == want
+    st.compact(spark)
+    assert _rows(st.census(spark)) == want
+    parts = {p for p in os.listdir(st.store_dir) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1"}
+    st.apply_batch(_docs(spark, VOCAB_LATER), 2)
+    assert _rows(st.census(spark)) == _rows(
+        vocab_drift(_docs(spark, VOCAB_DOCS + VOCAB_LATER), k=50)
+    )
+
+
+def test_streaming_vocab_drift_availablenow(spark, tmp_path):
+    from audit_star_spark.analytics.drift import vocab_drift
+    from audit_star_spark.streaming.drift import StreamingVocabDrift
+
+    src = str(tmp_path / "src")
+    _docs(spark, VOCAB_DOCS).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st = StreamingVocabDrift(str(tmp_path / "vd"), k=50)
+    st.start(stream, str(tmp_path / "ck")).awaitTermination()
+    assert _rows(st.census(spark)) == _rows(
+        vocab_drift(_docs(spark, VOCAB_DOCS), k=50)
+    )
