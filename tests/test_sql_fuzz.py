@@ -1099,6 +1099,59 @@ def _gen_greatest_least(rng: random.Random) -> str:
     )
 
 
+def _gen_lag_lead_defaults(rng: random.Random) -> str:
+    """LAG/LEAD with explicit offsets AND default values — the default
+    must fill the same frame-edge rows in both engines."""
+    off = rng.randint(1, 3)
+    dflt = rng.choice([-1, 0, 999])
+    m = rng.randint(5, 17)
+    return (
+        f"SELECT o_orderkey, "
+        f"LAG(o_orderkey, {off}, {dflt}) OVER "
+        f"(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_k, "
+        f"LEAD(o_custkey, {off}, {dflt}) OVER "
+        f"(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS next_c "
+        f"FROM orders WHERE o_orderkey % {m} = 0 "
+        f"ORDER BY o_orderkey LIMIT {rng.randint(10, 40)}"
+    )
+
+
+def _gen_string_funcs_distinct(rng: random.Random) -> str:
+    """LPAD/REVERSE/REPEAT/SUBSTR agreement under COUNT DISTINCT.
+    Spark requires a length on VARCHAR casts (bare VARCHAR is a parse
+    error) while DuckDB accepts both — VARCHAR(n) is the shared form."""
+    m = rng.randint(10, 99)
+    w = rng.randint(3, 6)
+    return (
+        f"SELECT o_orderstatus, "
+        f"COUNT(DISTINCT LPAD(CAST(o_custkey % {m} AS VARCHAR(8)), {w}, "
+        f"'0')) AS pads, "
+        f"COUNT(DISTINCT REVERSE(SUBSTR(o_orderpriority, 1, "
+        f"{rng.randint(2, 5)}))) AS revs, "
+        f"COUNT(DISTINCT REPEAT(o_orderstatus, {rng.randint(2, 3)})) AS reps "
+        f"FROM orders{_where(rng)} GROUP BY o_orderstatus"
+    )
+
+
+def _gen_extract_ymd(rng: random.Random) -> str:
+    """EXTRACT(YEAR/MONTH/DAY) grouping — CAST to BIGINT because Spark
+    returns int where DuckDB returns bigint (integral widening, safe).
+    DOW is deliberately EXCLUDED: Spark numbers it 1-7 (Sunday=1) where
+    DuckDB numbers 0-6 (Sunday=0) — a confirmed dialect divergence, not
+    a shared corner."""
+    fields = rng.sample(["YEAR", "MONTH", "DAY"], rng.randint(1, 2))
+    sel = ", ".join(
+        f"CAST(EXTRACT({f} FROM o_orderdate) AS BIGINT) AS f{i}"
+        for i, f in enumerate(fields)
+    )
+    ords = ", ".join(str(i + 1) for i in range(len(fields)))
+    return (
+        f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM orders{_where(rng)} GROUP BY {ords} ORDER BY {ords} "
+        f"LIMIT {rng.randint(10, 40)}"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -1158,6 +1211,9 @@ def _corpus() -> list[str]:
         + [_gen_try_cast(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_interval_arith(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_greatest_least(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_lag_lead_defaults(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_string_funcs_distinct(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_extract_ymd(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
