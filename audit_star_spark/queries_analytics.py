@@ -9944,3 +9944,89 @@ FROM ranked ORDER BY js DESC, token LIMIT {k}
 
 EXTRA_QUERIES["vocab_drift"] = q_vocab_drift
 EXTRA_ORACLES["vocab_drift"] = _vocab_drift_sql()
+
+
+# ------------------------------------------------------ t-closeness audit
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class t-closeness through the gate (analytics/privacy.py
+    t_closeness_census — Li, Li & Venkatasubramanian 2007 ordered
+    EMD): same quasi identifiers and bucketed-balance sensitive column
+    as the k_anonymity gate, one row per equivalence class with its
+    EMD to the global balance distribution. Both cumulative sums stay
+    integer (counts divided only at the end) and the EMD folds in
+    value-rank order, so the oracle's windows and list fold reproduce
+    every float bit-for-bit."""
+    from audit_star_spark.analytics.privacy import t_closeness_census
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000.0)
+    )
+    return t_closeness_census(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", t=0.15
+    )
+
+
+def _t_closeness_sql(t: float = 0.15) -> str:
+    emd_fold = d_fold(
+        "list(term ORDER BY vrank)", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+g AS (SELECT sv, CAST(SUM(n) AS BIGINT) AS gn FROM counts GROUP BY sv),
+tot AS (
+  SELECT CAST(SUM(gn) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS m
+  FROM g
+),
+vals AS (
+  SELECT sv,
+         CAST(SUM(gn) OVER (ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum_gn,
+         CAST(ROW_NUMBER() OVER (ORDER BY sv) AS BIGINT) AS vrank
+  FROM g
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS class_size
+  FROM counts GROUP BY 1, 2
+),
+grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+         v.sv, v.cum_gn, v.vrank, t.n_total, t.m,
+         COALESCE(c.n, 0) AS n_filled
+  FROM classes cl CROSS JOIN vals v CROSS JOIN tot t
+  LEFT JOIN counts c
+    ON c.c_nationkey = cl.c_nationkey
+   AND c.c_mktsegment = cl.c_mktsegment
+   AND c.sv = v.sv
+),
+terms AS (
+  SELECT c_nationkey, c_mktsegment, class_size, m, vrank,
+         CASE WHEN vrank < m THEN
+           abs(CAST(SUM(n_filled) OVER (PARTITION BY c_nationkey, c_mktsegment
+                     ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS DOUBLE) / class_size
+               - CAST(cum_gn AS DOUBLE) / n_total)
+         ELSE CAST(0.0 AS DOUBLE) END AS term
+  FROM grid
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment,
+         MIN(class_size) AS class_size, MIN(m) AS m,
+         {emd_fold} AS emd_sum
+  FROM terms GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       round(CASE WHEN m > 1 THEN emd_sum / (m - 1)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS emd6,
+       (round(CASE WHEN m > 1 THEN emd_sum / (m - 1)
+                   ELSE CAST(0.0 AS DOUBLE) END, 6) > {t}) AS violates_t
+FROM emd
+"""
+
+
+EXTRA_QUERIES["t_closeness"] = q_t_closeness
+EXTRA_ORACLES["t_closeness"] = _t_closeness_sql()

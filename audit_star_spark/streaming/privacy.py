@@ -126,6 +126,26 @@ class StreamingKAnonymity:
             classes, self.k, self.sensitive_col is not None
         )
 
+    def t_closeness(self, spark: SparkSession, t: float = 0.2) -> DataFrame | None:
+        """The batch :func:`t_closeness_census` of everything ingested so
+        far. The store's per-(quasi, sensitive) count partials ARE the
+        state that audit needs, so the read merges them and runs the
+        SAME tail as the batch operator
+        (analytics/privacy.py t_closeness_from_counts — one code path;
+        integer count state, so parity with batch is hash-exact)."""
+        from audit_star_spark.analytics.privacy import t_closeness_from_counts
+
+        if self.sensitive_col is None:
+            raise ValueError(
+                "t_closeness requires the store to track a sensitive_col"
+            )
+        merged = self._merged(spark)
+        if merged is None:
+            return None
+        return t_closeness_from_counts(
+            merged, self.quasi_cols, self.sensitive_col, t
+        )
+
     def compact(self, spark: SparkSession) -> None:
         """Fold per-batch partials into the -1 baseline — the same
         groupBy merge ``census()`` runs, so compaction is idempotent
