@@ -894,6 +894,139 @@ def ahash_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+# ------------------------------------- frequency-domain pHash (r14)
+PHASH_SIZE = 8  # low-frequency block -> 64 hash bits
+PHASH_INPUT = 32  # gray resize target before the DCT
+PHASH_Q = 1024  # Q10 fixed-point DCT basis scale
+
+
+def _phash_basis() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            round(
+                math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_INPUT))
+                * PHASH_Q
+            )
+            for x in range(PHASH_INPUT)
+        ]
+        for u in range(PHASH_SIZE)
+    ]
+
+
+PHASH_BASIS = _phash_basis()
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+        T.StructField("phash_bits", T.LongType()),
+    ]
+)
+
+
+def _phash_of(img: "np.ndarray") -> tuple[str, int]:
+    """Perceptual DCT hash (the classic pHash; the frequency-domain
+    complement of :func:`_ahash_of`, robust to brightness/contrast and
+    mild blur where the average hash is not): integer gray (the ITU-R
+    601 weights as (299R + 587G + 114B) // 1000) -> nearest-neighbor
+    resize to 32x32 (same index mapping as resize_image) -> separable
+    2-D DCT-II against the Q10 FIXED-POINT basis ``PHASH_BASIS`` (the
+    JPEG integer-DCT practice: every coefficient is an exact int64 —
+    |pass1| < 2^23, |coef| < 2^38 — so the hash is platform- and
+    engine-exact, with no transcendental last-ulp risk) -> the 8x8
+    low-frequency block, thresholded against its median (as the exact
+    integer test 2*coef > c[31]+c[32]), row-major bits MSB-first."""
+    if img.shape[2] == 3:
+        f = img.astype(np.int64)
+        gray = (299 * f[..., 0] + 587 * f[..., 1] + 114 * f[..., 2]) // 1000
+    else:
+        gray = img[..., 0].astype(np.int64)
+    h, w = gray.shape
+    rows = (np.arange(PHASH_INPUT) * h) // PHASH_INPUT
+    cols = (np.arange(PHASH_INPUT) * w) // PHASH_INPUT
+    g = gray[rows][:, cols]
+    basis = np.array(PHASH_BASIS, dtype=np.int64)
+    coef = (basis @ g @ basis.T).flatten()
+    s = np.sort(coef)
+    med2 = int(s[PHASH_SIZE * PHASH_SIZE // 2 - 1] + s[PHASH_SIZE * PHASH_SIZE // 2])
+    return _pack_bits(2 * coef > med2)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Per image: the DCT perceptual hash — (doc_id, phash hex,
+    phash_bits int64). The LAION-style image-dedup fingerprint
+    (Schuhmann et al. 2021 filter near-duplicates by perceptual hash):
+    recompressed / brightness-shifted / mildly blurred copies land
+    within a few bits. Narrow mapInPandas, same poison-payload degrade
+    contract as image_ahash (undecodable -> NULL hash)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            hexes, vals = [], []
+            for payload in pdf["payload"]:
+                try:
+                    hx, vl = _phash_of(decode_image(bytes(payload)))
+                except Exception:  # noqa: BLE001 — poison-payload degrade
+                    hx, vl = None, None
+                hexes.append(hx)
+                vals.append(vl)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(hexes, dtype="object"),
+                    "phash_bits": pd.Series(vals, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs by DCT perceptual hash: (doc_a,
+    doc_b, hamming) within ``max_hamming`` bits — the same EXACT-recall
+    pigeonhole banding as :func:`ahash_near_pairs` (64 bits split into
+    max_hamming + 1 contiguous bands; every qualifying pair collides in
+    >= 1 band; exact Hamming verifies inside the join; no all-pairs
+    product), applied to the frequency-domain fingerprint."""
+    from audit_star_spark.analytics.dedup import hamming_bands
+
+    fp = (
+        image_phash(media)
+        .filter(F.col("phash_bits").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftright(phash_bits, {s}) & {(1 << w) - 1}")
+            for s, w in hamming_bands(64, max_hamming)
+        ]
+    )
+    bk = fp.select(
+        "doc_id", "phash_bits", F.posexplode(band_vals).alias("band", "val")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    hamming = F.expr("bit_count(a.phash_bits ^ b.phash_bits)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # --------------------------------------------- audio fingerprint (r3)
 AUDIO_FP_SCHEMA = T.StructType(
     [

@@ -10030,3 +10030,86 @@ FROM emd
 
 EXTRA_QUERIES["t_closeness"] = q_t_closeness
 EXTRA_ORACLES["t_closeness"] = _t_closeness_sql()
+
+
+# --------------------------------------------- DCT perceptual hash (pHash)
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode -> frequency-domain perceptual hash through the gate
+    (analytics/multimodal.py image_phash — the LAION image-dedup
+    fingerprint): per doc a 32x32 PGM whose bytes follow a closed form
+    (ASCII-safe 32..126 so the UTF-8 binary cast is byte-exact), real
+    netpbm decode, then the Q10 FIXED-POINT separable DCT — every
+    coefficient an exact int64 — low-frequency 8x8 block thresholded on
+    the integer median test 2*coef > c[31]+c[32]. Because the whole
+    pipeline is integer, the oracle restates decode -> DCT -> median ->
+    hex bit-for-bit with zero float risk; the basis literal in the SQL
+    is generated from the SAME PHASH_BASIS table the engine uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(concat('P5\\n32 32\\n255\\n', concat_ws('', "
+            "transform(sequence(0, 1023), "
+            "i -> char(32 + (doc_id * 11 + i * 7) % 95)))) AS BINARY)"
+        ).alias("payload"),
+    )
+    return multimodal.image_phash(media).select("doc_id", "phash")
+
+
+def _image_phash_sql() -> str:
+    from audit_star_spark.analytics.multimodal import PHASH_BASIS
+
+    b_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]" for row in PHASH_BASIS
+        )
+        + "]"
+    )
+    ifold = lambda xs: d_fold(xs, "CAST(0 AS BIGINT)", "(s, v) -> s + v")  # noqa: E731
+    # separable integer DCT: pass1 index k = u*32 + y, pass2 index k = u*8 + v
+    p1 = ifold(
+        "list_transform(generate_series(0, 31), "
+        "x -> b[(k // 32) + 1][x + 1] * g[x * 32 + (k % 32) + 1])"
+    )
+    p2 = ifold(
+        "list_transform(generate_series(0, 31), "
+        "y -> p[(k // 8) * 32 + y + 1] * b[(k % 8) + 1][y + 1])"
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 1023),
+                        i -> CAST(32 + (doc_id * 11 + i * 7) % 95 AS BIGINT)) AS g,
+         {b_lit} AS b
+  FROM documents
+),
+pass1 AS (
+  SELECT doc_id, b,
+         list_transform(generate_series(0, 255), k -> {p1}) AS p
+  FROM px
+),
+coefs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), k -> {p2}) AS c
+  FROM pass1
+),
+med AS (
+  SELECT doc_id, c, list_sort(c)[32] + list_sort(c)[33] AS med2 FROM coefs
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(c, x -> CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END) AS bit
+  FROM med
+)
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(0, 15),
+         n -> substr('0123456789abcdef',
+                     1 + bit[4*n+1]*8 + bit[4*n+2]*4 + bit[4*n+3]*2 + bit[4*n+4],
+                     1)), '') AS phash
+FROM bits
+"""
+
+
+EXTRA_QUERIES["image_phash"] = q_image_phash
+EXTRA_ORACLES["image_phash"] = _image_phash_sql()
