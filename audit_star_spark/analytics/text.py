@@ -720,6 +720,94 @@ def alpha_mix_report(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+def unimax_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 1.0,
+    tokens_expr: str = TOKENS_EXPR,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023 — "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): distribute a total training-token
+    budget across sources as uniformly as possible, capping every
+    source at ``max_epochs`` epochs of its own data (the fix for
+    temperature sampling's over-epoching of low-resource languages).
+
+    The paper's greedy — ascending by size: give each source
+    min(cap, remaining/remaining_count) — has a closed form because
+    caps ascend with size: the capped set is a PREFIX of the size
+    ranking, and rank r is capped iff every earlier rank is capped and
+    cap_r * (n - r + 1) + cumcap_{r-1} < budget (once a source declines
+    its full fair share, the fair share stays constant, so no later,
+    larger source can be capped). Everything up to the final division
+    is integer window math over the |sources|-sized counts frame
+    (caps round once; cumulative sums are BIGINT), so the oracle
+    reproduces each float bit-for-bit.
+
+    Returns per source: n_tokens, cap (= round(n_tokens * max_epochs)),
+    alloc6 (allocated tokens, 6 dp), epochs6 (alloc / n_tokens, NULL
+    for an empty source), capped.
+
+    Scale shape: one corpus scan into a map-side-combined groupBy; all
+    windows run over the DOMAIN-BOUNDED source frame (the
+    alpha_mix_report shape) — no driver collect, no shuffle of docs."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    counts = (
+        docs.select("source", F.size(F.expr(tokens_expr)).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    capf = counts.withColumn(
+        "cap", F.round(F.col("n_tokens") * F.lit(float(max_epochs))).cast("long")
+    )
+    w_rank = Window.orderBy("cap", "source")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    st = capf.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w_rank).alias("r"),
+        (F.sum("cap").over(w_cum) - F.col("cap")).alias("cum_prev"),
+        F.count("*").over(w_all).alias("n_src"),
+    ).withColumn(
+        "cond",
+        (
+            F.col("cap") * (F.col("n_src") - F.col("r") + 1) + F.col("cum_prev")
+            < F.lit(int(budget_tokens))
+        ).cast("int"),
+    )
+    st = (
+        st.withColumn("capped", F.min("cond").over(w_cum) == 1)
+        .withColumn(
+            "n_capped", F.sum(F.col("capped").cast("long")).over(w_all)
+        )
+        .withColumn(
+            "capped_tokens",
+            F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(F.lit(0))).over(
+                w_all
+            ),
+        )
+    )
+    alloc = F.when(F.col("capped"), F.col("cap").cast("double")).otherwise(
+        (F.lit(int(budget_tokens)) - F.col("capped_tokens"))
+        / (F.col("n_src") - F.col("n_capped"))
+    )
+    return st.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.round(alloc, 6).alias("alloc6"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, alloc / F.col("n_tokens")), 6
+        ).alias("epochs6"),
+        "capped",
+    )
+
+
 def ngram_dup_profile(docs: DataFrame, max_n: int = 3) -> DataFrame:
     """Corpus duplication profile (the RefinedWeb/Gopher-style health
     report, corpus-level): for each n-gram order 1..``max_n``, the

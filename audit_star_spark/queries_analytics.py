@@ -10113,3 +10113,79 @@ FROM bits
 
 EXTRA_QUERIES["image_phash"] = q_image_phash
 EXTRA_ORACLES["image_phash"] = _image_phash_sql()
+
+
+# --------------------------------------------- UniMax budget allocation
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation through the gate
+    (analytics/text.py unimax_budget — Chung et al. ICLR 2023): the
+    epoch-capped waterfill over per-source token counts via its
+    capped-prefix closed form. Budget and epoch cap are chosen so the
+    testdata exercises BOTH branches (a capped prefix of small sources
+    and an equal-share tail). Integer window math until the final
+    division, so the oracle matches bit-for-bit."""
+    from audit_star_spark.analytics.text import unimax_budget
+
+    return unimax_budget(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=22000,
+        max_epochs=0.9,
+    )
+
+
+def _unimax_budget_sql(budget: int = 22000, max_epochs: float = 0.9) -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(SUM(len({D_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+capf AS (
+  SELECT source, n_tokens,
+         CAST(round(n_tokens * {max_epochs}) AS BIGINT) AS cap
+  FROM counts
+),
+st AS (
+  SELECT source, n_tokens, cap,
+         CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS r,
+         CAST(SUM(cap) OVER (ORDER BY cap, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - cap AS cum_prev,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+  FROM capf
+),
+st2 AS (
+  SELECT *,
+         CASE WHEN cap * (n_src - r + 1) + cum_prev < {budget}
+              THEN 1 ELSE 0 END AS cond
+  FROM st
+),
+st3 AS (
+  SELECT *,
+         (MIN(cond) OVER (ORDER BY cap, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1) AS capped
+  FROM st2
+),
+st4 AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT)
+           AS n_capped,
+         CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS BIGINT)
+           AS capped_tokens
+  FROM st3
+)
+SELECT source, n_tokens, cap,
+       round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                  ELSE ({budget} - capped_tokens)
+                       / CAST(n_src - n_capped AS DOUBLE) END, 6) AS alloc6,
+       round(CASE WHEN n_tokens > 0 THEN
+               (CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                     ELSE ({budget} - capped_tokens)
+                          / CAST(n_src - n_capped AS DOUBLE) END) / n_tokens
+             END, 6) AS epochs6,
+       capped
+FROM st4
+"""
+
+
+EXTRA_QUERIES["unimax_budget"] = q_unimax_budget
+EXTRA_ORACLES["unimax_budget"] = _unimax_budget_sql()
