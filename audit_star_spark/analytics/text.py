@@ -751,15 +751,25 @@ def unimax_budget(
     Scale shape: one corpus scan into a map-side-combined groupBy; all
     windows run over the DOMAIN-BOUNDED source frame (the
     alpha_mix_report shape) — no driver collect, no shuffle of docs."""
-    if budget_tokens <= 0:
-        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
-    if max_epochs <= 0:
-        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
     counts = (
         docs.select("source", F.size(F.expr(tokens_expr)).cast("long").alias("t"))
         .groupBy("source")
         .agg(F.sum("t").alias("n_tokens"))
     )
+    return unimax_from_counts(counts, budget_tokens, max_epochs)
+
+
+def unimax_from_counts(
+    counts: DataFrame, budget_tokens: int, max_epochs: float = 1.0
+) -> DataFrame:
+    """The UniMax closed form over a (source, n_tokens) frame — shared
+    by :func:`unimax_budget` and the streaming token-count store's
+    allocation-at-read so batch and stream cannot drift (integer count
+    state, so parity is hash-exact)."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
     capf = counts.withColumn(
         "cap", F.round(F.col("n_tokens") * F.lit(float(max_epochs))).cast("long")
     )

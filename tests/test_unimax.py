@@ -95,3 +95,72 @@ def test_unimax_matches_greedy_on_many_shapes(spark):
     tokens = {f"s{i}": 50 * (i + 1) for i in range(6)}
     for budget in (40, 151, 400, 700, 1049, 2000, 10_000):
         _check(spark, tokens, budget, max_epochs=1.2)
+
+
+MIX_ROWS = [
+    (0, "a", "w w w w"),       # a: 4 tokens
+    (1, "a", "w w"),           # a: +2 -> 6
+    (2, "b", "w w w w w w w"), # b: 7
+    (3, "c", "w"),             # c: 1
+]
+MIX_LATER = [
+    (4, "c", "w w w w w w w w w w"),  # c grows past its old cap
+    (5, "d", "w w w"),                # brand-new source
+]
+
+
+def _mix_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_streaming_token_counts_parity_replay_compaction(spark, tmp_path):
+    import os
+
+    from audit_star_spark.analytics.text import unimax_budget
+    from audit_star_spark.streaming.mixing import StreamingTokenCounts
+
+    st = StreamingTokenCounts(str(tmp_path / "mix"))
+    assert st.unimax(spark, 10) is None
+    st.apply_batch(_mix_docs(spark, MIX_ROWS[:2]), 0)
+    st.apply_batch(_mix_docs(spark, MIX_ROWS[2:]), 1)
+
+    def want(rows, budget, epochs):
+        return sorted(
+            tuple(r)
+            for r in unimax_budget(_mix_docs(spark, rows), budget, epochs).collect()
+        )
+
+    def got(budget, epochs):
+        return sorted(tuple(r) for r in st.unimax(spark, budget, epochs).collect())
+
+    assert got(9, 1.0) == want(MIX_ROWS, 9, 1.0)
+    st.apply_batch(_mix_docs(spark, MIX_ROWS[2:]), 1)  # at-least-once replay
+    assert got(9, 1.0) == want(MIX_ROWS, 9, 1.0)
+    st.compact(spark)
+    assert got(9, 1.0) == want(MIX_ROWS, 9, 1.0)
+    parts = {p for p in os.listdir(st.store_dir) if p.startswith("ingest_")}
+    assert parts == {"ingest_batch_id=-1"}
+    # a source straddling batches must allocate as ONE source, and late
+    # growth must re-rank the capped prefix (corpus-relative: the reason
+    # per-batch verdicts cannot freeze)
+    st.apply_batch(_mix_docs(spark, MIX_LATER), 2)
+    assert got(12, 1.0) == want(MIX_ROWS + MIX_LATER, 12, 1.0)
+
+
+def test_streaming_token_counts_availablenow(spark, tmp_path):
+    from audit_star_spark.analytics.text import unimax_budget
+    from audit_star_spark.streaming.mixing import StreamingTokenCounts
+
+    src = str(tmp_path / "src")
+    _mix_docs(spark, MIX_ROWS).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    st = StreamingTokenCounts(str(tmp_path / "mix"))
+    st.start(stream, str(tmp_path / "ck")).awaitTermination()
+    assert sorted(tuple(r) for r in st.unimax(spark, 9, 1.0).collect()) == sorted(
+        tuple(r)
+        for r in unimax_budget(_mix_docs(spark, MIX_ROWS), 9, 1.0).collect()
+    )
