@@ -1152,6 +1152,57 @@ def _gen_extract_ymd(rng: random.Random) -> str:
     )
 
 
+def _gen_rank_fraction_windows(rng: random.Random) -> str:
+    """NTILE / PERCENT_RANK / CUME_DIST — the fractional rank trio.
+    Safe floats: each is an exact rational of small integers ((rank-1)/
+    (n-1), rows/n) computed with one division from identical operands
+    in both engines, so the doubles agree bit-for-bit."""
+    m = rng.randint(5, 17)
+    tiles = rng.randint(2, 7)
+    return (
+        f"SELECT o_orderkey, "
+        f"CAST(NTILE({tiles}) OVER w AS BIGINT) AS tile, "
+        f"PERCENT_RANK() OVER w AS pr, "
+        f"CUME_DIST() OVER w AS cd "
+        f"FROM orders WHERE o_orderkey % {m} = 0 "
+        f"WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey) "
+        f"ORDER BY o_orderkey LIMIT {rng.randint(10, 40)}"
+    )
+
+
+def _gen_bitwise_group(rng: random.Random) -> str:
+    """Bitwise & and | in grouping keys and summed expressions. The
+    shared operator subset is & and | ONLY: Spark's ^ is XOR where
+    DuckDB's ^ is POWER (a confirmed divergence), and multi-column
+    row-value IN subqueries bind in Spark but not DuckDB — both
+    excluded. (Discovered writing this shape.)"""
+    m = rng.choice([3, 7, 15, 31])
+    k = rng.choice([1, 2, 4, 8])
+    return (
+        f"SELECT o_custkey & {m} AS bucket, "
+        f"CAST(SUM(o_orderkey | {k}) AS BIGINT) AS s, "
+        f"CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM orders{_where(rng)} GROUP BY o_custkey & {m} "
+        f"ORDER BY bucket"
+    )
+
+
+def _gen_percentile_cont_quarters(rng: random.Random) -> str:
+    """PERCENTILE_CONT at dyadic quantiles (0.25/0.5/0.75) over INTEGER
+    expressions: the interpolated value is an exact dyadic rational that
+    fits a double, so a + (b-a)*f and (1-f)*a + f*b — whichever formula
+    each engine uses — produce the same bits. Float quantiles over
+    arbitrary doubles stay excluded (interpolation-formula ulps)."""
+    p = rng.choice(["0.25", "0.5", "0.75"])
+    m = rng.randint(7, 31)
+    return (
+        f"SELECT o_orderstatus, "
+        f"PERCENTILE_CONT({p}) WITHIN GROUP (ORDER BY o_custkey % {m}) AS q, "
+        f"CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM orders{_where(rng)} GROUP BY o_orderstatus"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -1214,6 +1265,9 @@ def _corpus() -> list[str]:
         + [_gen_lag_lead_defaults(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_string_funcs_distinct(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_extract_ymd(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_rank_fraction_windows(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_bitwise_group(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_percentile_cont_quarters(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
