@@ -1184,6 +1184,43 @@ def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def video_scene_cuts(media: DataFrame, threshold: float = 20.0) -> DataFrame:
+    """Shot-boundary (scene-cut) census over decoded video — the
+    keyframe-segmentation step a vision-language curation pipeline runs
+    before frame sampling: a CUT at frame i (i >= 1) when the
+    luma-mean difference |mean_i - mean_{i-1}| exceeds ``threshold``
+    (frame-difference energy, the classic hard-cut detector).
+
+    Per doc: n_frames (decoded), n_cuts, first_cut_idx (NULL when the
+    video is one shot), max_jump6 (largest inter-frame jump, 6 dp; NULL
+    for single-frame videos).
+
+    Scale shape: the per-frame decode is the same 1:N narrow
+    mapInPandas as video_frame_means (every frame, stride 1); the lag
+    runs under a window PARTITIONED BY doc_id (bounded by frames per
+    video, never corpus-wide); the census is one map-side-combined
+    groupBy. MAX/MIN/COUNT are order-free, so no float fold is needed.
+    Undecodable payloads or frames contribute no rows (the video_meta
+    degrade contract)."""
+    from pyspark.sql import Window
+
+    frames = video_frame_means(media, every_n=1)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    jumps = frames.withColumn(
+        "jump", F.abs(F.col("mean_luma") - F.lag("mean_luma").over(w))
+    )
+    return jumps.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.when(F.col("jump") > threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cuts"),
+        F.min(F.when(F.col("jump") > threshold, F.col("frame_idx"))).alias(
+            "first_cut_idx"
+        ),
+        F.round(F.max("jump"), 6).alias("max_jump6"),
+    )
+
+
 def parse_avi(payload: bytes) -> dict:
     """RIFF/AVI -> {width, height, us_per_frame, n_frames, frames:[bytes]}.
     Walks the chunk tree; frame data is every 00dc/00db chunk inside the

@@ -10189,3 +10189,43 @@ FROM st4
 
 EXTRA_QUERIES["unimax_budget"] = q_unimax_budget
 EXTRA_ORACLES["unimax_budget"] = _unimax_budget_sql()
+
+
+# --------------------------------------------------- video scene cuts
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container walk + per-frame JPEG decode -> shot-boundary
+    census through the gate (analytics/multimodal.py video_scene_cuts)
+    over the same synthesized MJPEG AVIs as video_frame_means: tile
+    values step +17 per frame, so ordinary transitions jump 17 (below
+    the 20.0 threshold) and the mod-256 wraparound produces one hard
+    cut of 239 — both classes exercised. Tile-constant q=100 frames
+    decode bit-exactly, so the oracle states luma in closed form."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.video_scene_cuts(_synth_avi(docs), threshold=20.0)
+
+
+SQL_VIDEO_SCENE_CUTS = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS i
+  FROM documents
+),
+lum AS (
+  SELECT doc_id, i, CAST((doc_id * 11 + i * 17) % 256 AS DOUBLE) AS l
+  FROM f
+),
+j AS (
+  SELECT doc_id, i,
+         abs(l - LAG(l) OVER (PARTITION BY doc_id ORDER BY i)) AS jump
+  FROM lum
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN jump > 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MIN(CASE WHEN jump > 20.0 THEN i END) AS BIGINT) AS first_cut_idx,
+       round(MAX(jump), 6) AS max_jump6
+FROM j GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES["video_scene_cuts"] = q_video_scene_cuts
+EXTRA_ORACLES["video_scene_cuts"] = SQL_VIDEO_SCENE_CUTS

@@ -51,3 +51,48 @@ def test_video_operators_sample_and_degrade(spark):
     rows = video_frame_means(media, every_n=2).collect()
     got = {(r["doc_id"], r["frame_idx"]): r["mean_luma"] for r in rows}
     assert got == {(0, 0): 1.0, (0, 2): 3.0, (0, 4): 5.0}
+
+
+def test_video_scene_cuts_hand_census(spark):
+    from audit_star_spark.analytics.multimodal import video_scene_cuts
+
+    # doc 0: 10 -> 12 -> 240 -> 238 -> 30: cuts at frames 2 and 4
+    # doc 1: constant shot (no cuts); doc 2: single frame (no jumps);
+    # doc 3: poison payload (no rows at all)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_avi_mjpeg(_frames([10, 12, 240, 238, 30])))),
+            (1, bytearray(encode_avi_mjpeg(_frames([50, 50, 50])))),
+            (2, bytearray(encode_avi_mjpeg(_frames([99])))),
+            (3, bytearray(b"RIFFjunkjunk")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in video_scene_cuts(media, threshold=20.0).collect()
+    }
+    assert set(got) == {0, 1, 2}  # poison doc contributes no census row
+    assert got[0]["n_frames"] == 5 and got[0]["n_cuts"] == 2
+    assert got[0]["first_cut_idx"] == 2 and got[0]["max_jump6"] == 228.0
+    assert got[1]["n_cuts"] == 0 and got[1]["first_cut_idx"] is None
+    assert got[1]["max_jump6"] == 0.0
+    assert got[2]["n_frames"] == 1 and got[2]["n_cuts"] == 0
+    assert got[2]["max_jump6"] is None  # no inter-frame jump exists
+
+
+def test_video_scene_cuts_window_is_per_doc(spark):
+    from audit_star_spark.analytics.multimodal import video_scene_cuts
+
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_avi_mjpeg(_frames([1, 2]))))],
+        "doc_id long, payload binary",
+    )
+    plan = (
+        video_scene_cuts(media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "partial" in plan.lower()
