@@ -112,6 +112,83 @@ def cosine_topk(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     )
 
 
+def maxsim_rerank(
+    q_tokens: DataFrame,
+    d_tokens: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ColBERT-style late-interaction reranking (Khattab & Zaharia
+    2020, "ColBERT: Efficient and Effective Passage Search via
+    Contextualized Late Interaction"): score(q, d) = sum over query
+    tokens of the MAX cosine against any document token — the MaxSim
+    operator — computed ONLY over first-stage ``candidates`` pairs.
+
+    Inputs: ``q_tokens`` (query_id, tok_idx, vec array<double>),
+    ``d_tokens`` (doc_id, tok_idx, vec), ``candidates``
+    (query_id, doc_id). Returns (query_id, rank, doc_id, score6) with
+    rank by (score6 DESC, doc_id) — ordering on the 6-dp ROUNDED score
+    (the float-portability rule applied to ORDERING).
+
+    Scale shape: candidates come from a first-stage retriever (ANN /
+    BM25), so per-query candidate sets are BOUNDED — the rank window
+    partitioned by query_id is the documented acceptable case (the
+    _topk_per_query funnel caveat applies to UNPRUNED corpus scans,
+    not top-n rerank sets). Token joins are equi-joins on doc_id /
+    query_id; per-(pair, query-token) MAX is order-free; the one float
+    reduction — the sum of per-token maxima — folds in tok_idx order
+    (sorted-struct fold), matching the oracle term for term. Zero-norm
+    token vectors are dropped on BOTH sides (the NaN ordering guard).
+    No all-pairs product anywhere."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    qt = with_norm(
+        q_tokens.select(
+            "query_id", F.col("tok_idx").alias("q_tok"), F.col("vec").alias("qvec")
+        ),
+        "qvec",
+        "qnorm",
+    ).filter(F.col("qnorm") > 0)
+    dt = with_norm(
+        d_tokens.select(
+            "doc_id", F.col("tok_idx").alias("d_tok"), F.col("vec").alias("dvec")
+        ),
+        "dvec",
+        "dnorm",
+    ).filter(F.col("dnorm") > 0)
+    pairs = candidates.select("query_id", "doc_id").distinct()
+    cos = (
+        pairs.join(dt, "doc_id")
+        .join(qt, "query_id")
+        .withColumn(
+            "cos", _dot("qvec", "dvec") / (F.col("qnorm") * F.col("dnorm"))
+        )
+    )
+    per_qtok = cos.groupBy("query_id", "doc_id", "q_tok").agg(
+        F.max("cos").alias("m")
+    )
+    scored = per_qtok.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("q_tok", "m"))),
+                F.lit(0.0),
+                lambda s, x: s + x["m"],
+            ),
+            6,
+        ).alias("score6")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score6")
+    )
+
+
 def hard_negatives(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     """Hard-negative mining for contrastive retrieval training (the
     DPR / ANCE recipe — Karpukhin et al. 2020, "Dense Passage

@@ -10230,3 +10230,91 @@ FROM j GROUP BY doc_id
 
 EXTRA_QUERIES["video_scene_cuts"] = q_video_scene_cuts
 EXTRA_ORACLES["video_scene_cuts"] = SQL_VIDEO_SCENE_CUTS
+
+
+# --------------------------------------------- MaxSim late-interaction rerank
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT MaxSim reranking through the gate
+    (analytics/similarity.py maxsim_rerank): each embedding splits into
+    4 x 16-dim token vectors (the multi-vector model); queries are
+    vec_id < 6; first-stage candidates are the deterministic mod-8
+    blocking join (bounded per query, the rerank contract). The oracle
+    restates slicing, per-token cosine, order-free MAX, the
+    tok_idx-ordered fold, and the rounded-score rank verbatim."""
+    from audit_star_spark.analytics.similarity import maxsim_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), t -> slice(v, 16 * t + 1, 16))")
+        ).alias("tok_idx", "vec"),
+    )
+    q_tokens = toks.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "tok_idx", "vec"
+    )
+    d_tokens = toks.select(F.col("vec_id").alias("doc_id"), "tok_idx", "vec")
+    ids = emb.select("vec_id", (F.col("vec_id") % 8).alias("key"))
+    cand = (
+        ids.filter(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("query_id"), "key")
+        .join(ids.select(F.col("vec_id").alias("doc_id"), "key"), "key")
+        .select("query_id", "doc_id")
+    )
+    return maxsim_rerank(q_tokens, d_tokens, cand, k=10)
+
+
+def _maxsim_rerank_sql(n_queries: int = 6, k: int = 10) -> str:
+    fold = d_fold(
+        "list(m ORDER BY q_tok)", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, {D_VEC} AS v FROM embeddings),
+toks AS (
+  SELECT vec_id, t, list_slice(v, 16 * t + 1, 16 * t + 16) AS vec
+  FROM base, LATERAL (SELECT unnest(generate_series(0, 3)) AS t) s
+),
+normed AS (
+  SELECT vec_id, t, vec, sqrt({d_dot('vec', 'vec')}) AS nrm FROM toks
+),
+qt AS (
+  SELECT vec_id AS query_id, t AS q_tok, vec AS qvec, nrm AS qnorm
+  FROM normed WHERE vec_id < {n_queries} AND nrm > 0
+),
+dt AS (
+  SELECT vec_id AS doc_id, t AS d_tok, vec AS dvec, nrm AS dnorm
+  FROM normed WHERE nrm > 0
+),
+cand AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id
+  FROM embeddings q JOIN embeddings d ON q.vec_id % 8 = d.vec_id % 8
+  WHERE q.vec_id < {n_queries}
+),
+cos AS (
+  SELECT c.query_id, c.doc_id, qt.q_tok,
+         {d_dot('qt.qvec', 'dt.dvec')} / (qt.qnorm * dt.dnorm) AS cos
+  FROM cand c
+  JOIN dt ON dt.doc_id = c.doc_id
+  JOIN qt ON qt.query_id = c.query_id
+),
+mx AS (
+  SELECT query_id, doc_id, q_tok, MAX(cos) AS m FROM cos GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT query_id, doc_id, round({fold}, 6) AS score6 FROM mx GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score6 DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score6
+FROM r WHERE rank <= {k}
+"""
+
+
+EXTRA_QUERIES["maxsim_rerank"] = q_maxsim_rerank
+EXTRA_ORACLES["maxsim_rerank"] = _maxsim_rerank_sql()
