@@ -1203,6 +1203,48 @@ def _gen_percentile_cont_quarters(rng: random.Random) -> str:
     )
 
 
+def _gen_global_having(rng: random.Random) -> str:
+    """HAVING without GROUP BY — the implicit single global group. The
+    row either exists (aggregates over the whole filtered input) or the
+    result is empty; both engines must agree on that boundary."""
+    agg = rng.choice(_AGGS)
+    n = rng.randint(0, 40000)
+    return (
+        f"SELECT {agg} AS a, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM orders{_where(rng)} HAVING COUNT(*) > {n}"
+    )
+
+
+def _gen_order_by_hidden_expr(rng: random.Random) -> str:
+    """ORDER BY an expression that is NOT in the select list (plus a
+    tie-break) — resolution against the underlying relation, not the
+    projection, in both engines."""
+    m = rng.randint(3, 13)
+    return (
+        f"SELECT o_orderkey, o_orderstatus "
+        f"FROM orders{_where(rng)} "
+        f"ORDER BY o_custkey % {m}, o_totalprice DESC, o_orderkey "
+        f"LIMIT {rng.randint(10, 50)}"
+    )
+
+
+def _gen_diamond_cte(rng: random.Random) -> str:
+    """Diamond-shaped plan: ONE aggregating CTE consumed twice through
+    different filters and re-joined — CTE materialization vs inlining
+    must not change results in either engine."""
+    m = rng.randint(2, 7)
+    lo = rng.randint(1, 5)
+    return (
+        f"WITH agg AS ("
+        f"SELECT o_custkey % {m} AS b, o_orderstatus AS st, "
+        f"CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM orders{_where(rng)} GROUP BY 1, 2) "
+        f"SELECT a.b, a.st AS st_a, d.st AS st_b, a.c AS c_a, d.c AS c_b "
+        f"FROM agg a JOIN agg d ON a.b = d.b AND a.st < d.st "
+        f"WHERE a.c >= {lo} ORDER BY a.b, st_a, st_b"
+    )
+
+
 def _corpus() -> list[str]:
     rng = random.Random(SEED)
     return (
@@ -1268,6 +1310,9 @@ def _corpus() -> list[str]:
         + [_gen_rank_fraction_windows(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_bitwise_group(rng) for _ in range(N_PER_SHAPE // 4)]
         + [_gen_percentile_cont_quarters(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_global_having(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_order_by_hidden_expr(rng) for _ in range(N_PER_SHAPE // 4)]
+        + [_gen_diamond_cte(rng) for _ in range(N_PER_SHAPE // 4)]
     )
 
 
