@@ -720,6 +720,136 @@ def alpha_mix_report(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+def texttile_boundaries(
+    docs: DataFrame, w: int = 16, tokens_expr: str = TOKENS_EXPR
+) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997, "TextTiling:
+    Segmenting Text into Multi-paragraph Subtopic Passages") — the
+    topic-boundary chunker a retrieval corpus runs instead of fixed
+    token windows: adjacent ``w``-token blocks score lexical cohesion
+    (bag-of-words cosine); each inter-block gap gets a DEPTH score
+    (peak_left - s) + (peak_right - s) with prefix/suffix peak maxima
+    (the paper's hill-climb simplified to global prefix/suffix peaks);
+    boundaries are gaps deeper than the paper's cutoff mean - sigma/2.
+
+    Per doc (only docs with >= 2 full blocks, i.e. >= 1 gap):
+    n_gaps, n_boundaries, first_boundary (gap index, NULL when the doc
+    is one topic), cutoff6, max_depth6. The trailing partial block is
+    dropped (blocks are exactly w tokens).
+
+    Engine-exactness: block-pair cosine is num / (sqrt(dl) * sqrt(dr))
+    where num = Σ cl*cr and dl/dr = Σ c² are INTEGER sums (order-free)
+    and IEEE sqrt is correctly rounded — so every gap score is
+    bit-exact across engines with no fold discipline; peak maxima are
+    order-free; the one float fold pair (mean, then variance) runs in
+    gap order over the bounded per-doc depth list.
+
+    Scale shape: one tokens projection, one posexplode fan-out (each
+    token lands in <= 2 gap-sides), map-side-combined integer count
+    aggregates, windows PARTITIONED BY doc_id (bounded by gaps per
+    doc), and a per-doc stats groupBy joined back — no corpus-wide
+    window, no collect, no cross join."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.posexplode(F.expr(tokens_expr)).alias("p", "tok"))
+    # explicit floor: bare CAST(double AS BIGINT) truncates in Spark but
+    # ROUNDS in DuckDB — floor + // keep both engines on integer ground
+    sized = toks.withColumn("blk", F.floor(F.col("p") / w).cast("long")).join(
+        toks.groupBy("doc_id").agg(
+            F.floor(F.count("*") / w).cast("long").alias("nb")
+        ),
+        "doc_id",
+    ).filter(F.col("blk") < F.col("nb"))
+    # block b is the LEFT side of gap b and the RIGHT side of gap b-1
+    left = sized.filter(F.col("blk") <= F.col("nb") - 2).select(
+        "doc_id", F.col("blk").alias("gap"), F.lit("l").alias("side"), "tok"
+    )
+    right = sized.filter(F.col("blk") >= 1).select(
+        "doc_id", (F.col("blk") - 1).alias("gap"), F.lit("r").alias("side"), "tok"
+    )
+    counts = (
+        left.unionByName(right)
+        .groupBy("doc_id", "gap", "side", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_tok = counts.groupBy("doc_id", "gap", "tok").agg(
+        F.sum(F.when(F.col("side") == "l", F.col("c")).otherwise(0)).alias("cl"),
+        F.sum(F.when(F.col("side") == "r", F.col("c")).otherwise(0)).alias("cr"),
+    )
+    scores = per_tok.groupBy("doc_id", "gap").agg(
+        F.sum(F.col("cl") * F.col("cr")).alias("num"),
+        F.sum(F.col("cl") * F.col("cl")).alias("dl"),
+        F.sum(F.col("cr") * F.col("cr")).alias("dr"),
+    ).select(
+        "doc_id",
+        "gap",
+        (F.col("num") / (F.sqrt("dl") * F.sqrt("dr"))).alias("s"),
+    )
+    w_pre = (
+        Window.partitionBy("doc_id")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_suf = (
+        Window.partitionBy("doc_id")
+        .orderBy("gap")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    depths = scores.select(
+        "doc_id",
+        "gap",
+        (
+            (F.max("s").over(w_pre) - F.col("s"))
+            + (F.max("s").over(w_suf) - F.col("s"))
+        ).alias("depth"),
+    )
+    stats = depths.groupBy("doc_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("gap", "depth"))),
+            F.lit(0.0),
+            lambda s, x: s + x["depth"],
+        ).alias("dsum"),
+        F.array_sort(F.collect_list(F.struct("gap", "depth"))).alias("arr"),
+    ).select(
+        "doc_id",
+        "n_gaps",
+        (F.col("dsum") / F.col("n_gaps")).alias("mean"),
+        "arr",
+    ).select(
+        "doc_id",
+        "n_gaps",
+        "mean",
+        F.sqrt(
+            F.aggregate(
+                F.col("arr"),
+                F.lit(0.0),
+                lambda s, x: s
+                + (x["depth"] - F.col("mean")) * (x["depth"] - F.col("mean")),
+            )
+            / F.col("n_gaps")
+        ).alias("sigma"),
+    ).select(
+        "doc_id",
+        "n_gaps",
+        (F.col("mean") - F.col("sigma") / 2.0).alias("cutoff"),
+    )
+    joined = depths.join(stats, "doc_id")
+    return joined.groupBy("doc_id").agg(
+        F.first("n_gaps").alias("n_gaps"),
+        F.sum(F.when(F.col("depth") > F.col("cutoff"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boundaries"),
+        F.min(F.when(F.col("depth") > F.col("cutoff"), F.col("gap"))).alias(
+            "first_boundary"
+        ),
+        F.round(F.first("cutoff"), 6).alias("cutoff6"),
+        F.round(F.max("depth"), 6).alias("max_depth6"),
+    )
+
+
 def unimax_budget(
     docs: DataFrame,
     budget_tokens: int,

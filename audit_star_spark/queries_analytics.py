@@ -10319,3 +10319,99 @@ FROM r WHERE rank <= {k}
 
 EXTRA_QUERIES["maxsim_rerank"] = q_maxsim_rerank
 EXTRA_ORACLES["maxsim_rerank"] = _maxsim_rerank_sql()
+
+
+# --------------------------------------------- TextTiling topic boundaries
+def q_texttile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation through the gate
+    (analytics/text.py texttile_boundaries — Hearst 1997): block-pair
+    lexical-cohesion cosines over 16-token blocks, prefix/suffix-peak
+    depth scores, boundaries past the paper's mean - sigma/2 cutoff.
+    Every cosine is num/(sqrt(dl)*sqrt(dr)) of INTEGER sums and IEEE
+    sqrt is correctly rounded, so gap scores are engine-exact; the
+    depth mean/variance folds run in gap order."""
+    from audit_star_spark.analytics.text import texttile_boundaries
+
+    return texttile_boundaries(load_table(spark, sf_dir, "documents"), w=16)
+
+
+def _texttile_sql(w: int = 16) -> str:
+    dfold = d_fold(
+        "list(depth ORDER BY gap)", "CAST(0.0 AS DOUBLE)", "(s, v) -> s + v"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, p - 1 AS p, t[p] AS tok
+  FROM (SELECT doc_id, {D_TOKENS} AS t FROM documents) b,
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) s
+),
+nb AS (
+  SELECT doc_id, CAST(COUNT(*) // {w} AS BIGINT) AS nb
+  FROM toks GROUP BY doc_id
+),
+sized AS (
+  SELECT t.doc_id, t.p // {w} AS blk, t.tok, n.nb
+  FROM toks t JOIN nb n ON n.doc_id = t.doc_id
+  WHERE t.p // {w} < n.nb
+),
+gs AS (
+  SELECT doc_id, blk AS gap, 'l' AS side, tok FROM sized WHERE blk <= nb - 2
+  UNION ALL
+  SELECT doc_id, blk - 1 AS gap, 'r' AS side, tok FROM sized WHERE blk >= 1
+),
+counts AS (
+  SELECT doc_id, gap, side, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gs GROUP BY 1, 2, 3, 4
+),
+pt AS (
+  SELECT doc_id, gap, tok,
+         CAST(SUM(CASE WHEN side = 'l' THEN c ELSE 0 END) AS BIGINT) AS cl,
+         CAST(SUM(CASE WHEN side = 'r' THEN c ELSE 0 END) AS BIGINT) AS cr
+  FROM counts GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT doc_id, gap,
+         CAST(SUM(cl * cr) AS BIGINT)
+           / (sqrt(CAST(SUM(cl * cl) AS BIGINT))
+              * sqrt(CAST(SUM(cr * cr) AS BIGINT))) AS s
+  FROM pt GROUP BY 1, 2
+),
+dp AS (
+  SELECT doc_id, gap,
+         (MAX(s) OVER (PARTITION BY doc_id ORDER BY gap
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s)
+         + (MAX(s) OVER (PARTITION BY doc_id ORDER BY gap
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - s) AS depth
+  FROM sc
+),
+st1 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         {dfold} AS dsum,
+         list(depth ORDER BY gap) AS arr
+  FROM dp GROUP BY doc_id
+),
+st2 AS (SELECT doc_id, n_gaps, dsum / n_gaps AS mean, arr FROM st1),
+st3 AS (
+  SELECT doc_id, n_gaps,
+         mean - sqrt(
+           list_reduce(
+             list_concat([CAST(0.0 AS DOUBLE)],
+               list_transform(arr, x -> (x - mean) * (x - mean))),
+             (s, v) -> s + v) / n_gaps) / 2.0 AS cutoff
+  FROM st2
+)
+SELECT d.doc_id,
+       MIN(s.n_gaps) AS n_gaps,
+       CAST(SUM(CASE WHEN d.depth > s.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundaries,
+       CAST(MIN(CASE WHEN d.depth > s.cutoff THEN d.gap END) AS BIGINT)
+         AS first_boundary,
+       round(MIN(s.cutoff), 6) AS cutoff6,
+       round(MAX(d.depth), 6) AS max_depth6
+FROM dp d JOIN st3 s ON s.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+EXTRA_QUERIES["texttile_boundaries"] = q_texttile_boundaries
+EXTRA_ORACLES["texttile_boundaries"] = _texttile_sql()
