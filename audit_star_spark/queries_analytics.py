@@ -9673,11 +9673,11 @@ del _name
 
 
 # ---------------------------------------------- round-15 rotation candidates
-# The 12 round-14 additions (ngram_containment_capped, clip_alignment,
+# The 13 round-14 additions (ngram_containment_capped, clip_alignment,
 # packed_chunks, bitext_mine, k_anonymity, embedding_drift, vocab_drift,
 # t_closeness, image_phash, unimax_budget, video_scene_cuts,
-# maxsim_rerank — registered at the end of this module) are gate-sim +
-# pytest-oracle-locked but have
+# maxsim_rerank, texttile_boundaries — registered at the end of this
+# module) are gate-sim + pytest-oracle-locked but have
 # no hard driver CORRECTNESS row yet. Next round, mirror
 # _R14_ROTATE_IN/_OUT above: rotate (a subset of) them in and retire as
 # many double-green (r13+r14) window entries to EXTRA; the window must
