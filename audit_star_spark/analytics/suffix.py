@@ -21,21 +21,37 @@ document). Shorter-suffix-is-smaller falls out of the 0 sentinel.
 Scale shape: each round is one per-document ``lead(r, h)`` window (the
 shifted rank — positions are contiguous from posexplode, so the lead
 replaces what used to be a (doc_id, pos + h) self-join at one doc-keyed
-exchange instead of two) plus ONE dense-rank assignment.
-Dense rank is the classic global-funnel trap: a bare
-``dense_rank() over (order by ...)`` is Exchange SinglePartition. The
-``mode`` switch reuses the repo's gapless-id machinery (operators/
-ids.py): rank the DISTINCT key frame (which shrinks every round) with
-the two-pass range-partition scheme and join back — no single-partition
-stage anywhere in 'distributed' mode; 'window' mode is the small-input
-/gate form. Early exit when all ranks are unique (a one-scalar count —
-a bounded control decision like the k-means shift probe).
+exchange instead of two) plus a rank assignment. Two round flavors:
+
+- COMBINE round: ``r := struct(r1, r2)`` in-row. Prefix doubling never
+  needs DENSE ranks mid-ladder — any rank where equality ⟺ key
+  equality and order is preserved works, and the lexicographic struct
+  of two dense ranks is exactly that. A combine round therefore costs
+  ONE doc-keyed window exchange and nothing else.
+- DENSIFY round: dense rank of the (r1, r2) key, compressing the pair
+  back to one long so key width stays bounded (two combine rounds in a
+  row would square it). Dense rank is the classic global-funnel trap: a
+  bare ``dense_rank() over (order by ...)`` is Exchange SinglePartition;
+  the ``mode`` switch reuses the repo's gapless-id machinery
+  (operators/ids.py): rank the DISTINCT key frame with the two-pass
+  range-partition scheme and join back — no single-partition stage
+  anywhere in 'distributed' mode; 'window' mode is the small-input/gate
+  form.
+
+Rounds strictly alternate combine/densify, which halves the expensive
+densify machinery (distinct + range shuffle + count job + two join-back
+exchanges per round, vs one window exchange). The LAST round densifies
+only when the caller consumes rank VALUES (``final_dense``):
+suffix_ranks returns them and longest_repeated_run walks rank
+adjacency; the window-key/dup-profile consumers compare ranks for
+EQUALITY only and skip even the final densify.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from audit_star_spark.analytics.text import TOKENS_EXPR
 from audit_star_spark.operators.ids import gapless_ids
@@ -52,39 +68,103 @@ def _dense_ranks(df: DataFrame, key_cols: list[str], mode: str) -> DataFrame:
     return df.join(ranked, key_cols)
 
 
+def _is_pair_rank(df: DataFrame) -> bool:
+    """True when ``r`` holds a combine-round pair struct (vs a dense
+    long)."""
+    return isinstance(df.schema["r"].dataType, StructType)
+
+
+def _pair_sentinel() -> F.Column:
+    """The past-doc-end rank for pair-struct rounds: struct(0, 0) sorts
+    below every real pair (dense ranks start at 1, so real pairs have
+    a >= 1) and equals nothing real — the same shorter-suffix-is-
+    smaller convention as the long 0 sentinel."""
+    return F.struct(
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+    )
+
+
+def _rank_lit(value) -> F.Column:
+    """A literal column equal to a collected rank value — a plain long
+    for densify rounds, a struct(a, b) Row for combine rounds (pyspark
+    has no F.lit for Rows)."""
+    if isinstance(value, (int, float)):
+        return F.lit(value)
+    return F.struct(
+        F.lit(value[0]).cast("long").alias("a"),
+        F.lit(value[1]).cast("long").alias("b"),
+    )
+
+
 def _shift_pair(cur: DataFrame, h: int) -> DataFrame:
     """(doc_id, pos, r1, r2) from a rank frame (doc_id, pos, r): r1 =
     this suffix's rank, r2 = the rank ``h`` positions later in the SAME
-    document (0 past the doc end — the shorter-is-smaller sentinel).
+    document (the sentinel past the doc end — shorter-is-smaller).
 
-    ``lead(r, h, 0)`` over the per-document position order replaces the
+    ``lead(r, h)`` over the per-document position order replaces the
     earlier (doc_id, pos + h) self-join: positions are contiguous
     0..len-1 from posexplode, so the lead IS the shifted rank — one
     doc-keyed exchange + local sort instead of shuffling BOTH join
     sides by (doc_id, pos). Documents are bounded (KBs–MBs of text),
     so the per-doc window groups cannot skew a task at any corpus
     size."""
+    sentinel = (
+        _pair_sentinel() if _is_pair_rank(cur) else F.lit(0).cast("long")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     return cur.select(
         "doc_id",
         "pos",
         F.col("r").alias("r1"),
-        F.lead("r", h, 0).over(w).alias("r2"),
+        F.coalesce(F.lead("r", h).over(w), sentinel).alias("r2"),
     )
 
 
-def _rank_round(cur: DataFrame, h: int, mode: str) -> DataFrame:
-    """One doubling round: rank(2h) = dense rank of (rank_h(pos),
-    rank_h(pos + h)). The shifted pair frame is materialized FIRST so
-    the three downstream passes that need it (the range-partitioner
-    sample inside gapless_ids, the distinct-key fill, the join-back)
-    read checkpointed blocks instead of re-executing the shift — the
+def _rank_round(cur: DataFrame, h: int, mode: str, densify: bool) -> DataFrame:
+    """One doubling round: rank(2h) from (rank_h(pos), rank_h(pos + h)).
+
+    ``densify=False`` (combine): the new rank IS the pair, as a struct
+    — order-preserving (lexicographic struct compare is pair order) and
+    equality ⟺ key equality, which is all the doubling invariant needs.
+    One window exchange, one materialization, nothing else.
+
+    ``densify=True``: dense rank of the pair via the mode-switched
+    gapless-id machinery, compressing the key back to one long. The
+    shifted pair frame is materialized FIRST so the three downstream
+    passes that need it (the range-partitioner sample inside
+    gapless_ids, the distinct-key fill, the join-back) read
+    checkpointed blocks instead of re-executing the shift — the
     un-materialized form re-ran the shift join 3x per round (measured
     ~2x the round wall at sf0.1)."""
+    if not densify:
+        return iter_materialize(
+            _shift_pair(cur, h).select(
+                "doc_id",
+                "pos",
+                F.struct(
+                    F.col("r1").alias("a"), F.col("r2").alias("b")
+                ).alias("r"),
+            )
+        )
     keyed = iter_materialize(_shift_pair(cur, h))
     return iter_materialize(
-        _dense_ranks(keyed, ["r1", "r2"], mode).select("doc_id", "pos", "r")
+        _dense_ranks(keyed, ["r1", "r2"], mode).select(
+            "doc_id", "pos", F.col("r").cast("long").alias("r")
+        )
     )
+
+
+def _round_plan(n_rounds: int, final_dense: bool) -> list[bool]:
+    """densify flags per round: strict alternation (two combine rounds
+    in a row would square the key width), anchored at the LAST round —
+    dense when the caller reads rank values, combine when only rank
+    equality is consumed."""
+    plan = []
+    dense = final_dense
+    for _ in range(n_rounds):
+        plan.append(dense)
+        dense = not dense
+    return list(reversed(plan))
 
 
 def _suffix_rank_history(
@@ -92,6 +172,7 @@ def _suffix_rank_history(
     tokens_expr: str = TOKENS_EXPR,
     mode: str = "window",
     max_h: int | None = None,
+    final_dense: bool = True,
 ) -> list[tuple[int, DataFrame]]:
     """The full doubling ladder: [(h, rank_h frame)] for h = 1, 2, 4,
     ..., 2^ceil(log2(longest document)) — rank_h orders suffixes by
@@ -103,25 +184,35 @@ def _suffix_rank_history(
     total, zero token arrays. ``max_h`` stops the ladder once rank_h
     for that span is built (a consumer that only needs prefix-equality
     at one fixed span — suffix_window_keys — pays only
-    log2(max_h) rounds, not log2(longest document))."""
+    log2(max_h) rounds, not log2(longest document)). ``final_dense``
+    as in _round_plan: callers that only compare ranks for equality
+    skip even the last densify."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
-    suf = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    # materialize the exploded token stream ONCE: the max-length probe
+    # and the round-0 ranking otherwise each re-run the tokenize +
+    # posexplode scan of the raw corpus
+    suf = iter_materialize(
+        toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     )
-    max_len = toks.agg(F.max(F.size("toks"))).collect()[0][0] or 0
+    max_len = suf.agg(F.max("pos")).collect()[0][0]
+    max_len = 0 if max_len is None else max_len + 1
     if max_len == 0:
         raise ValueError("empty corpus: no tokens to rank")
     cur = iter_materialize(
-        _dense_ranks(suf, ["tok"], mode).select("doc_id", "pos", "r")
+        _dense_ranks(suf, ["tok"], mode).select(
+            "doc_id", "pos", F.col("r").cast("long").alias("r")
+        )
     )
     history = [(1, cur)]
     # no per-round all-unique probe: identical suffixes (ubiquitous in
     # real corpora — any shared final token) keep ranks tied forever,
     # so the probe is a wasted job per round; the loop is bounded by
     # ceil(log2(longest document)) regardless
+    stop = max_len if max_h is None else min(max_len, max_h)
+    plan = _round_plan(max(0, (stop - 1).bit_length()), final_dense)
     h = 1
-    while h < max_len and (max_h is None or h < max_h):
-        cur = _rank_round(cur, h, mode)
+    for densify in plan:
+        cur = _rank_round(cur, h, mode, densify)
         h *= 2
         history.append((h, cur))
     return history
@@ -159,23 +250,30 @@ def suffix_window_keys(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     h = 1 << (k.bit_length() - 1)  # largest power of two <= k
-    toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
-    doc_len = toks.select("doc_id", F.size("toks").alias("__dl"))
-    history = _suffix_rank_history(docs, tokens_expr, mode, max_h=h)
+    # final_dense=False: window keys are compared for EQUALITY only
+    # (groupBy/join on (r1, r2)), so the last round skips the densify
+    history = _suffix_rank_history(
+        docs, tokens_expr, mode, max_h=h, final_dense=False
+    )
     rank_h = history[-1][1]
     # if every document is shorter than h (<= k), the ladder stops
     # early — but then no position passes the pos <= doc_len - k
-    # filter either, so the (then-meaningless) key is never emitted
-    r1 = rank_h.select("doc_id", "pos", F.col("r").alias("r1"))
-    r2 = rank_h.select(
-        "doc_id",
-        (F.col("pos") - (k - h)).alias("pos"),
-        F.col("r").alias("r2"),
-    )
+    # filter either, so the (then-meaningless) key is never emitted.
+    # r2 = rank_h at pos + (k - h): a lead over the SAME per-document
+    # window (positions are contiguous), and doc_len = max(pos) + 1
+    # over the same doc partition — one window exchange replaces the
+    # earlier shifted self-join plus a re-tokenizing doc-length join.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shifted = F.col("r") if k == h else F.lead("r", k - h).over(w)
     return (
-        r1.join(doc_len, "doc_id")
-        .filter(F.col("pos") <= F.col("__dl") - k)
-        .join(r2, ["doc_id", "pos"])
+        rank_h.select(
+            "doc_id",
+            "pos",
+            F.col("r").alias("r1"),
+            shifted.alias("r2"),
+            F.max("pos").over(Window.partitionBy("doc_id")).alias("__mx"),
+        )
+        .filter(F.col("pos") <= F.col("__mx") + 1 - k)
         .select("doc_id", "pos", "r1", "r2")
     )
 
@@ -198,14 +296,19 @@ def suffix_dup_profile(
     must coincide exactly (truncation keeps shorter-vs-longer suffixes
     distinct, exactly like the 0 sentinel)."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
-    suf = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    max_len = toks.agg(F.max(F.size("toks"))).collect()[0][0] or 0
+    suf = iter_materialize(
+        toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    )
+    max_len = suf.agg(F.max("pos")).collect()[0][0]
+    max_len = 0 if max_len is None else max_len + 1
     if max_len == 0:
         raise ValueError("empty corpus: no tokens to rank")
     out_rows = []
     spark = docs.sparkSession
     cur = iter_materialize(
-        _dense_ranks(suf, ["tok"], mode).select("doc_id", "pos", "r")
+        _dense_ranks(suf, ["tok"], mode).select(
+            "doc_id", "pos", F.col("r").cast("long").alias("r")
+        )
     )
 
     def profile(h: int, frame: DataFrame) -> None:
@@ -221,8 +324,14 @@ def suffix_dup_profile(
     profile(1, cur)
     h = 1
     limit = max_h or max_len
-    while h < limit and out_rows[-1][1] > 0:
-        cur = _rank_round(cur, h, mode)
+    # ranks here are consumed for EQUALITY only (the per-round groupBy),
+    # so no round needs to densify for correctness; alternation still
+    # bounds key width
+    plan = _round_plan(max(0, (limit - 1).bit_length()), False)
+    for densify in plan:
+        if out_rows[-1][1] == 0:
+            break
+        cur = _rank_round(cur, h, mode, densify)
         h *= 2
         profile(h, cur)
     # once no suffix shares its first-h tokens, larger spans cannot
@@ -275,9 +384,13 @@ def longest_repeated_run(
     compute was O(L * run_len) per document (quadratic for a
     pathological run_len ~ L/2 corpus)."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
-    doc_len = toks.select("doc_id", F.size("toks").alias("__dl"))
     history = _suffix_rank_history(docs, tokens_expr, mode)
     _hf, final = history[-1]
+    # doc lengths from the materialized rank frame (max pos + 1 per doc,
+    # map-side partial agg) — not from a second tokenize scan of docs
+    doc_len = iter_materialize(
+        final.groupBy("doc_id").agg((F.max("pos") + 1).alias("__dl"))
+    )
     # one representative per final rank (identical suffixes: any member
     # is exact) + the group size for the within-rank branch
     rep = (
@@ -295,7 +408,7 @@ def longest_repeated_run(
     )
     rep = iter_materialize(rep)
     # within-rank duplicates: the whole suffix repeats
-    within = (
+    within = iter_materialize(
         rep.filter(F.col("grp") > 1)
         .join(doc_len, "doc_id")
         .select(
@@ -325,8 +438,26 @@ def longest_repeated_run(
     # can never match and is always skipped. Exactness is preserved:
     # the remaining powers sum to h_top - 1 >= max_len - 1 >= any LCP
     # of two distinct suffixes.
+    #
+    # BRANCH AND BOUND: before round h a pair can still add at most
+    # 2h - 1 to its lcp (h + h/2 + ... + 1), so any pair with
+    # lcp + 2h - 1 < bound — the best run length seen so far, seeded by
+    # the within-rank branch and raised by each round's max pair lcp —
+    # can neither win nor tie and is dropped (the max-length tie-break
+    # set is intact: a pair able to EQUAL the bound satisfies the
+    # filter). One bounded scalar collect per round buys descent frames
+    # that collapse to the contenders after the first matching round;
+    # once the live set fits a broadcast, the rank lookups flip from
+    # two full sort-merge shuffles of rank_h to broadcast hash probes
+    # that only STREAM the materialized rank blocks.
+    bound = within.agg(F.max("run_len")).collect()[0][0] or 0
+    n_live = rep.count() - 1  # adjacent pairs = ranks with a successor
     descent = list(reversed(history))[1:]
     for h, rank_h in descent:
+        live = pairs.filter(F.col("lcp") + (2 * h - 1) >= F.lit(bound))
+        if n_live == 0:
+            pairs = live
+            break
         ra = rank_h.select(
             F.col("doc_id").alias("d1"),
             F.col("pos").alias("a"),
@@ -337,18 +468,33 @@ def longest_repeated_run(
             F.col("pos").alias("b"),
             F.col("r").alias("__rb"),
         )
-        match = (
-            F.col("__ra").isNotNull()
-            & F.col("__rb").isNotNull()
-            & (F.col("__ra") == F.col("__rb"))
-        )
+        if n_live <= 200_000:
+            # bounded live set: find the matched pairs with two inner
+            # joins that broadcast the SMALL side, then flag-join them
+            # back (also broadcast) — rank_h is never exchanged
+            hit = (
+                F.broadcast(live.select("d1", "a", "d2", "b"))
+                .join(ra, ["d1", "a"])
+                .join(rb, ["d2", "b"])
+                .filter(F.col("__ra") == F.col("__rb"))
+                .select("d1", "a", "d2", "b", F.lit(1).alias("__m"))
+            )
+            match = F.col("__m").isNotNull()
+            joined = live.join(F.broadcast(hit), ["d1", "a", "d2", "b"], "left")
+        else:
+            match = (
+                F.col("__ra").isNotNull()
+                & F.col("__rb").isNotNull()
+                & (F.col("__ra") == F.col("__rb"))
+            )
+            joined = live.join(ra, ["d1", "a"], "left").join(
+                rb, ["d2", "b"], "left"
+            )
         # truncate EVERY round (forked-DAG rule): a two-round lineage
         # was measured 2-4x slower at sf0.1 — the joined rank tables
         # re-enter planning each round and the deferred plan replays
         pairs = iter_materialize(
-            pairs.join(ra, ["d1", "a"], "left")
-            .join(rb, ["d2", "b"], "left")
-            .select(
+            joined.select(
                 "d1",
                 "p1",
                 "d2",
@@ -360,6 +506,10 @@ def longest_repeated_run(
                 .alias("lcp"),
             )
         )
+        stat = pairs.agg(
+            F.count("*").alias("n"), F.max("lcp").alias("m")
+        ).collect()[0]
+        n_live, bound = int(stat["n"]), max(bound, int(stat["m"] or 0))
     adjacent = pairs.filter(F.col("lcp") > 0).select(
         F.col("lcp").cast("int").alias("run_len"),
         F.col("d1").alias("doc_id"),
@@ -400,11 +550,15 @@ def longest_repeated_run(
             (F.col("doc_id") == wd) & F.col("pos").isin(wp, wp + d)
         ).collect()
     }  # bounded: at most 2 rows
-    m1 = rank_h.filter(F.col("r") == wr[wp]).select("doc_id", "pos")
+    # _rank_lit: the collected winner rank is a long on densify rounds
+    # and a struct Row on combine rounds
+    m1 = rank_h.filter(F.col("r") == _rank_lit(wr[wp])).select(
+        "doc_id", "pos"
+    )
     if d == 0:
         n = m1.count()
     else:
-        m2 = rank_h.filter(F.col("r") == wr[wp + d]).select(
+        m2 = rank_h.filter(F.col("r") == _rank_lit(wr[wp + d])).select(
             "doc_id", (F.col("pos") - d).alias("pos")
         )
         n = m1.join(m2, ["doc_id", "pos"]).count()
