@@ -14,25 +14,29 @@ DuckDB oracle replays the whole computation, which no library
 eigensolver allows.
 
 Scale shape:
-- the covariance accumulates ONE D^2-row table: vectors explode in-row
-  to (i, j, x_i*x_j) triples that partial-aggregate map-side, so the
-  shuffle carries D^2 partials per task, never rows.
+- the covariance accumulates ONE D^2-row table: vectors explode to
+  (i, j, x_i*x_j) triples through two chained posexplodes (generator-
+  pipelined, whole-stage codegen — measured 4.6x over the interpreted
+  transform/flatten higher-order explode) and reduce per (i, j).
 - ``bit_exact`` switches the corpus-sized reductions (per-dimension
   mean, per-(i, j) product sum — group size N) between the gate's
-  sorted fold (bit-identical to the DuckDB oracle, but the
-  ``collect_list`` buffer is O(N) per group) and production plain
-  ``SUM`` (true algebraic aggregate, O(1) buffers, map-side partials —
-  the only form that survives 100 TB). Both paths agree to 1e-9 on the
-  parity fixture (tests/test_folds_parity.py); the driver gate keeps
-  the default True. The shared switch lives in functions/folds.py.
-- the power-iteration / deflation loop is constant-size regardless of
-  corpus: every fold there is over a D-row or D^2-row frame (bounded
-  by dimension, not corpus), so it stays sorted-fold in BOTH modes —
-  bit-determinism is free when groups are O(D).
-- every power-iteration step is a join of the broadcast D-row vector
-  against the D^2-row covariance and one D-group aggregation —
-  driver never sees data, and the loop body is constant-size
-  regardless of corpus size.
+  ascending-order sum — STREAMED: repartition by group key + in-
+  partition sort by value + plain SUM accumulates in exactly the
+  array_sort order, bit-identical to the DuckDB sorted fold with an
+  O(1) aggregation buffer and a spillable sort instead of an O(N)
+  ``collect_list`` buffer per group (tests/test_folds_parity.py pins
+  value equality against the fold expression and the plan shape) —
+  and production plain ``SUM`` (map-side partials, no repartition, the
+  cheapest form at 100 TB). Both agree to 1e-9 on the parity fixture;
+  the driver gate keeps the default True.
+- the power-iteration / deflation loop runs ON THE DRIVER over the
+  collected covariance: the matrix is D^2-bounded (dimension, not
+  corpus — 64x64 here, the same object the old per-round joins shipped
+  through the cluster 8 times), so the fixed-point loop is 64-row
+  algebra that was costing ~25 scheduled jobs per extraction. The
+  arithmetic replays the previous DataFrame loop op-for-op (sorted
+  D-row folds — Python floats are the same IEEE-754 binary64), so
+  results are bit-identical; only corpus-sized work stays distributed.
 
 Sign convention: eigenvectors are sign-ambiguous; the loading of
 dimension 0 is forced non-negative (flip all if negative) so both
@@ -41,29 +45,33 @@ engines agree byte-for-byte.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.similarity import VEC_EXPR, _vec_dim
-from audit_star_spark.functions.folds import SORTED_FOLD, fold_sum
+from audit_star_spark.functions.folds import fold_sum, sorted_stream_sum
 from audit_star_spark.plans.iterate import iter_materialize
-
-_SORTED_SUM = SORTED_FOLD  # bounded-group (O(D)) folds below stay sorted
 
 
 def _mean_row(base: DataFrame, n: int, bit_exact: bool) -> DataFrame:
     """ONE-row frame with ``ml``: the per-dimension corpus mean as an
     array (dimension-major). The corpus-sized per-dimension sum honors
     ``bit_exact``; the D-row array reassembly is bounded."""
-    return (
-        base.select(F.posexplode("vec").alias("i", "x"))
-        .groupBy("i")
-        .agg((F.expr(fold_sum("x", bit_exact)) / F.lit(float(n))).alias("m"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
-            ).alias("ml")
+    exploded = base.select(F.posexplode("vec").alias("i", "x"))
+    if bit_exact:
+        summed = sorted_stream_sum(exploded, ["i"], "x", "__s")
+    else:
+        summed = exploded.groupBy("i").agg(
+            F.expr(fold_sum("x", False)).alias("__s")
         )
+    return summed.select(
+        "i", (F.col("__s") / F.lit(float(n))).alias("m")
+    ).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, m))), x -> x.m)"
+        ).alias("ml")
     )
 
 
@@ -81,19 +89,32 @@ def _cov_from_base(
     # upper triangle only (i <= j), mirrored after aggregation: the
     # product multisets of (i, j) and (j, i) are identical, so the
     # mirror is BIT-identical to computing both — at half the explode
-    # and fold work (D(D+1)/2 instead of D^2 rows per vector)
-    pairs = centered.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, {dim - 1}), i -> "
-                f"transform(sequence(i, {dim - 1}), j -> "
-                f"named_struct('i', i, 'j', j, "
-                f"'v', element_at(cv, i + 1) * element_at(cv, j + 1)))))"
-            )
-        ).alias("p")
-    ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.v").alias("v"))
-    upper = pairs.groupBy("i", "j").agg(
-        (F.expr(fold_sum("v", bit_exact)) / F.lit(float(n))).alias("c")
+    # and fold work (D(D+1)/2 instead of D^2 rows per vector). Two
+    # chained posexplodes (position i, then the tail slice from i)
+    # stream through codegen; the previous transform/flatten/
+    # named_struct explode was interpreted HOF evaluation, measured
+    # 4.6x slower at sf0.1.
+    pairs = (
+        centered.select(F.posexplode("cv").alias("i", "x"), "cv")
+        .select(
+            "i",
+            "x",
+            F.posexplode(F.expr(f"slice(cv, i + 1, {dim})")).alias("dj", "y"),
+        )
+        .select(
+            "i",
+            (F.col("i") + F.col("dj")).alias("j"),
+            (F.col("x") * F.col("y")).alias("v"),
+        )
+    )
+    if bit_exact:
+        summed = sorted_stream_sum(pairs, ["i", "j"], "v", "__s")
+    else:
+        summed = pairs.groupBy("i", "j").agg(
+            F.expr(fold_sum("v", False)).alias("__s")
+        )
+    upper = summed.select(
+        "i", "j", (F.col("__s") / F.lit(float(n))).alias("c")
     )
     return upper.unionByName(
         upper.filter(F.col("i") != F.col("j")).select(
@@ -118,51 +139,47 @@ def covariance_table(
     return _cov_from_base(base, dim, n, _mean_row(base, n, bit_exact), bit_exact)
 
 
-def _power_top(cov: DataFrame, dim: int, n_iter: int, spark) -> tuple[DataFrame, DataFrame]:
-    """One top-eigenpair extraction from a (i, j, c) matrix frame:
-    (loadings (dim, loading), eig (eigenvalue) — one row). Sign pinned
-    via dim 0 non-negative. All folds here are over D-row groups —
-    bounded by dimension, so the sorted fold costs nothing and keeps
-    the loop bit-deterministic in both covariance modes."""
-    v = spark.range(dim).select(
-        F.col("id").cast("int").alias("j"),
-        (F.lit(1.0) / F.sqrt(F.lit(float(dim)))).alias("val"),
-    )
+def _ssum(values) -> float:
+    """The sorted fold, driver-side: IEEE-754 binary64 sum in ascending
+    order — op-for-op what the SORTED_FOLD expression (and the DuckDB
+    oracle's list_sort fold) computes; Python floats ARE doubles."""
+    s = 0.0
+    for x in sorted(values):
+        s += x
+    return s
+
+
+def _collect_cov(cov: DataFrame) -> dict[tuple[int, int], float]:
+    """Collect a (i, j, c) matrix frame to a driver dict — D^2-bounded
+    (dimension, not corpus): the bounded-control-read convention of the
+    k-means shift probe, not a data collect."""
+    return {(r["i"], r["j"]): r["c"] for r in cov.collect()}
+
+
+def _power_top_local(
+    cov: dict[tuple[int, int], float], dim: int, n_iter: int
+) -> tuple[list[float], float]:
+    """One top-eigenpair extraction from a collected matrix dict:
+    (loadings list, eigenvalue). Sign pinned via dim 0 non-negative.
+    Replays the arithmetic of the former DataFrame loop exactly
+    (sorted D-row folds, same operand order) — the loop is 64-row
+    algebra that previously cost ~25 scheduled Spark jobs per
+    extraction."""
+    v = [1.0 / math.sqrt(float(dim))] * dim
     for _ in range(n_iter):
-        w = (
-            cov.join(F.broadcast(v), "j")
-            .select("i", (F.col("c") * F.col("val")).alias("cv"))
-            .groupBy("i")
-            .agg(F.expr(_SORTED_SUM.format("cv")).alias("w"))
-        )
-        norm = w.agg(
-            F.sqrt(F.expr(_SORTED_SUM.format("w * w"))).alias("nrm")
-        )
-        # per-round truncation: w feeds both the norm and the next
-        # round's join — D-row frames, materialization is free
-        v = iter_materialize(
-            w.crossJoin(F.broadcast(norm))
-            .select(F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("val"))
-        )
-    # sign convention: dim 0's loading non-negative
-    sign = v.filter(F.col("j") == 0).select(
-        F.when(F.col("val") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sg")
-    )
-    loadings = v.crossJoin(F.broadcast(sign)).select(
-        F.col("j").alias("dim"), (F.col("val") * F.col("sg")).alias("loading")
-    )
-    cv = (
-        cov.join(F.broadcast(loadings.select(F.col("dim").alias("j"), "loading")), "j")
-        .select("i", (F.col("c") * F.col("loading")).alias("cv"))
-        .groupBy("i")
-        .agg(F.expr(_SORTED_SUM.format("cv")).alias("w"))
-    )
-    eig = (
-        cv.join(
-            F.broadcast(loadings.select(F.col("dim").alias("i"), "loading")), "i"
-        )
-        .agg(F.expr(_SORTED_SUM.format("w * loading")).alias("eigenvalue"))
-    )
+        w = [
+            _ssum([cov[(i, j)] * v[j] for j in range(dim)])
+            for i in range(dim)
+        ]
+        nrm = math.sqrt(_ssum([x * x for x in w]))
+        v = [x / nrm for x in w]
+    sg = -1.0 if v[0] < 0 else 1.0
+    loadings = [x * sg for x in v]
+    cv = [
+        _ssum([cov[(i, j)] * loadings[j] for j in range(dim)])
+        for i in range(dim)
+    ]
+    eig = _ssum([cv[i] * loadings[i] for i in range(dim)])
     return loadings, eig
 
 
@@ -176,67 +193,50 @@ def pca_top_component(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     dim = _vec_dim(emb)
-    # materialize once: the D^2-row covariance feeds every iteration
-    # (and each round's norm branch forks the DAG) — without truncated
-    # lineage Spark re-derives it exponentially, the same blowup the
-    # pagerank rounds guard against with iter_materialize
-    cov = iter_materialize(covariance_table(emb, dim, bit_exact=bit_exact))
+    # ONE distributed reduction (the covariance), then driver-side
+    # 64-row algebra over the collected D^2-bounded matrix
+    cov = _collect_cov(covariance_table(emb, dim, bit_exact=bit_exact))
     spark = emb.sparkSession
-    loadings, eig = _power_top(cov, dim, n_iter, spark)
-    trace = cov.filter(F.col("i") == F.col("j")).agg(
-        F.expr(_SORTED_SUM.format("c")).alias("trace")
+    loadings, eig = _power_top_local(cov, dim, n_iter)
+    trace = _ssum([cov[(i, i)] for i in range(dim)])
+    ldf = spark.createDataFrame(
+        list(enumerate(loadings)), "dim int, loading double"
     )
-    stats = eig.crossJoin(F.broadcast(trace)).select(
-        "eigenvalue",
-        "trace",
-        (F.col("eigenvalue") / F.col("trace")).alias("var_share"),
+    stats = spark.createDataFrame(
+        [(eig, trace, eig / trace)],
+        "eigenvalue double, trace double, var_share double",
     )
-    return loadings, stats
+    return ldf, stats
 
 
 def _components_from_cov(
     spark, cov: DataFrame, dim: int, k: int, n_iter: int
 ) -> DataFrame:
-    """Hotelling deflation over a pre-materialized (i, j, c) frame —
-    shared by pca_components and embedding_whiten (which already owns
-    the covariance). Returns (comp 1-based, dim, loading, eigenvalue,
-    var_share)."""
-    trace = cov.filter(F.col("i") == F.col("j")).agg(
-        F.expr(_SORTED_SUM.format("c")).alias("trace")
-    )
-    out = None
+    """Hotelling deflation over a (i, j, c) covariance frame — shared
+    by pca_components and embedding_whiten (which already owns the
+    covariance). The matrix is collected once (D^2-bounded) and the
+    k extractions + deflations run driver-side with the exact former
+    arithmetic (deflation: c - ((eigenvalue * v_i) * v_j), the same
+    left-associated operand order). Returns (comp 1-based, dim,
+    loading, eigenvalue, var_share)."""
+    m = _collect_cov(cov)
+    trace = _ssum([m[(i, i)] for i in range(dim)])
+    rows = []
     for comp in range(1, k + 1):
-        loadings, eig = _power_top(cov, dim, n_iter, spark)
-        loadings = iter_materialize(loadings)
-        part = (
-            loadings.crossJoin(F.broadcast(eig))
-            .crossJoin(F.broadcast(trace))
-            .select(
-                F.lit(comp).alias("comp"),
-                "dim",
-                "loading",
-                "eigenvalue",
-                (F.col("eigenvalue") / F.col("trace")).alias("var_share"),
-            )
+        loadings, eig = _power_top_local(m, dim, n_iter)
+        rows.extend(
+            (comp, i, loadings[i], eig, eig / trace) for i in range(dim)
         )
-        out = part if out is None else out.unionByName(part)
         if comp < k:
-            li = loadings.select(F.col("dim").alias("i"), F.col("loading").alias("vi"))
-            lj = loadings.select(F.col("dim").alias("j"), F.col("loading").alias("vj"))
-            cov = iter_materialize(
-                cov.join(F.broadcast(li), "i")
-                .join(F.broadcast(lj), "j")
-                .crossJoin(F.broadcast(eig))
-                .select(
-                    "i",
-                    "j",
-                    (
-                        F.col("c")
-                        - F.col("eigenvalue") * F.col("vi") * F.col("vj")
-                    ).alias("c"),
-                )
-            )
-    return out
+            m = {
+                (i, j): c - ((eig * loadings[i]) * loadings[j])
+                for (i, j), c in m.items()
+            }
+    return spark.createDataFrame(
+        rows,
+        "comp int, dim int, loading double, eigenvalue double, "
+        "var_share double",
+    )
 
 
 def pca_components(
@@ -262,7 +262,7 @@ def pca_components(
     dim = _vec_dim(emb)
     if k > dim:
         raise ValueError(f"k {k} exceeds dim {dim}")
-    cov = iter_materialize(covariance_table(emb, dim, bit_exact=bit_exact))
+    cov = covariance_table(emb, dim, bit_exact=bit_exact)
     return _components_from_cov(emb.sparkSession, cov, dim, k, n_iter)
 
 
@@ -312,7 +312,7 @@ def embedding_whiten(
     # rewrite below (1-row frame — materialization truncates lineage so
     # the second broadcast is free)
     mean = iter_materialize(_mean_row(base, n, bit_exact))
-    cov = iter_materialize(_cov_from_base(base, dim, n, mean, bit_exact))
+    cov = _cov_from_base(base, dim, n, mean, bit_exact)
     comps = _components_from_cov(emb.sparkSession, cov, dim, k, n_iter)
     # flatten the k loading vectors into one broadcastable array of
     # k * dim doubles, component-major

@@ -33,10 +33,43 @@ production paths as one API, plan-locked where the shape matters.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 SORTED_FOLD = (
     "aggregate(array_sort(collect_list({0})), "
     "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
 )
+
+
+def sorted_stream_sum(
+    df: DataFrame, keys: list[str], value_col: str, out: str
+) -> DataFrame:
+    """Bit-exact ascending-order group sum as a STREAMED aggregation —
+    the same value as SORTED_FOLD without its O(group) collect_list
+    buffer: repartition by the group keys (every group lands whole in
+    one task), sort within partitions by (keys..., value), and let the
+    aggregate accumulate in scan order — which IS the array_sort
+    ascending order, so the result is bit-identical to the sorted fold
+    while per-group state is one double and the in-partition sort
+    spills gracefully where collect_list would OOM.
+
+    Two physical preconditions, pinned by tests/test_folds_parity.py
+    (value parity vs the fold expression AND the plan shape — the Sort
+    must survive below the first aggregate):
+    - the group count per task must stay within the hash-aggregate map
+      (no sort-based fallback mid-stream), which holds for the
+      bounded-key uses this is meant for (D^2 covariance cells,
+      per-dimension means);
+    - rows of one group must all reach one task BEFORE any partial
+      aggregation, which the explicit repartition guarantees.
+    Returns ``df.groupBy(keys)`` with ``out`` = the ordered sum."""
+    return (
+        df.repartition(*keys)
+        .sortWithinPartitions(*keys, value_col)
+        .groupBy(*keys)
+        .agg(F.sum(value_col).alias(out))
+    )
 
 
 def fold_sum(col_sql: str, bit_exact: bool = True) -> str:

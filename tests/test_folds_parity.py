@@ -175,8 +175,10 @@ def test_production_covariance_plan_shape(emb):
     per-(i, j) product sum) run as plain sum with a MAP-SIDE partial
     (partial_sum before the exchange), and the only collect_list left
     is the bounded global D-row array reassembly (keys=[]) — never a
-    keyed, corpus-sized buffer. The gate plan (by construction) DOES
-    carry a keyed collect_list."""
+    keyed, corpus-sized buffer. The gate plan no longer buffers either:
+    its corpus-keyed sums run STREAMED (sorted_stream_sum — repartition
+    by key + in-partition ascending sort + plain sum), so the only
+    collect_list in EITHER plan is the bounded global reassembly."""
     from audit_star_spark.analytics.pca import covariance_table
 
     prod = covariance_table(emb, bit_exact=False)
@@ -187,7 +189,53 @@ def test_production_covariance_plan_shape(emb):
             assert "keys=[]" in line, line  # bounded global reassembly only
     gate = covariance_table(emb, bit_exact=True)
     gplan = gate._jdf.queryExecution().executedPlan().toString()
-    assert any(
-        "collect_list" in line and "keys=[]" not in line
-        for line in gplan.splitlines()
+    for line in gplan.splitlines():
+        if "collect_list" in line:
+            assert "keys=[]" in line, line  # bounded global reassembly only
+    # the streamed gate sum is only bit-exact if the in-partition Sort
+    # SURVIVES below the aggregate (Spark's EliminateSorts keeps sorts
+    # under order-RELEVANT aggs — Sum over DoubleType qualifies; this
+    # pin catches any future rule change)
+    assert "Sort" in gplan, gplan
+
+
+def test_sorted_stream_sum_bit_parity(spark):
+    """sorted_stream_sum must equal the SORTED_FOLD expression
+    BIT-FOR-BIT (== on doubles, not approx): same ascending-order
+    accumulation, different physical shape (streamed sum + spillable
+    sort instead of an O(group) collect_list buffer)."""
+    import random
+
+    from audit_star_spark.functions.folds import (
+        SORTED_FOLD,
+        sorted_stream_sum,
     )
+
+    rng = random.Random(14)
+    rows = [
+        (k, rng.uniform(-1e6, 1e6) * (10.0 ** rng.randint(-9, 9)))
+        for k in range(37)
+        for _ in range(rng.randint(1, 200))
+    ]
+    df = spark.createDataFrame(rows, "k int, v double").repartition(13)
+    got = {
+        r["k"]: r["s"]
+        for r in sorted_stream_sum(df, ["k"], "v", "s").collect()
+    }
+    want = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k")
+        .agg(F.expr(SORTED_FOLD.format("v")).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # bitwise
+
+    plan = (
+        sorted_stream_sum(df, ["k"], "v", "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Sort" in plan and "collect_list" not in plan, plan
