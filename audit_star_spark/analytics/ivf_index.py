@@ -167,10 +167,12 @@ def build_ivf_index(
         "cnorm",
     )
     base = _prepared(emb).persist()
-    assigned = _assign_to_cells(base.select("vec_id", "vec", "norm"), saved)
-    # carry label for downstream consumers (semantic dedup groups on it)
-    assigned = assigned.join(
-        base.select("vec_id", "label"), "vec_id"
+    # label (for downstream consumers — semantic dedup groups on it)
+    # rides through the assignment's column passthrough: no corpus-side
+    # re-join on vec_id (the join was a second full exchange of the
+    # corpus that the old window shape happened to pre-partition for)
+    assigned = _assign_to_cells(
+        base.select("vec_id", "label", "vec", "norm"), saved
     ).select("vec_id", "label", "vec", "norm", "cell_id")
     (
         assigned.write.mode("overwrite")

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.similarity import VEC_EXPR, _vec_dim
 from audit_star_spark.functions.folds import fold_sum
+from audit_star_spark.plans.iterate import iter_materialize
 
 PQ_M_SUB = 4
 PQ_K = 16
@@ -71,21 +72,41 @@ _D2 = (
 )
 
 
+# in-row argmin over one subspace's packed codebook: score every codeword
+# once (transform), fold keeping the STRICTLY smaller distance — ties
+# keep the running best, and the array is cell_id-ascending, so equal
+# distances resolve to the smaller cell_id: exactly the (d2, cell_id)
+# row_number semantics this replaces. The squared-L2 arithmetic is the
+# _D2 expression verbatim, so distances are bit-identical.
+_BEST_CODE = (
+    "aggregate("
+    "transform(__cells, c -> named_struct("
+    "'s', aggregate(zip_with(svec, c.centroid, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (s, v) -> s + v), "
+    "'c', c.cell_id)), "
+    "named_struct('s', CAST('Infinity' AS DOUBLE), 'c', CAST(-1 AS BIGINT)), "
+    "(acc, x) -> CASE WHEN x.s < acc.s THEN x ELSE acc END).c"
+)
+
+
 def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     """Per (vec_id, sub_id): the L2-nearest codeword (ties to the
-    smaller cell_id). codebook = (sub_id, cell_id, centroid)."""
-    scored = sub.join(F.broadcast(codebook), "sub_id").select(
+    smaller cell_id), as ONE in-row argmin per subvector over that
+    subspace's broadcast cell_id-sorted codeword array — no explode
+    join, no per-(vec_id, sub_id) window, NO exchange of the corpus
+    side (the previous shape shuffled corpus x k scored rows through a
+    window sort just to pick each argmin).
+    codebook = (sub_id, cell_id, centroid)."""
+    packed = codebook.groupBy("sub_id").agg(
+        F.expr("array_sort(collect_list(struct(cell_id, centroid)))").alias(
+            "__cells"
+        )
+    )
+    return sub.join(F.broadcast(packed), "sub_id").select(
         "vec_id",
         "sub_id",
         "svec",
-        "cell_id",
-        F.expr(_D2.format(a="svec", b="centroid")).alias("d2"),
-    )
-    w = Window.partitionBy("vec_id", "sub_id").orderBy("d2", "cell_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "sub_id", "svec", "cell_id")
+        F.expr(_BEST_CODE).alias("cell_id"),
     )
 
 
@@ -113,7 +134,14 @@ def pq_train(
         "sub_id", F.col("vec_id").alias("cell_id"), F.col("svec").alias("centroid")
     )
     for _ in range(iters):
-        codebook = _lloyd_round(sub, codebook, bit_exact=bit_exact)
+        # materialize each round's BOUNDED codebook (m_sub x k rows):
+        # every downstream consumer (encode, ADC table, the next Lloyd
+        # round) otherwise re-plans AND re-executes the whole training
+        # subtree per reference — the opq_recall physical plan was 391k
+        # chars of duplicated training subtrees before this truncation
+        codebook = iter_materialize(
+            _lloyd_round(sub, codebook, bit_exact=bit_exact)
+        )
     return codebook
 
 
@@ -437,11 +465,17 @@ def opq_train(
     base = _base(emb)
     dim = _vec_dim(emb)
     cb0 = pq_train(emb, m_sub, k, iters=1, bit_exact=bit_exact)
-    rot = opq_rotation(base, cb0, dim, m_sub, bit_exact=bit_exact)
+    # rot (D/2 rows) feeds the corpus rotation AND the query rotation;
+    # cb1 (m_sub x k rows) feeds the encode AND the ADC table —
+    # materialize both bounded frames so neither consumer replays the
+    # reconstruction/Lloyd subtrees (plan truncation, same values)
+    rot = iter_materialize(
+        opq_rotation(base, cb0, dim, m_sub, bit_exact=bit_exact)
+    )
     rbase = opq_rotate(base, rot, dim)
     rsub = _subvecs(rbase, dim, m_sub)
     # re-encode vs cb0 + re-mean, one step
-    cb1 = _lloyd_round(rsub, cb0, bit_exact=bit_exact)
+    cb1 = iter_materialize(_lloyd_round(rsub, cb0, bit_exact=bit_exact))
     return rot, cb1
 
 

@@ -495,18 +495,50 @@ def semantic_dedup(
     )
 
 
-def _assign_to_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (small) centroid table,
-    per-row cosine argmax. cents = (cell_id, cvec, cnorm)."""
-    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
+def _packed_cells(cents: DataFrame, fields: str) -> DataFrame:
+    """ONE-row frame ``__cells``: the centroid table collapsed to a
+    cell_id-ASCENDING array of structs — the broadcastable form of the
+    whole (bounded) centroid set, so assignment can run as an in-row
+    fold instead of an explode join + per-vector window."""
+    return cents.agg(
+        F.expr(f"array_sort(collect_list(struct({fields})))").alias("__cells")
     )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "vec", "norm", "cell_id")
+
+
+# in-row argmax over the packed centroid array: score every cell once
+# (transform), then fold keeping the STRICTLY greater cosine — ties keep
+# the running best, and the array is cell_id-ascending, so equal cosines
+# resolve to the smaller cell_id: exactly the (ccos DESC, cell_id)
+# row_number semantics this replaces. The dot/divide arithmetic is the
+# _dot expression verbatim, so scores are bit-identical.
+_BEST_CELL = (
+    "aggregate("
+    "transform(__cells, c -> named_struct("
+    "'s', aggregate(zip_with(c.cvec, {vec}, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (s, v) -> s + v) / (c.cnorm * {norm}), "
+    "'c', c.cell_id)), "
+    "named_struct('s', CAST('-Infinity' AS DOUBLE), 'c', CAST(-1 AS BIGINT)), "
+    "(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).c"
+)
+
+
+def _assign_to_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as ONE in-row argmax per vector over
+    the broadcast cell_id-sorted centroid array — no explode join, no
+    per-vector window, NO exchange: the corpus keeps its input
+    partitioning and the only shuffled bytes are the bounded centroid
+    pack. (The previous shape broadcast-joined every vector against all
+    n_cells centroids and ran row_number over a per-vec_id window —
+    n_cells x the corpus bytes through an exchange + sort just to pick
+    each vector's argmax.) EVERY column of ``base`` passes through with
+    ``cell_id`` appended, so callers that need payload columns (label,
+    side) alongside the assignment carry them in-row instead of
+    re-joining the corpus on vec_id afterwards — the join was a second
+    full exchange of the big side. cents = (cell_id, cvec, cnorm)."""
+    packed = _packed_cells(cents, "cell_id, cvec, cnorm")
+    return base.crossJoin(F.broadcast(packed)).select(
+        *base.columns,
+        F.expr(_BEST_CELL.format(vec="vec", norm="norm")).alias("cell_id"),
     )
 
 
@@ -1149,9 +1181,9 @@ def cluster_balanced_sample(
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    assigned = _assign_to_cells(base, cents).join(
-        base.select("vec_id", "label"), "vec_id"
-    )
+    # label rides through the assignment (column passthrough) — no
+    # corpus-side re-join on vec_id
+    assigned = _assign_to_cells(base, cents)
     u = F.expr(
         f"(CAST(conv(substring(md5(CAST(vec_id AS STRING) || ':{salt}'), "
         "1, 15), 16, 10) AS BIGINT))"
@@ -1407,19 +1439,12 @@ def _centroid_frame(centroids: DataFrame) -> DataFrame:
 
 def _sided_assignment(base: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment carrying the bitext ``side`` flag:
-    broadcast centroids, per-row cosine argmax (ties on cell_id) — the
-    :func:`_assign_to_cells` shape with one extra carried column.
-    Shared by batch mining and the streaming assign-on-ingest store so
-    the two cannot drift."""
-    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id", "side", "vec", "norm", "cell_id", ccos.alias("ccos")
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "side", "vec", "norm", "cell_id")
+    the :func:`_assign_to_cells` in-row argmax (broadcast packed
+    centroids, no explode join, no window, no exchange) with one extra
+    carried column. Shared by batch mining and the streaming
+    assign-on-ingest store so the two cannot drift."""
+    return _assign_to_cells(
+        base.select("vec_id", "side", "vec", "norm"), cents
     )
 
 
