@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from audit_star_spark.analytics.text import TOKENS_EXPR
 from audit_star_spark.functions.folds import fold_sum
+from audit_star_spark.plans.iterate import iter_materialize
 
 
 def hashed_features(
@@ -152,6 +153,12 @@ def train_logreg(
                     ).alias("w"),
                 )
             )
+        # materialize the BOUNDED (<= n_features + 1 row) weight frame
+        # per step: the next step's score join, its gradient join and
+        # the final scoring all consume it, and without truncation each
+        # consumer re-plans and re-executes the whole GD chain (the
+        # pq_train codebook rationale, plans/iterate.py)
+        w = iter_materialize(w)
     return w
 
 
@@ -192,15 +199,24 @@ def quality_classifier_report(
     n_pred_positive (prob >= 0.5). The interesting signal is the model
     transferring the length gate onto token CONTENT — and the gate
     checks the training algebra end to end."""
-    labels = docs.select(
+    # tokenize ONCE (persisted): labels, the feature explode and the
+    # per-source report otherwise each re-run the regex tokenizer over
+    # the corpus (the lm._tokens_prepared rationale); the feature
+    # triples persist too — they feed every GD step's score and
+    # gradient joins plus the final scoring pass, and each consumer
+    # otherwise re-runs the explode + hash + normalize subtree
+    tl = docs.select(
+        "doc_id", "source", F.expr(tokens_expr).alias("__toks")
+    ).persist()
+    labels = tl.select(
         "doc_id",
-        (F.size(F.expr(tokens_expr)) >= min_tokens).cast("int").alias("label"),
+        (F.size(F.col("__toks")) >= min_tokens).cast("int").alias("label"),
     )
-    feats = hashed_features(docs, n_features, tokens_expr)
+    feats = hashed_features(tl, n_features, "__toks").persist()
     w = train_logreg(feats, labels, lr=lr, steps=steps, bit_exact=bit_exact)
     scored = score_docs(feats, w, bit_exact=bit_exact)
     return (
-        docs.select("doc_id", "source")
+        tl.select("doc_id", "source")
         .join(labels, "doc_id")
         .join(scored, "doc_id")
         .groupBy("source")

@@ -49,16 +49,44 @@ def _bigrams(docs: DataFrame, tokens_expr: str) -> DataFrame:
     )
 
 
+def _tokens_prepared(
+    docs: DataFrame, tokens_expr: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra, __toks) with the tokenizer evaluated ONCE and
+    the frame persisted: the LM operators each need several passes over
+    the token stream (n-gram counts, unigram counts, scoring), and
+    without materialization every pass re-runs the regex split over the
+    corpus — tokenization dominated the perplexity family's CPU (the
+    _trigrams docstring measured the quadratic variant of the same
+    trap). If ``tokens_expr`` already names a materialized ``__toks``
+    column (a caller that prepared the frame itself — the composition
+    paths), the input passes through untouched, so nesting never
+    double-caches. Persisted entries release on the session's next
+    clearCache like the KN type table (kn_tables_from_counts' lifetime
+    note)."""
+    if tokens_expr == "__toks" and "__toks" in docs.columns:
+        cols = ["doc_id", *extra, "__toks"]
+        return docs.select(*cols)
+    return docs.select(
+        "doc_id", *extra, F.expr(tokens_expr).alias("__toks")
+    ).persist()
+
+
 def train_bigram_lm(
     docs: DataFrame, tokens_expr: str = TOKENS_EXPR
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Count tables of the model: (bigram_counts(w1, w2, c2),
-    unigram_counts(w1, c1), vocab_stats(v) — one row, |vocab|)."""
+    unigram_counts(w1, c1), vocab_stats(v) — one row, |vocab|).
+
+    |vocab| is the ROW COUNT of the unigram table (the set of distinct
+    tokens IS its key set) — not a separate countDistinct pass over the
+    token stream, which re-scanned and re-tokenized the corpus for a
+    number the unigram aggregate already determines."""
     bg = _bigrams(docs, tokens_expr)
     bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     toks = docs.select(F.explode(F.expr(tokens_expr)).alias("w1"))
     unigram_counts = toks.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = toks.agg(F.countDistinct("w1").alias("v"))
+    vocab = unigram_counts.agg(F.count("*").alias("v"))
     return bigram_counts, unigram_counts, vocab
 
 
@@ -75,10 +103,17 @@ def doc_perplexity(
     """
     if add_k <= 0:
         raise ValueError(f"add_k must be positive, got {add_k}")
-    bigram_counts, unigram_counts, vocab = train_bigram_lm(
-        train_docs if train_docs is not None else docs, tokens_expr
-    )
-    bg = _bigrams(docs, tokens_expr)
+    # tokenize ONCE (persisted): self-trained scoring otherwise runs
+    # the regex tokenizer over the corpus once per consumer — bigram
+    # train, unigram train, scoring stream, the keep-every-doc join
+    if train_docs is None:
+        tl = _tokens_prepared(docs, tokens_expr)
+        score_tl = tl
+    else:
+        tl = _tokens_prepared(train_docs, tokens_expr)
+        score_tl = _tokens_prepared(docs, tokens_expr)
+    bigram_counts, unigram_counts, vocab = train_bigram_lm(tl, "__toks")
+    bg = _bigrams(score_tl, "__toks")
     prob = (
         bg.join(bigram_counts, ["w1", "w2"], "left")
         .join(unigram_counts, "w1", "left")
@@ -97,7 +132,7 @@ def doc_perplexity(
     )
     # left join back so token-poor documents keep a row (NULL scores)
     return (
-        docs.select("doc_id")
+        score_tl.select("doc_id")
         .join(scores, "doc_id", "left")
         .select(
             "doc_id",
@@ -290,10 +325,17 @@ def doc_perplexity_kn(
     honest cost of exact counts. The totals row broadcasts."""
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    model = train_kn_trigram_lm(
-        train_docs if train_docs is not None else docs, tokens_expr
-    )
-    return score_kn(docs, model, discount=discount, tokens_expr=tokens_expr)
+    # tokenize ONCE (persisted) — the trigram stream, the vocab scan
+    # and the scoring stream otherwise each re-run the regex tokenizer
+    # over the corpus (the _tokens_prepared note)
+    if train_docs is None:
+        tl = _tokens_prepared(docs, tokens_expr)
+        score_tl = tl
+    else:
+        tl = _tokens_prepared(train_docs, tokens_expr)
+        score_tl = _tokens_prepared(docs, tokens_expr)
+    model = train_kn_trigram_lm(tl, "__toks")
+    return score_kn(score_tl, model, discount=discount, tokens_expr="__toks")
 
 
 def score_kn(
@@ -472,9 +514,14 @@ def perplexity_binned_docs(
     scale discussion."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    p = doc_perplexity(docs, tokens_expr=tokens_expr)
+    # one persisted (doc_id, lang, __toks) frame feeds the LM passes
+    # AND the lang join below — without it the whole upstream (for
+    # ccnet_disposition: scan + langid + relabel join) re-ran once per
+    # consumer (measured as a ~129-Exchange physical plan)
+    tl = _tokens_prepared(docs, tokens_expr, extra=("lang",))
+    p = doc_perplexity(tl, tokens_expr="__toks")
     scored = (
-        docs.select("doc_id", "lang")
+        tl.select("doc_id", "lang")
         .join(p, "doc_id")
         .filter(F.col("avg_nll").isNotNull())
         .select(
@@ -560,8 +607,12 @@ def ccnet_disposition(
     composition adds only doc_id equi-joins."""
     from audit_star_spark.analytics.text import with_fingerprint, with_lang_id
 
-    lang = with_lang_id(docs).select("doc_id", "pred_lang")
-    fp = with_fingerprint(docs)
+    # both narrow per-doc stage outputs persist: the langid regex
+    # census feeds the relabel join AND the final verdict join, the
+    # fingerprint fold feeds the keep-first aggregate AND the dup join
+    # — one compute each instead of one per consumer
+    lang = with_lang_id(docs).select("doc_id", "pred_lang").persist()
+    fp = with_fingerprint(docs).select("doc_id", "fingerprint").persist()
     first = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("__keep"))
     dup = (
         fp.join(first, "fingerprint")
