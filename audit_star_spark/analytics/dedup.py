@@ -755,8 +755,16 @@ def sentence_span_dedup(
     the corpus, no driver step."""
     sents = sentence_split(pages, text_col)
     spans = sentence_spans(sents, span)
-    firsts = spans.groupBy("key").agg(
-        F.min(F.struct("doc_id", "pos")).alias("o")
+    # duplicated keys only on the build side (the
+    # substring_removed_occurrences rationale): singleton spans can
+    # never be removed, and the shrunken build side lets AQE broadcast
+    # the keep-first join instead of reshuffling the span stream
+    firsts = (
+        spans.groupBy("key")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("o"),
+             F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
     )
     removed = (
         spans.join(firsts, "key")
@@ -961,8 +969,16 @@ def suffix_dedup_rewrite(
         cols.append(F.expr(ORIG_TOKENS_EXPR).alias("orig"))
     base = docs.select(*cols)
     wins = suffix_window_keys(docs, min_len, TOKENS_EXPR, mode)
-    firsts = wins.groupBy("r1", "r2").agg(
-        F.min(F.struct("doc_id", "pos")).alias("o")
+    # duplicated rank pairs only on the build side (the
+    # substring_removed_occurrences rationale): a singleton window can
+    # never be removed, and the shrunken build side lets AQE broadcast
+    # the keep-first join instead of reshuffling the window stream
+    firsts = (
+        wins.groupBy("r1", "r2")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("o"),
+             F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
     )
     removed = (
         wins.join(firsts, ["r1", "r2"])
@@ -1031,8 +1047,20 @@ def substring_removed_occurrences(wins: DataFrame) -> DataFrame:
     window rank: the aggregate partial-combines map-side and the join
     gets AQE skew handling, so a window hash shared by millions of
     documents cannot serialize onto one task."""
-    firsts = wins.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("o")
+    # keep only DUPLICATED hashes on the build side: a hash with one
+    # occurrence can never yield a removed row (its only occurrence IS
+    # the first — the != filter dropped it anyway), so filtering on the
+    # aggregate's count shrinks the join's build side from every
+    # distinct window hash (corpus-sized) to just the duplicated ones
+    # (small for a mostly-unique corpus) — AQE then broadcasts it and
+    # the corpus-sized wins stream is never shuffled a second time
+    # (guide §3.2's selective pre-filter, applied to the keep-first join)
+    firsts = (
+        wins.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("o"),
+             F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
     )
     return (
         wins.join(firsts, "h")
