@@ -68,6 +68,116 @@ def _dense_ranks(df: DataFrame, key_cols: list[str], mode: str) -> DataFrame:
     return df.join(ranked, key_cols)
 
 
+def _mono_ranks(df: DataFrame, key_cols: list[str], mode: str) -> DataFrame:
+    """Attach ``r`` = an order- and equality-preserving id of
+    ``key_cols`` that is NOT dense: mid-ladder rounds only ever compare
+    ranks (order for the next round's pair key, equality for grouping),
+    so the gapless machinery of :func:`_dense_ranks` (persist + count
+    collect + base broadcast) is wasted there. One pass instead: rank
+    the DISTINCT key frame by range-partition + in-partition sort, id =
+    ``monotonically_increasing_id() + 1`` — range partitions are in key
+    order and mid is (pid << 33) + local index, so the id is monotone
+    in the key; +1 keeps every real rank above the 0 sentinel. Values
+    are run-dependent (partition boundaries come from the range
+    sampler), which is exactly why only the FINAL round — whose rank
+    VALUES callers read — uses :func:`_dense_ranks`."""
+    keys = df.select(*key_cols).distinct()
+    if mode == "window":
+        w = Window.orderBy(*key_cols)
+        ranked = keys.withColumn("r", F.row_number().over(w).cast("long"))
+    else:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        ranked = (
+            keys.repartitionByRange(n, *key_cols)
+            .sortWithinPartitions(*key_cols)
+            .withColumn("r", F.monotonically_increasing_id() + 1)
+        )
+    return df.join(ranked, key_cols)
+
+
+def _super_round(
+    cur: DataFrame,
+    h: int,
+    factor: int,
+    mode: str,
+    densify: bool = True,
+    dense: bool = False,
+) -> DataFrame:
+    """span h -> h*factor in ONE per-document window pass: the struct
+    of ranks at offsets 0, h, 2h, ..., (factor-1)*h lexicographically
+    orders (and equates) suffixes by their first h*factor tokens — the
+    prefix-doubling invariant generalized to any stride (Manber-Myers
+    doubling is factor=2). The 0 sentinel past the doc end keeps
+    shorter-is-smaller, exactly like the pair rounds. One factor-8
+    superround therefore replaces three doubling rounds: same
+    correctness argument, a third of the full-frame exchanges and
+    materializations.
+
+    ``densify=False`` keeps the struct itself as ``r`` (equality-only
+    consumers; no further rounds may follow — a struct-of-structs key
+    would double width per round). ``densify=True`` compresses the key
+    back to one long via :func:`_mono_ranks` (or :func:`_dense_ranks`
+    when ``dense`` — the final round of value-reading callers)."""
+    if isinstance(cur.schema["r"].dataType, StructType):
+        raise ValueError("superround input rank must be a long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sent = F.lit(0).cast("long")
+    cols = [F.col("r").alias("k0")] + [
+        F.coalesce(F.lead("r", i * h).over(w), sent).alias(f"k{i}")
+        for i in range(1, factor)
+    ]
+    keyed = iter_materialize(cur.select("doc_id", "pos", *cols))
+    key_cols = [f"k{i}" for i in range(factor)]
+    if not densify:
+        return keyed.select(
+            "doc_id", "pos", F.struct(*key_cols).alias("r")
+        )
+    ranker = _dense_ranks if dense else _mono_ranks
+    return iter_materialize(
+        ranker(keyed, key_cols, mode).select(
+            "doc_id", "pos", F.col("r").cast("long").alias("r")
+        )
+    )
+
+
+def _ladder_factors(stop: int, stride: int = 8) -> list[int]:
+    """Superround factors taking span 1 to the smallest reachable span
+    >= ``stop``: full-stride rounds, with the last round's factor
+    halved while the target stays reachable (so the ladder never
+    overshoots by more than the power-of-two rounding)."""
+    factors = []
+    h = 1
+    while h < stop:
+        f = stride
+        while f > 2 and h * (f // 2) >= stop:
+            f //= 2
+        factors.append(f)
+        h *= f
+    return factors
+
+
+def _token_ranks(docs, tokens_expr: str, mode: str, dense: bool):
+    """(materialized token stream, materialized rank_1 frame,
+    max_len): the shared ladder initialization — tokenize + posexplode
+    once, rank single tokens (h = 1). ``dense`` as in
+    :func:`_super_round`."""
+    toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
+    suf = iter_materialize(
+        toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    )
+    max_len = suf.agg(F.max("pos")).collect()[0][0]
+    max_len = 0 if max_len is None else max_len + 1
+    if max_len == 0:
+        raise ValueError("empty corpus: no tokens to rank")
+    ranker = _dense_ranks if dense else _mono_ranks
+    cur = iter_materialize(
+        ranker(suf, ["tok"], mode).select(
+            "doc_id", "pos", F.col("r").cast("long").alias("r")
+        )
+    )
+    return toks, cur, max_len
+
+
 def _is_pair_rank(df: DataFrame) -> bool:
     """True when ``r`` holds a combine-round pair struct (vs a dense
     long)."""
@@ -250,12 +360,21 @@ def suffix_window_keys(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     h = 1 << (k.bit_length() - 1)  # largest power of two <= k
-    # final_dense=False: window keys are compared for EQUALITY only
-    # (groupBy/join on (r1, r2)), so the last round skips the densify
-    history = _suffix_rank_history(
-        docs, tokens_expr, mode, max_h=h, final_dense=False
-    )
-    rank_h = history[-1][1]
+    # window keys are compared for EQUALITY only (groupBy/join on
+    # (r1, r2)), so every rank on this path is _mono_ranks and the LAST
+    # superround skips even that: its struct key IS the rank. For the
+    # ubiquitous min_len <= 8 settings the whole ladder is ONE
+    # superround over the token ranks — down from three doubling
+    # rounds (two window exchanges + one full densify).
+    _toks, cur, _max_len = _token_ranks(docs, tokens_expr, mode, dense=False)
+    factors = _ladder_factors(h)
+    span = 1
+    for i, f in enumerate(factors):
+        cur = _super_round(
+            cur, span, f, mode, densify=i < len(factors) - 1
+        )
+        span *= f
+    rank_h = cur
     # if every document is shorter than h (<= k), the ladder stops
     # early — but then no position passes the pos <= doc_len - k
     # filter either, so the (then-meaningless) key is never emitted.
