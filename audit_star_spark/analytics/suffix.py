@@ -413,26 +413,40 @@ def suffix_dup_profile(
     regroups suffixes by their literal first-h token slices per h,
     never running the doubling — rank(h) equality and slice equality
     must coincide exactly (truncation keeps shorter-vs-longer suffixes
-    distinct, exactly like the 0 sentinel)."""
-    toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
-    suf = iter_materialize(
-        toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    )
-    max_len = suf.agg(F.max("pos")).collect()[0][0]
-    max_len = 0 if max_len is None else max_len + 1
-    if max_len == 0:
-        raise ValueError("empty corpus: no tokens to rank")
+    distinct, exactly like the 0 sentinel).
+
+    Scale shape: ranks here are consumed for EQUALITY only, so no span
+    needs a materialized rank frame of its own — span h groups on the
+    struct of base ranks at offsets 0, b, ..., h-b (one per-document
+    lead window, m = h/b <= 4 probes), and a new base (a factor-4
+    superround, mono-densified) is built only when the NEXT span would
+    need more than 4 probes. max_h=16 therefore materializes ONE
+    ladder round (1 -> 4) instead of four doubling rounds."""
+    _toks, base, max_len = _token_ranks(docs, tokens_expr, mode, dense=False)
     out_rows = []
     spark = docs.sparkSession
-    cur = iter_materialize(
-        _dense_ranks(suf, ["tok"], mode).select(
-            "doc_id", "pos", F.col("r").cast("long").alias("r")
-        )
-    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
 
-    def profile(h: int, frame: DataFrame) -> None:
-        g = frame.groupBy("r").agg(F.count("*").alias("c")).filter(
-            F.col("c") > 1
+    def profile(h: int, bspan: int) -> None:
+        m = h // bspan
+        if m == 1:
+            key = F.col("r")
+        else:
+            sent = F.lit(0).cast("long")
+            key = F.struct(
+                F.col("r").alias("k0"),
+                *[
+                    F.coalesce(F.lead("r", i * bspan).over(w), sent).alias(
+                        f"k{i}"
+                    )
+                    for i in range(1, m)
+                ],
+            )
+        g = (
+            base.select(key.alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
         )
         row = g.agg(
             F.coalesce(F.sum("c"), F.lit(0)).alias("n_dup"),
@@ -440,19 +454,17 @@ def suffix_dup_profile(
         ).collect()[0]
         out_rows.append((h, int(row["n_dup"]), int(row["n_groups"])))
 
-    profile(1, cur)
-    h = 1
+    profile(1, 1)
+    h, bspan = 1, 1
     limit = max_h or max_len
-    # ranks here are consumed for EQUALITY only (the per-round groupBy),
-    # so no round needs to densify for correctness; alternation still
-    # bounds key width
-    plan = _round_plan(max(0, (limit - 1).bit_length()), False)
-    for densify in plan:
+    while h < limit:
         if out_rows[-1][1] == 0:
             break
-        cur = _rank_round(cur, h, mode, densify)
         h *= 2
-        profile(h, cur)
+        if h > 4 * bspan:
+            base = _super_round(base, bspan, 4, mode, densify=True)
+            bspan *= 4
+        profile(h, bspan)
     # once no suffix shares its first-h tokens, larger spans cannot
     # create duplicates — pad the remaining power-of-two rows with
     # zeros so the emitted h set is a pure function of max_h (the
