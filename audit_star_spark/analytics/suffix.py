@@ -10,41 +10,43 @@ al. 2022 granularity, longest-repeat statistics, and tail-repetition
 profiling that fixed-k shingles cannot see (k must be chosen; the SA
 sees all k at once).
 
-Algorithm: rank(h) orders suffixes by their first h tokens; then
+Algorithm: rank(h) orders suffixes by their first h tokens; then for
+any stride F (Manber-Myers doubling is F = 2):
 
-    key(2h) = (rank_h(i), rank_h(i + h) or 0)       -- 0 = past doc end
-    rank(2h) = dense rank of key(2h)
+    key(F*h) = (rank_h(i), rank_h(i+h), ..., rank_h(i+(F-1)h))
+    rank(F*h) = rank of key(F*h)           -- 0 = past doc end
 
-doubling h until every suffix's rank is unique (or h covers the longest
-document). Shorter-suffix-is-smaller falls out of the 0 sentinel.
+growing h until it covers the longest document.
+Shorter-suffix-is-smaller falls out of the 0 sentinel.
 
-Scale shape: each round is one per-document ``lead(r, h)`` window (the
-shifted rank — positions are contiguous from posexplode, so the lead
-replaces what used to be a (doc_id, pos + h) self-join at one doc-keyed
-exchange instead of two) plus a rank assignment. Two round flavors:
+Scale shape: each SUPERROUND is one per-document window pass computing
+``lead(r, i*h)`` for i < F (positions are contiguous from posexplode,
+so the leads ARE the shifted ranks — one doc-keyed exchange replaces
+what used to be per-doubling self-joins) plus one rank compression.
+F = 8 means a third of the rounds, materializations and full-frame
+exchanges of the classic F = 2 ladder. Rank compression comes in two
+strengths:
 
-- COMBINE round: ``r := struct(r1, r2)`` in-row. Prefix doubling never
-  needs DENSE ranks mid-ladder — any rank where equality ⟺ key
-  equality and order is preserved works, and the lexicographic struct
-  of two dense ranks is exactly that. A combine round therefore costs
-  ONE doc-keyed window exchange and nothing else.
-- DENSIFY round: dense rank of the (r1, r2) key, compressing the pair
-  back to one long so key width stays bounded (two combine rounds in a
-  row would square it). Dense rank is the classic global-funnel trap: a
-  bare ``dense_rank() over (order by ...)`` is Exchange SinglePartition;
-  the ``mode`` switch reuses the repo's gapless-id machinery
-  (operators/ids.py): rank the DISTINCT key frame with the two-pass
-  range-partition scheme and join back — no single-partition stage
-  anywhere in 'distributed' mode; 'window' mode is the small-input/gate
-  form.
+- MONO (mid-ladder, and the whole ladder for equality-only consumers):
+  later rounds only read rank ORDER and EQUALITY, never values, so the
+  distinct key frame is range-partitioned + sorted and ids come from
+  ``monotonically_increasing_id()`` — one pass, no count job, no base
+  broadcast. Equality-only consumers (window keys, dup profile) skip
+  even that on their last round: the lead-struct itself is the key.
+- DENSE (the final round of value-reading callers): the gapless-id
+  machinery (operators/ids.py) over the distinct key frame — dense
+  rank is the classic global-funnel trap (a bare ``dense_rank() over
+  (order by ...)`` is Exchange SinglePartition); the ``mode`` switch
+  uses the two-pass range-partition scheme instead — no
+  single-partition stage anywhere in 'distributed' mode; 'window'
+  mode is the small-input/gate form.
 
-Rounds strictly alternate combine/densify, which halves the expensive
-densify machinery (distinct + range shuffle + count job + two join-back
-exchanges per round, vs one window exchange). The LAST round densifies
-only when the caller consumes rank VALUES (``final_dense``):
-suffix_ranks returns them and longest_repeated_run walks rank
-adjacency; the window-key/dup-profile consumers compare ranks for
-EQUALITY only and skip even the final densify.
+Spans absent from the sparse ladder are recoverable without extra
+rounds: agreement at span s is the conjunction of s/b base-b rank
+agreements at offsets 0, b, ..., s-b for any ladder span b | s — the
+LCP descent and occurrence count in longest_repeated_run probe exactly
+that way, and the whole descent tail below span 8 folds into one
+token-rank pass.
 """
 
 from __future__ import annotations
@@ -156,11 +158,11 @@ def _ladder_factors(stop: int, stride: int = 8) -> list[int]:
     return factors
 
 
-def _token_ranks(docs, tokens_expr: str, mode: str, dense: bool):
-    """(materialized token stream, materialized rank_1 frame,
-    max_len): the shared ladder initialization — tokenize + posexplode
-    once, rank single tokens (h = 1). ``dense`` as in
-    :func:`_super_round`."""
+def _token_stream(docs, tokens_expr: str):
+    """(toks frame, materialized (doc_id, pos, tok) stream, max_len):
+    tokenize + posexplode ONCE — the max-length probe and the round-0
+    ranking otherwise each re-run the tokenize scan of the raw
+    corpus."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
     suf = iter_materialize(
         toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
@@ -169,6 +171,15 @@ def _token_ranks(docs, tokens_expr: str, mode: str, dense: bool):
     max_len = 0 if max_len is None else max_len + 1
     if max_len == 0:
         raise ValueError("empty corpus: no tokens to rank")
+    return toks, suf, max_len
+
+
+def _token_ranks(docs, tokens_expr: str, mode: str, dense: bool):
+    """(materialized token stream, materialized rank_1 frame,
+    max_len): the shared ladder initialization — tokenize + posexplode
+    once, rank single tokens (h = 1). ``dense`` as in
+    :func:`_super_round`."""
+    toks, suf, max_len = _token_stream(docs, tokens_expr)
     ranker = _dense_ranks if dense else _mono_ranks
     cur = iter_materialize(
         ranker(suf, ["tok"], mode).select(
@@ -178,154 +189,173 @@ def _token_ranks(docs, tokens_expr: str, mode: str, dense: bool):
     return toks, cur, max_len
 
 
-def _is_pair_rank(df: DataFrame) -> bool:
-    """True when ``r`` holds a combine-round pair struct (vs a dense
-    long)."""
-    return isinstance(df.schema["r"].dataType, StructType)
-
-
-def _pair_sentinel() -> F.Column:
-    """The past-doc-end rank for pair-struct rounds: struct(0, 0) sorts
-    below every real pair (dense ranks start at 1, so real pairs have
-    a >= 1) and equals nothing real — the same shorter-suffix-is-
-    smaller convention as the long 0 sentinel."""
-    return F.struct(
-        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
-    )
-
-
-def _rank_lit(value) -> F.Column:
-    """A literal column equal to a collected rank value — a plain long
-    for densify rounds, a struct(a, b) Row for combine rounds (pyspark
-    has no F.lit for Rows)."""
-    if isinstance(value, (int, float)):
-        return F.lit(value)
-    return F.struct(
-        F.lit(value[0]).cast("long").alias("a"),
-        F.lit(value[1]).cast("long").alias("b"),
-    )
-
-
-def _shift_pair(cur: DataFrame, h: int) -> DataFrame:
-    """(doc_id, pos, r1, r2) from a rank frame (doc_id, pos, r): r1 =
-    this suffix's rank, r2 = the rank ``h`` positions later in the SAME
-    document (the sentinel past the doc end — shorter-is-smaller).
-
-    ``lead(r, h)`` over the per-document position order replaces the
-    earlier (doc_id, pos + h) self-join: positions are contiguous
-    0..len-1 from posexplode, so the lead IS the shifted rank — one
-    doc-keyed exchange + local sort instead of shuffling BOTH join
-    sides by (doc_id, pos). Documents are bounded (KBs–MBs of text),
-    so the per-doc window groups cannot skew a task at any corpus
-    size."""
-    sentinel = (
-        _pair_sentinel() if _is_pair_rank(cur) else F.lit(0).cast("long")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return cur.select(
-        "doc_id",
-        "pos",
-        F.col("r").alias("r1"),
-        F.coalesce(F.lead("r", h).over(w), sentinel).alias("r2"),
-    )
-
-
-def _rank_round(cur: DataFrame, h: int, mode: str, densify: bool) -> DataFrame:
-    """One doubling round: rank(2h) from (rank_h(pos), rank_h(pos + h)).
-
-    ``densify=False`` (combine): the new rank IS the pair, as a struct
-    — order-preserving (lexicographic struct compare is pair order) and
-    equality ⟺ key equality, which is all the doubling invariant needs.
-    One window exchange, one materialization, nothing else.
-
-    ``densify=True``: dense rank of the pair via the mode-switched
-    gapless-id machinery, compressing the key back to one long. The
-    shifted pair frame is materialized FIRST so the three downstream
-    passes that need it (the range-partitioner sample inside
-    gapless_ids, the distinct-key fill, the join-back) read
-    checkpointed blocks instead of re-executing the shift — the
-    un-materialized form re-ran the shift join 3x per round (measured
-    ~2x the round wall at sf0.1)."""
-    if not densify:
-        return iter_materialize(
-            _shift_pair(cur, h).select(
-                "doc_id",
-                "pos",
-                F.struct(
-                    F.col("r1").alias("a"), F.col("r2").alias("b")
-                ).alias("r"),
-            )
-        )
-    keyed = iter_materialize(_shift_pair(cur, h))
-    return iter_materialize(
-        _dense_ranks(keyed, ["r1", "r2"], mode).select(
-            "doc_id", "pos", F.col("r").cast("long").alias("r")
-        )
-    )
-
-
-def _round_plan(n_rounds: int, final_dense: bool) -> list[bool]:
-    """densify flags per round: strict alternation (two combine rounds
-    in a row would square the key width), anchored at the LAST round —
-    dense when the caller reads rank values, combine when only rank
-    equality is consumed."""
-    plan = []
-    dense = final_dense
-    for _ in range(n_rounds):
-        plan.append(dense)
-        dense = not dense
-    return list(reversed(plan))
-
-
 def _suffix_rank_history(
     docs: DataFrame,
     tokens_expr: str = TOKENS_EXPR,
     mode: str = "window",
-    max_h: int | None = None,
-    final_dense: bool = True,
 ) -> list[tuple[int, DataFrame]]:
-    """The full doubling ladder: [(h, rank_h frame)] for h = 1, 2, 4,
-    ..., 2^ceil(log2(longest document)) — rank_h orders suffixes by
-    their first h tokens (0-sentinel: shorter-is-smaller). Each frame
-    is (doc_id, pos, r), materialized with truncated lineage. Keeping
-    the ladder (instead of discarding all but the last round) is what
-    makes Manber–Myers LCP derivation possible WITHOUT ever
-    materializing per-suffix token slices — O(n log n) scalar rows
-    total, zero token arrays. ``max_h`` stops the ladder once rank_h
-    for that span is built (a consumer that only needs prefix-equality
-    at one fixed span — suffix_window_keys — pays only
-    log2(max_h) rounds, not log2(longest document)). ``final_dense``
-    as in _round_plan: callers that only compare ranks for equality
-    skip even the last densify."""
-    toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
-    # materialize the exploded token stream ONCE: the max-length probe
-    # and the round-0 ranking otherwise each re-run the tokenize +
-    # posexplode scan of the raw corpus
-    suf = iter_materialize(
-        toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    )
-    max_len = suf.agg(F.max("pos")).collect()[0][0]
-    max_len = 0 if max_len is None else max_len + 1
-    if max_len == 0:
-        raise ValueError("empty corpus: no tokens to rank")
+    """The sparse superround ladder: [(span, rank frame)] for spans 1,
+    8, 64, ..., top (the smallest reachable span >= the longest
+    document) — rank_span orders suffixes by their first ``span``
+    tokens (0-sentinel: shorter-is-smaller). Each frame is (doc_id,
+    pos, r) with r a LONG, materialized with truncated lineage:
+    mid-ladder spans are mono-ranked (order+equality is all later
+    rounds read), the FINAL span is gapless-dense (its values ARE the
+    suffix ranks callers consume, and rank+group-size adjacency in
+    longest_repeated_run needs dense values). Keeping the ladder
+    (instead of discarding all but the last round) is what makes
+    Manber–Myers LCP derivation possible WITHOUT ever materializing
+    per-suffix token slices; intermediate powers of two are absent but
+    recoverable — span s agreement between two positions is the
+    conjunction of s/b base-b rank agreements at offsets 0, b, ...,
+    s-b for any ladder span b dividing s (the descent helpers below do
+    exactly that)."""
+    _toks, suf, max_len = _token_stream(docs, tokens_expr)
+    factors = _ladder_factors(max_len)
+    ranker = _dense_ranks if not factors else _mono_ranks
     cur = iter_materialize(
-        _dense_ranks(suf, ["tok"], mode).select(
+        ranker(suf, ["tok"], mode).select(
             "doc_id", "pos", F.col("r").cast("long").alias("r")
         )
     )
     history = [(1, cur)]
-    # no per-round all-unique probe: identical suffixes (ubiquitous in
-    # real corpora — any shared final token) keep ranks tied forever,
-    # so the probe is a wasted job per round; the loop is bounded by
-    # ceil(log2(longest document)) regardless
-    stop = max_len if max_h is None else min(max_len, max_h)
-    plan = _round_plan(max(0, (stop - 1).bit_length()), final_dense)
-    h = 1
-    for densify in plan:
-        cur = _rank_round(cur, h, mode, densify)
-        h *= 2
-        history.append((h, cur))
+    span = 1
+    for i, f in enumerate(factors):
+        cur = _super_round(
+            cur, span, f, mode, densify=True, dense=i == len(factors) - 1
+        )
+        span *= f
+        history.append((span, cur))
     return history
+
+
+def _span_probe(
+    live: DataFrame,
+    rank_b: DataFrame,
+    b0: int,
+    m: int,
+    s: int,
+    small: bool,
+) -> DataFrame:
+    """One LCP descent round at span ``s`` tested as ``m`` = s/b0
+    probes of the base-``b0`` rank frame: two suffixes agree on their
+    next ``s`` tokens iff rank_b0 is present AND equal at offsets 0,
+    b0, ..., s-b0 on both sides (a missing row is past the doc end —
+    distinct suffixes with identically-truncated equal content are
+    impossible, so present-and-equal everywhere is exact). Exploding
+    the probe offsets keeps the round at two rank joins plus one
+    regroup regardless of ``m``; ``small`` switches to the
+    broadcast-the-live-side shape so rank_b is only streamed."""
+    pair_cols = ["d1", "p1", "d2", "p2", "a", "b", "lcp"]
+    probes = live.select(
+        *pair_cols,
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("__j"),
+    ).select(
+        *pair_cols,
+        (F.col("a") + F.col("__j") * b0).alias("__pa"),
+        (F.col("b") + F.col("__j") * b0).alias("__pb"),
+    )
+    ra = rank_b.select(
+        F.col("doc_id").alias("d1"),
+        F.col("pos").alias("__pa"),
+        F.col("r").alias("__ra"),
+    )
+    rb = rank_b.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("__pb"),
+        F.col("r").alias("__rb"),
+    )
+    if small:
+        hit = (
+            F.broadcast(probes)
+            .join(ra, ["d1", "__pa"])
+            .join(rb, ["d2", "__pb"])
+            .filter(F.col("__ra") == F.col("__rb"))
+            .groupBy("d1", "p1", "d2", "p2")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") == m)
+            .select("d1", "p1", "d2", "p2", F.lit(1).alias("__m"))
+        )
+        match = F.col("__m").isNotNull()
+        g = live.join(F.broadcast(hit), ["d1", "p1", "d2", "p2"], "left")
+    else:
+        ok = (
+            F.col("__ra").isNotNull()
+            & F.col("__rb").isNotNull()
+            & (F.col("__ra") == F.col("__rb"))
+        ).cast("int")
+        g = (
+            probes.join(ra, ["d1", "__pa"], "left")
+            .join(rb, ["d2", "__pb"], "left")
+            .groupBy(*pair_cols)
+            .agg(F.min(ok).alias("__ok"))
+        )
+        match = F.col("__ok") == 1
+    return g.select(
+        "d1",
+        "p1",
+        "d2",
+        "p2",
+        F.when(match, F.col("a") + s).otherwise(F.col("a")).alias("a"),
+        F.when(match, F.col("b") + s).otherwise(F.col("b")).alias("b"),
+        F.when(match, F.col("lcp") + s).otherwise(F.col("lcp")).alias("lcp"),
+    )
+
+
+def _lcp_endgame(live: DataFrame, rank1: DataFrame, s: int) -> DataFrame:
+    """Fold every remaining descent round (spans s, s/2, ..., 1) into
+    ONE probe pass: entering span ``s``, a pair's residual LCP
+    extension is at most 2s - 1, so token-rank (span-1) agreement at
+    offsets 0..2s-2 determines it exactly — the extension is the index
+    of the first disagreeing offset (a missing row is past the doc
+    end: the extension stops there), or 2s - 1 when every probe
+    agrees (the maximum the residual can be). One round of two rank
+    joins + a regroup replaces log2(s) + 1 rounds of the same."""
+    w = 2 * s - 1
+    pair_cols = ["d1", "p1", "d2", "p2", "lcp"]
+    probes = live.select(
+        *pair_cols,
+        "a",
+        "b",
+        F.explode(F.array(*[F.lit(j) for j in range(w)])).alias("__j"),
+    ).select(
+        *pair_cols,
+        (F.col("a") + F.col("__j")).alias("__pa"),
+        (F.col("b") + F.col("__j")).alias("__pb"),
+        "__j",
+    )
+    ra = rank1.select(
+        F.col("doc_id").alias("d1"),
+        F.col("pos").alias("__pa"),
+        F.col("r").alias("__ra"),
+    )
+    rb = rank1.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("__pb"),
+        F.col("r").alias("__rb"),
+    )
+    ok = (
+        F.col("__ra").isNotNull()
+        & F.col("__rb").isNotNull()
+        & (F.col("__ra") == F.col("__rb"))
+    )
+    return (
+        probes.join(ra, ["d1", "__pa"], "left")
+        .join(rb, ["d2", "__pb"], "left")
+        .groupBy(*pair_cols)
+        .agg(
+            F.coalesce(
+                F.min(F.when(~ok, F.col("__j"))), F.lit(w)
+            ).alias("__extra")
+        )
+        .select(
+            "d1",
+            "p1",
+            "d2",
+            "p2",
+            (F.col("lcp") + F.col("__extra")).alias("lcp"),
+        )
+    )
 
 
 def suffix_ranks(
@@ -505,15 +535,16 @@ def longest_repeated_run(
     (the tie-break set) — no per-suffix token slice is ever persisted
     or shuffled (the O(sum L_i^2) blowup the first version had).
     ``n_occurrences`` counts suffixes whose first run_len tokens equal
-    the run, FROM THE LADDER: with h = the largest power of two <=
-    run_len and d = run_len - h, the spans [0, h) and [d, d + h)
-    cover [0, run_len), so a suffix starts an occurrence iff its
-    rank_h agrees with the winner's at both offsets (collision-free;
-    the 0-sentinel keeps shorter suffixes on distinct ranks) — two
-    filtered scans of the already-materialized rank_h frame plus one
-    equi-join, replacing the earlier in-row slice-compare rescan whose
-    compute was O(L * run_len) per document (quadratic for a
-    pathological run_len ~ L/2 corpus)."""
+    the run, FROM THE LADDER: with b = the largest ladder span <=
+    run_len, base-b spans at offsets 0, b, ... plus an overlapping
+    run_len - b tail cover [0, run_len), so a suffix starts an
+    occurrence iff its rank_b agrees with the winner's at every offset
+    (collision-free; the 0-sentinel keeps shorter suffixes on distinct
+    ranks) — a bounded number of filtered scans of the
+    already-materialized rank_b frame plus equi-joins, replacing the
+    earlier in-row slice-compare rescan whose compute was
+    O(L * run_len) per document (quadratic for a pathological
+    run_len ~ L/2 corpus)."""
     toks = docs.select("doc_id", F.expr(tokens_expr).alias("toks"))
     history = _suffix_rank_history(docs, tokens_expr, mode)
     _hf, final = history[-1]
@@ -563,84 +594,54 @@ def longest_repeated_run(
         F.col("p2").alias("b"),
         F.lit(0).alias("lcp"),
     )
-    # the TOP ladder round is the final rank table itself: the pair's
+    # the TOP ladder span is the final rank table itself: the pair's
     # offsets start at the representatives' own positions, whose final
-    # ranks are r and r+1 — distinct by construction — so that round
-    # can never match and is always skipped. Exactness is preserved:
-    # the remaining powers sum to h_top - 1 >= max_len - 1 >= any LCP
-    # of two distinct suffixes.
+    # ranks are r and r+1 — distinct by construction — so that span
+    # can never match and the descent starts at top/2. Exactness is
+    # preserved: the remaining powers sum to top - 1 >= max_len - 1 >=
+    # any LCP of two distinct suffixes. Spans absent from the sparse
+    # ladder are tested as s/b base-b probes (_span_probe), and the
+    # whole tail s <= 8 folds into one token-rank pass (_lcp_endgame).
     #
-    # BRANCH AND BOUND: before round h a pair can still add at most
-    # 2h - 1 to its lcp (h + h/2 + ... + 1), so any pair with
-    # lcp + 2h - 1 < bound — the best run length seen so far, seeded by
+    # BRANCH AND BOUND: before round s a pair can still add at most
+    # 2s - 1 to its lcp (s + s/2 + ... + 1), so any pair with
+    # lcp + 2s - 1 < bound — the best run length seen so far, seeded by
     # the within-rank branch and raised by each round's max pair lcp —
     # can neither win nor tie and is dropped (the max-length tie-break
     # set is intact: a pair able to EQUAL the bound satisfies the
     # filter). One bounded scalar collect per round buys descent frames
     # that collapse to the contenders after the first matching round;
-    # once the live set fits a broadcast, the rank lookups flip from
-    # two full sort-merge shuffles of rank_h to broadcast hash probes
-    # that only STREAM the materialized rank blocks.
+    # once the live set fits a broadcast, the rank lookups flip to
+    # broadcast hash probes that only STREAM the materialized blocks.
     bound = within.agg(F.max("run_len")).collect()[0][0] or 0
     n_live = rep.count() - 1  # adjacent pairs = ranks with a successor
-    descent = list(reversed(history))[1:]
-    for h, rank_h in descent:
-        live = pairs.filter(F.col("lcp") + (2 * h - 1) >= F.lit(bound))
+    spans = [h for h, _f in history]
+    by_span = dict(history)
+    s = spans[-1] // 2
+    while s >= 1:
+        live = pairs.filter(F.col("lcp") + (2 * s - 1) >= F.lit(bound))
         if n_live == 0:
             pairs = live
             break
-        ra = rank_h.select(
-            F.col("doc_id").alias("d1"),
-            F.col("pos").alias("a"),
-            F.col("r").alias("__ra"),
-        )
-        rb = rank_h.select(
-            F.col("doc_id").alias("d2"),
-            F.col("pos").alias("b"),
-            F.col("r").alias("__rb"),
-        )
-        if n_live <= 200_000:
-            # bounded live set: find the matched pairs with two inner
-            # joins that broadcast the SMALL side, then flag-join them
-            # back (also broadcast) — rank_h is never exchanged
-            hit = (
-                F.broadcast(live.select("d1", "a", "d2", "b"))
-                .join(ra, ["d1", "a"])
-                .join(rb, ["d2", "b"])
-                .filter(F.col("__ra") == F.col("__rb"))
-                .select("d1", "a", "d2", "b", F.lit(1).alias("__m"))
-            )
-            match = F.col("__m").isNotNull()
-            joined = live.join(F.broadcast(hit), ["d1", "a", "d2", "b"], "left")
-        else:
-            match = (
-                F.col("__ra").isNotNull()
-                & F.col("__rb").isNotNull()
-                & (F.col("__ra") == F.col("__rb"))
-            )
-            joined = live.join(ra, ["d1", "a"], "left").join(
-                rb, ["d2", "b"], "left"
-            )
+        if s <= 8:
+            # residual extension < 2s: one token-rank pass resolves
+            # every remaining round exactly
+            pairs = iter_materialize(_lcp_endgame(live, by_span[1], s))
+            break
+        base = max(b for b in spans if b <= s)
         # truncate EVERY round (forked-DAG rule): a two-round lineage
         # was measured 2-4x slower at sf0.1 — the joined rank tables
         # re-enter planning each round and the deferred plan replays
         pairs = iter_materialize(
-            joined.select(
-                "d1",
-                "p1",
-                "d2",
-                "p2",
-                F.when(match, F.col("a") + h).otherwise(F.col("a")).alias("a"),
-                F.when(match, F.col("b") + h).otherwise(F.col("b")).alias("b"),
-                F.when(match, F.col("lcp") + h)
-                .otherwise(F.col("lcp"))
-                .alias("lcp"),
+            _span_probe(
+                live, by_span[base], base, s // base, s, n_live <= 200_000
             )
         )
         stat = pairs.agg(
             F.count("*").alias("n"), F.max("lcp").alias("m")
         ).collect()[0]
         n_live, bound = int(stat["n"]), max(bound, int(stat["m"] or 0))
+        s //= 2
     adjacent = pairs.filter(F.col("lcp") > 0).select(
         F.col("lcp").cast("int").alias("run_len"),
         F.col("d1").alias("doc_id"),
@@ -670,27 +671,31 @@ def longest_repeated_run(
         return spark.createDataFrame([], out_schema)
     w = wrows[0]
     run_len, wd, wp = int(w["run_len"]), w["doc_id"], int(w["pos"])
-    # occurrence count from the ladder (see docstring): the winner's
-    # rank_h at offsets 0 and d, then count suffixes agreeing at both
-    h = 1 << (run_len.bit_length() - 1)  # largest power of two <= L
-    d = run_len - h
-    rank_h = dict(history)[h]
+    # occurrence count from the ladder (see docstring): cover
+    # [0, run_len) with base-b rank spans at offsets 0, b, ..., plus an
+    # overlapping run_len - b tail; a suffix starts an occurrence iff
+    # its rank_b agrees with the winner's at EVERY offset
+    # (collision-free; the 0-sentinel keeps shorter suffixes on
+    # distinct ranks). Probe count is bounded by the ladder stride.
+    b = max(x for x in spans if x <= run_len)
+    offs = list(range(0, run_len - b + 1, b))
+    if offs[-1] != run_len - b:
+        offs.append(run_len - b)
+    rank_b = by_span[b]
     wr = {
         int(r["pos"]): r["r"]
-        for r in rank_h.filter(
-            (F.col("doc_id") == wd) & F.col("pos").isin(wp, wp + d)
+        for r in rank_b.filter(
+            (F.col("doc_id") == wd)
+            & F.col("pos").isin([wp + o for o in offs])
         ).collect()
-    }  # bounded: at most 2 rows
-    # _rank_lit: the collected winner rank is a long on densify rounds
-    # and a struct Row on combine rounds
-    m1 = rank_h.filter(F.col("r") == _rank_lit(wr[wp])).select(
+    }  # bounded: at most len(offs) rows
+    cand = rank_b.filter(F.col("r") == F.lit(wr[wp])).select(
         "doc_id", "pos"
     )
-    if d == 0:
-        n = m1.count()
-    else:
-        m2 = rank_h.filter(F.col("r") == _rank_lit(wr[wp + d])).select(
-            "doc_id", (F.col("pos") - d).alias("pos")
+    for o in offs[1:]:
+        mo = rank_b.filter(F.col("r") == F.lit(wr[wp + o])).select(
+            "doc_id", (F.col("pos") - o).alias("pos")
         )
-        n = m1.join(m2, ["doc_id", "pos"]).count()
+        cand = cand.join(mo, ["doc_id", "pos"])
+    n = cand.count()
     return spark.createDataFrame([(run_len, w["run"], int(n))], out_schema)
