@@ -93,34 +93,7 @@ class IVFIndex:
         if n_probe <= 0:
             raise ValueError(f"n_probe must be positive, got {n_probe}")
         spark = queries.sparkSession
-        q = queries.select(
-            "query_id",
-            F.col("qvec").alias("qvec"),
-            F.sqrt(_dot("qvec", "qvec")).alias("qnorm"),
-        )
-        cents = self.centroids(spark).select(
-            "cell_id",
-            F.col("centroid").alias("cvec"),
-            F.col("cnorm").alias("cnorm"),
-        )
-        ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
-        wc = Window.partitionBy("query_id").orderBy(
-            F.col("ccos").desc(), F.col("cell_id")
-        )
-        probes = (
-            q.join(F.broadcast(cents))
-            .select("query_id", "qvec", "qnorm", "cell_id", ccos.alias("ccos"))
-            .withColumn("crank", F.row_number().over(wc))
-            .filter(F.col("crank") <= n_probe)
-            .select("query_id", "qvec", "qnorm", "cell_id")
-        )
-        # bounded driver-side cell list -> STATIC partition filter, so
-        # the scan plans with PartitionFilters and never opens un-probed
-        # cells' files (plan-locked in tests)
-        probes = probes.persist()
-        probed_cells = sorted(
-            {int(r["cell_id"]) for r in probes.select("cell_id").distinct().collect()}
-        )
+        probes, probed_cells = _rank_probe_cells(self, queries, n_probe)
         cand = self.assignments(spark).filter(
             F.col("cell_id").isin(probed_cells)
         )
@@ -138,6 +111,48 @@ class IVFIndex:
         out = out.localCheckpoint(eager=True)
         probes.unpersist()
         return out
+
+
+def _rank_probe_cells(
+    index: "IVFIndex", queries: DataFrame, n_probe: int
+) -> tuple[DataFrame, list[int]]:
+    """The shared probe-cell ranking: each query's ``n_probe`` nearest
+    cells from the (tiny, broadcast) centroid table. Returns the
+    PERSISTED probe frame (query_id, qvec, qnorm, cell_id) — caller
+    unpersists — plus the bounded driver-side cell list whose IN
+    filter becomes a STATIC partition filter on the index scans
+    (PartitionFilters at planning time, plan-locked in tests). Shared
+    by probe / probe_pq / probe_pq_rerank so the two-stage path ranks
+    and collects exactly once."""
+    spark = queries.sparkSession
+    q = queries.select(
+        "query_id",
+        F.col("qvec").alias("qvec"),
+        F.sqrt(_dot("qvec", "qvec")).alias("qnorm"),
+    )
+    cents = index.centroids(spark).select(
+        "cell_id",
+        F.col("centroid").alias("cvec"),
+        F.col("cnorm").alias("cnorm"),
+    )
+    ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cell_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qvec", "qnorm", "cell_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell_id")
+    ).persist()
+    probed_cells = sorted(
+        {
+            int(r["cell_id"])
+            for r in probes.select("cell_id").distinct().collect()
+        }
+    )
+    return probes, probed_cells
 
 
 def build_ivf_index(
@@ -174,8 +189,16 @@ def build_ivf_index(
     assigned = _assign_to_cells(
         base.select("vec_id", "label", "vec", "norm"), saved
     ).select("vec_id", "label", "vec", "norm", "cell_id")
+    # REBALANCE by the partition column before the write (guide §6):
+    # without it every scan task writes its own file per cell it holds
+    # (tasks x cells tiny files — measured 1000+ at sf0.1 for 2000
+    # rows), and every later index read pays the per-file open cost.
+    # AQE rebalance is scale-adaptive: small cells coalesce into one
+    # file, a skewed giant cell splits across tasks at the advisory
+    # partition size instead of funnelling through one writer.
     (
-        assigned.write.mode("overwrite")
+        assigned.hint("rebalance", "cell_id")
+        .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(os.path.join(index_dir, "assignments"))
     )
@@ -357,8 +380,10 @@ def add_pq_codes(
         )
         codes = pq_encode(pq_input, saved_cb, m_sub=m_sub)
     cells = index.assignments(spark).select("vec_id", "cell_id")
+    # same rebalance-before-partitioned-write as build_ivf_index
     (
         codes.join(cells, "vec_id")
+        .hint("rebalance", "cell_id")
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(os.path.join(index.index_dir, "pq_codes"))
@@ -403,6 +428,25 @@ def probe_pq(
 
     Returns (query_id, rank, vec_id, adc); ADC sums fold over sorted
     partials (bit-stable), ties break to the smaller vec_id."""
+    probes, probed_cells = _rank_probe_cells(index, queries, n_probe)
+    out = _probe_pq_ranked(
+        index, queries, k, probes, probed_cells, extra_codes
+    )
+    probes.unpersist()
+    return out
+
+
+def _probe_pq_ranked(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int,
+    probes: DataFrame,
+    probed_cells: list[int],
+    extra_codes: DataFrame | None = None,
+) -> DataFrame:
+    """probe_pq's ADC stage against an already-ranked probe frame —
+    split out so probe_pq_rerank ranks the cells (and collects the
+    partition-filter list) exactly ONCE for both stages."""
     with open(os.path.join(index.index_dir, PQ_META)) as f:
         pq_meta = json.load(f)
     m_sub = pq_meta["m_sub"]
@@ -410,28 +454,8 @@ def probe_pq(
     dim = index.meta()["dim"]
     w_sub = dim // m_sub
     spark = queries.sparkSession
-
-    q = queries.select(
-        "query_id",
-        "qvec",
-        F.sqrt(_dot("qvec", "qvec")).alias("qnorm"),
-    )
     cents = index.centroids(spark).select(
         "cell_id", F.col("centroid").alias("cvec"), "cnorm"
-    )
-    ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("cell_id")
-    )
-    probes = (
-        q.join(F.broadcast(cents))
-        .select("query_id", "qvec", "cell_id", ccos.alias("ccos"))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qvec", "cell_id")
-    ).persist()
-    probed_cells = sorted(
-        {int(r["cell_id"]) for r in probes.select("cell_id").distinct().collect()}
     )
 
     codebook = spark.read.parquet(
@@ -490,7 +514,7 @@ def probe_pq(
         table_keys = ["query_id", "cell_id", "sub_id", "code"]
     else:
         qsub = _slices(
-            _maybe_rotate(q.select("query_id", "qvec"), "qvec"),
+            _maybe_rotate(queries.select("query_id", "qvec"), "qvec"),
             "qvec",
             ["query_id"],
         )
@@ -533,9 +557,7 @@ def probe_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round("adc", 9).alias("adc"))
     )
-    out = out.localCheckpoint(eager=True)
-    probes.unpersist()
-    return out
+    return out.localCheckpoint(eager=True)
 
 
 def probe_pq_rerank(
@@ -564,32 +586,14 @@ def probe_pq_rerank(
     if rerank < k:
         raise ValueError(f"rerank {rerank} must be >= k {k}")
     spark = queries.sparkSession
-    cand = probe_pq(index, queries, k=rerank, n_probe=n_probe).select(
+    # ONE probe-cell ranking + collect serves both stages: the ADC
+    # shortlist and the stage-2 vector scan's STATIC partition filter
+    # (every shortlist member lives in a probed cell)
+    probes, cells = _rank_probe_cells(index, queries, n_probe)
+    cand = _probe_pq_ranked(index, queries, rerank, probes, cells).select(
         "query_id", "vec_id"
     )
-    # probed-cell list, identically derived to probe_pq's (same rank
-    # expression over the same broadcast centroids): a bounded driver
-    # control decision -> STATIC partition filter on the vector scan
-    q = queries.select(
-        "query_id", "qvec", F.sqrt(_dot("qvec", "qvec")).alias("qnorm")
-    )
-    cents = index.centroids(spark).select(
-        "cell_id", F.col("centroid").alias("cvec"), "cnorm"
-    )
-    ccos = _dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("ccos").desc(), F.col("cell_id")
-    )
-    probed = (
-        q.join(F.broadcast(cents))
-        .select("query_id", "cell_id", ccos.alias("ccos"))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= n_probe)
-        .select("cell_id")
-        .distinct()
-        .collect()
-    )
-    cells = sorted(int(r["cell_id"]) for r in probed)
+    probes.unpersist()
     vecs = (
         index.assignments(spark)
         .filter(F.col("cell_id").isin(cells))
