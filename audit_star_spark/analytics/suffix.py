@@ -623,19 +623,33 @@ def longest_repeated_run(
         if n_live == 0:
             pairs = live
             break
-        if s <= 8:
-            # residual extension < 2s: one token-rank pass resolves
-            # every remaining round exactly
+        small = n_live <= 200_000
+        if s <= 8 and small:
+            # bounded live set, residual extension < 2s: one token-rank
+            # pass resolves every remaining round exactly
             pairs = iter_materialize(_lcp_endgame(live, by_span[1], s))
             break
         base = max(b for b in spans if b <= s)
+        m = s // base
+        rank_b = by_span[base]
+        if m > 1 and not small:
+            # LARGE live set at a span the sparse ladder skipped (the
+            # all-pairs-tie regime — near-replica corpora where B&B
+            # cannot prune): exploding m probes corpus-wide would
+            # multiply the join input m-fold, so materialize the span
+            # ONCE as a struct-key frame (one per-document window pass,
+            # no densify — probes only test equality) and join at
+            # m = 1, exactly the dense-ladder shape. Probe-certified:
+            # without this switch the x10 replica probe read 119.6 s
+            # (exponent 0.90); with it the round matches the old dense
+            # ladder while typical corpora keep the cheap sparse path.
+            rank_b = _super_round(rank_b, base, m, mode, densify=False)
+            base, m = s, 1
         # truncate EVERY round (forked-DAG rule): a two-round lineage
         # was measured 2-4x slower at sf0.1 — the joined rank tables
         # re-enter planning each round and the deferred plan replays
         pairs = iter_materialize(
-            _span_probe(
-                live, by_span[base], base, s // base, s, n_live <= 200_000
-            )
+            _span_probe(live, rank_b, base, m, s, small)
         )
         stat = pairs.agg(
             F.count("*").alias("n"), F.max("lcp").alias("m")

@@ -93,7 +93,8 @@ def main():
         }
     out = json.dumps(results)
     print(out, flush=True)
-    with open("/root/repo/SCALEPROBE_r13.json", "w") as f:
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALEPROBE_r14_suffix.json"
+    with open(dest, "w") as f:
         f.write(out + "\n")
 
 
