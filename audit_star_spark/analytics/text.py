@@ -744,39 +744,57 @@ def texttile_boundaries(
     order-free; the one float fold pair (mean, then variance) runs in
     gap order over the bounded per-doc depth list.
 
-    Scale shape: one tokens projection, one posexplode fan-out (each
-    token lands in <= 2 gap-sides), map-side-combined integer count
-    aggregates, windows PARTITIONED BY doc_id (bounded by gaps per
-    doc), and a per-doc stats groupBy joined back — no corpus-wide
-    window, no collect, no cross join."""
+    Scale shape (guide §2.4 — one exchange, reused end to end): docs
+    with fewer than 2 full blocks are dropped IN-ROW (nb from
+    size(tokens), no count-join), the survivors repartition by doc_id
+    ONCE while still one-row-per-doc (the cheapest point: bytes = the
+    multi-block corpus text), and every downstream step — posexplode,
+    the <= 2 gap-side fan-out, both integer count aggregates, the gap
+    cosine, the depth windows and the final per-doc stats — satisfies
+    its clustering from that same doc_id partitioning (groupBy keys all
+    contain doc_id), so the whole operator runs in ONE post-shuffle
+    stage: no corpus-wide window, no collect, no join back (the per-doc
+    cutoff/boundary outputs fold in-row over the bounded per-doc gap
+    array, which also stops the depth subtree being planned twice).
+    Per-task state is bounded by tokens per DOCUMENT, not corpus."""
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
     from pyspark.sql import Window
 
-    toks = docs.select("doc_id", F.posexplode(F.expr(tokens_expr)).alias("p", "tok"))
-    # explicit floor: bare CAST(double AS BIGINT) truncates in Spark but
-    # ROUNDS in DuckDB — floor + // keep both engines on integer ground
-    sized = toks.withColumn("blk", F.floor(F.col("p") / w).cast("long")).join(
-        toks.groupBy("doc_id").agg(
-            F.floor(F.count("*") / w).cast("long").alias("nb")
+    base = (
+        docs.select("doc_id", F.expr(tokens_expr).alias("__toks"))
+        # explicit floor: bare CAST(double AS BIGINT) truncates in Spark
+        # but ROUNDS in DuckDB — floor + // keep both engines on integer
+        # ground
+        .withColumn("nb", F.floor(F.size("__toks") / w).cast("long"))
+        .filter(F.col("nb") >= 2)
+        .repartition("doc_id")
+    )
+    toks = base.select(
+        "doc_id", "nb", F.posexplode("__toks").alias("p", "tok")
+    ).withColumn("blk", F.floor(F.col("p") / w).cast("long")).filter(
+        F.col("blk") < F.col("nb")
+    )
+    # block b is the LEFT side of gap b and the RIGHT side of gap b-1:
+    # each token fans out to its <= 2 (gap, side) memberships in-row
+    sides = F.array(
+        F.when(
+            F.col("blk") <= F.col("nb") - 2,
+            F.struct(F.col("blk").alias("gap"), F.lit(1).alias("l")),
         ),
+        F.when(
+            F.col("blk") >= 1,
+            F.struct((F.col("blk") - 1).alias("gap"), F.lit(0).alias("l")),
+        ),
+    )
+    gs = toks.select(
         "doc_id",
-    ).filter(F.col("blk") < F.col("nb"))
-    # block b is the LEFT side of gap b and the RIGHT side of gap b-1
-    left = sized.filter(F.col("blk") <= F.col("nb") - 2).select(
-        "doc_id", F.col("blk").alias("gap"), F.lit("l").alias("side"), "tok"
-    )
-    right = sized.filter(F.col("blk") >= 1).select(
-        "doc_id", (F.col("blk") - 1).alias("gap"), F.lit("r").alias("side"), "tok"
-    )
-    counts = (
-        left.unionByName(right)
-        .groupBy("doc_id", "gap", "side", "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    per_tok = counts.groupBy("doc_id", "gap", "tok").agg(
-        F.sum(F.when(F.col("side") == "l", F.col("c")).otherwise(0)).alias("cl"),
-        F.sum(F.when(F.col("side") == "r", F.col("c")).otherwise(0)).alias("cr"),
+        "tok",
+        F.explode(F.filter(sides, lambda x: x.isNotNull())).alias("g"),
+    ).select("doc_id", F.col("g.gap").alias("gap"), F.col("g.l").alias("l"), "tok")
+    per_tok = gs.groupBy("doc_id", "gap", "tok").agg(
+        F.sum("l").alias("cl"),
+        F.sum(1 - F.col("l")).alias("cr"),
     )
     scores = per_tok.groupBy("doc_id", "gap").agg(
         F.sum(F.col("cl") * F.col("cr")).alias("num"),
@@ -805,48 +823,53 @@ def texttile_boundaries(
             + (F.max("s").over(w_suf) - F.col("s"))
         ).alias("depth"),
     )
+    # ONE groupBy collects the bounded per-doc (gap, depth) array; the
+    # cutoff (gap-ordered folds — the float-portability rule) AND the
+    # boundary outputs derive from it in-row, so `depths` has exactly
+    # one consumer (no join back = no duplicated token subtree)
     stats = depths.groupBy("doc_id").agg(
-        F.count("*").alias("n_gaps"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("gap", "depth"))),
-            F.lit(0.0),
-            lambda s, x: s + x["depth"],
-        ).alias("dsum"),
-        F.array_sort(F.collect_list(F.struct("gap", "depth"))).alias("arr"),
+        F.array_sort(F.collect_list(F.struct("gap", "depth"))).alias("arr")
     ).select(
         "doc_id",
-        "n_gaps",
-        (F.col("dsum") / F.col("n_gaps")).alias("mean"),
         "arr",
-    ).select(
-        "doc_id",
-        "n_gaps",
-        "mean",
-        F.sqrt(
+        F.size("arr").cast("long").alias("n_gaps"),
+        (
             F.aggregate(
-                F.col("arr"),
-                F.lit(0.0),
-                lambda s, x: s
-                + (x["depth"] - F.col("mean")) * (x["depth"] - F.col("mean")),
+                F.col("arr"), F.lit(0.0), lambda s, x: s + x["depth"]
             )
-            / F.col("n_gaps")
-        ).alias("sigma"),
+            / F.size("arr")
+        ).alias("mean"),
     ).select(
         "doc_id",
+        "arr",
         "n_gaps",
-        (F.col("mean") - F.col("sigma") / 2.0).alias("cutoff"),
+        (
+            F.col("mean")
+            - F.sqrt(
+                F.aggregate(
+                    F.col("arr"),
+                    F.lit(0.0),
+                    lambda s, x: s
+                    + (x["depth"] - F.col("mean"))
+                    * (x["depth"] - F.col("mean")),
+                )
+                / F.col("n_gaps")
+            )
+            / 2.0
+        ).alias("cutoff"),
     )
-    joined = depths.join(stats, "doc_id")
-    return joined.groupBy("doc_id").agg(
-        F.first("n_gaps").alias("n_gaps"),
-        F.sum(F.when(F.col("depth") > F.col("cutoff"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_boundaries"),
-        F.min(F.when(F.col("depth") > F.col("cutoff"), F.col("gap"))).alias(
+    bnd = F.filter(F.col("arr"), lambda x: x["depth"] > F.col("cutoff"))
+    return stats.select(
+        "doc_id",
+        "n_gaps",
+        F.size(bnd).cast("long").alias("n_boundaries"),
+        F.array_min(F.transform(bnd, lambda x: x["gap"])).alias(
             "first_boundary"
         ),
-        F.round(F.first("cutoff"), 6).alias("cutoff6"),
-        F.round(F.max("depth"), 6).alias("max_depth6"),
+        F.round("cutoff", 6).alias("cutoff6"),
+        F.round(
+            F.array_max(F.transform(F.col("arr"), lambda x: x["depth"])), 6
+        ).alias("max_depth6"),
     )
 
 
