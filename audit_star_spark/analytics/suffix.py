@@ -446,64 +446,82 @@ def suffix_dup_profile(
     distinct, exactly like the 0 sentinel).
 
     Scale shape: ranks here are consumed for EQUALITY only, so no span
-    needs a materialized rank frame of its own — span h groups on the
-    struct of base ranks at offsets 0, b, ..., h-b (one per-document
-    lead window, m = h/b <= 4 probes), and a new base (a factor-4
-    superround, mono-densified) is built only when the NEXT span would
-    need more than 4 probes. max_h=16 therefore materializes ONE
-    ladder round (1 -> 4) instead of four doubling rounds."""
+    needs a materialized rank frame of its own — every span probeable
+    from the current base (m = h/b <= 4) is answered by ONE shared
+    pass: a single per-document lead window computes the base ranks at
+    offsets 0, b, 2b, 3b once, each position fans out to one (h, key)
+    row per span in the epoch (keys for smaller m pad with the 0
+    sentinel — constant fields, same equality classes), and one
+    groupBy(h, key) + per-h rollup answers the whole epoch in one
+    exchange + one action. A new base (a factor-4 superround,
+    mono-densified) is built only when the NEXT span would need more
+    than 4 probes. max_h=16 therefore runs TWO epoch passes ({1,2,4}
+    off the token ranks, {8,16} off one materialized factor-4 round)
+    instead of five per-span groupBys and four window passes."""
     _toks, base, max_len = _token_ranks(docs, tokens_expr, mode, dense=False)
-    out_rows = []
     spark = docs.sparkSession
+    limit = max_h or max_len
+    # the emitted h set is a pure function of max_h (the independent
+    # oracle computes the same fixed set)
+    spans = [1]
+    while spans[-1] < limit:
+        spans.append(spans[-1] * 2)
     w = Window.partitionBy("doc_id").orderBy("pos")
-
-    def profile(h: int, bspan: int) -> None:
-        m = h // bspan
-        if m == 1:
-            key = F.col("r")
-        else:
-            sent = F.lit(0).cast("long")
-            key = F.struct(
-                F.col("r").alias("k0"),
-                *[
-                    F.coalesce(F.lead("r", i * bspan).over(w), sent).alias(
-                        f"k{i}"
-                    )
-                    for i in range(1, m)
-                ],
-            )
-        g = (
-            base.select(key.alias("k"))
-            .groupBy("k")
+    sent = F.lit(0).cast("long")
+    out: dict[int, tuple[int, int]] = {}
+    bspan, i = 1, 0
+    while i < len(spans):
+        epoch = [h for h in spans[i:] if h // bspan <= 4]
+        ms = [h // bspan for h in epoch]
+        mx = max(ms)
+        led = base.select(
+            F.col("r").alias("l0"),
+            *[
+                F.coalesce(F.lead("r", j * bspan).over(w), sent).alias(
+                    f"l{j}"
+                )
+                for j in range(1, mx)
+            ],
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(h).alias("h"),
+                    *[
+                        (F.col(f"l{j}") if j < m else sent).alias(f"k{j}")
+                        for j in range(mx)
+                    ],
+                )
+                for h, m in zip(epoch, ms)
+            ]
+        )
+        rows = (
+            led.select(F.explode(entries).alias("e"))
+            .select("e.*")
+            .groupBy("h", *[f"k{j}" for j in range(mx)])
             .agg(F.count("*").alias("c"))
             .filter(F.col("c") > 1)
+            .groupBy("h")
+            .agg(F.sum("c").alias("n_dup"), F.count("*").alias("n_groups"))
+            .collect()
         )
-        row = g.agg(
-            F.coalesce(F.sum("c"), F.lit(0)).alias("n_dup"),
-            F.count("*").alias("n_groups"),
-        ).collect()[0]
-        out_rows.append((h, int(row["n_dup"]), int(row["n_groups"])))
-
-    profile(1, 1)
-    h, bspan = 1, 1
-    limit = max_h or max_len
-    while h < limit:
-        if out_rows[-1][1] == 0:
+        got = {
+            int(r["h"]): (int(r["n_dup"]), int(r["n_groups"])) for r in rows
+        }
+        for h in epoch:
+            out[h] = got.get(h, (0, 0))
+        i += len(epoch)
+        if i >= len(spans) or out[epoch[-1]][0] == 0:
+            # once no suffix shares its first-h tokens, larger spans
+            # cannot create duplicates — pad the rest with zeros
+            for h in spans[i:]:
+                out[h] = (0, 0)
             break
-        h *= 2
-        if h > 4 * bspan:
-            base = _super_round(base, bspan, 4, mode, densify=True)
-            bspan *= 4
-        profile(h, bspan)
-    # once no suffix shares its first-h tokens, larger spans cannot
-    # create duplicates — pad the remaining power-of-two rows with
-    # zeros so the emitted h set is a pure function of max_h (the
-    # independent oracle computes the same fixed set)
-    while h < limit:
-        h *= 2
-        out_rows.append((h, 0, 0))
+        base = _super_round(base, bspan, 4, mode, densify=True)
+        bspan *= 4
     return spark.createDataFrame(
-        out_rows, "h int, n_dup_suffixes long, n_dup_groups long"
+        [(h, out[h][0], out[h][1]) for h in spans],
+        "h int, n_dup_suffixes long, n_dup_groups long",
     )
 
 
