@@ -181,7 +181,7 @@ def build_ivf_index(
         F.col("centroid").alias("cvec"),
         "cnorm",
     )
-    base = _prepared(emb).persist()
+    base = _prepared(emb)
     # label (for downstream consumers — semantic dedup groups on it)
     # rides through the assignment's column passthrough: no corpus-side
     # re-join on vec_id (the join was a second full exchange of the
@@ -202,16 +202,24 @@ def build_ivf_index(
         .partitionBy("cell_id")
         .parquet(os.path.join(index_dir, "assignments"))
     )
-    dim_row = emb.select(
-        F.size(F.expr("embedding")).alias("d")
-    ).limit(1).collect()
-    n_vectors = int(base.count())
-    base.unpersist()
+    # meta from the BOUNDED centroid frame (n_cells rows), not the
+    # corpus: every vector lands in exactly one cell, so sum(n_members)
+    # IS the corpus count, and centroids are means of the vectors, so
+    # their length IS the dimension — this replaces a full corpus scan
+    # (count) plus a limit-1 scan (dim probe) with one tiny collect
+    stat = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .agg(
+            F.coalesce(F.sum("n_members"), F.lit(0)).alias("n"),
+            F.max(F.size("centroid")).alias("d"),
+        )
+        .collect()[0]
+    )
     meta = {
         "n_cells": int(n_cells),
         "iters": int(iters),
-        "dim": int(dim_row[0]["d"]) if dim_row else 0,
-        "n_vectors": n_vectors,
+        "dim": int(stat["d"]) if stat["d"] is not None else 0,
+        "n_vectors": int(stat["n"]),
     }
     with open(os.path.join(index_dir, META), "w") as f:
         json.dump(meta, f)
@@ -325,6 +333,10 @@ def add_pq_codes(
         # trained artifacts — not a retrain): one broadcast join, no
         # extra shuffle. The residual frame re-uses the `embedding`
         # column name so pq_train/pq_encode's VEC_EXPR cast is a no-op.
+        # The coarse cell rides along as __coarse so the partitioned
+        # code write never re-joins the corpus to recover it (pq_encode
+        # groups on (vec_id, extra) — identical groups, cell_id is
+        # functionally dependent on vec_id).
         cents = index.centroids(spark).select(
             "cell_id", F.col("centroid").alias("cvec")
         )
@@ -333,13 +345,16 @@ def add_pq_codes(
             .join(F.broadcast(cents), "cell_id")
             .select(
                 "vec_id",
+                F.col("cell_id").alias("__coarse"),
                 F.expr("zip_with(vec, cvec, (x, y) -> x - y)").alias(
                     "embedding"
                 ),
             )
         )
+        extra = ("__coarse",)
     else:
         pq_input = emb
+        extra = ()
     if use_opq:
         from audit_star_spark.analytics.pq import (
             _encode_base,
@@ -351,7 +366,7 @@ def add_pq_codes(
         from audit_star_spark.analytics.similarity import VEC_EXPR
 
         dim = index.meta()["dim"]
-        base = pq_input.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+        base = pq_input.select("vec_id", *extra, F.expr(VEC_EXPR).alias("vec"))
         cb0 = pq_train(pq_input, m_sub=m_sub, k=k_codes, iters=iters)
         opq_rotation(base, cb0, dim, m_sub).write.mode("overwrite").parquet(
             os.path.join(index.index_dir, "opq_rotation")
@@ -369,7 +384,7 @@ def add_pq_codes(
         saved_cb = spark.read.parquet(
             os.path.join(index.index_dir, "pq_codebook")
         )
-        codes = _encode_base(rotated, saved_cb, dim, m_sub)
+        codes = _encode_base(rotated, saved_cb, dim, m_sub, extra)
     else:
         codebook = pq_train(pq_input, m_sub=m_sub, k=k_codes, iters=iters)
         codebook.write.mode("overwrite").parquet(
@@ -378,12 +393,17 @@ def add_pq_codes(
         saved_cb = spark.read.parquet(
             os.path.join(index.index_dir, "pq_codebook")
         )
-        codes = pq_encode(pq_input, saved_cb, m_sub=m_sub)
-    cells = index.assignments(spark).select("vec_id", "cell_id")
+        codes = pq_encode(pq_input, saved_cb, m_sub=m_sub, extra=extra)
+    if by_residual:
+        # the coarse cell rode through the encode: no corpus re-join
+        coded = codes.withColumnRenamed("__coarse", "cell_id")
+    else:
+        coded = codes.join(
+            index.assignments(spark).select("vec_id", "cell_id"), "vec_id"
+        )
     # same rebalance-before-partitioned-write as build_ivf_index
     (
-        codes.join(cells, "vec_id")
-        .hint("rebalance", "cell_id")
+        coded.hint("rebalance", "cell_id")
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(os.path.join(index.index_dir, "pq_codes"))

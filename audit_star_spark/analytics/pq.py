@@ -41,8 +41,8 @@ PQ_M_SUB = 4
 PQ_K = 16
 
 
-def _base(emb: DataFrame) -> DataFrame:
-    return emb.select("vec_id", F.expr(VEC_EXPR).alias("vec"))
+def _base(emb: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    return emb.select("vec_id", *extra, F.expr(VEC_EXPR).alias("vec"))
 
 
 def _subvecs(df: DataFrame, dim: int, m_sub: int, vec_col: str = "vec") -> DataFrame:
@@ -89,14 +89,18 @@ _BEST_CODE = (
 )
 
 
-def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+def _assign(
+    sub: DataFrame, codebook: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Per (vec_id, sub_id): the L2-nearest codeword (ties to the
     smaller cell_id), as ONE in-row argmin per subvector over that
     subspace's broadcast cell_id-sorted codeword array — no explode
     join, no per-(vec_id, sub_id) window, NO exchange of the corpus
     side (the previous shape shuffled corpus x k scored rows through a
     window sort just to pick each argmin).
-    codebook = (sub_id, cell_id, centroid)."""
+    codebook = (sub_id, cell_id, centroid). ``extra`` columns of ``sub``
+    ride through (payload passthrough — so callers never re-join the
+    corpus to recover them)."""
     packed = codebook.groupBy("sub_id").agg(
         F.expr("array_sort(collect_list(struct(cell_id, centroid)))").alias(
             "__cells"
@@ -104,6 +108,7 @@ def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     )
     return sub.join(F.broadcast(packed), "sub_id").select(
         "vec_id",
+        *extra,
         "sub_id",
         "svec",
         F.expr(_BEST_CODE).alias("cell_id"),
@@ -184,16 +189,22 @@ def _lloyd_round(
 
 
 def pq_encode(
-    emb: DataFrame, codebook: DataFrame, m_sub: int = PQ_M_SUB
+    emb: DataFrame,
+    codebook: DataFrame,
+    m_sub: int = PQ_M_SUB,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, codes array<int>): the m_sub nearest-codeword ids in
-    subspace order — the compressed representation (log2(k) bits per
-    subspace at storage time; ints here)."""
-    base = _base(emb)
+    """(vec_id, *extra, codes array<int>): the m_sub nearest-codeword
+    ids in subspace order — the compressed representation (log2(k) bits
+    per subspace at storage time; ints here). ``extra`` columns must be
+    functionally dependent on vec_id (e.g. the coarse cell id); they
+    join the groupBy key, which leaves the groups identical while
+    letting the caller skip a corpus-sized re-join to recover them."""
+    base = _base(emb, extra)
     sub = _subvecs(base, _vec_dim(emb), m_sub)
     return (
-        _assign(sub, codebook.select("sub_id", "cell_id", "centroid"))
-        .groupBy("vec_id")
+        _assign(sub, codebook.select("sub_id", "cell_id", "centroid"), extra)
+        .groupBy("vec_id", *extra)
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(sub_id, cell_id))), "
@@ -436,13 +447,18 @@ def opq_rotate(
 
 
 def _encode_base(
-    base: DataFrame, codebook: DataFrame, dim: int, m_sub: int
+    base: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m_sub: int,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """pq_encode over a prepared (vec_id, vec) frame."""
+    """pq_encode over a prepared (vec_id, *extra, vec) frame (``extra``
+    as in :func:`pq_encode`)."""
     sub = _subvecs(base, dim, m_sub)
     return (
-        _assign(sub, codebook.select("sub_id", "cell_id", "centroid"))
-        .groupBy("vec_id")
+        _assign(sub, codebook.select("sub_id", "cell_id", "centroid"), extra)
+        .groupBy("vec_id", *extra)
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(sub_id, cell_id))), "
