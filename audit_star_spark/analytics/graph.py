@@ -17,9 +17,14 @@ aggregation with map-side partial sums. The edge list with out-degrees is
 computed once, repartitioned by src and lazily localCheckpoint-ed, so
 every iteration's join reuses the same co-located partitioning without
 re-shuffling the (corpus-sized) edges; only the (node-sized) rank table
-moves. Dangling mass and N are 1-row broadcast aggregates (no driver
-round-trip inside the loop); per-iteration ``persist`` bounds lineage
-depth exactly like the BPE trainer (bpe.py).
+moves. The dangling flag (node has no out-links) is folded into the
+materialized node frame ONCE and carried through every rank frame, so
+the per-round dangling probe is a 1-row broadcast aggregate over the
+already-materialized ranks — no per-round re-derivation of out-degrees
+and no node-sized broadcast anti-join side. N is a single bounded
+driver read before the loop (the k-means shift-probe pattern);
+per-iteration materialization bounds lineage depth exactly like the BPE
+trainer (bpe.py).
 """
 
 from __future__ import annotations
@@ -65,50 +70,65 @@ def pagerank(
         raise ValueError(f"tol must be positive, got {tol}")
 
     src = F.col("src")
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
+    # node frame with the dangling flag folded in ONCE: every round's
+    # dangling probe reads the flag off the (materialized) rank frame
+    # instead of re-deriving out_deg and broadcasting a node-sized
+    # anti-join side per round
     nodes = iter_materialize(
         edges.select(src.alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct(),
+        .distinct()
+        .join(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(True).alias("__o")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__o"), F.lit(False)).alias("has_out")),
         checkpoint_dir,
         eager=False,
     )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     # src-keyed layout reused by every iteration's join
     e = iter_materialize(
         edges.join(out_deg, "src").repartition("src"),
         checkpoint_dir,
         eager=False,
     )
-    n_nodes = nodes.agg(F.count("*").alias("n"))  # 1-row broadcast
+    # bounded 1-row driver read, once before the loop (shift-probe
+    # pattern); a long literal divides exactly like the long column did
+    n = F.lit(nodes.count())
 
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
-    has_out = out_deg.select(F.col("src").alias("node"))
+    ranks = nodes.select("node", "has_out", (F.lit(1.0) / n).alias("rank"))
 
     prev = None
     for _ in range(n_iter):
+        rk = ranks.select("node", "rank")
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(rk, e["src"] == rk["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out")).alias("contrib"))
         )
-        dangling = (
-            ranks.join(F.broadcast(has_out), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        # same addends as the old anti-join sum (when() skips has_out
+        # rows as NULLs), read straight off the materialized rank frame
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("has_out"), F.col("rank"))), F.lit(0.0)
+            ).alias("dmass")
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(n_nodes))
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "has_out",
                 (
-                    (1.0 - damping) / F.col("n")
+                    (1.0 - damping) / n
                     + damping
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dmass") / F.col("n")
+                        + F.col("dmass") / n
                     )
                 ).alias("rank"),
             )
@@ -137,7 +157,7 @@ def pagerank(
                 if delta is not None and delta < tol:
                     break
             prev = ranks
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_sql_iterations(
@@ -327,41 +347,57 @@ def personalized_pagerank(
         [(int(s), sw) for s in sorted(set(seeds))], "node long, swt double"
     )
 
-    nodes = iter_materialize(
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .unionByName(seed_df.select("node"))
-        .distinct(),
-        checkpoint_dir,
-        eager=False,
-    )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out"))
     e = iter_materialize(
         edges.join(out_deg, "src").repartition("src"),
         checkpoint_dir,
         eager=False,
     )
-    has_out = out_deg.select(F.col("src").alias("node"))
     swt = F.coalesce(F.col("swt"), F.lit(0.0))
-    based = nodes.join(F.broadcast(seed_df), "node", "left").select(
-        "node", swt.alias("swt")
+    # node frame with restart weight AND the dangling flag folded in
+    # ONCE (see pagerank: no per-round out_deg re-derivation, no
+    # node-sized broadcast anti-join side)
+    based = iter_materialize(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(seed_df.select("node"))
+        .distinct()
+        .join(F.broadcast(seed_df), "node", "left")
+        .join(
+            out_deg.select(
+                F.col("src").alias("node"), F.lit(True).alias("__o")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            swt.alias("swt"),
+            F.coalesce(F.col("__o"), F.lit(False)).alias("has_out"),
+        ),
+        checkpoint_dir,
+        eager=False,
     )
-    ranks = based.select("node", F.col("swt").alias("rank"))
+    ranks = based.select("node", "has_out", F.col("swt").alias("rank"))
 
     for _ in range(n_iter):
+        rk = ranks.select("node", "rank")
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(rk, e["src"] == rk["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out")).alias("contrib"))
         )
-        dangling = ranks.join(
-            F.broadcast(has_out), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("has_out"), F.col("rank"))), F.lit(0.0)
+            ).alias("dmass")
+        )
         ranks = (
             based.join(contribs, based["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "has_out",
                 (
                     (1.0 - damping) * F.col("swt")
                     + damping
@@ -373,7 +409,7 @@ def personalized_pagerank(
             )
         )
         ranks = iter_materialize(ranks, checkpoint_dir, eager=True)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def ppr_sql_iterations(
@@ -441,12 +477,17 @@ def hits(
     Returns (node, hub, authority) for every node appearing as src or
     dst; a node with no in-links has authority 0, no out-links hub 0.
 
-    Scale shape — same class as :func:`pagerank`: the edge layout
-    materializes once; each round is two keyed aggregations joined
-    against the node-sized score frame (no broadcast of anything
-    corpus-sized; normalization is a 1-row broadcast aggregate); every
-    round re-materializes to cut lineage (``checkpoint_dir`` for
-    reliable checkpoints, the plans/iterate.py trade)."""
+    Scale shape — same class as :func:`pagerank`: TWO edge layouts
+    materialize once (src-keyed for the authority half-round, dst-keyed
+    for the hub half-round — one layout would re-shuffle the
+    corpus-sized edges by the other key EVERY round); each round is two
+    keyed aggregations joined against the node-sized score frame (no
+    broadcast of anything corpus-sized; normalization is a 1-row
+    broadcast aggregate over the MATERIALIZED raw scores, so the
+    corpus-sized join+agg runs once per half-round, not once more per
+    total); every round re-materializes to cut lineage
+    (``checkpoint_dir`` for reliable checkpoints, the plans/iterate.py
+    trade)."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     nodes = iter_materialize(
@@ -456,14 +497,24 @@ def hits(
         checkpoint_dir,
         eager=False,
     )
-    e = iter_materialize(edges.repartition("src"), checkpoint_dir, eager=False)
+    e_src = iter_materialize(
+        edges.repartition("src"), checkpoint_dir, eager=False
+    )
+    e_dst = iter_materialize(
+        edges.repartition("dst"), checkpoint_dir, eager=False
+    )
     hubs = nodes.select("node", F.lit(1.0).alias("h"))
     auths = None
     for _ in range(n_iter):
-        a_raw = (
-            e.join(hubs, e["src"] == hubs["node"])
+        # materialize the raw half-round scores: the 1-row total and
+        # the node join both read the SAME computed frame instead of
+        # re-executing the corpus-sized join+agg once per consumer
+        a_raw = iter_materialize(
+            e_src.join(hubs, e_src["src"] == hubs["node"])
             .groupBy("dst")
-            .agg(F.sum("h").alias("a"))
+            .agg(F.sum("h").alias("a")),
+            checkpoint_dir,
+            eager=False,
         )
         a_tot = a_raw.agg(F.coalesce(F.sum("a"), F.lit(1.0)).alias("t"))
         auths = iter_materialize(
@@ -475,10 +526,12 @@ def hits(
             ),
             checkpoint_dir,
         )
-        h_raw = (
-            e.join(auths, e["dst"] == auths["node"])
+        h_raw = iter_materialize(
+            e_dst.join(auths, e_dst["dst"] == auths["node"])
             .groupBy("src")
-            .agg(F.sum("a").alias("h"))
+            .agg(F.sum("a").alias("h")),
+            checkpoint_dir,
+            eager=False,
         )
         h_tot = h_raw.agg(F.coalesce(F.sum("h"), F.lit(1.0)).alias("t"))
         hubs = iter_materialize(

@@ -38,6 +38,15 @@ def profile_table(
         raise ValueError(f"unknown columns: {unknown}")
 
     aggs = [F.count(F.lit(1)).alias("__n")]
+    # String min/max have variable-length aggregation buffers, which
+    # disqualify HashAggregate — mixed into the multi-countDistinct agg
+    # they force the Expand(rows x |cols|+1) rewrite into SortAggregate
+    # with a full sort of the expanded input on every grouping key. Keep
+    # them in a SEPARATE 1-row aggregate over just the string columns
+    # (parquet prunes to those columns), joined back onto the hash-
+    # friendly aggregate: the Expand path stays all-primitive-buffer and
+    # hash-aggregates, and no corpus-sized sort is ever planned.
+    str_aggs: list[F.Column] = []
     per_col: list[tuple[str, str]] = []  # (name, dtype string)
     for c in cols:
         dt = fields[c]
@@ -53,8 +62,8 @@ def profile_table(
             aggs.append(F.min(qc).cast("double").alias(f"__min_{c}"))
             aggs.append(F.max(qc).cast("double").alias(f"__max_{c}"))
         elif isinstance(dt, T.StringType):
-            aggs.append(F.min(qc).alias(f"__min_{c}"))
-            aggs.append(F.max(qc).alias(f"__max_{c}"))
+            str_aggs.append(F.min(qc).alias(f"__min_{c}"))
+            str_aggs.append(F.max(qc).alias(f"__max_{c}"))
         elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             aggs.append(F.min(qc).cast("timestamp").alias(f"__min_{c}"))
             aggs.append(F.max(qc).cast("timestamp").alias(f"__max_{c}"))
@@ -64,6 +73,8 @@ def profile_table(
         per_col.append((c, dt.simpleString().replace("timestamp_ntz", "timestamp")))
 
     one = df.agg(*aggs)
+    if str_aggs:
+        one = one.crossJoin(df.agg(*str_aggs))
 
     # unpivot the 1-row aggregate into per-column rows: a driver-side
     # union of 1-row selects over the SAME materialized aggregate would

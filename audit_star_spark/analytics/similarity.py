@@ -43,7 +43,9 @@ def _prepared(emb: DataFrame) -> DataFrame:
     )
 
 
-def _topk_per_query(cand: DataFrame, k: int, payload: list[str]) -> DataFrame:
+def _topk_per_query(
+    cand: DataFrame, k: int, payload: list[str], keys: list[str] | None = None
+) -> DataFrame:
     """Exact per-query top-k by (cosine DESC, vec_id ASC) WITHOUT a
     query-partitioned window: candidates fold into a k-truncated sorted
     array per input partition before any exchange (the explicit
@@ -59,6 +61,9 @@ def _topk_per_query(cand: DataFrame, k: int, payload: list[str]) -> DataFrame:
 
     ``cand`` must carry (query_id, vec_id, cosine, *payload); returns
     (query_id, rank, vec_id, *payload, cosine), rank 1 = best.
+    ``keys`` widens the per-query grouping (default ``["query_id"]``) —
+    e.g. ``["prefix_dim", "query_id"]`` ranks each (prefix, query)
+    independently off ONE fused candidate stream.
 
     NaN guard: a zero-norm vector makes cosine NaN, and NaN's sort
     position differs BETWEEN engines (Spark's ascending sort puts NaN
@@ -66,24 +71,25 @@ def _topk_per_query(cand: DataFrame, k: int, payload: list[str]) -> DataFrame:
     rank 1). NaN candidates are dropped here and the gate oracles
     mirror the same ``NOT isnan(cosine)`` filter, so both engines agree
     should a degenerate vector ever appear."""
+    keys = keys or ["query_id"]
     cand = cand.filter(~F.isnan("cosine"))
     fields = ", ".join(["-cosine AS nc", "vec_id"] + payload + ["cosine"])
     ts = f"struct({fields})"
     local = cand.withColumn("__p", F.spark_partition_id()).groupBy(
-        "query_id", "__p"
+        *keys, "__p"
     ).agg(
         F.expr(f"slice(array_sort(collect_list({ts})), 1, {k})").alias("top")
     )
     merged = (
-        local.select("query_id", F.explode("top").alias("t"))
-        .groupBy("query_id")
+        local.select(*keys, F.explode("top").alias("t"))
+        .groupBy(*keys)
         .agg(
             F.expr(f"slice(array_sort(collect_list(t)), 1, {k})").alias("top")
         )
     )
-    out = merged.select("query_id", F.posexplode("top").alias("r", "t"))
-    cols = [
-        F.col("query_id"),
+    out = merged.select(*keys, F.posexplode("top").alias("r", "t"))
+    cols = [F.col(c) for c in keys]
+    cols += [
         (F.col("r") + 1).cast("int").alias("rank"),
         F.col("t.vec_id").alias("vec_id"),
     ]
@@ -1074,31 +1080,59 @@ def projected_recall(
     )
 
 
-def _prefix_topk(
-    base: DataFrame, d: int, n_queries: int, k: int
+def _fused_prefix_topk(
+    base: DataFrame, dims: tuple[int, ...], n_queries: int, k: int
 ) -> DataFrame:
-    """Exact cosine top-k using only the first ``d`` dimensions — the
-    Matryoshka prefix ranking (broadcast queries, per-query top-k)."""
+    """Exact cosine top-k for EVERY prefix length in ``dims`` (plus the
+    full dimension, tagged ``prefix_dim = 0``) off ONE corpus scan: per
+    candidate pair, each prefix cosine is one in-row slice/dot, the
+    (prefix_dim, cosine) entries explode map-side, and the per-
+    (prefix, query) top-k is the two-phase partial fold — no
+    query-partitioned row_number window funneling each query's full
+    candidate stream through one task, and no per-prefix re-scan of the
+    corpus. The slice/dot/sqrt arithmetic is the per-prefix-scan
+    expression verbatim (slice of the SAME prepared vec), so rankings
+    are bit-identical to the unfused form. Returns (prefix_dim,
+    query_id, vec_id)."""
     pre = base.select(
-        "vec_id", F.expr(f"slice(vec, 1, {d})").alias("pvec")
+        "vec_id",
+        "vec",
+        "norm",
+        *[
+            F.sqrt(
+                _dot(f"slice(vec, 1, {d})", f"slice(vec, 1, {d})")
+            ).alias(f"pn_{d}")
+            for d in dims
+        ],
     )
-    pre = with_norm(pre, vec_col="pvec", out="pnorm")
     q = pre.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("pvec").alias("qvec"),
-        F.col("pnorm").alias("qnorm"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        *[F.col(f"pn_{d}").alias(f"qn_{d}") for d in dims],
     )
     joined = pre.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = _dot("qvec", "pvec") / (F.col("qnorm") * F.col("pnorm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        joined.select("query_id", "vec_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id")
-    )
+    entries = [
+        F.struct(
+            F.lit(0).alias("prefix_dim"),
+            (_dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))).alias(
+                "cosine"
+            ),
+        )
+    ]
+    for d in dims:
+        cos_d = _dot(f"slice(qvec, 1, {d})", f"slice(vec, 1, {d})") / (
+            F.col(f"qn_{d}") * F.col(f"pn_{d}")
+        )
+        entries.append(
+            F.struct(F.lit(d).alias("prefix_dim"), cos_d.alias("cosine"))
+        )
+    pairs = joined.select(
+        "query_id", "vec_id", F.explode(F.array(*entries)).alias("pc")
+    ).select("query_id", "vec_id", "pc.prefix_dim", "pc.cosine")
+    return _topk_per_query(
+        pairs, k, [], keys=["prefix_dim", "query_id"]
+    ).select("prefix_dim", "query_id", "vec_id")
 
 
 def matryoshka_recall(
@@ -1115,44 +1149,57 @@ def matryoshka_recall(
     Returns (prefix_dim, query_id, n_hits, recall), one row per
     (prefix, query).
 
-    Scale shape: one broadcast-query scan per prefix length (the
-    prefix slice is in-row — no second copy of the corpus), per-query
-    top-k through the rank window; the recall join touches only
-    |dims| * n_queries * k rows. The interpretation caveat of
-    projected_recall applies verbatim on near-uniform synthetic
+    Scale shape: ONE broadcast-query corpus scan computes every prefix
+    cosine in-row and the full-dim reference ranking together
+    (:func:`_fused_prefix_topk` — two-phase partial top-k per
+    (prefix, query), no rank window, no per-prefix re-scan); the
+    bounded (|dims|+1) * n_queries * k ranking materializes once and
+    the recall join touches only those rows. The interpretation caveat
+    of projected_recall applies verbatim on near-uniform synthetic
     vectors."""
     if not dims:
         raise ValueError("dims must be non-empty")
     dim = _vec_dim(emb)
     if any(d < 1 or d > dim for d in dims):
         raise ValueError(f"dims must be within [1, {dim}], got {dims}")
+    from audit_star_spark.plans.iterate import iter_materialize
+
     base = _prepared(emb)
-    exact = cosine_topk(emb, n_queries=n_queries, k=k).select(
+    # bounded frame; materialize so the exact and prefix consumers read
+    # the same computed ranking instead of re-running the corpus scan
+    fused = iter_materialize(
+        _fused_prefix_topk(base, tuple(dims), n_queries, k), eager=False
+    )
+    exact = fused.filter(F.col("prefix_dim") == 0).select(
         "query_id", "vec_id"
     )
-    out = None
-    for d in dims:
-        pre = _prefix_topk(base, d, n_queries, k).select(
-            "query_id", F.col("vec_id").alias("p_vec_id")
+    pre = fused.filter(F.col("prefix_dim") != 0).select(
+        F.col("prefix_dim").alias("p_dim"),
+        F.col("query_id").alias("p_query_id"),
+        F.col("vec_id").alias("p_vec_id"),
+    )
+    expected = exact.select(
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("prefix_dim"),
+        "query_id",
+        "vec_id",
+    )
+    return (
+        expected.join(
+            pre,
+            (expected["prefix_dim"] == pre["p_dim"])
+            & (expected["query_id"] == pre["p_query_id"])
+            & (expected["vec_id"] == pre["p_vec_id"]),
+            "left",
         )
-        hits = (
-            exact.join(
-                pre,
-                (exact["query_id"] == pre["query_id"])
-                & (exact["vec_id"] == pre["p_vec_id"]),
-                "left",
-            )
-            .groupBy(exact["query_id"].alias("query_id"))
-            .agg(F.count(F.col("p_vec_id")).cast("long").alias("n_hits"))
-            .select(
-                F.lit(d).alias("prefix_dim"),
-                "query_id",
-                "n_hits",
-                (F.col("n_hits").cast("double") / float(k)).alias("recall"),
-            )
+        .groupBy("prefix_dim", "query_id")
+        .agg(F.count(F.col("p_vec_id")).cast("long").alias("n_hits"))
+        .select(
+            "prefix_dim",
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / float(k)).alias("recall"),
         )
-        out = hits if out is None else out.unionByName(hits)
-    return out
+    )
 
 
 def cluster_balanced_sample(

@@ -471,14 +471,21 @@ def unicode_token_stats(docs: DataFrame) -> DataFrame:
     aug = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(UNICODE_SUFFIX)).alias("text")
     )
+    # every statistic is per-document over the in-row token array, so
+    # compute them IN-ROW: no explode of the corpus into token rows and
+    # no doc-keyed exchange for the groupBy/countDistinct \u2014 the query is
+    # one zero-shuffle projection (r14). The size(toks) > 0 filter
+    # mirrors the explode/unnest semantics both engines had (a tokenless
+    # doc emits no row); the appended suffix makes it vacuous here.
     toks = aug.select(
-        "doc_id", F.explode(F.expr(TOKENS_EXPR_UNICODE)).alias("token")
-    )
-    return toks.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.countDistinct("token").cast("long").alias("n_distinct"),
-        F.count(F.when(F.col("token") == "caf\u00e9", 1)).cast("long").alias("n_cafe"),
-        F.count(F.when(F.col("token") == "\u00fcber", 1)).cast("long").alias("n_uber"),
+        "doc_id", F.expr(TOKENS_EXPR_UNICODE).alias("toks")
+    ).filter(F.size("toks") > 0)
+    return toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(F.expr("filter(toks, x -> x = 'caf\u00e9')")).cast("long").alias("n_cafe"),
+        F.size(F.expr("filter(toks, x -> x = '\u00fcber')")).cast("long").alias("n_uber"),
     )
 
 

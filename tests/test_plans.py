@@ -514,14 +514,27 @@ def test_sequence_packing_single_split_keyed_exchange(spark):
     assert "Window [" in plan, plan
 
 
-def test_orders_profile_single_scan(spark):
-    """Every per-column statistic builds off ONE scan of the table (the
-    multi-distinct Expand); per-column rows come from an in-plan struct
-    explode, never a scan per column."""
+def test_orders_profile_two_pruned_scans_no_corpus_sort(spark):
+    """The multi-distinct Expand branch must HASH-aggregate (all its
+    buffers are fixed-width), which caps the plan at exactly TWO scans:
+    the Expand branch and the string-min/max branch (whose var-length
+    buffers would otherwise force the whole Expand through a
+    SortAggregate with a full sort of rows x |cols|+1 on every grouping
+    key — r14). The string branch is column-pruned to the string
+    columns and keyless, so NO Sort node appears anywhere; per-column
+    rows still come from one in-plan struct explode, never a scan per
+    column."""
     from audit_star_spark.queries_analytics import q_orders_profile
 
     plan = _plan(q_orders_profile(spark, SF_DIR))
-    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Sort [" not in plan, plan
+    assert "Expand" in plan, plan
+    # the Expand feeds a hash aggregate, not a sort aggregate
+    import re
+
+    m = re.search(r"(\w+Aggregate)[^\n]*\n[^\n]*Expand", plan)
+    assert m and m.group(1) == "HashAggregate", plan
 
 
 def test_heavy_hitters_topk_no_total_sort(spark):
