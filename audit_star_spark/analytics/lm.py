@@ -114,21 +114,33 @@ def doc_perplexity(
         score_tl = _tokens_prepared(docs, tokens_expr)
     bigram_counts, unigram_counts, vocab = train_bigram_lm(tl, "__toks")
     bg = _bigrams(score_tl, "__toks")
-    prob = (
-        bg.join(bigram_counts, ["w1", "w2"], "left")
+    # nll depends only on the bigram TYPE: join the model tables against
+    # the distinct scored types (type-sized), then attach the per-type
+    # nll to the corpus stream with ONE equi join — the stream is never
+    # shuffled per model table (r14; the score_kn note, one order lower)
+    types = bg.select("w1", "w2").distinct()
+    nll_by_type = (
+        types.join(bigram_counts, ["w1", "w2"], "left")
         .join(unigram_counts, "w1", "left")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "nll",
-            -F.log(
-                (F.coalesce(F.col("c2"), F.lit(0)) + add_k)
-                / (F.coalesce(F.col("c1"), F.lit(0)) + add_k * F.col("v"))
-            ),
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + add_k)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + add_k * F.col("v"))
+                )
+            ).alias("nll"),
         )
     )
-    scores = prob.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.avg("nll").alias("avg_nll"),
+    scores = (
+        bg.join(nll_by_type, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("nll").alias("avg_nll"),
+        )
     )
     # left join back so token-poor documents keep a row (NULL scores)
     return (
@@ -347,13 +359,22 @@ def score_kn(
     """Score ``docs`` against a prebuilt KN model dict (the
     train_kn_trigram_lm / kn_tables_from_counts shape) — the scoring
     half of :func:`doc_perplexity_kn`, shared with the streaming count
-    store."""
+    store.
+
+    Scale shape (r14): the interpolated probability depends only on the
+    trigram TYPE, so the five model lookups join against the DISTINCT
+    scored types (type-sized frames on both sides) and the corpus-sized
+    trigram stream is exchanged exactly twice — once to attach the
+    per-type nll, once for the per-document aggregate. Joining the
+    stream itself against each model table shuffled the corpus-token
+    stream FIVE times on five different keys (the pre-r14 shape)."""
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     d = F.lit(float(discount))
     tg = _trigrams(docs, tokens_expr)
+    types = tg.select("w1", "w2", "w3").distinct()
     j = (
-        tg.join(model["tri"], ["w1", "w2", "w3"], "left")
+        types.join(model["tri"], ["w1", "w2", "w3"], "left")
         .join(model["ctx"], ["w1", "w2"], "left")
         .join(model["cont"], ["w2", "w3"], "left")
         .join(model["mid"], "w2", "left")
@@ -377,9 +398,16 @@ def score_kn(
         / F.col("c12")
         + d * F.col("n3f") / F.col("c12") * p2,
     ).otherwise(p2)
-    scores = j.withColumn("nll", -F.log(p3)).groupBy("doc_id").agg(
-        F.count("*").alias("n_trigrams"),
-        F.avg("nll").alias("avg_nll"),
+    nll_by_type = j.select(
+        "w1", "w2", "w3", (-F.log(p3)).alias("nll")
+    )
+    scores = (
+        tg.join(nll_by_type, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.avg("nll").alias("avg_nll"),
+        )
     )
     return (
         docs.select("doc_id")
