@@ -340,15 +340,23 @@ def ivf_topk(
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
+    # assignment: in-row argmax over the broadcast packed centroids —
+    # no corpus exchange (the previous per-vec_id rank window pushed
+    # every vector, payload included, through a vec_id-keyed shuffle
+    # just to take crank == 1; same fix as _assign_to_cells' callers,
+    # r14). Tie-break (ccos desc, cell_id asc) and the score arithmetic
+    # are _BEST_CELL's, which restate the window's exactly.
+    assigned = _assign_to_cells(base.select("vec_id", "vec", "norm"), cents)
+    # probes: top-n_probe cells per QUERY — a window over the bounded
+    # n_queries x n_cells frame only
     ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
-    )
+    q = base.filter(F.col("vec_id") < n_queries)
     wc = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(wc))
-    assigned = ranked.filter(F.col("crank") == 1).select("vec_id", "vec", "norm", "cell_id")
     probes = (
-        ranked.filter((F.col("crank") <= n_probe) & (F.col("vec_id") < n_queries))
+        q.join(F.broadcast(cents))
+        .select("vec_id", "vec", "norm", "cell_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_probe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
@@ -465,17 +473,9 @@ def semantic_dedup(
             F.col("vec").alias("cvec"),
             F.col("norm").alias("cnorm"),
         )
-        ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-        scored = base.join(F.broadcast(cents)).select(
-            "vec_id", "vec", "norm", "cell_id", ccos.alias("ccos")
-        )
-        wc = Window.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("cell_id")
-        )
-        assigned = (
-            scored.withColumn("crank", F.row_number().over(wc))
-            .filter(F.col("crank") == 1)
-            .select("vec_id", "vec", "norm", "cell_id")
+        # in-row argmax assignment — no corpus exchange (see ivf_topk)
+        assigned = _assign_to_cells(
+            base.select("vec_id", "vec", "norm"), cents
         )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = _dot("a.vec", "b.vec") / (F.col("a.norm") * F.col("b.norm"))
@@ -517,15 +517,16 @@ def _packed_cells(cents: DataFrame, fields: str) -> DataFrame:
 # resolve to the smaller cell_id: exactly the (ccos DESC, cell_id)
 # row_number semantics this replaces. The dot/divide arithmetic is the
 # _dot expression verbatim, so scores are bit-identical.
-_BEST_CELL = (
+_BEST_CELL_S = (
     "aggregate("
     "transform(__cells, c -> named_struct("
     "'s', aggregate(zip_with(c.cvec, {vec}, (x, y) -> x * y), "
     "CAST(0.0 AS DOUBLE), (s, v) -> s + v) / (c.cnorm * {norm}), "
     "'c', c.cell_id)), "
     "named_struct('s', CAST('-Infinity' AS DOUBLE), 'c', CAST(-1 AS BIGINT)), "
-    "(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).c"
+    "(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END)"
 )
+_BEST_CELL = _BEST_CELL_S + ".c"
 
 
 def _assign_to_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1394,17 +1395,18 @@ def incontext_order(
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    ccos = _dot("cvec", "vec") / (F.col("cnorm") * F.col("norm"))
-    wc = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cell_id")
-    )
+    # in-row argmax assignment carrying the winning score — no corpus
+    # exchange (see ivf_topk); _BEST_CELL_S is the same fold with the
+    # struct kept so sim6 comes out of the one pass
+    packed = _packed_cells(cents, "cell_id, cvec, cnorm")
+    best = F.expr(_BEST_CELL_S.format(vec="vec", norm="norm"))
     assigned = (
-        base.join(F.broadcast(cents))
-        .select("vec_id", "cell_id", ccos.alias("ccos"))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
+        base.crossJoin(F.broadcast(packed))
+        .select("vec_id", best.alias("__b"))
         .select(
-            "vec_id", "cell_id", F.round("ccos", 6).alias("sim6")
+            "vec_id",
+            F.col("__b.c").alias("cell_id"),
+            F.round(F.col("__b.s"), 6).alias("sim6"),
         )
         .withColumn("__negsim", -F.col("sim6"))
     )
