@@ -753,8 +753,13 @@ def sentence_span_dedup(
     covered-sentence expansion is a bounded <= span-fold explode, and
     the rewrite is an in-row indexed filter per page — no window over
     the corpus, no driver step."""
+    from audit_star_spark.plans.iterate import iter_materialize
+
     sents = sentence_split(pages, text_col)
-    spans = sentence_spans(sents, span)
+    # materialize the span stream ONCE: the keep-first build side and
+    # the probe side both read it, and without this the md5 span
+    # explode (the profile's dominant phase) re-runs per consumer (r14)
+    spans = iter_materialize(sentence_spans(sents, span), eager=False)
     # duplicated keys only on the build side (the
     # substring_removed_occurrences rationale): singleton spans can
     # never be removed, and the shrunken build side lets AQE broadcast
@@ -766,13 +771,17 @@ def sentence_span_dedup(
         .filter(F.col("__n") > 1)
         .drop("__n")
     )
-    removed = (
+    # materialized: the report reads `removed` twice (dup counts +
+    # covered-index expansion) — without this the keep-first join runs
+    # once per consumer; the frame is bounded by duplicated spans
+    removed = iter_materialize(
         spans.join(firsts, "key")
         .filter(
             (F.col("doc_id") != F.col("o.doc_id"))
             | (F.col("pos") != F.col("o.pos"))
         )
-        .select("doc_id", "pos")
+        .select("doc_id", "pos"),
+        eager=False,
     )
     return sentence_rewrite_report(sents, removed, span)
 
@@ -918,11 +927,18 @@ def substring_dedup_rewrite(
     still trimmed and collapsed to single spaces by the token-level
     rejoin — the one normalization the token granularity inherently
     applies (documented in the pipeline CLI help)."""
+    from audit_star_spark.plans.iterate import iter_materialize
+
     cols = ["doc_id", F.expr(TOKENS_EXPR).alias("toks")]
     if preserve_case:
         cols.append(F.expr(ORIG_TOKENS_EXPR).alias("orig"))
     base = docs.select(*cols)
-    wins = substring_windows(base.select("doc_id", "toks"), k)
+    # materialize the window stream ONCE: the keep-first build side and
+    # the probe side both read it — without this the md5 window explode
+    # re-runs per consumer (the sentence_span_dedup rationale, r14)
+    wins = iter_materialize(
+        substring_windows(base.select("doc_id", "toks"), k), eager=False
+    )
     removed = substring_removed_occurrences(wins)
     return substring_rewrite_report(base, removed, k, emit_text=emit_text)
 
@@ -963,12 +979,18 @@ def suffix_dedup_rewrite(
     to prefer at large min_len. ``mode`` as in suffix_ranks
     ('distributed' = no single-partition rank anywhere)."""
     from audit_star_spark.analytics.suffix import suffix_window_keys
+    from audit_star_spark.plans.iterate import iter_materialize
 
     cols = ["doc_id", F.expr(TOKENS_EXPR).alias("toks")]
     if preserve_case:
         cols.append(F.expr(ORIG_TOKENS_EXPR).alias("orig"))
     base = docs.select(*cols)
-    wins = suffix_window_keys(docs, min_len, TOKENS_EXPR, mode)
+    # materialized: build + probe sides of the keep-first join both
+    # read the window-key stream; recomputing it re-runs the final
+    # ladder lead-window per consumer (r14)
+    wins = iter_materialize(
+        suffix_window_keys(docs, min_len, TOKENS_EXPR, mode), eager=False
+    )
     # duplicated rank pairs only on the build side (the
     # substring_removed_occurrences rationale): a singleton window can
     # never be removed, and the shrunken build side lets AQE broadcast
@@ -1024,12 +1046,17 @@ def suffix_decontaminate_rewrite(
             f"union under negated surrogate ids); saw {lo}"
         )
     from audit_star_spark.analytics.suffix import suffix_window_keys
+    from audit_star_spark.plans.iterate import iter_materialize
 
     base = docs.select("doc_id", F.expr(TOKENS_EXPR).alias("toks"))
     combined = docs.select("doc_id", "text").unionByName(
         probes.select((-F.col("probe_id") - 1).alias("doc_id"), "text")
     )
-    wins = suffix_window_keys(combined, min_len, TOKENS_EXPR, mode)
+    # materialized: probe-key extraction and the corpus semi-join both
+    # read the window-key stream (the suffix_dedup_rewrite rationale)
+    wins = iter_materialize(
+        suffix_window_keys(combined, min_len, TOKENS_EXPR, mode), eager=False
+    )
     probe_keys = (
         wins.filter(F.col("doc_id") < 0).select("r1", "r2").distinct()
     )
