@@ -22,14 +22,113 @@ import numpy as np
 _GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
-def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> np.ndarray:
+    """LZW stream -> palette indices (uint8 array, >= max_pixels entries
+    when the stream carries them; callers slice to the frame size).
+
+    Vectorized: codes are extracted in bulk per constant-width segment
+    (the code width changes only at deterministic table-size boundaries),
+    and runs of literal root codes — the only codes the repo's
+    dictionary-free encoder ever emits — are appended without touching a
+    table. The first code that references a dictionary entry drops the
+    rest of the stream to ``_lzw_decode_seq``, which implements the full
+    general algorithm with semantics identical to the classic per-code
+    loop (same error cases, same truncation behavior)."""
     clear = 1 << min_code_size
     end = clear + 1
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    total_bits = len(bits)
+    pow2 = 1 << np.arange(12, dtype=np.int64)
+    out_parts: list[np.ndarray] = []
+    out_len = 0
     code_size = min_code_size + 1
-    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
-    out: list[int] = []
-    prev: list[int] | None = None
+    table_len = end + 1  # virtual len(table); entries materialize lazily
+    have_prev = False
+    hist_parts: list[np.ndarray] = []  # this block's literal codes
     bitpos = 0
+    while bitpos + code_size <= total_bits:
+        navail = (total_bits - bitpos) // code_size
+        if code_size < 12:
+            room = (1 << code_size) - table_len + (0 if have_prev else 1)
+        else:
+            # width is pinned at the 12-bit ceiling; batch through the
+            # point where a width-synchronized encoder must emit its
+            # reset clear (table_len == 4096), plus that clear itself —
+            # never the whole remaining stream, which would re-extract
+            # the tail on every partial consume
+            room = max(4096 - table_len, 0) + 1
+        k = max(1, min(room, navail))
+        seg = bits[bitpos : bitpos + k * code_size]
+        codes = seg.reshape(k, code_size).astype(np.int64) @ pow2[:code_size]
+        nz = np.flatnonzero(codes >= clear)
+        stop = int(nz[0]) if len(nz) else k
+        if stop:
+            lit = codes[:stop]
+            table_len += stop - (0 if have_prev else 1)
+            have_prev = True
+            out_parts.append(lit.astype(np.uint8))
+            hist_parts.append(lit)
+            out_len += stop
+            bitpos += stop * code_size
+            if code_size < 12 and table_len >= (1 << code_size):
+                code_size += 1
+            if out_len >= max_pixels:
+                break
+            continue
+        v = int(codes[0])
+        bitpos += code_size
+        if v == end:
+            break
+        if v == clear:
+            code_size = min_code_size + 1
+            table_len = end + 1
+            have_prev = False
+            hist_parts = []
+            continue
+        if not have_prev:
+            # prev is None and v > end => v >= len(table)
+            raise ValueError("bad first LZW code")
+        # dictionary reference: materialize the block's table from the
+        # literal history and finish sequentially (general LZW path)
+        hist = np.concatenate(hist_parts)
+        table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        pair_buf = np.empty((len(hist) - 1, 2), dtype=np.uint8)
+        pair_buf[:, 0] = hist[:-1]
+        pair_buf[:, 1] = hist[1:]
+        table.extend(map(bytes, pair_buf))
+        tail = _lzw_decode_seq(
+            data,
+            bitpos - code_size,
+            clear,
+            end,
+            code_size,
+            table,
+            bytes([int(hist[-1])]),
+            max_pixels - out_len,
+        )
+        out_parts.append(np.frombuffer(tail, dtype=np.uint8))
+        out_len += len(tail)
+        break
+    if not out_parts:
+        return np.empty(0, dtype=np.uint8)
+    return np.concatenate(out_parts)
+
+
+def _lzw_decode_seq(
+    data: bytes,
+    bitpos: int,
+    clear: int,
+    end: int,
+    code_size: int,
+    table: list[bytes],
+    prev: bytes | None,
+    max_pixels: int,
+) -> bytes:
+    """General sequential LZW continuation (rare path: streams written by
+    real dictionary-building encoders). Entries are ``bytes`` so output
+    assembly and table growth are C memcpy, not per-int list work."""
+    min_code_size = clear.bit_length() - 1
+    out = bytearray()
     total_bits = len(data) * 8
     while True:
         if bitpos + code_size > total_bits:
@@ -42,7 +141,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
             break
         if v == clear:
             code_size = min_code_size + 1
-            table = [[i] for i in range(clear)] + [[], []]
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
             prev = None
             continue
         if prev is None:
@@ -53,56 +152,70 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int]:
             if v < len(table):
                 entry = table[v]
             elif v == len(table):
-                entry = prev + [prev[0]]
+                entry = prev + prev[:1]
             else:
                 raise ValueError("bad LZW code")
-            table.append(prev + [entry[0]])
+            table.append(prev + entry[:1])
             if len(table) == (1 << code_size) and code_size < 12:
                 code_size += 1
-        out.extend(entry)
+        out += entry
         if len(out) >= max_pixels:
             break
         prev = entry
-    return out
+    return bytes(out)
 
 
-def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+def _lzw_encode(min_code_size: int, indices) -> bytes:
     """Dictionary-free LZW: every pixel as a literal code, widths grown
-    in lockstep with the decoder's table, reset before 12-bit overflow."""
+    in lockstep with the decoder's table, reset before 12-bit overflow.
+
+    Vectorized but byte-identical to the classic emit loop: because every
+    code is a literal, the width schedule depends only on the pixel's
+    position within its clear-delimited block — the width bumps from cs
+    to cs+1 starting at block position (1<<cs) - end, and a clear@12 +
+    reset follows every 4096-end-th pixel."""
     clear = 1 << min_code_size
     end = clear + 1
-    bits: list[int] = []
-
-    def emit(code: int, size: int) -> None:
-        for i in range(size):
-            bits.append((code >> i) & 1)
-
-    code_size = min_code_size + 1
-    emit(clear, code_size)
-    next_code = end + 1
-    first = True  # decoder adds NO table entry for the first code after
-    for px in indices:  # a clear — count from the second one
-        emit(px, code_size)
-        if first:
-            first = False
-            continue
-        next_code += 1
-        if next_code == (1 << code_size):
-            if code_size < 12:
-                code_size += 1
-            else:
-                emit(clear, code_size)
-                code_size = min_code_size + 1
-                next_code = end + 1
-                first = True
-    emit(end, code_size)
-    by = bytearray()
-    for i in range(0, len(bits), 8):
-        b = 0
-        for j, bit in enumerate(bits[i : i + 8]):
-            b |= bit << j
-        by.append(b)
-    return bytes(by)
+    w0 = min_code_size + 1
+    px = np.asarray(indices, dtype=np.int64).ravel()
+    n = len(px)
+    block = 4096 - end  # pixels per block before the forced clear+reset
+    if n < (1 << w0) - end:
+        # small input: every code (clear, pixels, end) fits at width w0
+        # with no bumps — pack with one broadcast instead of the
+        # general masked scatter
+        codes = np.empty(n + 2, dtype=np.int64)
+        codes[0] = clear
+        codes[1:-1] = px
+        codes[-1] = end
+        bits = ((codes[:, None] >> np.arange(w0)) & 1).astype(np.uint8)
+        return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    thr = np.array([(1 << cs) - end for cs in range(w0, 12)], dtype=np.int64)
+    posin = np.arange(n, dtype=np.int64) % block
+    pwidths = w0 + np.searchsorted(thr, posin, side="right")
+    n_resets = n // block  # a clear@12 follows every completed block
+    total = 1 + n + n_resets + 1
+    codes = np.empty(total, dtype=np.int64)
+    widths = np.empty(total, dtype=np.int64)
+    codes[0] = clear
+    widths[0] = w0
+    slots = 1 + np.arange(n, dtype=np.int64) + np.arange(n, dtype=np.int64) // block
+    codes[slots] = px
+    widths[slots] = pwidths
+    if n_resets:
+        r = np.arange(1, n_resets + 1, dtype=np.int64)
+        rs = r * block + r  # immediately after pixel r*block-1
+        codes[rs] = clear
+        widths[rs] = 12
+    codes[-1] = end
+    widths[-1] = w0 + int(np.searchsorted(thr, n % block, side="right"))
+    offs = np.zeros(total, dtype=np.int64)
+    np.cumsum(widths[:-1], out=offs[1:])
+    bits = np.zeros(int(offs[-1] + widths[-1]), dtype=np.uint8)
+    for b in range(12):
+        m = widths > b
+        bits[offs[m] + b] = (codes[m] >> b) & 1
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def _deinterlace(rows: np.ndarray) -> np.ndarray:
@@ -225,7 +338,7 @@ def encode_gif(
     else:
         stored = idx
     min_code = 8
-    data = _lzw_encode(min_code, [int(v) for v in stored.reshape(-1)])
+    data = _lzw_encode(min_code, stored.reshape(-1))
     for _ in range(n_frames):
         out += b"\x2c" + (0).to_bytes(2, "little") * 2
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
@@ -380,19 +493,25 @@ def encode_gif_animation(
     Deterministic bytes (same LZW writer as ``encode_gif``) so the
     compositing tests can state expected canvases closed-form."""
     sw, sh = screen
-    colors: set[tuple[int, int, int]] = {tuple(int(x) for x in bg_rgb)}
+    bg_packed = (int(bg_rgb[0]) << 16) | (int(bg_rgb[1]) << 8) | int(bg_rgb[2])
+    packed_parts = [np.array([bg_packed], dtype=np.int64)]
     for p in patches:
         img = p["img"]
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError("patch img must be hxwx3")
         mask = p.get("mask")
-        flat = img.reshape(-1, 3)
-        keep = mask.reshape(-1) if mask is not None else np.ones(len(flat), bool)
-        for px in flat[keep]:
-            colors.add((int(px[0]), int(px[1]), int(px[2])))
-    ordered = [tuple(int(x) for x in bg_rgb)] + sorted(
-        c for c in colors if c != tuple(int(x) for x in bg_rgb)
-    )
+        flat = img.reshape(-1, 3).astype(np.int64)
+        if mask is not None:
+            flat = flat[mask.reshape(-1)]
+        packed_parts.append((flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2])
+    uniq = np.unique(np.concatenate(packed_parts))
+    # background first, then the remaining colors in sorted (r, g, b)
+    # order — packed-int order IS lexicographic (r, g, b) order
+    ordered = [tuple(int(x) for x in bg_rgb)] + [
+        (int(c) >> 16, (int(c) >> 8) & 0xFF, int(c) & 0xFF)
+        for c in uniq
+        if int(c) != bg_packed
+    ]
     needs_transparent = any(p.get("mask") is not None for p in patches)
     if len(ordered) + (1 if needs_transparent else 0) > 256:
         raise ValueError("encode_gif_animation supports <= 255 distinct colors")
@@ -442,7 +561,7 @@ def encode_gif_animation(
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
         out += bytes([0])  # no LCT, no interlace
         min_code = 8
-        data = _lzw_encode(min_code, [int(v) for v in idx.reshape(-1)])
+        data = _lzw_encode(min_code, idx.reshape(-1))
         out += bytes([min_code])
         for i in range(0, len(data), 255):
             chunk = data[i : i + 255]

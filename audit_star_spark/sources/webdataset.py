@@ -55,22 +55,84 @@ def _split_key(name: str) -> tuple[str, str]:
     return dirpart + stem, ext
 
 
+_TAR_TEMPLATE: bytes | None = None
+
+
+def _tar_header_template() -> bytes:
+    """One zero-name zero-size member header written by tarfile itself;
+    the fast encoder patches only name, size and checksum into copies of
+    it, so every other field (mode, magic, uname, ...) is byte-identical
+    to what ``tarfile`` would write."""
+    global _TAR_TEMPLATE
+    if _TAR_TEMPLATE is None:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            info = tarfile.TarInfo(name="x")
+            info.size = 0
+            info.mtime = 0
+            info.uid = info.gid = 0
+            tar.addfile(info, io.BytesIO(b""))
+        hdr = bytearray(buf.getvalue()[:512])
+        hdr[0:100] = b"\0" * 100  # blank the name field
+        _TAR_TEMPLATE = bytes(hdr)
+    return _TAR_TEMPLATE
+
+
+def _encode_tar(samples: list[dict]) -> bytes:
+    """Tar assembly without per-member tarfile machinery: header =
+    patched template (name, size, checksum), data padded to 512, the
+    standard 1024-byte end marker, record-size padding — byte-identical
+    to the tarfile writer. Members needing pax/GNU extensions (long or
+    non-ASCII names, huge sizes) fall back to tarfile."""
+    template = _tar_header_template()
+    parts: list[bytes] = []
+    total = 0
+    for s in samples:
+        for comp in sorted(s["components"]):
+            data = s["components"][comp]
+            name = f"{s['key']}.{comp}".encode("utf-8")
+            if len(name) > 100 or len(data) > 0o77777777777:
+                raise _TarFastUnsupported
+            hdr = bytearray(template)
+            hdr[0 : len(name)] = name
+            hdr[124:136] = b"%011o\0" % len(data)
+            hdr[148:156] = b" " * 8
+            hdr[148:156] = b"%06o\0 " % sum(hdr)
+            parts.append(bytes(hdr))
+            parts.append(data)
+            pad = -len(data) % 512
+            if pad:
+                parts.append(b"\0" * pad)
+            total += 512 + len(data) + pad
+    parts.append(b"\0" * 1024)
+    total += 1024
+    parts.append(b"\0" * (-total % tarfile.RECORDSIZE))
+    return b"".join(parts)
+
+
+class _TarFastUnsupported(Exception):
+    """Member shape the patched-template writer cannot express."""
+
+
 def encode_webdataset(samples: list[dict], gz: bool = False) -> bytes:
     """``samples``: dicts of ``key`` (str) + ``components`` (dict of
     component-name -> bytes). Members are emitted sample-by-sample in
     sorted component order with zeroed metadata, so archives are
     byte-deterministic."""
-    buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w") as tar:
-        for s in samples:
-            for comp in sorted(s["components"]):
-                data = s["components"][comp]
-                info = tarfile.TarInfo(name=f"{s['key']}.{comp}")
-                info.size = len(data)
-                info.mtime = 0
-                info.uid = info.gid = 0
-                tar.addfile(info, io.BytesIO(data))
-    out = buf.getvalue()
+    try:
+        out = _encode_tar(samples)
+    except _TarFastUnsupported:
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for s in samples:
+                for comp in sorted(s["components"]):
+                    data = s["components"][comp]
+                    info = tarfile.TarInfo(name=f"{s['key']}.{comp}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    tar.addfile(info, io.BytesIO(data))
+        out = buf.getvalue()
     if gz:
         zbuf = io.BytesIO()
         with gzip.GzipFile(fileobj=zbuf, mode="wb", mtime=0) as z:
@@ -96,8 +158,68 @@ def parse_webdataset(data: bytes) -> list[dict]:
                 data = d.decompress(data)
             except zlib.error:
                 return []
+    try:
+        members = _walk_tar(data)
+    except _TarFastUnsupported:
+        members = _walk_tar_tarfile(data)
     order: list[str] = []
     grouped: dict[str, dict[str, bytes]] = {}
+    for name, payload in members:
+        key, comp = _split_key(name)
+        if key not in grouped:
+            grouped[key] = {}
+            order.append(key)
+        grouped[key][comp] = payload
+    return [{"key": k, "components": grouped[k]} for k in order]
+
+
+def _walk_tar(data: bytes) -> list[tuple[str, bytes]]:
+    """Plain-ustar member walk over raw bytes — no per-member tarfile
+    object machinery. Mirrors the tarfile-based walk's observable
+    behavior exactly: a bad FIRST header yields no members (tarfile
+    fails at open), a bad later header or a truncated member keeps the
+    complete leading members. Anything beyond a plain regular-file
+    header (pax/GNU extensions, ustar prefix field, base-256 sizes)
+    raises ``_TarFastUnsupported`` so the tarfile walk handles it."""
+    out: list[tuple[str, bytes]] = []
+    off = 0
+    n = len(data)
+    while True:
+        hdr = data[off : off + 512]
+        if len(hdr) < 512 or hdr.count(0) == 512:
+            break  # end-of-archive marker or truncated tail
+        try:
+            chksum = int(hdr[148:156].split(b"\0")[0].strip() or b"-1", 8)
+        except ValueError:
+            chksum = -1
+        blanked = hdr[:148] + b" " * 8 + hdr[156:]
+        unsigned = sum(blanked)
+        signed = sum(b - 256 if b > 127 else b for b in blanked)
+        if chksum not in (unsigned, signed):
+            if off == 0:
+                break  # tarfile would fail at open: no members
+            break  # corrupt tail: keep what we have
+        typeflag = hdr[156]
+        if typeflag not in (0x30, 0x00):  # REGTYPE / AREGTYPE only
+            raise _TarFastUnsupported
+        if hdr[345] != 0 or hdr[124] & 0x80:
+            raise _TarFastUnsupported  # ustar prefix / base-256 size
+        try:
+            name = hdr[:100].split(b"\0")[0].decode("utf-8")
+            size = int(hdr[124:136].split(b"\0")[0].strip() or b"0", 8)
+        except (ValueError, UnicodeDecodeError):
+            raise _TarFastUnsupported from None
+        body_end = off + 512 + size
+        if body_end > n:
+            break  # truncated member: keep the complete leading ones
+        out.append((name, data[off + 512 : body_end]))
+        off += 512 + size + (-size % 512)
+    return out
+
+
+def _walk_tar_tarfile(data: bytes) -> list[tuple[str, bytes]]:
+    """The original tarfile-based member walk (general formats)."""
+    out: list[tuple[str, bytes]] = []
     try:
         with tarfile.open(fileobj=io.BytesIO(data), mode="r") as tar:
             while True:
@@ -118,14 +240,10 @@ def parse_webdataset(data: bytes) -> list[dict]:
                     break
                 if len(payload) != info.size:
                     break  # truncated member
-                key, comp = _split_key(info.name)
-                if key not in grouped:
-                    grouped[key] = {}
-                    order.append(key)
-                grouped[key][comp] = payload
+                out.append((info.name, payload))
     except (tarfile.TarError, EOFError, OSError, ValueError):
         return []
-    return [{"key": k, "components": grouped[k]} for k in order]
+    return out
 
 
 def webdataset_samples(
