@@ -61,7 +61,13 @@ def pagerank(
     HDFS-compatible directory instead of executor-local storage, so an
     executor loss resumes from the last round rather than invalidating
     non-recomputable localCheckpoint blocks and restarting the whole
-    iteration (plans/iterate.py has the full trade)."""
+    iteration (plans/iterate.py has the full trade).
+
+    Note: construction is EAGER — N is read once via ``nodes.count()``
+    at call time (the bounded shift-probe pattern), which materializes
+    the node frame even if the caller never collects the result. The
+    iteration loop is driver-side anyway, so a lazy-until-collected
+    pagerank was never on offer past n_iter=0."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     if not 0.0 <= damping <= 1.0:

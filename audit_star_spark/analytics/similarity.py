@@ -345,7 +345,8 @@ def ivf_topk(
     # every vector, payload included, through a vec_id-keyed shuffle
     # just to take crank == 1; same fix as _assign_to_cells' callers,
     # r14). Tie-break (ccos desc, cell_id asc) and the score arithmetic
-    # are _BEST_CELL's, which restate the window's exactly.
+    # are _BEST_CELL's, which restate the window's for every finite
+    # cosine (zero-norm caveat at _BEST_CELL_S).
     assigned = _assign_to_cells(base.select("vec_id", "vec", "norm"), cents)
     # probes: top-n_probe cells per QUERY — a window over the bounded
     # n_queries x n_cells frame only
@@ -514,9 +515,15 @@ def _packed_cells(cents: DataFrame, fields: str) -> DataFrame:
 # in-row argmax over the packed centroid array: score every cell once
 # (transform), then fold keeping the STRICTLY greater cosine — ties keep
 # the running best, and the array is cell_id-ascending, so equal cosines
-# resolve to the smaller cell_id: exactly the (ccos DESC, cell_id)
-# row_number semantics this replaces. The dot/divide arithmetic is the
-# _dot expression verbatim, so scores are bit-identical.
+# resolve to the smaller cell_id: the (ccos DESC, cell_id) row_number
+# semantics this replaces, for every finite cosine. The dot/divide
+# arithmetic is the _dot expression verbatim, so scores are
+# bit-identical. Known divergence: a ZERO-NORM vector scores NaN against
+# every cell; NaN > -Infinity is false, so the fold yields cell_id = -1
+# with sim -Infinity, where the window (NaN sorts first DESC in Spark)
+# picked a real cell with NaN score — consistent with the repo's
+# NaN-drop convention in _topk_per_query, and unreachable for the
+# declared queries (synthetic vectors are never all-zero).
 _BEST_CELL_S = (
     "aggregate("
     "transform(__cells, c -> named_struct("
@@ -1163,6 +1170,10 @@ def matryoshka_recall(
     dim = _vec_dim(emb)
     if any(d < 1 or d > dim for d in dims):
         raise ValueError(f"dims must be within [1, {dim}], got {dims}")
+    # dedupe (order-preserving): the fused scan emits one candidate
+    # stream per listed prefix, so a duplicated dim would double its
+    # candidates and corrupt that prefix's top-k
+    dims = tuple(dict.fromkeys(dims))
     from audit_star_spark.plans.iterate import iter_materialize
 
     base = _prepared(emb)

@@ -184,3 +184,18 @@ def test_incontext_order_empty_corpus(spark, emb):
 
     with pytest.raises(ValueError, match="empty corpus"):
         incontext_order(emb.filter(F.lit(False)), n_cells=8)
+
+
+def test_duplicate_dims_deduped(spark, emb):
+    """A duplicated prefix dim must not double its candidate stream
+    (which would fill that prefix's top-k with doubled vec_ids and
+    double-count recall hits): results equal the deduped call."""
+    from audit_star_spark.analytics.similarity import matryoshka_recall
+
+    dup = matryoshka_recall(
+        emb, dims=(16, 16, 64, 16), n_queries=4, k=5
+    ).collect()
+    ref = matryoshka_recall(emb, dims=(16, 64), n_queries=4, k=5).collect()
+    key = lambda r: (r["prefix_dim"], r["query_id"])  # noqa: E731
+    assert sorted(map(tuple, dup)) == sorted(map(tuple, ref))
+    assert {key(r) for r in dup} == {key(r) for r in ref}
